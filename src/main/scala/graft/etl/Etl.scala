@@ -1,0 +1,45 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bulk ETL surface (reference: scratch.R:142-156): TSV → hive-
+  * partitioned parquet and parquet-directory table registration, the
+  * NCVR voter-file workflow.
+  */
+object Etl {
+
+  /** Streaming TSV scan (reference: `open_dataset(format='tsv')`,
+    * scratch.R:143,148). Header + schema inference off by default at
+    * scale — pass an explicit schema for 100 TB inputs.
+    */
+  def readTsv(spark: SparkSession, path: String, schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.option("sep", "\t").option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  /** Hive-partitioned parquet write (reference: `group_by(municipality_desc)
+    * |> write_dataset`, scratch.R:145-151). Partition count = distinct
+    * partition-key values; callers with skewed keys should repartition
+    * on (key, salt) first.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String], selectCols: Seq[String] = Nil): Unit = {
+    val projected = if (selectCols.nonEmpty) df.selectExpr(selectCols: _*) else df
+    projected.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+  }
+
+  /** Parquet-directory scan with automatic partition discovery
+    * (reference: read_parquet over a partition glob, scratch.R:155-156).
+    */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Register as a temp view (reference: `create table ... as select`,
+    * scratch.R:155-156 — a view, not a copy: at 100 TB you re-scan
+    * parquet, you don't duplicate it).
+    */
+  def registerTable(spark: SparkSession, path: String, name: String): DataFrame = {
+    val df = readPartitioned(spark, path)
+    df.createOrReplaceTempView(name)
+    df
+  }
+}

@@ -1,0 +1,140 @@
+package graft.linkage
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Candidate-pair generation ("blocking"): avoid the O(|A|·|B|) cross
+  * product by taking the union of cheap equi-join passes plus optional
+  * predicate passes, deduplicated
+  * (reference: `extract_blocks`, R/linking.R:14-38).
+  *
+  * Scale-first design divergences from the reference (SURVEY.md §3):
+  *
+  *   - The reference `collect()`s every pass to the driver and dedups
+  *     in driver memory (R/linking.R:35-37) — a non-starter at 100 TB.
+  *     Here the whole thing is ONE lazy plan:
+  *     `passes.reduce(unionByName).dropDuplicates` — same result set,
+  *     dedup runs as a distributed hash aggregate on the pair ids, and
+  *     Catalyst prunes each pass's scan down to (blocking key, id).
+  *
+  *   - A raw predicate pass is a cross join (R/linking.R:28-29), which
+  *     no optimizer can save at scale. `ComputedKeys` lets the caller
+  *     express "same first initial"-style predicates as equi-joins on
+  *     computed keys (e.g. `substring(col("surname"), 1, 1)`), turning
+  *     O(n²) into a shuffled hash join. `Predicate` remains available
+  *     for genuinely non-equi conditions; Catalyst will still turn an
+  *     equality-only predicate over a cross join into an equi-join, but
+  *     relying on that rewrite is fragile — prefer `ComputedKeys`.
+  */
+sealed trait BlockingPass
+
+/** Equi-join pass on existing columns: left name → right name map
+  * (reference: R/linking.R:21-27; `list('surname'='surname', ...)` at
+  * scratch.R:23). Unsuffixed names are suffixed automatically.
+  */
+final case class EquiKeys(keys: Map[String, String]) extends BlockingPass
+object EquiKeys {
+  /** Same-name convenience: block on `v_left == v_right`. */
+  def apply(vars: String*): EquiKeys = EquiKeys(vars.map(v => v -> v).toMap)
+}
+
+/** Equi-join pass on computed keys: (key name, left-side expr over the
+  * suffixed left table, right-side expr over the suffixed right table).
+  * The scale-path rewrite of prefix-style predicate passes
+  * (reference: scratch.R:25).
+  */
+final case class ComputedKeys(keys: Seq[(String, Column, Column)]) extends BlockingPass
+
+/** Arbitrary-predicate pass over the cross product — the reference's
+  * `blocking_expressions` (R/linking.R:28-29). Use only for non-equi
+  * predicates; O(|A|·|B|) work.
+  */
+final case class Predicate(condition: Column) extends BlockingPass
+
+/** Typed blocking config (reference: S7 `blocking_rules`,
+  * R/s7_classes.R:11-30).
+  */
+final case class BlockingRules(passes: Seq[BlockingPass]) {
+  override def toString: String =
+    if (passes.isEmpty)
+      "An empty blocking rule. Be careful! This blocking rule will return all pairs!"
+    else
+      s"Blocking rule with ${passes.length} blocking conditions.\n" +
+        passes.map(p => s"  - $p").mkString("\n")
+}
+
+/** Top-level linkage spec (reference: S7 `ppack_spec`,
+  * R/s7_classes.R:34-44).
+  */
+final case class LinkSpec(
+    blocking: BlockingRules,
+    comparators: Seq[Comparator],
+    uniqueIdA: String,
+    uniqueIdB: String)
+
+object Blocking {
+
+  /** Blocking joins EXPAND: output pairs ≫ input rows, so the join's
+    * parallelism must come from the probe side's partitioning — a
+    * small input read as 1–2 parquet partitions would fan out millions
+    * of pairs from a single task (broadcast-hash keeps the probe side's
+    * partitioning). Round-robin repartition the probe side up to the
+    * session shuffle parallelism when it has fewer partitions; at real
+    * scale inputs already have thousands of partitions and this is a
+    * no-op.
+    */
+  private def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Generate the deduplicated candidate-pair id table
+    * (reference: `extract_blocks`, R/linking.R:14-38). Returns a lazy
+    * DataFrame of (uniqueIdA_left, uniqueIdB_right) — one plan, no
+    * driver materialization.
+    */
+  def extractBlocks(
+      dataA: DataFrame,
+      dataB: DataFrame,
+      uniqueIdA: String,
+      uniqueIdB: String,
+      rules: BlockingRules): DataFrame = {
+    val a = ensureParallelism(Suffix.addSuffix(dataA, "_left"))
+    val b = Suffix.addSuffix(dataB, "_right")
+    val idL = Suffix.addSuffix(uniqueIdA, "_left")
+    val idR = Suffix.addSuffix(uniqueIdB, "_right")
+
+    val passes: Seq[DataFrame] = rules.passes.map {
+      case EquiKeys(keys) =>
+        // Null keys never match in an equi-join (NULL = NULL is NULL) —
+        // same as the reference's SQL inner join.
+        val cond = keys.map { case (l, r) =>
+          a(Suffix.addSuffix(l, "_left")) === b(Suffix.addSuffix(r, "_right"))
+        }.reduce(_ && _)
+        a.join(b, cond, "inner").select(col(idL), col(idR))
+
+      case ComputedKeys(keys) =>
+        // Project the computed keys on each side first so the join is a
+        // plain shuffled equi-join on materialized key columns.
+        val ak = keys.foldLeft(a) { case (df, (n, le, _)) => df.withColumn(s"__bk_$n", le) }
+        val bk = keys.foldLeft(b) { case (df, (n, _, re)) => df.withColumn(s"__bk2_$n", re) }
+        val cond = keys.map { case (n, _, _) => ak(s"__bk_$n") === bk(s"__bk2_$n") }.reduce(_ && _)
+        ak.join(bk, cond, "inner").select(col(idL), col(idR))
+
+      case Predicate(condition) =>
+        a.crossJoin(b).filter(condition).select(col(idL), col(idR))
+    }
+
+    // union-all + distinct == the reference's bind_rows + distinct
+    // (R/linking.R:36-37), kept distributed. A single equi/computed-key
+    // pass already yields unique pairs (each (rowA, rowB) combination
+    // appears at most once in one join), so the distinct — a full
+    // shuffle of the pair table — is skipped when it cannot change the
+    // result.
+    val singlePassUnique = rules.passes.sizeIs == 1 && (rules.passes.head match {
+      case _: EquiKeys | _: ComputedKeys | _: Predicate => true
+    })
+    val unioned = passes.reduce(_ unionByName _)
+    if (singlePassUnique) unioned else unioned.dropDuplicates(idL, idR)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.linkage
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scoring: compile fitted m/u tables into a single per-pair weight
+  * expression, threshold, rank, and evaluate
+  * (reference: scratch.R:106-139).
+  *
+  * The reference compiles each field's m/u lookup into a `case_when`
+  * chain (`dict_lookup_case_when`, scratch.R:109-115) and sums
+  * `log(m/u)` across fields with missing fields contributing 0
+  * (scratch.R:117-124). The Spark-native equivalent is a folded
+  * `when` chain — whole-stage codegen then compiles the entire scoring
+  * expression to JVM bytecode, so scoring all pairs is one codegen'd
+  * map over the comparison table, no joins, no lookups. For fields
+  * with very many levels a broadcast-join lookup would win; for
+  * comparator-style fields (≤ a handful of levels) `when` chains are
+  * strictly better (SURVEY.md §4).
+  */
+object Scoring {
+
+  /** `dict_lookup_case_when`: compile level → value into a `when`
+    * chain over `col(field)`; unmatched level → NULL
+    * (reference: scratch.R:109-115).
+    */
+  def dictLookup(field: String, dict: Map[String, Double]): Column = {
+    val sorted = dict.toSeq.sortBy(_._1)
+    val chain = sorted.foldLeft(Option.empty[Column]) { case (acc, (level, v)) =>
+      Some(acc.fold(when(col(field) === level, v))(_.when(col(field) === level, v)))
+    }
+    chain.fold(lit(null).cast("double"))(_.otherwise(lit(null).cast("double")))
+  }
+
+  /** Total Fellegi–Sunter weight: Σ over fields of
+    * `if (level non-missing) log(m[level]/u[level]) else 0`
+    * (reference: scratch.R:117-124).
+    */
+  def weightExpression(em: EM.EMResult): Column =
+    em.mProbabilities.keys.map { f =>
+      val mLookup = dictLookup(f, em.mProbabilities(f))
+      val uLookup = dictLookup(f, em.uProbabilities(f))
+      when(col(f).isNotNull, log(mLookup / uLookup)).otherwise(0.0)
+    }.reduce(_ + _)
+
+  /** Score a comparison-values table (ids + comparator levels):
+    * add `weight` (reference: scratch.R:128-129).
+    */
+  def score(comparisonValues: DataFrame, em: EM.EMResult): DataFrame =
+    comparisonValues.withColumn("weight", weightExpression(em))
+
+  /** Threshold + rank (reference: scratch.R:130,134). */
+  def topMatches(scored: DataFrame, threshold: Double = 5.0): DataFrame =
+    scored.filter(col("weight") > threshold).orderBy(desc("weight"))
+
+  /** Attach ground-truth cluster labels from both sides and mark true
+    * matches (reference: scratch.R:131-133). `truth` has columns
+    * (idCol, clusterCol).
+    */
+  def attachTruth(
+      scored: DataFrame,
+      truth: DataFrame,
+      idCol: String,
+      clusterCol: String): DataFrame = {
+    val tl = truth.select(col(idCol).as(s"${idCol}_left"), col(clusterCol).as("cluster_left"))
+    val tr = truth.select(col(idCol).as(s"${idCol}_right"), col(clusterCol).as("cluster_right"))
+    scored
+      .join(tl, Seq(s"${idCol}_left"), "left")
+      .join(tr, Seq(s"${idCol}_right"), "left")
+      .withColumn("true_match", col("cluster_left") === col("cluster_right"))
+  }
+
+  /** Precision per rounded weight band — the reference's calibration
+    * table (scratch.R:137-139).
+    */
+  def precisionByBand(withTruth: DataFrame): DataFrame =
+    withTruth
+      .withColumn("weight_band", round(col("weight")))
+      .groupBy("weight_band")
+      .agg(avg(col("true_match").cast("double")).as("precision"), count(lit(1)).as("n"))
+      .orderBy("weight_band")
+}

@@ -1,0 +1,122 @@
+package graft.linkage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** u-probability estimation by random pair sampling
+  * (reference: `calculate_u_probs`, scratch.R:58-100): draw ~1e6
+  * random (overwhelmingly non-matching) pairs, evaluate the
+  * comparators, and take per-(field, level) frequencies.
+  *
+  * Scale-first divergence (SURVEY.md §3b): the reference builds the
+  * random id table on the driver and `copy_to`s it into the engine
+  * (scratch.R:68-71). Here pair generation is distributed from the
+  * start — `spark.range(size)` plus a deterministic per-index mix —
+  * so no driver materialization and full reproducibility under a seed.
+  */
+object UProbs {
+
+  /** Deterministic pseudo-random index in [1, n] derived from (i, salt,
+    * seed) with a Park–Miller LCG step. Expressible identically in
+    * ANSI SQL (see [[lcgSql]]) so sampled-pair queries are
+    * oracle-checkable: all arithmetic stays far below 2^63.
+    */
+  def lcgPick(i: org.apache.spark.sql.Column, n: Long, salt: Long, seed: Long): org.apache.spark.sql.Column =
+    pmod((i + lit(seed) + lit(salt)) * lit(48271L), lit(2147483647L)) % lit(n) + lit(1)
+
+  /** The same pick as a SQL fragment for the DuckDB oracle. */
+  def lcgSql(iExpr: String, n: Long, salt: Long, seed: Long): String =
+    s"((($iExpr + $seed + $salt) * 48271) % 2147483647) % $n + 1"
+
+  /** Attach dense synthetic row ids 1..n ordered by `orderCol`
+    * (reference: `mutate(synthetic_id = row_number())`, scratch.R:63-65).
+    *
+    * NOTE: a global `row_number()` is a single-partition sort — fine for
+    * the deterministic/oracle path, wrong at 100 TB. The scale path is
+    * [[samplePairsByCross]], which needs no synthetic ids at all.
+    */
+  def withSyntheticId(df: DataFrame, idName: String, orderCol: String): DataFrame =
+    df.withColumn(idName, row_number().over(Window.orderBy(col(orderCol))))
+
+  /** Deterministic sampled-pairs table of `size` rows with columns
+    * (synthetic_id_left, synthetic_id_right), ids uniform-ish in
+    * [1, nA] × [1, nB]. Fully distributed (`spark.range`).
+    */
+  def samplePairIds(spark: SparkSession, nA: Long, nB: Long, size: Long, seed: Long): DataFrame = {
+    val idx = spark.range(size) // column "id"
+    idx.select(
+      lcgPick(col("id"), nA, 0L, seed).as("synthetic_id_left"),
+      lcgPick(col("id"), nB, 1000003L, seed).as("synthetic_id_right"))
+  }
+
+  /** Scale-path sampler: independent `sample()` of each side then cross
+    * join, giving ~`size` random pairs without any global sort or
+    * driver round-trip. Marginal distribution per side is uniform;
+    * pairs share sampled rows (same trade-off Splink's public u-training
+    * makes). Use when tables are too large for synthetic-id assignment.
+    */
+  def samplePairsByCross(dataA: DataFrame, dataB: DataFrame, size: Long, seed: Long): DataFrame = {
+    val nA = dataA.count().toDouble
+    val nB = dataB.count().toDouble
+    val side = math.sqrt(size.toDouble)
+    val a = Suffix.addSuffix(dataA.sample(withReplacement = false, math.min(1.0, side / nA), seed), "_left")
+    val b = Suffix.addSuffix(dataB.sample(withReplacement = false, math.min(1.0, side / nB), seed + 1), "_right")
+    a.crossJoin(b)
+  }
+
+  /** Long-form per-(field, level) sample frequencies
+    * (reference: scratch.R:73-83): evaluate comparators over sampled
+    * pairs, pivot to (name, value), drop NULL levels, count, and take
+    * the within-field fraction. Returns (name, value, n, p).
+    *
+    * The pivot uses the built-in `stack` generator (R1); the fraction
+    * is a window sum over the tiny (field, level) count table (A3).
+    */
+  def uProbsLong(sampledPairs: DataFrame, comparators: Seq[Comparator]): DataFrame = {
+    val compared = Comparators.doComparisons(sampledPairs, comparators)
+    val stackArgs = comparators
+      .map(c => s"'${c.name}', `${c.name}`")
+      .mkString(", ")
+    val long = compared.selectExpr(
+      s"stack(${comparators.size}, $stackArgs) as (name, value)")
+    long
+      .filter(col("value").isNotNull)
+      .groupBy("name", "value")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n") / sum("n").over(Window.partitionBy("name")))
+  }
+
+  /** End-to-end u-probability estimation with deterministic sampling:
+    * the Spark-native `calculate_u_probs` (scratch.R:58-100). `orderColA`/
+    * `orderColB` give the synthetic-id ordering (any unique column).
+    */
+  def calculateUProbs(
+      dataA: DataFrame,
+      dataB: DataFrame,
+      orderColA: String,
+      orderColB: String,
+      comparators: Seq[Comparator],
+      size: Long = 1000000L,
+      seed: Long = 42L): Map[String, Map[String, Double]] = {
+    val spark = dataA.sparkSession
+    val nA = dataA.count()
+    val nB = dataB.count()
+    val a = Suffix.addSuffix(withSyntheticId(dataA, "synthetic_id", orderColA), "_left")
+    val b = Suffix.addSuffix(withSyntheticId(dataB, "synthetic_id", orderColB), "_right")
+    val pairs = samplePairIds(spark, nA, nB, size, seed)
+      .join(a, Seq("synthetic_id_left"), "left")
+      .join(b, Seq("synthetic_id_right"), "left")
+    toNestedMap(uProbsLong(pairs, comparators))
+  }
+
+  /** Collect the long frequency table to field → (level → p)
+    * (reference: scratch.R:85-96).
+    */
+  def toNestedMap(uLong: DataFrame): Map[String, Map[String, Double]] =
+    uLong.collect().toSeq
+      .groupBy(_.getAs[String]("name"))
+      .map { case (name, rows) =>
+        name -> rows.map(r => r.getAs[String]("value") -> r.getAs[Double]("p")).toMap
+      }
+}
