@@ -112,8 +112,8 @@ object SparkEntry {
     s"""WITH ca AS (SELECT *, row_number() OVER (ORDER BY c_custkey) AS synthetic_id FROM customer),
        |n AS (SELECT count(*) AS cnt FROM customer),
        |pairs AS (
-       |  SELECT (((t.i + $uSeed + 0) * 48271) % 2147483647) % n.cnt + 1 AS sid_left,
-       |         (((t.i + $uSeed + 1000003) * 48271) % 2147483647) % n.cnt + 1 AS sid_right
+       |  SELECT ${UProbs.lcgSql("t.i", "n.cnt", 0L, uSeed, 48271L)} AS sid_left,
+       |         ${UProbs.lcgSql("t.i", "n.cnt", 1000003L, uSeed, 69621L)} AS sid_right
        |  FROM range($uSampleSize) AS t(i), n
        |),
        |compared AS (

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.linkage._
+
+/** Specs for the linkage core: suffixing (P1), comparators (F2-F4),
+  * blocking (J1/J2/P6/U1), pair assembly (J3), pattern counts (A1).
+  */
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val people = Seq(
+    (1L, "alice", "smith", "male", "AB1"),
+    (2L, "alicia", "smith", "female", "AB1"),
+    (3L, "bob", "jones", "male", "CD2"),
+    (4L, "bob", "james", null, "CD2"),
+    (5L, "carol", "smith", "other", null)
+  ).toDF("id", "first_name", "surname", "gender", "postcode")
+
+  test("Suffix: idempotent on names, columns, frames (utils.R:11-27 semantics)") {
+    assert(Suffix.addSuffix("a", "_left") == "a_left")
+    assert(Suffix.addSuffix("a_left", "_left") == "a_left")
+    assert(Suffix.addSuffix(Seq("x", "y_right"), "_right") == Seq("x_right", "y_right"))
+    val df = Suffix.addSuffix(people, "_left")
+    assert(df.columns.toSeq == Seq("id_left", "first_name_left", "surname_left", "gender_left", "postcode_left"))
+    assert(Suffix.addSuffix(df, "_left").columns.toSeq == df.columns.toSeq)
+  }
+
+  test("exact comparator: agree / disagree / NULL (comparators.R:18-23)") {
+    val pairs = Seq(
+      ("x", "x"), ("x", "y"), (null, "x"), ("x", null), (null, null)
+    ).toDF("v_left", "v_right")
+    val out = Comparators.doComparisons(pairs, Comparators.exact(Seq("v")))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq == Seq(Some("agree"), Some("disagree"), None, None, None))
+  }
+
+  test("jw comparator: level boundaries and NULL → no agreement (comparators.R:4-14)") {
+    val pairs = Seq(
+      ("martha", "martha"),   // 1.0       → full
+      ("martha", "marhta"),   // 0.9611... → strong
+      ("hello", "hallo"),     // 0.88      → weak
+      ("crate", "trace"),     // 0.733     → none
+      (null, "x"), ("x", null)
+    ).toDF("v_left", "v_right")
+    val out = Comparators.doComparisons(pairs, Comparators.jaroWinkler(Seq("v")))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("full agreement", "strong partial agreement",
+      "weak partial agreement", "no agreement", "no agreement", "no agreement"))
+  }
+
+  test("NA-safe isin comparator matches R %in% semantics (F4 watch-out)") {
+    // R: !gender %in% c('female','male') is TRUE for NA; SQL NOT IN is NULL.
+    val comparator = Comparators.expression("gender_comparison",
+      when(col("gender_left") === "male" && col("gender_right") === "male", "agree (male)")
+        .when(col("gender_left") === "female" && col("gender_right") === "female", "agree (female)")
+        .when(!coalesce(col("gender_left").isin("female", "male"), lit(false)) ||
+              !coalesce(col("gender_right").isin("female", "male"), lit(false)), null)
+        .otherwise("disagree"))
+    val pairs = Seq(
+      ("male", "male"), ("female", "female"), ("male", "female"),
+      ("other", "male"), (null, "male"), (null, null)
+    ).toDF("gender_left", "gender_right")
+    val out = Comparators.doComparisons(pairs, Seq(comparator))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq == Seq(Some("agree (male)"), Some("agree (female)"), Some("disagree"),
+      None, None, None))
+  }
+
+  test("blocking: union of passes deduplicates overlapping pairs (linking.R:36-37)") {
+    // surname pass and postcode pass both produce (1,2): distinct keeps one.
+    val rules = BlockingRules(Seq(EquiKeys("surname"), EquiKeys("postcode")))
+    val ids = Blocking.extractBlocks(people, people, "id", "id", rules)
+      .filter(col("id_left") < col("id_right"))
+    val got = ids.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // surname: (1,2),(1,5),(2,5); postcode: (1,2),(3,4). NULL postcode (5) joins nothing.
+    assert(got == Set((1L, 2L), (1L, 5L), (2L, 5L), (3L, 4L)))
+  }
+
+  test("blocking: ComputedKeys equals the equivalent Predicate pass (J2 rewrite)") {
+    val computed = Blocking.extractBlocks(people, people, "id", "id",
+      BlockingRules(Seq(ComputedKeys(Seq(
+        ("s1", substring(col("surname_left"), 1, 1), substring(col("surname_right"), 1, 1)))))))
+    val predicate = Blocking.extractBlocks(people, people, "id", "id",
+      BlockingRules(Seq(Predicate(
+        substring(col("surname_left"), 1, 1) === substring(col("surname_right"), 1, 1)))))
+    val a = computed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = predicate.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("pair assembly: left joins preserve ids and suffix all columns (linking.R:49-60)") {
+    val ids = Seq((1L, 2L), (3L, 4L)).toDF("id_left", "id_right")
+    val pairs = Pairs.computePairsDataset(people, people, "id", "id", ids)
+    assert(pairs.columns.toSet ==
+      Set("id_left", "id_right",
+        "first_name_left", "surname_left", "gender_left", "postcode_left",
+        "first_name_right", "surname_right", "gender_right", "postcode_right"))
+    val r = pairs.filter(col("id_left") === 1L).head
+    assert(r.getAs[String]("first_name_left") == "alice" &&
+      r.getAs[String]("first_name_right") == "alicia")
+  }
+
+  test("pattern counts: multiplicities over distinct comparison vectors (A1)") {
+    val ids = Seq((1L, 2L), (1L, 5L), (2L, 5L), (3L, 4L)).toDF("id_left", "id_right")
+    val comparators = Comparators.exact(Seq("surname", "postcode"))
+    val counts = Pairs.patternCounts(people, people, "id", "id", ids, comparators)
+    val got = counts.collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(got == Set(
+      (Some("agree"), Some("agree"), 1L),     // (1,2)
+      (Some("agree"), None, 2L),              // (1,5),(2,5): postcode NULL on 5
+      (Some("disagree"), Some("agree"), 1L))) // (3,4)
+  }
+}

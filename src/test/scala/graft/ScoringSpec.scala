@@ -1,0 +1,63 @@
+package graft
+
+import scala.collection.immutable.SortedMap
+
+import org.apache.spark.sql.functions._
+
+import graft.linkage.{EM, Scoring}
+
+/** Scoring specs: dict-lookup compilation (scratch.R:109-115), missing
+  * level → weight 0 (scratch.R:122), thresholding, truth attach,
+  * precision bands (scratch.R:128-139).
+  */
+class ScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val em = EM.EMResult(
+    mProbabilities = SortedMap("f" -> SortedMap("agree" -> 0.9, "disagree" -> 0.1)),
+    uProbabilities = SortedMap("f" -> SortedMap("agree" -> 0.1, "disagree" -> 0.9)),
+    lambda = 0.01, totalPairs = 100,
+    weights = SortedMap("f" -> SortedMap(
+      "agree" -> (math.log(0.9) - math.log(0.1)),
+      "disagree" -> (math.log(0.1) - math.log(0.9)))),
+    trace = Nil)
+
+  test("dictLookup compiles level→value; unknown level → NULL") {
+    val df = Seq("agree", "disagree", "unknown").toDF("f")
+    val got = df.select(Scoring.dictLookup("f", Map("agree" -> 0.9, "disagree" -> 0.1)))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(0.9), Some(0.1), None))
+  }
+
+  test("weight: log(m/u) summed; NULL level contributes 0 (scratch.R:122)") {
+    val df = Seq(
+      (1L, 2L, "agree"), (3L, 4L, "disagree"), (5L, 6L, null)
+    ).toDF("id_left", "id_right", "f")
+    val scored = Scoring.score(df, em).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(math.abs(scored(1L) - math.log(9.0)) < 1e-12)
+    assert(math.abs(scored(3L) - math.log(1.0 / 9)) < 1e-12)
+    assert(scored(5L) == 0.0)
+  }
+
+  test("topMatches thresholds and ranks; attachTruth + precisionByBand") {
+    val values = Seq(
+      (1L, 2L, "agree"), (1L, 3L, "agree"), (3L, 4L, "disagree")
+    ).toDF("id_left", "id_right", "f")
+    val scored = Scoring.score(values, em)
+    val top = Scoring.topMatches(scored, threshold = 1.0)
+    assert(top.count() == 2) // both "agree" pairs, weight ln 9 ≈ 2.197
+
+    val truth = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L)).toDF("id", "cluster")
+    val withTruth = Scoring.attachTruth(top, truth, "id", "cluster")
+    val tm = withTruth.collect().map(r => (r.getAs[Long]("id_left"), r.getAs[Long]("id_right"),
+      r.getAs[Boolean]("true_match"))).toSet
+    assert(tm == Set((1L, 2L, true), (1L, 3L, false)))
+
+    val bands = Scoring.precisionByBand(withTruth).collect()
+    assert(bands.length == 1)
+    assert(bands.head.getAs[Double]("weight_band") == 2.0)
+    assert(math.abs(bands.head.getAs[Double]("precision") - 0.5) < 1e-12)
+    assert(bands.head.getAs[Long]("n") == 2L)
+  }
+}
