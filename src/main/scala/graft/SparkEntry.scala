@@ -132,6 +132,121 @@ object SparkEntry {
        |FROM longf WHERE value IS NOT NULL
        |GROUP BY name, value""".stripMargin
 
+  // ---- wave 2: scoring + relational coverage (SURVEY §2) -----------
+
+  /** Fixed m/u tables for the deterministic scoring query (the EM fit
+    * itself is covered by unit/golden tests — scoring compilation is
+    * what the oracle checks here).
+    */
+  private val scoringTables: Seq[(String, Map[String, Double], Map[String, Double])] = Seq(
+    ("c_nationkey",
+      Map("agree" -> 0.9, "disagree" -> 0.1),
+      Map("agree" -> 0.04, "disagree" -> 0.96)),
+    ("c_name",
+      Map("full agreement" -> 0.5, "strong partial agreement" -> 0.3,
+        "weak partial agreement" -> 0.15, "no agreement" -> 0.05),
+      Map("full agreement" -> 0.001, "strong partial agreement" -> 0.1,
+        "weak partial agreement" -> 0.2, "no agreement" -> 0.699)))
+
+  private def dictSql(field: String, dict: Map[String, Double]): String =
+    dict.toSeq.sortBy(_._1)
+      .map { case (l, v) => s"WHEN $field = '$l' THEN CAST($v AS DOUBLE)" }
+      .mkString("CASE ", " ", " ELSE NULL END")
+
+  private def weightSql(tables: Seq[(String, Map[String, Double], Map[String, Double])]): String =
+    tables.map { case (f, m, u) =>
+      s"(CASE WHEN $f IS NOT NULL THEN ln((${dictSql(f, m)}) / (${dictSql(f, u)})) ELSE CAST(0 AS DOUBLE) END)"
+    }.mkString(" + ")
+
+  /** Scoring: compile m/u → weight expression, score all blocked pairs,
+    * threshold (scratch.R:106-130). Weight rounded to 6 dp on both
+    * sides: JVM Math.log and libm log may differ in the last ulp.
+    */
+  private def qScoring(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val pairs = Pairs.computePairsDataset(c, c, "c_custkey", "c_custkey", customerBlocking(c))
+    val values = Comparators.doComparisons(pairs, customerComparators,
+      keep = Seq("c_custkey_left", "c_custkey_right"))
+    values
+      .withColumn("weight", Scoring.weightExpression(scoringTables))
+      .filter(col("weight") > 2.5)
+      .select(col("c_custkey_left"), col("c_custkey_right"),
+        round(col("weight"), 6).as("weight"))
+  }
+
+  private def qWindowFraction(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t(s, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n") / sum("n").over(Window.partitionBy()))
+  }
+
+  private def qTopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey").distinct()
+    val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select("c_nationkey").distinct()
+    building.intersect(machinery).withColumn("tag", lit("both"))
+      .unionByName(building.except(machinery).withColumn("tag", lit("building_only")))
+  }
+
+  /** F4: NA-safe set membership — R `%in%` is NA-safe, SQL IN is not;
+    * the engine idiom is coalesce(x IN (...), false).
+    */
+  private def qNaSafeIn(s: SparkSession, dir: String): DataFrame = {
+    val st = expr("nullif(o_orderstatus, 'P')")
+    t(s, dir, "orders")
+      .withColumn("flag",
+        when(!coalesce(st.isin("O", "F"), lit(false)), "na_or_other").otherwise("known"))
+      .groupBy("flag").agg(count(lit(1)).as("n"))
+  }
+
+  private def qStackLong(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .selectExpr("stack(2, 'o_orderstatus', o_orderstatus, 'o_orderpriority', o_orderpriority) as (name, value)")
+      .groupBy("name", "value").agg(count(lit(1)).as("n"))
+
+  /** S2 + broadcast: driver-created lookup table broadcast-joined to
+    * the fact table (the `copy_to` analogue at scale: broadcast, don't
+    * shuffle the 100 TB side).
+    */
+  private def qBroadcastLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lookup = Seq(("A", "returned"), ("N", "active"), ("R", "refunded"))
+      .toDF("l_returnflag", "label")
+    t(s, dir, "lineitem")
+      .join(broadcast(lookup), Seq("l_returnflag"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+  }
+
+  private def qPartitionedWrite(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pw").toString
+    graft.etl.Etl.writePartitioned(t(s, dir, "orders"), tmp, Seq("o_orderpriority"))
+    graft.etl.Etl.readPartitioned(s, tmp)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+  }
+
+  private def qTsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tsv").toString
+    t(s, dir, "events").select("event_id", "event_type", "value")
+      .write.mode("overwrite").option("sep", "\t").option("header", "true").csv(tmp)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, event_type STRING, value DOUBLE")
+    graft.etl.Etl.readTsv(s, tmp, Some(schema))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"),
+        min("value").as("min_value"), max("value").as("max_value"))
+  }
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -143,6 +258,15 @@ object SparkEntry {
     "q_pattern_counts" -> (qPatternCounts _),
     "q_jw_levels" -> (qJwLevels _),
     "q_u_probs" -> (qUProbs _),
+    "q_scoring" -> (qScoring _),
+    "q_window_fraction" -> (qWindowFraction _),
+    "q_topk" -> (qTopK _),
+    "q_set_ops" -> (qSetOps _),
+    "q_na_safe_in" -> (qNaSafeIn _),
+    "q_stack_long" -> (qStackLong _),
+    "q_broadcast_lookup" -> (qBroadcastLookup _),
+    "q_partitioned_write" -> (qPartitionedWrite _),
+    "q_tsv_roundtrip" -> (qTsvRoundtrip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -190,5 +314,63 @@ object SparkEntry {
         |     WHEN jaro_winkler_similarity(a.c_name, b.c_name) > 0.9 THEN 'strong partial agreement'
         |     WHEN jaro_winkler_similarity(a.c_name, b.c_name) > 0.85 THEN 'weak partial agreement'
         |     ELSE 'no agreement' END AS c_name""".stripMargin),
+    "q_scoring" ->
+      s"""WITH ids AS ($customerBlockingOracle),
+         |compared AS (
+         |  SELECT ids.c_custkey_left, ids.c_custkey_right, $customerComparatorsSql
+         |  FROM ids
+         |  LEFT JOIN customer a ON ids.c_custkey_left = a.c_custkey
+         |  LEFT JOIN customer b ON ids.c_custkey_right = b.c_custkey
+         |),
+         |scored AS (
+         |  SELECT c_custkey_left, c_custkey_right,
+         |         ${weightSql(scoringTables)} AS weight
+         |  FROM compared
+         |)
+         |SELECT c_custkey_left, c_custkey_right, round(weight, 6) AS weight
+         |FROM scored WHERE weight > 2.5""".stripMargin,
+    "q_window_fraction" ->
+      """SELECT event_type, count(*) AS n,
+        |       count(*) / (sum(count(*)) OVER () + 0.0) AS p
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q_set_ops" ->
+      """SELECT c_nationkey, 'both' AS tag FROM (
+        |  SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |UNION ALL
+        |SELECT c_nationkey, 'building_only' AS tag FROM (
+        |  SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')""".stripMargin,
+    "q_na_safe_in" ->
+      """SELECT CASE WHEN NOT coalesce(nullif(o_orderstatus, 'P') IN ('O', 'F'), false)
+        |            THEN 'na_or_other' ELSE 'known' END AS flag,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_stack_long" ->
+      """WITH longf AS (
+        |  SELECT 'o_orderstatus' AS name, o_orderstatus AS value FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority FROM orders)
+        |SELECT name, value, count(*) AS n FROM longf GROUP BY name, value""".stripMargin,
+    "q_broadcast_lookup" ->
+      """SELECT CASE l_returnflag WHEN 'A' THEN 'returned' WHEN 'N' THEN 'active'
+        |            WHEN 'R' THEN 'refunded' END AS label,
+        |       count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R')
+        |GROUP BY 1""".stripMargin,
+    "q_partitioned_write" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_tsv_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |       min(event_id) AS min_id, max(event_id) AS max_id,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }

@@ -34,14 +34,17 @@ object Scoring {
 
   /** Total Fellegi–Sunter weight: Σ over fields of
     * `if (level non-missing) log(m[level]/u[level]) else 0`
-    * (reference: scratch.R:117-124).
+    * (reference: scratch.R:117-124). Fields are summed in the given
+    * order (left-to-right) so the float result is reproducible.
     */
-  def weightExpression(em: EM.EMResult): Column =
-    em.mProbabilities.keys.map { f =>
-      val mLookup = dictLookup(f, em.mProbabilities(f))
-      val uLookup = dictLookup(f, em.uProbabilities(f))
-      when(col(f).isNotNull, log(mLookup / uLookup)).otherwise(0.0)
+  def weightExpression(fields: Seq[(String, Map[String, Double], Map[String, Double])]): Column =
+    fields.map { case (f, m, u) =>
+      when(col(f).isNotNull, log(dictLookup(f, m) / dictLookup(f, u))).otherwise(0.0)
     }.reduce(_ + _)
+
+  def weightExpression(em: EM.EMResult): Column =
+    weightExpression(em.mProbabilities.keys.toSeq.map(f =>
+      (f, em.mProbabilities(f): Map[String, Double], em.uProbabilities(f): Map[String, Double])))
 
   /** Score a comparison-values table (ids + comparator levels):
     * add `weight` (reference: scratch.R:128-129).
