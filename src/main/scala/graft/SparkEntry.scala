@@ -247,6 +247,56 @@ object SparkEntry {
         min("value").as("min_value"), max("value").as("max_value"))
   }
 
+  // ---- wave 3: training-data pipeline ops (dedup / similarity / text)
+
+  private def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val quality = graft.ops.TextAnalysis.qualityColumns(col("text"))
+    d.select(
+      Seq(col("doc_id")) ++
+      quality.map { case (n, c) =>
+        // int-typed counts → long so the schema matches DuckDB's BIGINT
+        (if (n == "n_chars" || n == "n_tokens") c.cast("long") else c).as(n)
+      } ++ Seq(
+        graft.ops.TextAnalysis.tokenCountRegex(col("text")).cast("long").as("n_tokens_bpe"),
+        graft.ops.TextAnalysis.languageId(col("text")).as("lang_id"),
+        graft.ops.TextAnalysis.fingerprint(col("text")).as("fingerprint")): _*)
+  }
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.exactSummary(t(s, dir, "documents"), col("text"))
+
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.ngramJaccardPairs(
+      t(s, dir, "documents"), "doc_id", col("text"), n = 3, minJaccard = 0.5,
+      maxDocFreq = Some(20))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("size_a").cast("long").as("size_a"), col("size_b").cast("long").as("size_b"),
+        col("jaccard"))
+
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.minhashLshCandidates(
+      t(s, dir, "documents"), "doc_id", col("text"), n = 3, k = 8, bands = 4)
+
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.simhashNearDups(
+      t(s, dir, "documents"), "doc_id", col("text"), maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+
+  private def qAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.ops.Similarity.bruteForceTopK(
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  private def qLshNearDups(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.lshNearDups(
+      t(s, dir, "embeddings"), "vec_id", "embedding", planes = 8, minCosine = 0.4)
+
+  private val EmbDim = 64
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -267,6 +317,13 @@ object SparkEntry {
     "q_broadcast_lookup" -> (qBroadcastLookup _),
     "q_partitioned_write" -> (qPartitionedWrite _),
     "q_tsv_roundtrip" -> (qTsvRoundtrip _),
+    "q_text_stats" -> (qTextStats _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_simhash" -> (qSimhash _),
+    "q_ann_topk" -> (qAnnTopK _),
+    "q_lsh_neardups" -> (qLshNearDups _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -372,5 +429,86 @@ object SparkEntry {
         |       min(event_id) AS min_id, max(event_id) AS max_id,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_text_stats" -> {
+      val stop = graft.ops.TextAnalysis.DefaultStopwords.map(s => s"'$s'").mkString(", ")
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+         |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stop))) AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+         |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / len(string_split(text, ' ')) AS mean_token_len,
+         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tokens_bpe,
+         |  ${graft.ops.TextAnalysis.languageIdSql("text")} AS lang_id,
+         |  ${graft.ops.TextAnalysis.fingerprintSql("text")} AS fingerprint
+         |FROM documents""".stripMargin
+    },
+    "q_dedup_exact" ->
+      "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents",
+    "q_ngram_jaccard" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, list_distinct(${graft.ops.Dedup.shinglesSql("text", 3)}) AS sh
+         |  FROM documents),
+         |idx0 AS (SELECT doc_id, u.s AS shingle FROM s, unnest(s.sh) AS u(s)),
+         |hot AS (SELECT shingle FROM idx0 GROUP BY shingle HAVING count(*) > 20),
+         |idx AS (SELECT * FROM idx0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(sh) AS sz FROM s)
+         |SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+         |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON inter.id_a = sa.doc_id
+         |JOIN sizes sb ON inter.id_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
+    "q_minhash_lsh" -> {
+      val sigp = (0 until 8).map(i => s"max(CASE WHEN i = $i THEN sig END) AS sig_$i").mkString(", ")
+      val bands = (0 until 4).map(j =>
+        s"SELECT doc_id, $j AS band, md5(CAST(sig_${2 * j} AS VARCHAR) || '|' || CAST(sig_${2 * j + 1} AS VARCHAR)) AS digest FROM sigp")
+        .mkString(" UNION ALL ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(${graft.ops.Dedup.shinglesSql("text", 3)}) AS shl
+         |  FROM documents),
+         |shf AS (SELECT * FROM sh WHERE len(shl) > 0),
+         |sig AS (
+         |  SELECT doc_id, r.i AS i,
+         |    min(((${graft.ops.Dedup.shingleBaseHashSql("u.s")}) * (2 * r.i + 1001) + (r.i * 9176 + 17)) % 2147483647) AS sig
+         |  FROM shf, unnest(shf.shl) AS u(s), range(8) AS r(i)
+         |  GROUP BY doc_id, r.i),
+         |sigp AS (SELECT doc_id, $sigp FROM sig GROUP BY doc_id),
+         |bands AS ($bands)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest
+         |WHERE a.doc_id < b.doc_id""".stripMargin
+    },
+    "q_simhash" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, ${graft.ops.Dedup.simhashSql("text")} AS fp FROM documents),
+         |b AS (SELECT doc_id, fp, fp >> 8 AS band FROM fp)
+         |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.fp, b2.fp)) AS BIGINT) AS hamming
+         |FROM b a JOIN b b2 ON a.band = b2.band
+         |WHERE a.doc_id < b2.doc_id AND bit_count(xor(a.fp, b2.fp)) <= 3""".stripMargin,
+    "q_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |sim AS (
+         |  SELECT query_id, neighbor_id,
+         |    round(${graft.ops.Similarity.cosineSql("qv", "cv", EmbDim)}, 6) AS cosine
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sim)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+    "q_lsh_neardups" ->
+      s"""WITH b AS (
+         |  SELECT vec_id AS id, embedding AS v,
+         |    ${graft.ops.Similarity.lshBucketSql("embedding", EmbDim, 8)} AS bucket
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.id AS id_a, c.id AS id_b,
+         |    round(${graft.ops.Similarity.cosineSql("a.v", "c.v", EmbDim)}, 6) AS cosine
+         |  FROM b a JOIN b c ON a.bucket = c.bucket
+         |  WHERE a.id < c.id)
+         |SELECT * FROM pairs WHERE cosine >= 0.4""".stripMargin,
   )
 }

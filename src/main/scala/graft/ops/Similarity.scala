@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Floating-point discipline for oracle parity: element products are
+  * computed on DOUBLE casts and folded LEFT-TO-RIGHT (Spark
+  * `aggregate` and DuckDB `list_reduce` both fold sequentially), so
+  * dot products are bit-identical across engines; ranking ties are
+  * broken on the rounded similarity + unique id, never on raw floats.
+  *
+  * Scale posture: brute-force top-k is the correctness baseline
+  * (cross join pruned to the query set — fine for |queries| ≪ corpus,
+  * which is the ANN-query shape). The scale path is random-hyperplane
+  * LSH: b deterministic sign bits per vector → equi-join on bucket →
+  * exact cosine within bucket only.
+  */
+object Similarity {
+
+  /** Left-to-right dot product of two float-array columns on doubles. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** DuckDB mirror of [[dot]] over 1-based list expressions. */
+  def dotSql(aExpr: String, bExpr: String, dim: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(generate_series(1, $dim),
+       |    i -> CAST($aExpr[i] AS DOUBLE) * CAST($bExpr[i] AS DOUBLE))),
+       |  (acc, x) -> acc + x)""".stripMargin.replace("\n", " ")
+
+  /** Cosine similarity: dot / (‖a‖·‖b‖), all folds sequential. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  def cosineSql(aExpr: String, bExpr: String, dim: Int): String =
+    s"(${dotSql(aExpr, bExpr, dim)}) / (sqrt(${dotSql(aExpr, aExpr, dim)}) * sqrt(${dotSql(bExpr, bExpr, dim)}))"
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded), ranked by rounded similarity
+    * (6 dp) descending with id tie-break. Pre-computes norms once per
+    * side; the corpus side is scanned once per query partition —
+    * Catalyst broadcasts the (small) query side.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+    val sim = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+    sim
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * an LCG-mixed value in [−0.5, 0.5) — same closed form in SQL, so
+    * LSH bucketing is oracle-checkable.
+    */
+  private val P = 2147483647L
+  def planeComponent(plane: Int, d: Column, seed: Long): Column = {
+    val j = d + lit(seed + plane * 10007L)
+    (pmod(pmod(j * j, lit(P)) * lit(48271L) + j, lit(P)).cast("double") / lit(P.toDouble)) - 0.5
+  }
+
+  def planeComponentSql(plane: Int, dExpr: String, seed: Long): String = {
+    val j = s"($dExpr + ${seed + plane * 10007L})"
+    s"(CAST((((($j * $j) % $P) * 48271 + $j) % $P) AS DOUBLE) / $P) - 0.5"
+  }
+
+  /** Random-hyperplane LSH bucket id: `planes` sign bits from
+    * deterministic hyperplanes. Vectors in the same bucket are cosine-
+    * close with high probability; the ANN query joins on the bucket
+    * then scores exactly — sub-quadratic at corpus scale.
+    */
+  def lshBucket(vec: Column, planes: Int, seed: Long = 42L): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(1), size(vec)),
+          (x, i) => x.cast("double") * planeComponent(p, i.cast("long"), seed)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  def lshBucketSql(vecExpr: String, dim: Int, planes: Int, seed: Long = 42L): String = {
+    val bits = (0 until planes).map { p =>
+      val proj =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |  list_transform(generate_series(1, $dim),
+           |    i -> CAST($vecExpr[i] AS DOUBLE) * (${planeComponentSql(p, "i", seed)}))),
+           |  (acc, x) -> acc + x)""".stripMargin.replace("\n", " ")
+      s"(CASE WHEN $proj > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** LSH-bucketed near-duplicate pairs: exact cosine computed only
+    * within buckets. Output (id_a, id_b, cosine) with cosine ≥ min.
+    */
+  def lshNearDups(
+      df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, minCosine: Double, seed: Long = 42L): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes, seed))
+    val l = b.toDF("id_a", "v_a", "bucket")
+    val r = b.toDF("id_b", "v_b", "bucket")
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+}

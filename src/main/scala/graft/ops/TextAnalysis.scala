@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification,
+  * document fingerprinting. All are pure `Column` programs (codegen'd,
+  * no UDFs) and have exact ANSI-SQL mirrors for the DuckDB oracle —
+  * at 100 TB these run as map-only stages fused into the scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokensWs(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(tokensWs(text))
+
+  /** BPE-ish regex token count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token (the pre-merge
+    * vocabulary of byte-pair encoders). Regex kept in the common
+    * Java/RE2 dialect subset for oracle parity.
+    */
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+  /** Stopword count over whitespace tokens. */
+  def stopwordCount(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
+    size(filter(tokensWs(text), w => w.isin(stopwords.map(lit(_)): _*)))
+
+  /** Quality signals: length, token count, punctuation ratio, stopword
+    * ratio, mean token length. Ratios are single divisions of exact
+    * counts — deterministic across engines.
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val nTokens = tokenCountWs(text)
+    val nPunct = nChars - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "punct_ratio" -> nPunct.cast("double") / nChars,
+      "stopword_ratio" -> stopwordCount(text).cast("double") / nTokens,
+      "mean_token_len" -> (nChars - nTokens + 1).cast("double") / nTokens)
+  }
+
+  // Marker stopwords per language for the n-gram-free word heuristic
+  // (deterministic, tiny, fully SQL-expressible).
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "la", "de", "que", "los"))
+
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, w => w.isin(markers.map(lit(_)): _*)))
+
+  /** Language identification: CJK by codepoint range, else a cascade
+    * over marker-word counts — a language wins if its count is positive
+    * and ≥ every later language's count (so ties break in the fixed
+    * order en > de > fr > es); "und" when nothing matches. The CASE
+    * structure is mirrored literally in [[languageIdSql]].
+    */
+  def languageId(text: Column): Column = {
+    val toks = tokensWs(text)
+    val scores = LangMarkers.map { case (l, ms) => l -> markerCount(toks, ms) }
+    val cascade = scores.zipWithIndex.foldLeft(when(lit(false), "und")) {
+      case (acc, ((l, s), i)) =>
+        val laterGe = scores.drop(i + 1).map(_._2).foldLeft(s > 0) { (c, other) => c && s >= other }
+        acc.when(laterGe, l)
+    }
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh").otherwise(cascade.otherwise("und"))
+  }
+
+  /** The identical heuristic in DuckDB SQL over a text expression. */
+  def languageIdSql(textExpr: String): String = {
+    val toks = s"string_split($textExpr, ' ')"
+    def cnt(ms: Seq[String]) =
+      s"len(list_filter($toks, w -> w IN (${ms.map(m => s"'$m'").mkString(", ")})))"
+    val scores = LangMarkers.map { case (l, ms) => l -> cnt(ms) }
+    val whens = scores.zipWithIndex.map { case ((l, c), i) =>
+      val laterGe = (s"$c > 0" +: scores.drop(i + 1).map(o => s"$c >= ${o._2}")).mkString(" AND ")
+      s"WHEN $laterGe THEN '$l'"
+    }
+    s"""CASE WHEN regexp_matches($textExpr, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |${whens.mkString(" ")} ELSE 'und' END""".stripMargin.replace("\n", " ")
+  }
+
+  private val FpMod = 1000000007L
+
+  /** Document fingerprint: polynomial rolling hash over whitespace
+    * tokens, each token coded by the first 8 hex digits of its MD5.
+    * h ← (h·31 + code) mod 1e9+7, folded LEFT-TO-RIGHT — both Spark's
+    * `aggregate` and DuckDB's `list_reduce` fold sequentially, so the
+    * result is bit-identical across engines.
+    */
+  def fingerprint(text: Column): Column = {
+    val codes = transform(tokensWs(text), w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+    aggregate(codes, lit(0L), (h, x) => (h * 31 + x) % FpMod)
+  }
+
+  /** The identical fingerprint in DuckDB SQL. */
+  def fingerprintSql(textExpr: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split($textExpr, ' '),
+       |      w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT))),
+       |  (h, x) -> (h * 31 + x) % $FpMod)""".stripMargin.replace("\n", " ")
+}
