@@ -16,15 +16,23 @@ object Explain {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Shuffle spill on this VM's virtio disk is burst-throttled;
+      // tmpfs keeps shuffle-heavy queries off the device entirely.
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"[explain] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    // comma-separated names: run sequentially in ONE session (to
+    // reproduce cross-query interactions); plan printed for the last.
+    val names = name.split(",").toSeq
+    names.foreach { n0 =>
+      val df = SparkEntry.queries(n0)(spark, sfDir)
+      if (n0 == names.last) df.explain("formatted")
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[explain] $n0 rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     spark.stop()
   }
 }

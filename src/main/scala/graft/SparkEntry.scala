@@ -29,7 +29,12 @@ object SparkEntry {
     val rules = BlockingRules(Seq(
       EquiKeys(Map("c_nationkey" -> "c_nationkey", "c_mktsegment" -> "c_mktsegment")),
       ComputedKeys(Seq(
-        ("acctbal_r", round(col("c_acctbal_left")), round(col("c_acctbal_right")))))))
+        ("acctbal_r", round(col("c_acctbal_left")), round(col("c_acctbal_right")))),
+      ),
+      // F5: substring prefix pass (the reference's first-initial
+      // blocking, scratch.R:25) on the name's trailing digits.
+      ComputedKeys(Seq(
+        ("name_sfx", substring(col("c_name_left"), 17, 2), substring(col("c_name_right"), 17, 2))))))
     Blocking.extractBlocks(c, c, "c_custkey", "c_custkey", rules)
       .filter(col("c_custkey_left") < col("c_custkey_right"))
   }
@@ -43,6 +48,10 @@ object SparkEntry {
       |  SELECT a.c_custkey, b.c_custkey
       |  FROM customer a JOIN customer b
       |    ON round(a.c_acctbal) = round(b.c_acctbal)
+      |  UNION
+      |  SELECT a.c_custkey, b.c_custkey
+      |  FROM customer a JOIN customer b
+      |    ON substr(a.c_name, 17, 2) = substr(b.c_name, 17, 2)
       |)
       |SELECT * FROM ids WHERE c_custkey_left < c_custkey_right""".stripMargin
 
@@ -250,7 +259,7 @@ object SparkEntry {
   // ---- wave 3: training-data pipeline ops (dedup / similarity / text)
 
   private def qTextStats(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = graft.util.Parallelism.ensure(t(s, dir, "documents"))
     val quality = graft.ops.TextAnalysis.qualityColumns(col("text"))
     d.select(
       Seq(col("doc_id")) ++
@@ -297,6 +306,37 @@ object SparkEntry {
 
   private val EmbDim = 64
 
+  // ---- wave 4: multimodal plumbing + event-time windows ------------
+
+  private def qMultimodalStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.mediaStats(t(s, dir, "documents"), "doc_id", "text")
+
+  private def qEventWindow(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.windowedCounts(t(s, dir, "events"))
+
+  /** J5: left join with key rename (ground-truth attach shape,
+    * scratch.R:131-132).
+    */
+  private def qRenameJoin(s: SparkSession, dir: String): DataFrame = {
+    val truth = t(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_mktsegment"))
+    t(s, dir, "orders")
+      .join(truth, Seq("o_custkey"), "left")
+      .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+  }
+
+  /** F11: exact comparator over date/timestamp values. */
+  private def qDateExact(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = Suffix.addSuffix(o, "_left")
+    val b = Suffix.addSuffix(o, "_right")
+    a.join(b, a("o_custkey_left") === b("o_custkey_right") &&
+        a("o_orderkey_left") < b("o_orderkey_right"))
+      .select(when(col("o_orderdate_left") === col("o_orderdate_right"), "agree")
+        .otherwise("disagree").as("date_cmp"))
+      .groupBy("date_cmp").agg(count(lit(1)).as("n"))
+  }
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -324,6 +364,10 @@ object SparkEntry {
     "q_simhash" -> (qSimhash _),
     "q_ann_topk" -> (qAnnTopK _),
     "q_lsh_neardups" -> (qLshNearDups _),
+    "q_multimodal_stats" -> (qMultimodalStats _),
+    "q_event_window" -> (qEventWindow _),
+    "q_rename_join" -> (qRenameJoin _),
+    "q_date_exact" -> (qDateExact _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -510,5 +554,24 @@ object SparkEntry {
          |  FROM b a JOIN b c ON a.bucket = c.bucket
          |  WHERE a.id < c.id)
          |SELECT * FROM pairs WHERE cosine >= 0.4""".stripMargin,
+    "q_multimodal_stats" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS digest,
+        |  CAST(ord(substr(text, 1, 1)) AS BIGINT) AS first_byte
+        |FROM documents""".stripMargin,
+    "q_event_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_rename_join" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q_date_exact" ->
+      """SELECT CASE WHEN a.o_orderdate = b.o_orderdate THEN 'agree' ELSE 'disagree' END AS date_cmp,
+        |       count(*) AS n
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -13,6 +13,9 @@ object Verify {
       // events.parquet carries timestamp[ns]; Spark 4 rejects NANOS
       // unless read as long (queries convert explicitly when needed).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Shuffle spill on this VM's virtio disk is burst-throttled;
+      // tmpfs keeps shuffle-heavy queries off the device entirely.
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -74,20 +74,6 @@ final case class LinkSpec(
 
 object Blocking {
 
-  /** Blocking joins EXPAND: output pairs ≫ input rows, so the join's
-    * parallelism must come from the probe side's partitioning — a
-    * small input read as 1–2 parquet partitions would fan out millions
-    * of pairs from a single task (broadcast-hash keeps the probe side's
-    * partitioning). Round-robin repartition the probe side up to the
-    * session shuffle parallelism when it has fewer partitions; at real
-    * scale inputs already have thousands of partitions and this is a
-    * no-op.
-    */
-  private def ensureParallelism(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
-
   /** Generate the deduplicated candidate-pair id table
     * (reference: `extract_blocks`, R/linking.R:14-38). Returns a lazy
     * DataFrame of (uniqueIdA_left, uniqueIdB_right) — one plan, no
@@ -99,7 +85,7 @@ object Blocking {
       uniqueIdA: String,
       uniqueIdB: String,
       rules: BlockingRules): DataFrame = {
-    val a = ensureParallelism(Suffix.addSuffix(dataA, "_left"))
+    val a = graft.util.Parallelism.ensure(Suffix.addSuffix(dataA, "_left"))
     val b = Suffix.addSuffix(dataB, "_right")
     val idL = Suffix.addSuffix(uniqueIdA, "_left")
     val idR = Suffix.addSuffix(uniqueIdB, "_right")

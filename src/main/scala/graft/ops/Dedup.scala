@@ -96,7 +96,8 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, text: Column, n: Int,
       minJaccard: Double, maxDocFreq: Option[Long] = None): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), split(text, " ").as("__toks"))
+    val sh = graft.util.Parallelism.ensure(df)
+      .select(col(idCol).as("id"), split(text, " ").as("__toks"))
       .select(col("id"), array_distinct(shinglesFromTokens(col("__toks"), n)).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
     val inv = invertedIndex(sh, "id", col("sh"), maxDocFreq)
@@ -165,9 +166,13 @@ object Dedup {
     */
   def minhashLshCandidates(
       df: DataFrame, idCol: String, text: Column, n: Int, k: Int, bands: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), split(text, " ").as("__toks"))
+    // Filter on the CHEAP precondition (token count) before shingling:
+    // a filter on size(sh) would be predicate-pushed below the shingle
+    // projection, re-inlining the O(tokens²) expression into an
+    // interpreted Filter (observed: one task pinned for minutes).
+    val sh = graft.util.Parallelism.ensure(df.filter(size(split(text, " ")) >= n))
+      .select(col(idCol).as("id"), split(text, " ").as("__toks"))
       .select(col("id"), array_distinct(shinglesFromTokens(col("__toks"), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
       .withColumn("__h", transform(col("sh"), s => shingleBaseHash(s)))
     val withSig = minhashSignature(col("__h"), k).foldLeft(sh) {
       case (d, (name, c)) => d.withColumn(name, c)
@@ -232,7 +237,8 @@ object Dedup {
     */
   def simhashNearDups(
       df: DataFrame, idCol: String, text: Column, maxHamming: Int, bits: Int = 16): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), tokenCodes(text).as("__codes"))
+    val fp = graft.util.Parallelism.ensure(df)
+      .select(col(idCol).as("id"), tokenCodes(text).as("__codes"))
       .select(col("id"), simhashFromCodes(col("__codes"), bits).as("fp"))
       .withColumn("band", shiftright(col("fp"), bits / 2))
     val a = fp.toDF("id_a", "fp_a", "band")

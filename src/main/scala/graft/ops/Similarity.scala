@@ -48,7 +48,8 @@ object Similarity {
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val c = graft.util.Parallelism.ensure(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
@@ -112,14 +113,19 @@ object Similarity {
   def lshNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       planes: Int, minCosine: Double, seed: Long = 42L): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // Norms materialized per VECTOR (n of them), not per pair — the
+    // in-bucket pair count is quadratic in bucket size and each cosine
+    // should cost exactly one dot product.
+    val b = graft.util.Parallelism.ensure(df)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes, seed))
-    val l = b.toDF("id_a", "v_a", "bucket")
-    val r = b.toDF("id_b", "v_b", "bucket")
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val l = b.toDF("id_a", "v_a", "bucket", "norm_a")
+    val r = b.toDF("id_b", "v_b", "bucket", "norm_b")
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosine(col("v_a"), col("v_b")), 6))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
-      .select("id_a", "id_b", "cosine")
   }
 }

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (an extension — the reference is
+  * batch-only, SURVEY.md §2.10). Transform functions are defined
+  * against plain DataFrames so the SAME code runs batch or streaming:
+  * `spark.read` → finite result, `spark.readStream` → incremental
+  * result with watermark-driven state eviction.
+  */
+object Streams {
+
+  /** Events fixture carries ts as NANOS-since-epoch long (read with
+    * nanosAsLong); convert to a proper timestamp column.
+    */
+  def withEventTime(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    // `div`, not `/`: long/int goes through DOUBLE and nanos-since-epoch
+    // (~1.7e18) exceeds the 2^53 mantissa — silent microsecond drift.
+    events.withColumn("event_time", timestamp_micros(expr(s"$tsCol div 1000")))
+
+  /** Tumbling-window counts per event type. On a stream, the watermark
+    * bounds state: windows older than the watermark are finalized and
+    * evicted — without it a 100 TB/day stream accumulates state
+    * forever.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val timed = withEventTime(events)
+    val maybeWatermarked =
+      if (timed.isStreaming) timed.withWatermark("event_time", watermark) else timed
+    maybeWatermarked
+      .groupBy(org.apache.spark.sql.functions.window(col("event_time"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+  }
+
+  final case class SessionEvent(user_id: Long, event_time: java.sql.Timestamp)
+  final case class SessionUpdate(user_id: Long, n_events: Long, closed: Boolean)
+
+  /** Custom stateful operator: per-user session event counting with an
+    * optional inactivity timeout — the `flatMapGroupsWithState` shape
+    * for state Spark's built-in windows can't express. State is one
+    * counter per live user: bounded, partitioned by key.
+    *
+    * `timeoutMs <= 0` disables timeouts (sessions never auto-close).
+    * NOTE: with ProcessingTimeTimeout the no-data timeout batches make
+    * `processAllAvailable` unsuitable for synchronous testing — drive
+    * timeout behavior with a real trigger clock, not MemoryStream.
+    */
+  def sessionCounts(
+      events: Dataset[SessionEvent],
+      timeoutMs: Long = 30 * 60 * 1000L): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, SessionUpdate](OutputMode.Append, timeoutConf) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val n = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, n, closed = true))
+          } else {
+            val n = state.getOption.getOrElse(0L) + batch.size
+            state.update(n)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            Iterator.single(SessionUpdate(userId, n, closed = false))
+          }
+      }
+  }
+}

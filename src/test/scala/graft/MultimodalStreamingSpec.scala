@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal
+import graft.streaming.Streams
+
+/** Multimodal plumbing (binary columns + batched decode stage) and
+  * Structured Streaming (batch/stream parity for the windowed agg,
+  * stateful sessionization).
+  */
+class MultimodalStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multimodal: records round-trip through the batched decode stage") {
+    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val records = Multimodal.asMediaRecords(docs, "doc_id", "text")
+    val feats = Multimodal.decodeFeatures(records).collect().sortBy(_.id)
+    assert(feats.map(_.id).toSeq == Seq(1L, 2L))
+    assert(feats(0).byteLen == 11)
+    assert(feats(0).features.length == Multimodal.FakeCodec.FeatureDim)
+    assert(math.abs(feats(0).features.sum - 1.0f) < 1e-5) // histogram normalized
+    assert(feats(1).byteLen == 0 && feats(1).features.forall(_ == 0f))
+    // deterministic: same input → same features
+    val again = Multimodal.decodeFeatures(records).collect().sortBy(_.id)
+    assert(again(0).features.toSeq == feats(0).features.toSeq)
+  }
+
+  test("multimodal: mediaStats digest matches md5 of the text bytes") {
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    val r = Multimodal.mediaStats(docs, "doc_id", "text").head
+    assert(r.getAs[String]("digest") == "900150983cd24fb0d6963f7d28e17f72")
+    assert(r.getAs[Long]("byte_len") == 3 && r.getAs[Long]("first_byte") == 97)
+  }
+
+  test("streaming: windowed counts — stream result equals batch result") {
+    val batchDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val expected = Streams.windowedCounts(batchDf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val stream = MemoryStream[(Long, Long, String)](spark)
+    val streamDf = stream.toDF().toDF("ts", "user_id", "event_type")
+    val q = Streams.windowedCounts(streamDf)
+      .writeStream.format("memory").queryName("win_out").outputMode("complete").start()
+    try {
+      val rows = batchDf.select("ts", "user_id", "event_type")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      stream.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("streaming: stateful session counts accumulate per user") {
+    val stream = MemoryStream[Streams.SessionEvent](spark)
+    // timeoutMs = 0: ProcessingTimeTimeout schedules no-data timeout
+    // batches that keep processAllAvailable from returning under
+    // MemoryStream — the synchronous test drives the NoTimeout path.
+    val q = Streams.sessionCounts(stream.toDS(), timeoutMs = 0L)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      val t0 = new java.sql.Timestamp(1700000000000L)
+      stream.addData(Streams.SessionEvent(1L, t0), Streams.SessionEvent(1L, t0), Streams.SessionEvent(2L, t0))
+      q.processAllAvailable()
+      stream.addData(Streams.SessionEvent(1L, t0))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").as[Streams.SessionUpdate].collect()
+      // first batch: user 1 count 2, user 2 count 1; second: user 1 count 3
+      assert(got.exists(u => u.user_id == 1 && u.n_events == 2))
+      assert(got.exists(u => u.user_id == 2 && u.n_events == 1))
+      assert(got.exists(u => u.user_id == 1 && u.n_events == 3))
+    } finally q.stop()
+  }
+}

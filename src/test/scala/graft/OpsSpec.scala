@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Specs for the training-data pipeline operators. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("text: token counts (whitespace + regex)") {
+    val r = docs.select(
+      TextAnalysis.tokenCountWs(col("text")).as("ws"),
+      TextAnalysis.tokenCountRegex(col("text")).as("re")).head
+    assert(r.getInt(0) == 9 && r.getInt(1) == 9)
+    val punct = Seq(("a,b c!")).toDF("text")
+      .select(TextAnalysis.tokenCountRegex(col("text"))).head.getInt(0)
+    assert(punct == 5) // a , b c !
+  }
+
+  test("text: quality ratios are exact count divisions") {
+    val r = docs.limit(1).select(
+      TextAnalysis.qualityColumns(col("text")).map { case (n, c) => c.as(n) }: _*).head
+    assert(r.getAs[Int]("n_chars") == 43)
+    assert(r.getAs[Int]("n_tokens") == 9)
+    assert(r.getAs[Double]("punct_ratio") == 0.0)
+    assert(r.getAs[Double]("stopword_ratio") == 2.0 / 9)
+  }
+
+  test("text: language id — markers and CJK") {
+    val texts = Seq(
+      "the cat and the dog of a house",  // en
+      "der hund und die katze ist nicht", // de
+      "le chat et la maison des les",     // fr
+      "el perro de la casa que los",      // es
+      "中文文本",         // zh via codepoint range
+      "xyzzy plugh"                        // und
+    ).toDF("text")
+    val got = texts.select(TextAnalysis.languageId(col("text"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "de", "fr", "es", "zh", "und"))
+  }
+
+  test("text: fingerprint deterministic, order-sensitive") {
+    val fp = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L)) // exact dup
+    assert(fp(1L) != fp(2L))
+    val rev = Seq("dog lazy the").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).head.getLong(0)
+    val fwd = Seq("the lazy dog").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).head.getLong(0)
+    assert(rev != fwd) // rolling hash is position-sensitive
+  }
+
+  test("dedup: shingles edge cases") {
+    val sh = Seq("a b c d", "a b", "").toDF("text")
+      .select(Dedup.shingles(col("text"), 3)).collect().map(_.getSeq[String](0))
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq()) // fewer than n tokens
+    assert(sh(2) == Seq()) // empty text → [""] token → below n
+  }
+
+  test("dedup: exact summary counts duplicates") {
+    val r = Dedup.exactSummary(docs, col("text")).head
+    assert(r.getAs[Long]("n_docs") == 4 && r.getAs[Long]("n_unique") == 3)
+  }
+
+  test("dedup: ngram jaccard finds the near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    // (1,4) exact → jaccard 1; (1,2) and (2,4): 7 shingles each, 6
+    // shared, union 8 → 0.75.
+    assert(keys == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(pairs.find(p => p._1 == 1 && p._2 == 4).get._3 == 1.0)
+    assert(pairs.find(p => p._1 == 1 && p._2 == 2).get._3 == 0.75)
+  }
+
+  test("dedup: minhash-lsh candidates include exact and near dups") {
+    val c = Dedup.minhashLshCandidates(docs, "doc_id", col("text"), n = 3, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(c.contains((1L, 4L))) // identical docs always collide on every band
+  }
+
+  test("dedup: simhash identical docs at distance 0") {
+    val d = Dedup.simhashNearDups(docs, "doc_id", col("text"), maxHamming = 0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(d.contains((1L, 4L)))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f)),
+    (2L, Array(0f, 1f, 0f)),
+    (3L, Array(-1f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("similarity: cosine exact values and top-k ordering") {
+    val self = vecs.select(Similarity.cosine(col("embedding"), col("embedding"))).head.getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    assert(top.toSeq == Seq((1L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("similarity: lsh buckets put identical vectors together") {
+    val dup = Seq((0L, Array(1f, 2f, 3f)), (1L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDups(dup, "vec_id", "embedding", planes = 8, minCosine = 0.99)
+      .collect()
+    assert(pairs.length == 1 && pairs.head.getAs[Double]("cosine") == 1.0)
+  }
+}
