@@ -99,8 +99,22 @@ object Dedup {
     val sh = graft.util.Parallelism.ensure(df)
       .select(col(idCol).as("id"), split(text, " ").as("__toks"))
       .select(col("id"), array_distinct(shinglesFromTokens(col("__toks"), n)).as("sh"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
-    val inv = invertedIndex(sh, "id", col("sh"), maxDocFreq)
+    // Persist the exploded index: FOUR consumers downstream (doc sizes,
+    // hot-shingle list, both join sides) would otherwise re-run the
+    // shingling subtree each — the single most expensive stage. This is
+    // the reference's copy_to materialization (scratch.R:29) done
+    // Spark-style; MEMORY_AND_DISK so a 100 TB index spills, not OOMs.
+    val idx = sh.select(col("id"), explode(col("sh")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Distinct-shingle count per doc, straight from the index (shingle
+    // arrays are already distinct).
+    val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inv = maxDocFreq.fold(idx) { cap =>
+      val hot = idx.groupBy("shingle").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > cap).select("shingle")
+      idx.join(broadcast(hot), Seq("shingle"), "left_anti")
+        .select(col("id"), col("shingle"))
+    }
     val a = inv.toDF("id_a", "shingle")
     val b = inv.toDF("id_b", "shingle")
     val inter = a.join(b, Seq("shingle"))
