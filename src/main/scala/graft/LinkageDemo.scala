@@ -123,6 +123,13 @@ object LinkageDemo {
     val total = evaluated.count()
     val correct = evaluated.filter(col("true_match")).count()
     println(f"precision@weight>5: $correct/$total = ${correct.toDouble / total}%.3f")
+
+    // 7. glm calibration (reference: scratch.R:137) — fit on ALL scored
+    // pairs (not the thresholded slice, which is nearly all-positive).
+    val allScored = Scoring.attachTruth(
+      Scoring.score(values, em), truth, "unique_id", "cluster")
+    val cal = Scoring.calibrate(allScored)
+    println(f"glm calibration: P(match) = sigmoid(${cal.intercept}%.4f + ${cal.slope}%.4f * weight)")
     spark.stop()
   }
 }

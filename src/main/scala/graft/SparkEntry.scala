@@ -81,6 +81,31 @@ object SparkEntry {
   private def qBlockEqui(s: SparkSession, dir: String): DataFrame =
     customerBlocking(t(s, dir, "customer"))
 
+  /** J2 raw-`Predicate` pass: a genuinely non-equi blocking condition
+    * (|Δacctbal| < 1) over a nation-filtered slice — the reference's
+    * `blocking_expressions` cross-join path (linking.R:28-29), which
+    * ComputedKeys can't express. Kept deliberately small-side: the
+    * cross product is O(n²) by definition, so the operator contract is
+    * "pre-filter to a driver-reasonable slice first".
+    */
+  private def qBlockPredicate(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_nationkey") === 1)
+    Blocking.extractBlocks(c, c, "c_custkey", "c_custkey",
+      BlockingRules(Seq(Predicate(
+        abs(col("c_acctbal_left") - col("c_acctbal_right")) < 1.0 &&
+          col("c_custkey_left") < col("c_custkey_right")))))
+  }
+
+  /** W1 row_number id synthesis on its own oracle row — over a
+    * driver-sized table (nation, 25 rows), which is the ONLY shape a
+    * global row_number window is legitimate for (single-partition
+    * sort); large tables sample by key instead (see q_u_probs).
+    */
+  private def qSyntheticId(s: SparkSession, dir: String): DataFrame =
+    UProbs.withSyntheticId(t(s, dir, "nation"), "synthetic_id", "n_nationkey")
+      .select(col("synthetic_id").cast("long").as("synthetic_id"),
+        col("n_nationkey"), col("n_name"))
+
   private def qPairsAssembly(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val ids = customerBlocking(c)
@@ -106,20 +131,21 @@ object SparkEntry {
   private val uSampleSize = 100000L
   private val uSeed = 42L
 
+  /** Scale path for u-estimation: the LCG picks land in [1, n] and
+    * join DIRECTLY on the (dense) primary key — no global row_number
+    * sort anywhere in the plan. Sparse keys would only thin the sample
+    * (missed picks left-join to NULL and are dropped by uProbsLong),
+    * never bias surviving rows. [[UProbs.withSyntheticId]] remains for
+    * tables without a usable numeric key (see q_synthetic_id).
+    */
   private def qUProbs(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
-    val a = Suffix.addSuffix(UProbs.withSyntheticId(c, "synthetic_id", "c_custkey"), "_left")
-    val b = Suffix.addSuffix(UProbs.withSyntheticId(c, "synthetic_id", "c_custkey"), "_right")
-    val n = c.count()
-    val pairs = UProbs.samplePairIds(s, n, n, uSampleSize, uSeed)
-      .join(a, Seq("synthetic_id_left"), "left")
-      .join(b, Seq("synthetic_id_right"), "left")
+    val pairs = UProbs.samplePairsByKey(c, c, "c_custkey", "c_custkey", uSampleSize, uSeed)
     UProbs.uProbsLong(pairs, customerComparators)
   }
 
   private def qUProbsOracle(nRowsSql: String): String =
-    s"""WITH ca AS (SELECT *, row_number() OVER (ORDER BY c_custkey) AS synthetic_id FROM customer),
-       |n AS (SELECT count(*) AS cnt FROM customer),
+    s"""WITH n AS (SELECT count(*) AS cnt FROM customer),
        |pairs AS (
        |  SELECT ${UProbs.lcgSql("t.i", "n.cnt", 0L, uSeed, 48271L)} AS sid_left,
        |         ${UProbs.lcgSql("t.i", "n.cnt", 1000003L, uSeed, 69621L)} AS sid_right
@@ -128,8 +154,8 @@ object SparkEntry {
        |compared AS (
        |  SELECT $nRowsSql
        |  FROM pairs
-       |  LEFT JOIN ca a ON pairs.sid_left = a.synthetic_id
-       |  LEFT JOIN ca b ON pairs.sid_right = b.synthetic_id
+       |  LEFT JOIN customer a ON pairs.sid_left = a.c_custkey
+       |  LEFT JOIN customer b ON pairs.sid_right = b.c_custkey
        |),
        |longf AS (
        |  SELECT 'c_nationkey' AS name, c_nationkey AS value FROM compared
@@ -258,6 +284,33 @@ object SparkEntry {
 
   // ---- wave 3: training-data pipeline ops (dedup / similarity / text)
 
+  /** Shared DuckDB CTE chain ending in `cand(id_a, id_b)`: minhash-LSH
+    * candidates over `documents` with n=3, k=8, bands=4 — the oracle
+    * mirror of [[graft.ops.Dedup.minhashLshCandidates]], reused by
+    * q_minhash_lsh, q_ngram_jaccard, and q_dedup_clusters.
+    */
+  private val minhashCandCtes: String = {
+    val sigp = (0 until 8).map(i => s"max(CASE WHEN i = $i THEN sig END) AS sig_$i").mkString(", ")
+    val bands = (0 until 4).map(j =>
+      s"SELECT doc_id, $j AS band, md5(CAST(sig_${2 * j} AS VARCHAR) || '|' || CAST(sig_${2 * j + 1} AS VARCHAR)) AS digest FROM sigp")
+      .mkString(" UNION ALL ")
+    s"""sh AS (
+       |  SELECT doc_id, list_distinct(${graft.ops.Dedup.shinglesSql("text", 3)}) AS shl
+       |  FROM documents),
+       |shf AS (SELECT * FROM sh WHERE len(shl) > 0),
+       |sig AS (
+       |  SELECT doc_id, r.i AS i,
+       |    min(((${graft.ops.Dedup.shingleBaseHashSql("u.s")}) * (2 * r.i + 1001) + (r.i * 9176 + 17)) % 2147483647) AS sig
+       |  FROM shf, unnest(shf.shl) AS u(s), range(8) AS r(i)
+       |  GROUP BY doc_id, r.i),
+       |sigp AS (SELECT doc_id, $sigp FROM sig GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+  }
+
   private def qTextStats(s: SparkSession, dir: String): DataFrame = {
     val d = graft.util.Parallelism.ensure(t(s, dir, "documents"))
     val quality = graft.ops.TextAnalysis.qualityColumns(col("text"))
@@ -277,11 +330,7 @@ object SparkEntry {
 
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.ngramJaccardPairs(
-      t(s, dir, "documents"), "doc_id", col("text"), n = 3, minJaccard = 0.5,
-      maxDocFreq = Some(20))
-      .select(col("id_a"), col("id_b"), col("inter"),
-        col("size_a").cast("long").as("size_a"), col("size_b").cast("long").as("size_b"),
-        col("jaccard"))
+      t(s, dir, "documents"), "doc_id", col("text"), n = 3, minJaccard = 0.5)
 
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.minhashLshCandidates(
@@ -291,6 +340,17 @@ object SparkEntry {
     graft.ops.Dedup.simhashNearDups(
       t(s, dir, "documents"), "doc_id", col("text"), maxHamming = 3)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+
+  /** Duplicate-cluster resolution: LSH candidate pairs → connected
+    * components → one keeper per cluster (min doc id). The output a
+    * corpus-pruning pipeline actually consumes.
+    */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cand = graft.ops.Dedup.minhashLshCandidates(
+      docs, "doc_id", col("text"), n = 3, k = 8, bands = 4)
+    graft.ops.Clusters.resolveDuplicates(docs.select("doc_id"), "doc_id", cand)
+  }
 
   private def qAnnTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -344,6 +404,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lineitem_agg" -> (qLineitemAgg _),
     "q_block_equi" -> (qBlockEqui _),
+    "q_block_predicate" -> (qBlockPredicate _),
+    "q_synthetic_id" -> (qSyntheticId _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_pairs_assembly" -> (qPairsAssembly _),
     "q_pattern_counts" -> (qPatternCounts _),
     "q_jw_levels" -> (qJwLevels _),
@@ -379,6 +442,15 @@ object SparkEntry {
         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_block_equi" -> customerBlockingOracle,
+    "q_block_predicate" ->
+      """SELECT a.c_custkey AS c_custkey_left, b.c_custkey AS c_custkey_right
+        |FROM customer a JOIN customer b
+        |  ON abs(a.c_acctbal - b.c_acctbal) < 1.0 AND a.c_custkey < b.c_custkey
+        |WHERE a.c_nationkey = 1 AND b.c_nationkey = 1""".stripMargin,
+    "q_synthetic_id" ->
+      """SELECT row_number() OVER (ORDER BY n_nationkey) AS synthetic_id,
+        |       n_nationkey, n_name
+        |FROM nation""".stripMargin,
     "q_pairs_assembly" ->
       s"""WITH ids AS ($customerBlockingOracle)
          |SELECT ids.c_custkey_left, ids.c_custkey_right,
@@ -489,51 +561,34 @@ object SparkEntry {
     "q_dedup_exact" ->
       "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents",
     "q_ngram_jaccard" ->
-      s"""WITH s AS (
-         |  SELECT doc_id, list_distinct(${graft.ops.Dedup.shinglesSql("text", 3)}) AS sh
-         |  FROM documents),
-         |idx0 AS (SELECT doc_id, u.s AS shingle FROM s, unnest(s.sh) AS u(s)),
-         |hot AS (SELECT shingle FROM idx0 GROUP BY shingle HAVING count(*) > 20),
-         |idx AS (SELECT * FROM idx0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |sizes AS (SELECT doc_id, len(sh) AS sz FROM s)
-         |SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
-         |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
-         |FROM inter
-         |JOIN sizes sa ON inter.id_a = sa.doc_id
-         |JOIN sizes sb ON inter.id_b = sb.doc_id
-         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
-    "q_minhash_lsh" -> {
-      val sigp = (0 until 8).map(i => s"max(CASE WHEN i = $i THEN sig END) AS sig_$i").mkString(", ")
-      val bands = (0 until 4).map(j =>
-        s"SELECT doc_id, $j AS band, md5(CAST(sig_${2 * j} AS VARCHAR) || '|' || CAST(sig_${2 * j + 1} AS VARCHAR)) AS digest FROM sigp")
-        .mkString(" UNION ALL ")
-      s"""WITH sh AS (
-         |  SELECT doc_id, list_distinct(${graft.ops.Dedup.shinglesSql("text", 3)}) AS shl
-         |  FROM documents),
-         |shf AS (SELECT * FROM sh WHERE len(shl) > 0),
-         |sig AS (
-         |  SELECT doc_id, r.i AS i,
-         |    min(((${graft.ops.Dedup.shingleBaseHashSql("u.s")}) * (2 * r.i + 1001) + (r.i * 9176 + 17)) % 2147483647) AS sig
-         |  FROM shf, unnest(shf.shl) AS u(s), range(8) AS r(i)
-         |  GROUP BY doc_id, r.i),
-         |sigp AS (SELECT doc_id, $sigp FROM sig GROUP BY doc_id),
-         |bands AS ($bands)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest
-         |WHERE a.doc_id < b.doc_id""".stripMargin
-    },
+      s"""WITH $minhashCandCtes,
+         |v AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_intersect(sa.shl, sb.shl)) AS BIGINT) AS inter,
+         |    CAST(len(sa.shl) AS BIGINT) AS size_a, CAST(len(sb.shl) AS BIGINT) AS size_b
+         |  FROM cand c
+         |  JOIN shf sa ON c.id_a = sa.doc_id
+         |  JOIN shf sb ON c.id_b = sb.doc_id)
+         |SELECT id_a, id_b, inter, size_a, size_b,
+         |  CAST(inter AS DOUBLE) / (size_a + size_b - inter) AS jaccard
+         |FROM v WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.5""".stripMargin,
+    "q_minhash_lsh" ->
+      s"WITH $minhashCandCtes SELECT id_a, id_b FROM cand",
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCandCtes,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM cand
+         |  UNION SELECT id_b, id_a FROM cand),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a)
+         |SELECT id AS doc_id, min(r) AS cluster_id, (min(r) = id) AS keep
+         |FROM reach GROUP BY id""".stripMargin,
     "q_simhash" ->
-      s"""WITH fp AS (
-         |  SELECT doc_id, ${graft.ops.Dedup.simhashSql("text")} AS fp FROM documents),
-         |b AS (SELECT doc_id, fp, fp >> 8 AS band FROM fp)
-         |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
-         |  CAST(bit_count(xor(a.fp, b2.fp)) AS BIGINT) AS hamming
-         |FROM b a JOIN b b2 ON a.band = b2.band
-         |WHERE a.doc_id < b2.doc_id AND bit_count(xor(a.fp, b2.fp)) <= 3""".stripMargin,
+      s"""WITH ${graft.ops.Dedup.simhashFpCtesSql("documents", "doc_id", "text")},
+         |${graft.ops.Dedup.simhashPairsSql(3)}
+         |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
     "q_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

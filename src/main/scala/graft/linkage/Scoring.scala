@@ -82,4 +82,37 @@ object Scoring {
       .groupBy("weight_band")
       .agg(avg(col("true_match").cast("double")).as("precision"), count(lit(1)).as("n"))
       .orderBy("weight_band")
+
+  /** Fitted logistic calibration weight → P(match): intercept + slope
+    * with a closed-form predictor usable as a plain Column (codegen'd
+    * sigmoid — no model object needed at scoring time).
+    */
+  final case class Calibration(intercept: Double, slope: Double) {
+    def predict(weight: Column): Column =
+      lit(1.0) / (lit(1.0) + exp(-(lit(intercept) + lit(slope) * weight)))
+  }
+
+  /** The reference's final evaluation artifact
+    * (`glm(true_match ~ weight, binomial)`, scratch.R:137) as a
+    * distributed fit: `spark.ml` LogisticRegression on the single
+    * `weight` feature. The input is [[attachTruth]] output (or any
+    * frame with a weight column and a boolean truth column). L-BFGS
+    * over one feature converges in a handful of distributed gradient
+    * passes; no data leaves the executors.
+    */
+  def calibrate(withTruth: DataFrame, weightCol: String = "weight",
+      truthCol: String = "true_match"): Calibration = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val prepared = new VectorAssembler()
+      .setInputCols(Array(weightCol)).setOutputCol("__features")
+      .transform(withTruth
+        .filter(col(truthCol).isNotNull && col(weightCol).isNotNull)
+        .withColumn("__label", col(truthCol).cast("double")))
+    val model = new LogisticRegression()
+      .setFeaturesCol("__features").setLabelCol("__label")
+      .setMaxIter(100).setRegParam(0.0)
+      .fit(prepared)
+    Calibration(model.intercept, model.coefficients(0))
+  }
 }

@@ -103,28 +103,48 @@ object UProbs {
       .withColumn("p", col("n") / sum("n").over(Window.partitionBy("name")))
   }
 
-  /** End-to-end u-probability estimation with deterministic sampling:
-    * the Spark-native `calculate_u_probs` (scratch.R:58-100). `orderColA`/
-    * `orderColB` give the synthetic-id ordering (any unique column).
+  /** Deterministic sampled pairs joined DIRECTLY on numeric key
+    * columns: LCG picks land in [1, n] and equi-join each side's id —
+    * NO global row_number sort anywhere in the plan, fully
+    * oracle-expressible. Dense keys (1..n) give a uniform sample;
+    * sparse keys merely thin it (missed picks left-join to NULL and
+    * are dropped downstream by [[uProbsLong]]'s non-null filter),
+    * never bias surviving rows.
+    */
+  def samplePairsByKey(
+      dataA: DataFrame, dataB: DataFrame, idColA: String, idColB: String,
+      size: Long, seed: Long): DataFrame = {
+    val spark = dataA.sparkSession
+    val nA = dataA.count()
+    val nB = dataB.count()
+    val a = Suffix.addSuffix(dataA, "_left")
+    val b = Suffix.addSuffix(dataB, "_right")
+    val ids = samplePairIds(spark, nA, nB, size, seed)
+    ids
+      .join(a, ids("synthetic_id_left") === a(Suffix.addSuffix(idColA, "_left")), "left")
+      .join(b, ids("synthetic_id_right") === b(Suffix.addSuffix(idColB, "_right")), "left")
+  }
+
+  /** End-to-end u-probability estimation — the Spark-native
+    * `calculate_u_probs` (scratch.R:58-100), routed through the
+    * SCALE-SAFE key-join sampler: the reference's driver-side
+    * `copy_to` of a random id table becomes a distributed
+    * `spark.range` + equi-join, and no step sorts the full table.
+    * `idColA`/`idColB` must be numeric id columns (dense 1..n for a
+    * perfectly uniform sample). For tables without such a key, either
+    * use [[samplePairsByCross]] + [[uProbsLong]] directly, or accept
+    * the single-partition sort of [[withSyntheticId]] on a
+    * driver-sized slice.
     */
   def calculateUProbs(
       dataA: DataFrame,
       dataB: DataFrame,
-      orderColA: String,
-      orderColB: String,
+      idColA: String,
+      idColB: String,
       comparators: Seq[Comparator],
       size: Long = 1000000L,
-      seed: Long = 42L): Map[String, Map[String, Double]] = {
-    val spark = dataA.sparkSession
-    val nA = dataA.count()
-    val nB = dataB.count()
-    val a = Suffix.addSuffix(withSyntheticId(dataA, "synthetic_id", orderColA), "_left")
-    val b = Suffix.addSuffix(withSyntheticId(dataB, "synthetic_id", orderColB), "_right")
-    val pairs = samplePairIds(spark, nA, nB, size, seed)
-      .join(a, Seq("synthetic_id_left"), "left")
-      .join(b, Seq("synthetic_id_right"), "left")
-    toNestedMap(uProbsLong(pairs, comparators))
-  }
+      seed: Long = 42L): Map[String, Map[String, Double]] =
+    toNestedMap(uProbsLong(samplePairsByKey(dataA, dataB, idColA, idColB, size, seed), comparators))
 
   /** Collect the long frequency table to field → (level → p)
     * (reference: scratch.R:85-96).

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: candidate pairs → connected
+  * components → one keeper per cluster. This is the step that turns a
+  * near-dup PAIR list (Dedup/Similarity output) into something a
+  * corpus-pruning pipeline can act on: `(id, cluster_id, keep)`.
+  *
+  * Components are computed with the alternating large-star/small-star
+  * algorithm (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14): every iteration is two shuffles on DataFrames
+  * (a groupBy-min and a self-join on the same key, so the exchange is
+  * reused), the edge list only ever shrinks toward the star form
+  * (u → component-min), and convergence is O(log n) rounds — the
+  * driver loops over ROUNDS, never over edges. At 100 TB the per-round
+  * cost is a hash aggregate + hash join on the candidate-pair table,
+  * which LSH has already made sub-quadratic in the corpus.
+  */
+object Clusters {
+
+  /** One large-star round: every node connects its strictly-larger
+    * neighbors to the minimum of its closed neighborhood.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy("src").agg(min("dst").as("__m"))
+      .select(col("src"), least(col("src"), col("__m")).as("m"))
+    sym.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** One small-star round: orient edges large→small, then connect every
+    * smaller neighbor (and the center) to the neighborhood minimum.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst"))
+    val mins = or.groupBy("src").agg(min("dst").as("m"))
+    or.join(mins, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(mins.select(col("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Connected components over an undirected pair list. Input: any
+    * DataFrame whose first two columns are the edge endpoints (ids of
+    * one orderable, hash-joinable type). Returns the star edge list
+    * `(id, cluster_id)` for every NON-ROOT node — roots (= cluster
+    * minima) and isolated nodes are absent; see [[resolveDuplicates]]
+    * for the full labeling.
+    *
+    * The driver loop runs until the edge set reaches a fixpoint
+    * (checked with `except` — an exact, not probabilistic, test) or
+    * `maxRounds`, whichever first. Each round is CHECKPOINTED, not
+    * merely persisted: a cached plan still nests every previous
+    * round's plan inside its task binary, so task (de)serialization
+    * grows exponentially with the round count — the job appears to
+    * hang by round ~10 even on toy graphs. `localCheckpoint` cuts the
+    * lineage to the materialized blocks (on a real cluster with
+    * executor churn, point `spark.sparkContext.setCheckpointDir` at
+    * durable storage and swap in `checkpoint(true)`).
+    */
+  def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    var edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // Star rounds are monotone (labels only decrease), so
+      // next ⊆-equality with the previous round IS the fixpoint test:
+      // same count and nothing new ⇒ identical sets.
+      converged = next.count() == edges.count() &&
+        next.except(edges).limit(1).count() == 0
+      edges.unpersist()
+      edges = next
+      round += 1
+    }
+    edges
+  }
+
+  /** Full duplicate resolution: every id in `ids` labeled with its
+    * cluster minimum and a deterministic keep flag (keep = the cluster
+    * minimum itself). Ids appearing in no pair become singleton
+    * clusters of themselves. Output: (idCol, cluster_id, keep).
+    */
+  def resolveDuplicates(ids: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      maxRounds: Int = 25): DataFrame = {
+    val labels = connectedComponents(pairs, srcCol, dstCol, maxRounds)
+      .select(col("src").as(idCol), col("dst").as("__cid"))
+    ids.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__cid"), col(idCol)).as("cluster_id"))
+      .withColumn("keep", col(idCol) === col("cluster_id"))
+  }
+}

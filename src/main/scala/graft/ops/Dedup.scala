@@ -8,16 +8,23 @@ import org.apache.spark.sql.functions._
   *
   *   - exact: hash-groupBy on a content digest (one shuffle on the
   *     digest, map-side combine);
-  *   - n-gram Jaccard: shingle → explode → inverted-index self-join on
-  *     shared shingles → per-pair intersection counts → |∩|/(|A|+|B|−|∩|).
-  *     Never materializes the full pair matrix — only pairs sharing ≥1
-  *     shingle, with a frequency cap to drop stop-shingles;
+  *   - n-gram Jaccard: MinHash-LSH candidate pairs first, then EXACT
+  *     intersection/union verification on the candidates only (shingle
+  *     sets joined back per pair). The corpus-quadratic inverted-index
+  *     self-join is gone: pair fan-out is bounded by the LSH bucket
+  *     structure, and each surviving pair costs one in-memory
+  *     `array_intersect`;
   *   - MinHash + LSH: k salted-MD5 min-signatures per doc, banded into
   *     b groups; candidate pairs = equi-join on (band, band digest) —
-  *     the standard sub-quadratic near-dup path;
+  *     the standard sub-quadratic near-dup path. `maxBucketSize` drops
+  *     degenerate buckets (boilerplate corpora) the same way the
+  *     doc-frequency cap drops stop-shingles;
   *   - SimHash: per-token MD5 bits weighted ±1, fingerprint = sign
-  *     vector; near-dups = pairs at small Hamming distance, banded by
-  *     fingerprint prefix to avoid the cross join.
+  *     vector computed in ONE codegen'd hash aggregation (explode →
+  *     groupBy(id) with `bits` conditional sums); near-dups = pairs at
+  *     Hamming distance ≤ h, found via (h+1) bit-slice bands — the
+  *     pigeonhole guarantees any pair within h differing bits agrees
+  *     on at least one band, so recall is exact.
   *
   * Everything is hex-MD5-based so the DuckDB oracle computes identical
   * hashes (both engines emit lowercase hex MD5); minima are taken on
@@ -67,6 +74,18 @@ object Dedup {
     }
   }
 
+  /** Distinct shingle sets (id, sh): the shared front end of the
+    * near-dup pipelines. Documents with fewer than n tokens are
+    * dropped up front ON THE CHEAP TOKEN COUNT — a filter on size(sh)
+    * would be predicate-pushed below the shingle projection,
+    * re-inlining the O(tokens²) expression into an interpreted Filter
+    * (observed: one task pinned for minutes).
+    */
+  def shingleSets(df: DataFrame, idCol: String, text: Column, n: Int): DataFrame =
+    graft.util.Parallelism.ensure(df.filter(size(split(text, " ")) >= n))
+      .select(col(idCol).as("id"), split(text, " ").as("__toks"))
+      .select(col("id"), array_distinct(shinglesFromTokens(col("__toks"), n)).as("sh"))
+
   /** Distinct-shingle inverted index: (shingle, id). The `maxDocFreq`
     * cap drops shingles appearing in more than that many documents —
     * stop-shingles explode the inverted index quadratically at scale
@@ -89,40 +108,36 @@ object Dedup {
     }
   }
 
-  /** n-gram Jaccard near-duplicate pairs: only pairs sharing at least
-    * one (non-capped) shingle are generated. Output:
-    * (id_a, id_b, inter, size_a, size_b, jaccard) with id_a < id_b.
+  /** n-gram Jaccard near-duplicate pairs, LSH-bounded: MinHash-LSH
+    * proposes candidates (sub-quadratic), then the exact
+    * |∩| / (|A|+|B|−|∩|) is computed ONLY for candidate pairs by
+    * joining each side's shingle set back and intersecting in memory.
+    * Output: (id_a, id_b, inter, size_a, size_b, jaccard) with
+    * id_a < id_b and jaccard ≥ minJaccard.
+    *
+    * Scale shape: no inverted-index self-join (the round-1 version
+    * emitted ~f² rows per shared shingle — 51% of the whole bench at
+    * sf0.1); pair fan-out is the LSH band structure's, each candidate
+    * costs two hash-join probes carrying the shingle arrays plus one
+    * codegen'd `array_intersect`. Recall is the LSH curve
+    * 1−(1−J^r)^bands, ≥ 96% at J = 0.75 with the defaults — tune
+    * k/bands upward for a stricter floor. The shingle subtree is
+    * evaluated once per join side (cheap, map-only) rather than
+    * persisted: a persisted index would leak into later queries in
+    * the session unless a caller-side unpersist hook existed.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, text: Column, n: Int,
-      minJaccard: Double, maxDocFreq: Option[Long] = None): DataFrame = {
-    val sh = graft.util.Parallelism.ensure(df)
-      .select(col(idCol).as("id"), split(text, " ").as("__toks"))
-      .select(col("id"), array_distinct(shinglesFromTokens(col("__toks"), n)).as("sh"))
-    // Persist the exploded index: FOUR consumers downstream (doc sizes,
-    // hot-shingle list, both join sides) would otherwise re-run the
-    // shingling subtree each — the single most expensive stage. This is
-    // the reference's copy_to materialization (scratch.R:29) done
-    // Spark-style; MEMORY_AND_DISK so a 100 TB index spills, not OOMs.
-    val idx = sh.select(col("id"), explode(col("sh")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Distinct-shingle count per doc, straight from the index (shingle
-    // arrays are already distinct).
-    val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inv = maxDocFreq.fold(idx) { cap =>
-      val hot = idx.groupBy("shingle").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > cap).select("shingle")
-      idx.join(broadcast(hot), Seq("shingle"), "left_anti")
-        .select(col("id"), col("shingle"))
-    }
-    val a = inv.toDF("id_a", "shingle")
-    val b = inv.toDF("id_b", "shingle")
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("id_a", "size_a"), Seq("id_a"))
-      .join(sizes.toDF("id_b", "size_b"), Seq("id_b"))
+      minJaccard: Double, k: Int = 8, bands: Int = 4,
+      maxBucketSize: Option[Long] = None): DataFrame = {
+    val sh = shingleSets(df, idCol, text, n)
+    val cand = minhashLshCandidatesFromShingles(sh, k, bands, maxBucketSize)
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("__sa")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("__sb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("size_a", size(col("__sa")).cast("long"))
+      .withColumn("size_b", size(col("__sb")).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
@@ -172,23 +187,23 @@ object Dedup {
     }
   }
 
-  /** MinHash-LSH candidate pairs: docs sharing any band digest.
-    * Output (id_a, id_b) distinct, id_a < id_b. The join is a plain
-    * shuffled equi-join on (band index, digest) — sub-quadratic as
-    * long as band buckets stay small; at 100 TB add a bucket-size cap
-    * exactly like the Jaccard doc-frequency cap.
+  /** MinHash-LSH candidate pairs from a prepared (id, sh) shingle-set
+    * table (see [[shingleSets]]). Output (id_a, id_b) distinct,
+    * id_a < id_b.
+    *
+    * The join is a plain shuffled equi-join on (band index, digest) —
+    * sub-quadratic as long as band buckets stay small. `maxBucketSize`
+    * is the degenerate-corpus guard: a bucket holding f docs emits f²
+    * pair rows, so one boilerplate digest shared by 10⁶ docs of a
+    * 100 TB corpus is a 10¹² explosion. Over-full (band, digest)
+    * buckets are dropped via a broadcast anti-join against the (small)
+    * hot-bucket list — identical shape to the inverted-index
+    * doc-frequency cap.
     */
-  def minhashLshCandidates(
-      df: DataFrame, idCol: String, text: Column, n: Int, k: Int, bands: Int): DataFrame = {
-    // Filter on the CHEAP precondition (token count) before shingling:
-    // a filter on size(sh) would be predicate-pushed below the shingle
-    // projection, re-inlining the O(tokens²) expression into an
-    // interpreted Filter (observed: one task pinned for minutes).
-    val sh = graft.util.Parallelism.ensure(df.filter(size(split(text, " ")) >= n))
-      .select(col(idCol).as("id"), split(text, " ").as("__toks"))
-      .select(col("id"), array_distinct(shinglesFromTokens(col("__toks"), n)).as("sh"))
-      .withColumn("__h", transform(col("sh"), s => shingleBaseHash(s)))
-    val withSig = minhashSignature(col("__h"), k).foldLeft(sh) {
+  def minhashLshCandidatesFromShingles(sh: DataFrame, k: Int, bands: Int,
+      maxBucketSize: Option[Long] = None): DataFrame = {
+    val hashed = sh.withColumn("__h", transform(col("sh"), s => shingleBaseHash(s)))
+    val withSig = minhashSignature(col("__h"), k).foldLeft(hashed) {
       case (d, (name, c)) => d.withColumn(name, c)
     }
     val withBands = lshBands((0 until k).map(i => s"sig_$i"), bands).foldLeft(withSig) {
@@ -198,69 +213,114 @@ object Dedup {
       explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"), col(s"band_$j").as("digest"))): _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.digest").as("digest"))
-    val l = long.toDF("id_a", "band", "digest")
-    val r = long.toDF("id_b", "band", "digest")
+    val capped = maxBucketSize.fold(long) { cap =>
+      val hot = long.groupBy("band", "digest").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > cap).select("band", "digest")
+      // using-column joins move the keys first — re-pin column order.
+      long.join(broadcast(hot), Seq("band", "digest"), "left_anti")
+        .select("id", "band", "digest")
+    }
+    val l = capped.toDF("id_a", "band", "digest")
+    val r = capped.toDF("id_b", "band", "digest")
     l.join(r, Seq("band", "digest"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
 
-  /** Per-token 16-bit codes for simhash: first 4 hex digits of MD5.
-    * Materialize this as a column before [[simhashFromCodes]] — the
-    * fingerprint references the code array once per bit.
-    */
-  def tokenCodes(text: Column): Column =
-    transform(split(text, " "), w => conv(substring(md5(w), 1, 4), 16, 10).cast("long"))
+  /** MinHash-LSH candidate pairs straight from a text column. */
+  def minhashLshCandidates(
+      df: DataFrame, idCol: String, text: Column, n: Int, k: Int, bands: Int,
+      maxBucketSize: Option[Long] = None): DataFrame =
+    minhashLshCandidatesFromShingles(shingleSets(df, idCol, text, n), k, bands, maxBucketSize)
 
-  /** SimHash fingerprint from a materialized code-array column: bit b
-    * is set when Σ_tokens (±1 by token bit b) > 0. Folds are
-    * sequential in both engines.
+  /** SimHash fingerprints in ONE pass: explode tokens, hash-aggregate
+    * per doc with `bits` conditional ±1 sums (all codegen'd,
+    * map-side-combinable), then assemble the sign vector. Output
+    * (id, fp).
+    *
+    * This replaces the round-1 Column fold, which re-walked the token
+    * array once per bit (16 interpreted `aggregate` passes — 90.8 s at
+    * sf0.1 vs one shuffle of (id, code) rows here). Counter sums are
+    * order-independent integers, so the result is deterministic and
+    * DuckDB-mirrorable.
     */
-  def simhashFromCodes(codes: Column, bits: Int = 16): Column = {
-    val bitCols = (0 until bits).map { b =>
-      when(aggregate(codes, lit(0L),
-        (acc, x) => acc + when(shiftright(x, b) % 2 === 1, 1L).otherwise(-1L)) > 0,
-        lit(1L << b)).otherwise(0L)
-    }
-    bitCols.reduce(_ + _)
+  def simhashFingerprints(df: DataFrame, idCol: String, text: Column, bits: Int = 16): DataFrame = {
+    val toks = graft.util.Parallelism.ensure(df)
+      .select(col(idCol).as("id"), explode(split(text, " ")).as("__w"))
+      .select(col("id"), conv(substring(md5(col("__w")), 1, 4), 16, 10).cast("long").as("__code"))
+    val sums = (0 until bits).map(b =>
+      sum(when(shiftright(col("__code"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"__c$b"))
+    val counts = toks.groupBy(col("id")).agg(sums.head, sums.tail: _*)
+    val fp = (0 until bits).map(b =>
+      when(col(s"__c$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    counts.select(col("id"), fp.as("fp"))
   }
 
-  /** Convenience inline form (recomputes the MD5 pass per bit — use
-    * [[simhashFromCodes]] over a materialized [[tokenCodes]] column in
-    * anything hot).
+  /** DuckDB mirror of [[simhashFingerprints]] as a CTE chain ending in
+    * `fp(id, fp)`; `table`/`idExpr`/`textExpr` name the source.
     */
-  def simhash(text: Column, bits: Int = 16): Column =
-    simhashFromCodes(tokenCodes(text), bits)
-
-  /** DuckDB mirror of [[simhash]]. */
-  def simhashSql(textExpr: String, bits: Int = 16): String = {
-    val codes =
-      s"list_transform(string_split($textExpr, ' '), w -> CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT))"
-    val bitTerms = (0 until bits).map { b =>
-      s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), $codes),
-         |  (acc, x) -> acc + (CASE WHEN (x >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0
-         |  THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)""".stripMargin.replace("\n", " ")
-    }
-    bitTerms.mkString("(", " + ", ")")
+  def simhashFpCtesSql(table: String, idExpr: String, textExpr: String, bits: Int = 16): String = {
+    val sums = (0 until bits)
+      .map(b => s"sum(CASE WHEN (code >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS c$b").mkString(", ")
+    val fpExpr = (0 until bits)
+      .map(b => s"(CASE WHEN c$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""toks AS (
+       |  SELECT $idExpr AS id, CAST(('0x' || substr(md5(u.w), 1, 4)) AS BIGINT) AS code
+       |  FROM $table, unnest(string_split($textExpr, ' ')) AS u(w)),
+       |cnt AS (SELECT id, $sums FROM toks GROUP BY id),
+       |fp AS (SELECT id, $fpExpr AS fp FROM cnt)""".stripMargin
   }
 
-  /** SimHash near-dup pairs banded by fingerprint high byte (standard
-    * band trick: near-identical docs agree on every band; scanning
-    * only same-band pairs avoids the cross join). Output
-    * (id_a, id_b, hamming ≤ maxHamming).
+  /** SimHash near-dup pairs from a prepared (id, fp) fingerprint table
+    * via (maxHamming+1) bit-slice bands: a pair within maxHamming
+    * differing bits must agree exactly on at least one slice
+    * (pigeonhole), so banding loses NO qualifying pair — unlike the
+    * round-1 single high-byte band, which silently dropped any pair
+    * whose differing bits straddled the high byte. Output
+    * (id_a, id_b, hamming), distinct, id_a < id_b.
     */
-  def simhashNearDups(
-      df: DataFrame, idCol: String, text: Column, maxHamming: Int, bits: Int = 16): DataFrame = {
-    val fp = graft.util.Parallelism.ensure(df)
-      .select(col(idCol).as("id"), tokenCodes(text).as("__codes"))
-      .select(col("id"), simhashFromCodes(col("__codes"), bits).as("fp"))
-      .withColumn("band", shiftright(col("fp"), bits / 2))
-    val a = fp.toDF("id_a", "fp_a", "band")
-    val b = fp.toDF("id_b", "fp_b", "band")
-    a.join(b, Seq("band"))
+  def simhashPairsFromFingerprints(fp: DataFrame, maxHamming: Int, bits: Int = 16): DataFrame = {
+    val nb = maxHamming + 1
+    require(bits % nb == 0, s"bits=$bits must be divisible by maxHamming+1=$nb bands")
+    val w = bits / nb
+    val mask = (1L << w) - 1
+    val banded = fp.select(col("id"), col("fp"),
+      explode(array((0 until nb).map(j =>
+        struct(lit(j).as("band"),
+          shiftright(col("fp"), j * w).bitwiseAND(lit(mask)).as("key"))): _*)).as("b"))
+      .select(col("id"), col("fp"), col("b.band").as("band"), col("b.key").as("key"))
+    val a = banded.select(col("id").as("id_a"), col("fp").as("fp_a"), col("band"), col("key"))
+    val b = banded.select(col("id").as("id_b"), col("fp").as("fp_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select("id_a", "id_b", "hamming").distinct()
+  }
+
+  /** SimHash near-dup pairs: one-pass fingerprints + pigeonhole bands.
+    * Output (id_a, id_b, hamming ≤ maxHamming).
+    */
+  def simhashNearDups(
+      df: DataFrame, idCol: String, text: Column, maxHamming: Int, bits: Int = 16): DataFrame =
+    simhashPairsFromFingerprints(simhashFingerprints(df, idCol, text, bits), maxHamming, bits)
+
+  /** DuckDB mirror of [[simhashNearDups]] past the `fp` CTE (append
+    * after [[simhashFpCtesSql]]): bit-slice bands + distinct Hamming
+    * pairs.
+    */
+  def simhashPairsSql(maxHamming: Int, bits: Int = 16): String = {
+    val nb = maxHamming + 1
+    val w = bits / nb
+    val mask = (1L << w) - 1
+    s"""banded AS (
+       |  SELECT id, fp, r.j AS band, (fp >> (r.j * $w)) & $mask AS key
+       |  FROM fp, range($nb) AS r(j)),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.id < b.id AND bit_count(xor(a.fp, b.fp)) <= $maxHamming)""".stripMargin
   }
 }

@@ -109,17 +109,31 @@ object Similarity {
 
   /** LSH-bucketed near-duplicate pairs: exact cosine computed only
     * within buckets. Output (id_a, id_b, cosine) with cosine ≥ min.
+    *
+    * `maxBucketSize` is the degenerate-corpus guard: a bucket of f
+    * vectors emits f² pairs, so one boilerplate bucket holding 10⁶
+    * embeddings of a 100 TB corpus is a 10¹² explosion. Over-full
+    * buckets are dropped via a broadcast anti-join against the (small)
+    * hot-bucket list — same shape as the shingle doc-frequency cap.
     */
   def lshNearDups(
       df: DataFrame, idCol: String, vecCol: String,
-      planes: Int, minCosine: Double, seed: Long = 42L): DataFrame = {
+      planes: Int, minCosine: Double, seed: Long = 42L,
+      maxBucketSize: Option[Long] = None): DataFrame = {
     // Norms materialized per VECTOR (n of them), not per pair — the
     // in-bucket pair count is quadratic in bucket size and each cosine
     // should cost exactly one dot product.
-    val b = graft.util.Parallelism.ensure(df)
+    val b0 = graft.util.Parallelism.ensure(df)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes, seed))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val b = maxBucketSize.fold(b0) { cap =>
+      val hot = b0.groupBy("bucket").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > cap).select("bucket")
+      // using-column joins move the key first — re-pin column order.
+      b0.join(broadcast(hot), Seq("bucket"), "left_anti")
+        .select("id", "v", "bucket", "norm")
+    }
     val l = b.toDF("id_a", "v_a", "bucket", "norm_a")
     val r = b.toDF("id_b", "v_b", "bucket", "norm_b")
     l.join(r, Seq("bucket"))

@@ -17,6 +17,11 @@ object Parallelism {
     */
   def ensure(df: DataFrame): DataFrame = {
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Leaf file count is a cheap upper-bound proxy for scan
+    // parallelism: `df.rdd.getNumPartitions` would force a separate
+    // physical plan outside AQE on every call. Small inputs (few
+    // files) get the round-robin shuffle; at real scale inputs have
+    // thousands of files and this is a no-op.
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.Clusters
+
+/** Duplicate-cluster resolution specs: transitive closure over
+  * candidate pairs, deterministic min-id canonical choice, singleton
+  * handling.
+  */
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("resolveDuplicates: planted A~B, B~C chain (A≁C) is ONE cluster") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Clusters.resolveDuplicates(ids, "doc_id", pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep")))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), // one cluster, min kept
+      (4L, 4L, true), (5L, 5L, true)))                  // singletons keep themselves
+  }
+
+  test("connectedComponents: long path + separate pair need multiple star rounds") {
+    val ids = (1L to 10L).toDF("doc_id")
+    // path 10-9-8-7-6 (diameter 4) plus the pair 1-2, edges deliberately
+    // given large-id-first and duplicated to check canonicalization.
+    val pairs = Seq((10L, 9L), (9L, 8L), (8L, 7L), (7L, 6L), (6L, 7L), (1L, 2L))
+      .toDF("id_a", "id_b")
+    val labels = Clusters.resolveDuplicates(ids, "doc_id", pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert((6L to 10L).forall(labels(_) == 6L))
+    assert(labels(1L) == 1L && labels(2L) == 1L)
+    assert((3L to 5L).forall(i => labels(i) == i))
+    // exactly one keeper per cluster:
+    val keepers = Clusters.resolveDuplicates(ids, "doc_id", pairs)
+      .filter(org.apache.spark.sql.functions.col("keep")).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(keepers == Set(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("connectedComponents: empty pair list → all singletons") {
+    val ids = Seq(7L, 8L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Clusters.resolveDuplicates(ids, "doc_id", pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep")))
+      .toSet
+    assert(got == Set((7L, 7L, true), (8L, 8L, true)))
+  }
+}

@@ -95,6 +95,28 @@ class OpsSpec extends SparkSpec {
     assert(d.contains((1L, 4L)))
   }
 
+  test("dedup: simhash multi-band recall — 3 flipped bits spanning the high byte") {
+    // Bits 5, 9, 13 differ: two of them live in the high byte, so the
+    // round-1 single (fp >> 8) band missed this pair entirely. The
+    // pigeonhole bands (4 × 4 bits) agree on band 0 and must find it.
+    val fpB = (1L << 5) | (1L << 9) | (1L << 13)
+    val fps = Seq((1L, 0L), (2L, fpB)).toDF("id", "fp")
+    assert((0L >> 8) != (fpB >> 8)) // old banding: different buckets → lost
+    val got = Dedup.simhashPairsFromFingerprints(fps, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+    assert(got.toSeq == Seq((1L, 2L, 3)))
+  }
+
+  test("dedup: lsh bucket cap defuses an all-identical corpus") {
+    val many = (1 to 60).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshCandidates(many, "doc_id", col("text"), n = 3, k = 8, bands = 4)
+    assert(uncapped.count() == 60L * 59 / 2) // quadratic: every pair collides
+    val capped = Dedup.minhashLshCandidates(many, "doc_id", col("text"), n = 3, k = 8, bands = 4,
+      maxBucketSize = Some(10))
+    assert(capped.count() == 0) // hot buckets dropped, no pair fan-out
+  }
+
   private lazy val vecs = Seq(
     (0L, Array(1f, 0f, 0f)),
     (1L, Array(0.9f, 0.1f, 0f)),
@@ -115,5 +137,14 @@ class OpsSpec extends SparkSpec {
     val pairs = Similarity.lshNearDups(dup, "vec_id", "embedding", planes = 8, minCosine = 0.99)
       .collect()
     assert(pairs.length == 1 && pairs.head.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("similarity: lsh bucket cap defuses an all-identical embedding set") {
+    val dup = (0 until 40).map(i => (i.toLong, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val capped = Similarity.lshNearDups(dup, "vec_id", "embedding", planes = 8, minCosine = 0.99,
+      maxBucketSize = Some(10))
+    assert(capped.count() == 0)
+    val uncapped = Similarity.lshNearDups(dup, "vec_id", "embedding", planes = 8, minCosine = 0.99)
+    assert(uncapped.count() == 40L * 39 / 2)
   }
 }

@@ -60,4 +60,49 @@ class ScoringSpec extends SparkSpec {
     assert(math.abs(bands.head.getAs[Double]("precision") - 0.5) < 1e-12)
     assert(bands.head.getAs[Long]("n") == 2L)
   }
+
+  test("calibrate: glm on the LinkageDemo fixture — monotone in weight, AUC > 0.9") {
+    import graft.linkage.{Blocking, BlockingRules, Comparators, ComputedKeys, Pairs}
+    val people = LinkageDemo.persons(spark, nClusters = 120).cache()
+    val data = people.drop("cluster")
+    val truth = people.select(col("unique_id"), col("cluster"))
+    // First-letter surname blocking keeps full recall on the fixture
+    // (typos never touch position 0) while bounding the pair count.
+    val ids = Blocking.extractBlocks(data, data, "unique_id", "unique_id",
+      BlockingRules(Seq(ComputedKeys(Seq(
+        ("s1", substring(col("surname_left"), 1, 1), substring(col("surname_right"), 1, 1)))))))
+      .filter(col("unique_id_left") < col("unique_id_right"))
+    val pairs = Pairs.computePairsDataset(data, data, "unique_id", "unique_id", ids)
+    val comparators = Comparators.exact(Seq("dob")) ++
+      Comparators.jaroWinkler(Seq("first_name", "surname"))
+    val values = Comparators.doComparisons(pairs, comparators,
+      keep = Seq("unique_id_left", "unique_id_right"))
+    val jwM = Map("full agreement" -> 0.6, "strong partial agreement" -> 0.25,
+      "weak partial agreement" -> 0.1, "no agreement" -> 0.05)
+    val jwU = Map("full agreement" -> 0.02, "strong partial agreement" -> 0.05,
+      "weak partial agreement" -> 0.08, "no agreement" -> 0.85)
+    val tables = Seq(
+      ("dob", Map("agree" -> 0.95, "disagree" -> 0.05),
+        Map("agree" -> 0.001, "disagree" -> 0.999)),
+      ("first_name", jwM, jwU), ("surname", jwM, jwU))
+    val scored = values.withColumn("weight", Scoring.weightExpression(tables))
+    val ev = Scoring.attachTruth(scored, truth, "unique_id", "cluster")
+
+    val cal = Scoring.calibrate(ev)
+    assert(cal.slope > 0, s"calibration slope must be positive, got $cal")
+
+    val rows = ev.select(col("weight"), cal.predict(col("weight")).as("p"), col("true_match"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getBoolean(2)))
+    // monotone: predicted probability nondecreasing in weight
+    val byWeight = rows.sortBy(_._1)
+    assert(byWeight.zip(byWeight.tail).forall { case ((_, p1, _), (_, p2, _)) => p1 <= p2 })
+    // AUC of the calibrated probability over true-match labels
+    val pos = rows.filter(_._3).map(_._2)
+    val neg = rows.filterNot(_._3).map(_._2)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    var wins = 0.0
+    for (p <- pos; q <- neg) wins += (if (p > q) 1.0 else if (p == q) 0.5 else 0.0)
+    val auc = wins / (pos.length.toDouble * neg.length)
+    assert(auc > 0.9, f"AUC $auc%.4f should exceed 0.9")
+  }
 }
