@@ -1,9 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Methodology (VM-noise-aware — the host is a shared
+  * VM where single runs of unchanged code have swung 6–12× in both
+  * directions between rounds):
+  *
+  *   - queries run in FIXED sorted-name order (never hash-map order);
+  *   - one untimed warmup pass of the whole list first (JIT, page
+  *     cache, codegen compilation), then `SPARK_GRAFT_RUNS` (default 3)
+  *     timed passes;
+  *   - per-query median + min + max across the timed passes are
+  *     reported, and the headline `value` is the SUM OF MEDIANS —
+  *     per-pass totals are also included so noise is visible;
+  *   - a crashed query must look like a failure, not a fast success:
+  *     errors carry through to the `failed` map and the exit code.
+  *
+  * If a committed scale-probe artifact exists (SCALE_PROBE file, see
+  * [[ScaleProbe]]) its JSON line is inlined verbatim under `sf1_probe`
+  * so the per-round bench JSON carries the superlinear-growth evidence
+  * alongside the sf0.1 numbers.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,18 +35,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // A crashed query must look like a failure, not a fast success:
-    // record the elapsed time either way, but carry the error through
-    // to the JSON line and the exit code.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          errors.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      (System.nanoTime() - t0) / 1e9
     }
+
+    // Warmup pass (untimed in the report, still error-recorded).
+    names.foreach(timeOne)
+    // Timed passes: full list per pass, fixed order.
+    val passes: Seq[Seq[Double]] = (1 to runs).map(_ => names.map(timeOne))
+    val perQuery: Seq[(String, Seq[Double])] =
+      names.zipWithIndex.map { case (n, i) => n -> passes.map(_(i)).sorted }
+
+    def median(xs: Seq[Double]): Double =
+      if (xs.size % 2 == 1) xs(xs.size / 2) else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -33,13 +67,23 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
-    if (results.exists(_._3.isDefined)) { spark.stop(); sys.exit(1) }
+    def jnum(v: Double): String = f"$v%.3f"
+
+    val qs = perQuery.map { case (n, xs) => s"${jstr(n)}:${jnum(median(xs))}" }.mkString("{", ",", "}")
+    val spread = perQuery.map { case (n, xs) =>
+      s"""${jstr(n)}:{"median":${jnum(median(xs))},"min":${jnum(xs.head)},"max":${jnum(xs.last)}}"""
+    }.mkString("{", ",", "}")
+    val passTotals = passes.map(p => jnum(p.sum)).mkString("[", ",", "]")
+    val failed = errors.map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
+    val total = perQuery.map { case (_, xs) => median(xs) }.sum
+
+    val probe = {
+      val f = new java.io.File("SCALE_PROBE_r03.json")
+      if (f.exists) scala.io.Source.fromFile(f).getLines().mkString(" ").trim else "null"
+    }
+
+    println(s"""{"metric":"total_of_medians","value":${jnum(total)},"unit":"sec","runs":$runs,"queries":$qs,"run_spread":$spread,"pass_totals":$passTotals,"failed":$failed,"sf":"$sfDir","sf1_probe":$probe}""")
+    if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
 }

@@ -23,7 +23,10 @@ object SparkEntry {
 
   /** Customer self-linkage blocking: one two-key equi pass + one
     * computed-key pass (the scale rewrite of the reference's prefix
-    * predicate pass, scratch.R:25).
+    * predicate pass, scratch.R:25). `selfLinkage = true` pushes the
+    * canonical `id_left < id_right` into each pass, BELOW the
+    * union+distinct — the dedup shuffle carries half the rows a
+    * post-hoc filter would.
     */
   private def customerBlocking(c: DataFrame): DataFrame = {
     val rules = BlockingRules(Seq(
@@ -35,8 +38,7 @@ object SparkEntry {
       // blocking, scratch.R:25) on the name's trailing digits.
       ComputedKeys(Seq(
         ("name_sfx", substring(col("c_name_left"), 17, 2), substring(col("c_name_right"), 17, 2))))))
-    Blocking.extractBlocks(c, c, "c_custkey", "c_custkey", rules)
-      .filter(col("c_custkey_left") < col("c_custkey_right"))
+    Blocking.extractBlocks(c, c, "c_custkey", "c_custkey", rules, selfLinkage = true)
   }
 
   private val customerBlockingOracle: String =
@@ -82,18 +84,21 @@ object SparkEntry {
     customerBlocking(t(s, dir, "customer"))
 
   /** J2 raw-`Predicate` pass: a genuinely non-equi blocking condition
-    * (|Δacctbal| < 1) over a nation-filtered slice — the reference's
+    * (|Δacctbal| < 1000) over a nation-filtered slice — the reference's
     * `blocking_expressions` cross-join path (linking.R:28-29), which
     * ComputedKeys can't express. Kept deliberately small-side: the
     * cross product is O(n²) by definition, so the operator contract is
-    * "pre-filter to a driver-reasonable slice first".
+    * "pre-filter to a driver-reasonable slice first". The threshold is
+    * wide enough to yield a three-digit row count at sf0.01 — the
+    * round-2 |Δ| < 1 band matched the oracle on the EMPTY set, which
+    * exercised nothing.
     */
   private def qBlockPredicate(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer").filter(col("c_nationkey") === 1)
     Blocking.extractBlocks(c, c, "c_custkey", "c_custkey",
       BlockingRules(Seq(Predicate(
-        abs(col("c_acctbal_left") - col("c_acctbal_right")) < 1.0 &&
-          col("c_custkey_left") < col("c_custkey_right")))))
+        abs(col("c_acctbal_left") - col("c_acctbal_right")) < 1000.0))),
+      selfLinkage = true)
   }
 
   /** W1 row_number id synthesis on its own oracle row — over a
@@ -131,12 +136,14 @@ object SparkEntry {
   private val uSampleSize = 100000L
   private val uSeed = 42L
 
-  /** Scale path for u-estimation: the LCG picks land in [1, n] and
-    * join DIRECTLY on the (dense) primary key — no global row_number
-    * sort anywhere in the plan. Sparse keys would only thin the sample
-    * (missed picks left-join to NULL and are dropped by uProbsLong),
-    * never bias surviving rows. [[UProbs.withSyntheticId]] remains for
-    * tables without a usable numeric key (see q_synthetic_id).
+  /** Scale path for u-estimation: the LCG picks land in the key's
+    * MEASURED domain [min, max] and INNER-join directly on the primary
+    * key — no global row_number sort anywhere in the plan, no
+    * NULL-padded rows reaching the comparators (a left join would let
+    * NULL-coalescing comparators fabricate "no agreement" counts).
+    * Sparse keys only thin the sample, never bias surviving rows.
+    * [[UProbs.withSyntheticId]] remains for tables without a usable
+    * numeric key (see q_synthetic_id).
     */
   private def qUProbs(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
@@ -145,17 +152,18 @@ object SparkEntry {
   }
 
   private def qUProbsOracle(nRowsSql: String): String =
-    s"""WITH n AS (SELECT count(*) AS cnt FROM customer),
+    s"""WITH n AS (SELECT min(c_custkey) AS mn,
+       |             max(c_custkey) - min(c_custkey) + 1 AS cnt FROM customer),
        |pairs AS (
-       |  SELECT ${UProbs.lcgSql("t.i", "n.cnt", 0L, uSeed, 48271L)} AS sid_left,
-       |         ${UProbs.lcgSql("t.i", "n.cnt", 1000003L, uSeed, 69621L)} AS sid_right
+       |  SELECT ${UProbs.lcgSql("t.i", "n.cnt", 0L, uSeed, 48271L)} + n.mn - 1 AS sid_left,
+       |         ${UProbs.lcgSql("t.i", "n.cnt", 1000003L, uSeed, 69621L)} + n.mn - 1 AS sid_right
        |  FROM range($uSampleSize) AS t(i), n
        |),
        |compared AS (
        |  SELECT $nRowsSql
        |  FROM pairs
-       |  LEFT JOIN customer a ON pairs.sid_left = a.c_custkey
-       |  LEFT JOIN customer b ON pairs.sid_right = b.c_custkey
+       |  JOIN customer a ON pairs.sid_left = a.c_custkey
+       |  JOIN customer b ON pairs.sid_right = b.c_custkey
        |),
        |longf AS (
        |  SELECT 'c_nationkey' AS name, c_nationkey AS value FROM compared
@@ -284,16 +292,38 @@ object SparkEntry {
 
   // ---- wave 3: training-data pipeline ops (dedup / similarity / text)
 
-  /** Shared DuckDB CTE chain ending in `cand(id_a, id_b)`: minhash-LSH
-    * candidates over `documents` with n=3, k=8, bands=4 — the oracle
-    * mirror of [[graft.ops.Dedup.minhashLshCandidates]], reused by
+  /** LSH params for the wired Jaccard query, DERIVED from its own
+    * threshold (minJaccard = 0.5) for a ≥90% recall floor AT the
+    * threshold — with the old fixed (k=8, bands=4), recall at J=0.5
+    * was only ~68%. Deriving here and inside
+    * [[graft.ops.Dedup.ngramJaccardPairs]] from the same pure function
+    * keeps Spark and the oracle CTE structurally identical.
+    */
+  private val JacMinJaccard = 0.5
+  private val (jacK, jacBands) = graft.ops.Dedup.lshParams(JacMinJaccard)
+
+  /** Bucket/doc-frequency caps ACTIVE in every wired LSH query (the
+    * degenerate-corpus guard is now oracle-exercised, not default-off);
+    * chosen not to bind on this corpus so round-over-round results are
+    * comparable — binding or not, both engines mirror it.
+    */
+  private val LshCap = 100L
+
+  /** DuckDB CTE chain ending in `cand(id_a, id_b)`: minhash-LSH
+    * candidates over `documents` with n=3 and the given (k, bands,
+    * bucket cap) — the oracle mirror of
+    * [[graft.ops.Dedup.minhashLshCandidates]], reused by
     * q_minhash_lsh, q_ngram_jaccard, and q_dedup_clusters.
     */
-  private val minhashCandCtes: String = {
-    val sigp = (0 until 8).map(i => s"max(CASE WHEN i = $i THEN sig END) AS sig_$i").mkString(", ")
-    val bands = (0 until 4).map(j =>
-      s"SELECT doc_id, $j AS band, md5(CAST(sig_${2 * j} AS VARCHAR) || '|' || CAST(sig_${2 * j + 1} AS VARCHAR)) AS digest FROM sigp")
-      .mkString(" UNION ALL ")
+  private def minhashCandCtes(k: Int, bands: Int, cap: Option[Long]): String = {
+    val r = k / bands
+    val sigp = (0 until k).map(i => s"max(CASE WHEN i = $i THEN sig END) AS sig_$i").mkString(", ")
+    val bandsSql = (0 until bands).map { j =>
+      val digest = (0 until r).map(x => s"CAST(sig_${j * r + x} AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $j AS band, md5($digest) AS digest FROM sigp"
+    }.mkString(" UNION ALL ")
+    val capped = cap.fold("SELECT * FROM bands0")(c =>
+      s"SELECT * FROM bands0 QUALIFY count(*) OVER (PARTITION BY band, digest) <= $c")
     s"""sh AS (
        |  SELECT doc_id, list_distinct(${graft.ops.Dedup.shinglesSql("text", 3)}) AS shl
        |  FROM documents),
@@ -301,10 +331,11 @@ object SparkEntry {
        |sig AS (
        |  SELECT doc_id, r.i AS i,
        |    min(((${graft.ops.Dedup.shingleBaseHashSql("u.s")}) * (2 * r.i + 1001) + (r.i * 9176 + 17)) % 2147483647) AS sig
-       |  FROM shf, unnest(shf.shl) AS u(s), range(8) AS r(i)
+       |  FROM shf, unnest(shf.shl) AS u(s), range($k) AS r(i)
        |  GROUP BY doc_id, r.i),
        |sigp AS (SELECT doc_id, $sigp FROM sig GROUP BY doc_id),
-       |bands AS ($bands),
+       |bands0 AS ($bandsSql),
+       |bands AS ($capped),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest
@@ -328,13 +359,31 @@ object SparkEntry {
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.exactSummary(t(s, dir, "documents"), col("text"))
 
+  /** Exact-dup keep-list: (doc_id, digest, keep) — keep = min doc_id
+    * per digest, the one-liner a corpus prune actually filters on.
+    */
+  private def qDedupKeeplist(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.exactDuplicates(t(s, dir, "documents"), "doc_id", col("text"))
+
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.ngramJaccardPairs(
-      t(s, dir, "documents"), "doc_id", col("text"), n = 3, minJaccard = 0.5)
+      t(s, dir, "documents"), "doc_id", col("text"), n = 3, minJaccard = JacMinJaccard,
+      maxBucketSize = Some(LshCap))
+
+  /** 100%-recall Jaccard via the inverted index (with the
+    * doc-frequency cap active) — the completeness-first alternative to
+    * the LSH-bounded path, and the oracle exercise of
+    * [[graft.ops.Dedup.invertedIndex]].
+    */
+  private def qJaccardExact(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.ngramJaccardPairsExact(
+      t(s, dir, "documents"), "doc_id", col("text"), n = 3, minJaccard = JacMinJaccard,
+      maxDocFreq = Some(50L))
 
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.minhashLshCandidates(
-      t(s, dir, "documents"), "doc_id", col("text"), n = 3, k = 8, bands = 4)
+      t(s, dir, "documents"), "doc_id", col("text"), n = 3, k = 8, bands = 4,
+      maxBucketSize = Some(LshCap))
 
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.simhashNearDups(
@@ -348,7 +397,8 @@ object SparkEntry {
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val cand = graft.ops.Dedup.minhashLshCandidates(
-      docs, "doc_id", col("text"), n = 3, k = 8, bands = 4)
+      docs, "doc_id", col("text"), n = 3, k = 8, bands = 4,
+      maxBucketSize = Some(LshCap))
     graft.ops.Clusters.resolveDuplicates(docs.select("doc_id"), "doc_id", cand)
   }
 
@@ -362,7 +412,8 @@ object SparkEntry {
 
   private def qLshNearDups(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.lshNearDups(
-      t(s, dir, "embeddings"), "vec_id", "embedding", planes = 8, minCosine = 0.4)
+      t(s, dir, "embeddings"), "vec_id", "embedding", planes = 8, minCosine = 0.4,
+      maxBucketSize = Some(LshCap))
 
   private val EmbDim = 64
 
@@ -422,7 +473,9 @@ object SparkEntry {
     "q_tsv_roundtrip" -> (qTsvRoundtrip _),
     "q_text_stats" -> (qTextStats _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_keeplist" -> (qDedupKeeplist _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_jaccard_exact" -> (qJaccardExact _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
     "q_ann_topk" -> (qAnnTopK _),
@@ -445,7 +498,7 @@ object SparkEntry {
     "q_block_predicate" ->
       """SELECT a.c_custkey AS c_custkey_left, b.c_custkey AS c_custkey_right
         |FROM customer a JOIN customer b
-        |  ON abs(a.c_acctbal - b.c_acctbal) < 1.0 AND a.c_custkey < b.c_custkey
+        |  ON abs(a.c_acctbal - b.c_acctbal) < 1000.0 AND a.c_custkey < b.c_custkey
         |WHERE a.c_nationkey = 1 AND b.c_nationkey = 1""".stripMargin,
     "q_synthetic_id" ->
       """SELECT row_number() OVER (ORDER BY n_nationkey) AS synthetic_id,
@@ -560,8 +613,12 @@ object SparkEntry {
     },
     "q_dedup_exact" ->
       "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents",
+    "q_dedup_keeplist" ->
+      """SELECT doc_id, md5(text) AS digest,
+        |  (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keep
+        |FROM documents""".stripMargin,
     "q_ngram_jaccard" ->
-      s"""WITH $minhashCandCtes,
+      s"""WITH ${minhashCandCtes(jacK, jacBands, Some(LshCap))},
          |v AS (
          |  SELECT c.id_a, c.id_b,
          |    CAST(len(list_intersect(sa.shl, sb.shl)) AS BIGINT) AS inter,
@@ -571,11 +628,32 @@ object SparkEntry {
          |  JOIN shf sb ON c.id_b = sb.doc_id)
          |SELECT id_a, id_b, inter, size_a, size_b,
          |  CAST(inter AS DOUBLE) / (size_a + size_b - inter) AS jaccard
-         |FROM v WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.5""".stripMargin,
+         |FROM v WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= $JacMinJaccard""".stripMargin,
+    "q_jaccard_exact" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(${graft.ops.Dedup.shinglesSql("text", 3)}) AS shl
+         |  FROM documents),
+         |shf AS (SELECT * FROM sh WHERE len(shl) > 0),
+         |idx AS (
+         |  SELECT doc_id, u.s AS shingle FROM shf, unnest(shf.shl) AS u(s)
+         |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 50),
+         |co AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM idx a JOIN idx b ON a.shingle = b.shingle
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |v AS (
+         |  SELECT co.id_a, co.id_b, co.inter,
+         |    CAST(len(sa.shl) AS BIGINT) AS size_a, CAST(len(sb.shl) AS BIGINT) AS size_b
+         |  FROM co
+         |  JOIN shf sa ON co.id_a = sa.doc_id
+         |  JOIN shf sb ON co.id_b = sb.doc_id)
+         |SELECT id_a, id_b, inter, size_a, size_b,
+         |  CAST(inter AS DOUBLE) / (size_a + size_b - inter) AS jaccard
+         |FROM v WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= $JacMinJaccard""".stripMargin,
     "q_minhash_lsh" ->
-      s"WITH $minhashCandCtes SELECT id_a, id_b FROM cand",
+      s"WITH ${minhashCandCtes(8, 4, Some(LshCap))} SELECT id_a, id_b FROM cand",
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashCandCtes,
+      s"""WITH RECURSIVE ${minhashCandCtes(8, 4, Some(LshCap))},
          |edges AS (
          |  SELECT id_a AS a, id_b AS b FROM cand
          |  UNION SELECT id_b, id_a FROM cand),
@@ -599,10 +677,11 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sim)
          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
     "q_lsh_neardups" ->
-      s"""WITH b AS (
+      s"""WITH b0 AS (
          |  SELECT vec_id AS id, embedding AS v,
          |    ${graft.ops.Similarity.lshBucketSql("embedding", EmbDim, 8)} AS bucket
          |  FROM embeddings),
+         |b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bucket) <= $LshCap),
          |pairs AS (
          |  SELECT a.id AS id_a, c.id AS id_b,
          |    round(${graft.ops.Similarity.cosineSql("a.v", "c.v", EmbDim)}, 6) AS cosine

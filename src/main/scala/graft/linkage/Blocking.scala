@@ -78,17 +78,43 @@ object Blocking {
     * (reference: `extract_blocks`, R/linking.R:14-38). Returns a lazy
     * DataFrame of (uniqueIdA_left, uniqueIdB_right) — one plan, no
     * driver materialization.
+    *
+    * `selfLinkage = true` canonicalizes SELF-linkage pairs
+    * (`id_left < id_right`) inside each pass, BEFORE the union +
+    * distinct — a post-hoc filter would let the distinct's exchange
+    * shuffle both orientations of every pair (2× the rows it needs;
+    * Catalyst cannot push a filter through `dropDuplicates` because
+    * deduplication is not filter-commutative in general). Only valid
+    * when A and B are the same table with comparable ids.
+    *
+    * SCALE CONTRACT for blocking keys: per-bucket pair count is
+    * quadratic in bucket size, so keys whose CARDINALITY IS FIXED as
+    * the data grows (a 125-value nation×segment key, a 2-digit
+    * suffix) make the pair table grow quadratically with the corpus —
+    * that is inherent to the key choice, not the operator. Pick keys
+    * whose distinct-value count scales with the data (names, digests,
+    * computed prefixes of high-entropy columns). Hot keys that slip
+    * through are handled at runtime by AQE skew-join splitting
+    * (spark.sql.adaptive.skewJoin, see docs/SKEW_EVIDENCE_r03.md).
     */
   def extractBlocks(
       dataA: DataFrame,
       dataB: DataFrame,
       uniqueIdA: String,
       uniqueIdB: String,
-      rules: BlockingRules): DataFrame = {
+      rules: BlockingRules,
+      selfLinkage: Boolean = false): DataFrame = {
     val a = graft.util.Parallelism.ensure(Suffix.addSuffix(dataA, "_left"))
     val b = Suffix.addSuffix(dataB, "_right")
     val idL = Suffix.addSuffix(uniqueIdA, "_left")
     val idR = Suffix.addSuffix(uniqueIdB, "_right")
+
+    // Self-linkage canonicalization applied per pass: the `<` becomes a
+    // join-condition conjunct (or a pre-distinct filter on the cross
+    // join), halving the rows every downstream exchange — including
+    // the dedup shuffle — has to carry.
+    def canon(pairIds: DataFrame): DataFrame =
+      if (selfLinkage) pairIds.filter(col(idL) < col(idR)) else pairIds
 
     val passes: Seq[DataFrame] = rules.passes.map {
       case EquiKeys(keys) =>
@@ -97,7 +123,7 @@ object Blocking {
         val cond = keys.map { case (l, r) =>
           a(Suffix.addSuffix(l, "_left")) === b(Suffix.addSuffix(r, "_right"))
         }.reduce(_ && _)
-        a.join(b, cond, "inner").select(col(idL), col(idR))
+        canon(a.join(b, cond, "inner").select(col(idL), col(idR)))
 
       case ComputedKeys(keys) =>
         // Project the computed keys on each side first so the join is a
@@ -105,10 +131,10 @@ object Blocking {
         val ak = keys.foldLeft(a) { case (df, (n, le, _)) => df.withColumn(s"__bk_$n", le) }
         val bk = keys.foldLeft(b) { case (df, (n, _, re)) => df.withColumn(s"__bk2_$n", re) }
         val cond = keys.map { case (n, _, _) => ak(s"__bk_$n") === bk(s"__bk2_$n") }.reduce(_ && _)
-        ak.join(bk, cond, "inner").select(col(idL), col(idR))
+        canon(ak.join(bk, cond, "inner").select(col(idL), col(idR)))
 
       case Predicate(condition) =>
-        a.crossJoin(b).filter(condition).select(col(idL), col(idR))
+        canon(a.crossJoin(b).filter(condition).select(col(idL), col(idR)))
     }
 
     // union-all + distinct == the reference's bind_rows + distinct

@@ -104,25 +104,42 @@ object UProbs {
   }
 
   /** Deterministic sampled pairs joined DIRECTLY on numeric key
-    * columns: LCG picks land in [1, n] and equi-join each side's id —
-    * NO global row_number sort anywhere in the plan, fully
-    * oracle-expressible. Dense keys (1..n) give a uniform sample;
-    * sparse keys merely thin it (missed picks left-join to NULL and
-    * are dropped downstream by [[uProbsLong]]'s non-null filter),
-    * never bias surviving rows.
+    * columns: LCG picks land in the key's ACTUAL domain
+    * [min(key), max(key)] (measured with one cheap min/max aggregate
+    * per side — not assumed 1..n) and equi-join each side's id — NO
+    * global row_number sort anywhere in the plan, fully
+    * oracle-expressible.
+    *
+    * Joins are INNER: a pick that hits no key drops the whole pair.
+    * This matters — a left join would hand NULL rows to the
+    * comparators, and NULL-coalescing comparators (e.g. the
+    * Jaro–Winkler band, which maps NULL inputs to "no agreement")
+    * would count fabricated comparisons, biasing every u-probability
+    * downward on the agreeing levels. Dense keys give a uniform
+    * sample of exactly `size` pairs; sparse keys thin the sample
+    * (missed picks are dropped entirely), never bias surviving rows —
+    * but for heavily sparse domains prefer [[samplePairsByCross]],
+    * which never misses.
     */
   def samplePairsByKey(
       dataA: DataFrame, dataB: DataFrame, idColA: String, idColB: String,
       size: Long, seed: Long): DataFrame = {
+    def domain(df: DataFrame, idCol: String): (Long, Long) = {
+      val r = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+      (r.getLong(0), r.getLong(1))
+    }
     val spark = dataA.sparkSession
-    val nA = dataA.count()
-    val nB = dataB.count()
+    val (minA, maxA) = domain(dataA, idColA)
+    val (minB, maxB) = domain(dataB, idColB)
     val a = Suffix.addSuffix(dataA, "_left")
     val b = Suffix.addSuffix(dataB, "_right")
-    val ids = samplePairIds(spark, nA, nB, size, seed)
+    val ids = samplePairIds(spark, maxA - minA + 1, maxB - minB + 1, size, seed)
+      .select(
+        (col("synthetic_id_left") + lit(minA - 1)).as("synthetic_id_left"),
+        (col("synthetic_id_right") + lit(minB - 1)).as("synthetic_id_right"))
     ids
-      .join(a, ids("synthetic_id_left") === a(Suffix.addSuffix(idColA, "_left")), "left")
-      .join(b, ids("synthetic_id_right") === b(Suffix.addSuffix(idColB, "_right")), "left")
+      .join(a, ids("synthetic_id_left") === a(Suffix.addSuffix(idColA, "_left")), "inner")
+      .join(b, ids("synthetic_id_right") === b(Suffix.addSuffix(idColB, "_right")), "inner")
   }
 
   /** End-to-end u-probability estimation — the Spark-native

@@ -84,6 +84,15 @@ object Clusters {
       edges = next
       round += 1
     }
+    // An unconverged edge list is not star-form: a node may still carry
+    // multiple labels, which would FAN OUT a downstream left join into
+    // duplicate rows per id. Warn loudly (callers that need hard
+    // failure can raise maxRounds or check themselves); consumers in
+    // this package also aggregate min-per-id defensively.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents did NOT converge within $maxRounds rounds; " +
+          "labels may be non-minimal and non-unique per node")
     edges
   }
 
@@ -95,8 +104,14 @@ object Clusters {
   def resolveDuplicates(ids: DataFrame, idCol: String, pairs: DataFrame,
       srcCol: String = "id_a", dstCol: String = "id_b",
       maxRounds: Int = 25): DataFrame = {
+    // min-per-id aggregation is a no-op on a converged (star-form)
+    // edge list — one label per node — but guarantees the left join
+    // below cannot fan out duplicate id rows if maxRounds was
+    // exhausted first; the groupBy and the join hash-partition on the
+    // same key, so the extra exchange is reused.
     val labels = connectedComponents(pairs, srcCol, dstCol, maxRounds)
       .select(col("src").as(idCol), col("dst").as("__cid"))
+      .groupBy(idCol).agg(min("__cid").as("__cid"))
     ids.select(col(idCol))
       .join(labels, Seq(idCol), "left")
       .select(col(idCol),

@@ -39,6 +39,24 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("digest")).as("n_unique"))
 
+  /** Exact-duplicate keep-list — the most common dedup operation of
+    * all: every row labeled with its content digest and
+    * `keep = (id == min id sharing the digest)`, so a corpus prune is
+    * `.filter(col("keep"))`. Output: (idCol, digest, keep).
+    *
+    * Scale shape: groupBy(digest)→min(id) then an equi-join back on
+    * the digest — both stages hash-partition on the SAME key, so the
+    * second exchange is reused; no window sort anywhere (a window
+    * `min over (partition by digest)` would add a per-partition sort
+    * of the full corpus).
+    */
+  def exactDuplicates(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val d = df.select(col(idCol), md5(text).as("digest"))
+    val keepers = d.groupBy("digest").agg(min(col(idCol)).as("__keep_id"))
+    d.join(keepers, Seq("digest"))
+      .select(col(idCol), col("digest"), (col(idCol) === col("__keep_id")).as("keep"))
+  }
+
   /** Word n-gram shingles over a MATERIALIZED token-array column
     * (n ≥ 1); the empty array when the document has fewer than n
     * tokens.
@@ -120,18 +138,22 @@ object Dedup {
     * sf0.1); pair fan-out is the LSH band structure's, each candidate
     * costs two hash-join probes carrying the shingle arrays plus one
     * codegen'd `array_intersect`. Recall is the LSH curve
-    * 1−(1−J^r)^bands, ≥ 96% at J = 0.75 with the defaults — tune
-    * k/bands upward for a stricter floor. The shingle subtree is
-    * evaluated once per join side (cheap, map-only) rather than
-    * persisted: a persisted index would leak into later queries in
-    * the session unless a caller-side unpersist hook existed.
+    * 1−(1−J^r)^bands; by default (k, bands) are DERIVED from
+    * `minJaccard` via [[lshParams]] so recall at the caller's own
+    * threshold is ≥ 90% — pass k/bands explicitly to trade recall for
+    * cost, or use [[ngramJaccardPairsExact]] when completeness is
+    * required. The shingle subtree is evaluated once per join side
+    * (cheap, map-only) rather than persisted: a persisted index would
+    * leak into later queries in the session unless a caller-side
+    * unpersist hook existed.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, text: Column, n: Int,
-      minJaccard: Double, k: Int = 8, bands: Int = 4,
+      minJaccard: Double, k: Int = -1, bands: Int = -1,
       maxBucketSize: Option[Long] = None): DataFrame = {
+    val (k1, b1) = if (k > 0 && bands > 0) (k, bands) else lshParams(minJaccard)
     val sh = shingleSets(df, idCol, text, n)
-    val cand = minhashLshCandidatesFromShingles(sh, k, bands, maxBucketSize)
+    val cand = minhashLshCandidatesFromShingles(sh, k1, b1, maxBucketSize)
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("__sa")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("__sb")), Seq("id_b"))
@@ -142,6 +164,79 @@ object Dedup {
         col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /** EXACT n-gram Jaccard pairs via the inverted index — 100% recall,
+    * for callers that cannot accept the LSH curve. Intersections are
+    * counted by co-occurrence in the (shingle, id) index, so only
+    * pairs sharing ≥ 1 shingle are ever materialized (never the full
+    * cross product) — but a shingle shared by f docs still emits f²
+    * index-join rows, which is corpus-quadratic on boilerplate.
+    * `maxDocFreq` caps that explosion by dropping shingles more
+    * frequent than the cap; WITH a cap, intersections over dropped
+    * shingles undercount (documented trade — completeness over the
+    * kept vocabulary only). Same output shape as
+    * [[ngramJaccardPairs]].
+    */
+  def ngramJaccardPairsExact(
+      df: DataFrame, idCol: String, text: Column, n: Int,
+      minJaccard: Double, maxDocFreq: Option[Long] = None): DataFrame = {
+    val sh = shingleSets(df, idCol, text, n)
+    val idx = invertedIndex(sh, "id", col("sh"), maxDocFreq)
+    val co = idx.toDF("id_a", "shingle")
+      .join(idx.toDF("id_b", "shingle"), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"))
+    val sizes = sh.select(col("id"), size(col("sh")).cast("long").as("sz"))
+    co
+      .join(sizes.toDF("id_a", "size_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "size_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /** LSH candidate-recall at similarity `j` for (rowsPerBand, bands):
+    * 1 − (1 − j^r)^b — the probability a pair with Jaccard j collides
+    * in at least one band.
+    */
+  def lshRecall(j: Double, rowsPerBand: Int, bands: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rowsPerBand), bands)
+
+  /** Derive (k, bands) for MinHash-LSH from the caller's Jaccard
+    * threshold: among all (r, b) with k = r·b ≤ maxK whose recall AT
+    * THE THRESHOLD meets `targetRecall`, pick the pair minimizing the
+    * summed false-positive + false-negative area under the S-curve
+    * (the same optimization the public datasketch library performs) —
+    * low r over-recalls far below the threshold and floods the exact
+    * verification stage; high r needs many bands to hold recall.
+    *
+    * This exists because a silent default is a trap: with (k=8, b=4),
+    * recall at J=0.5 is only ~68% even though it is ≥96% at J=0.75.
+    */
+  def lshParams(minJaccard: Double, targetRecall: Double = 0.9, maxK: Int = 32): (Int, Int) = {
+    require(minJaccard > 0 && minJaccard < 1, "minJaccard must be in (0,1)")
+    val steps = 200
+    def cost(r: Int, b: Int): Double = {
+      // FP area below the threshold + FN area above it, trapezoid-free
+      // plain Riemann sum is plenty for a parameter search.
+      (0 until steps).map { i =>
+        val s = (i + 0.5) / steps
+        val p = lshRecall(s, r, b)
+        if (s < minJaccard) p else 1.0 - p
+      }.sum / steps
+    }
+    val candidates = for {
+      r <- 1 to 8
+      b <- 1 to maxK / r
+      if lshRecall(minJaccard, r, b) >= targetRecall
+    } yield (r, b)
+    require(candidates.nonEmpty,
+      s"no (r, bands) with k <= $maxK reaches recall $targetRecall at J=$minJaccard")
+    val (r, b) = candidates.minBy { case (r, b) => cost(r, b) }
+    (r * b, b)
   }
 
   private val MhP = 2147483647L // 2^31 − 1

@@ -18,10 +18,16 @@ object Parallelism {
   def ensure(df: DataFrame): DataFrame = {
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     // Leaf file count is a cheap upper-bound proxy for scan
-    // parallelism: `df.rdd.getNumPartitions` would force a separate
-    // physical plan outside AQE on every call. Small inputs (few
-    // files) get the round-robin shuffle; at real scale inputs have
-    // thousands of files and this is a no-op.
-    if (df.inputFiles.length < target) df.repartition(target) else df
+    // parallelism on SCAN-ROOTED plans (`df.rdd.getNumPartitions`
+    // would force a separate physical plan outside AQE on every
+    // call). It is only a FAST PATH: a post-join/aggregate or
+    // in-memory frame reports zero input files, and unconditionally
+    // repartitioning those would add a full round-robin shuffle to
+    // data that is usually already shuffle-partitioned — for them,
+    // fall back to the actual partition count and pay the one-off
+    // planning cost.
+    val files = df.inputFiles
+    val current = if (files.nonEmpty) files.length else df.rdd.getNumPartitions
+    if (current < target) df.repartition(target) else df
   }
 }

@@ -38,6 +38,16 @@ class ClustersSpec extends SparkSpec {
     assert(keepers == Set(1L, 3L, 4L, 5L, 6L))
   }
 
+  test("resolveDuplicates: unconverged labels still yield ONE row per id") {
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    // maxRounds = 0 leaves the raw (multi-label) edge list: node 1
+    // carries labels 2 AND 3. The defensive min-per-id aggregate must
+    // keep the join from fanning out duplicate id rows.
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Clusters.resolveDuplicates(ids, "doc_id", pairs, maxRounds = 0).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq.sorted == Seq(1L, 2L, 3L))
+  }
+
   test("connectedComponents: empty pair list → all singletons") {
     val ids = Seq(7L, 8L).toDF("doc_id")
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

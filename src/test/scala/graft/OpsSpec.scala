@@ -72,6 +72,52 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_docs") == 4 && r.getAs[Long]("n_unique") == 3)
   }
 
+  test("dedup: exact keep-list labels a 3-way duplicate group") {
+    val three = Seq(
+      (7L, "same text here"), (3L, "same text here"), (5L, "same text here"),
+      (9L, "different text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactDuplicates(three, "doc_id", col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(got == Map(3L -> true, 5L -> false, 7L -> false, 9L -> true))
+    // digest column is present and equal within the dup group
+    val dg = Dedup.exactDuplicates(three, "doc_id", col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("digest")).toMap
+    assert(dg(3L) == dg(5L) && dg(5L) == dg(7L) && dg(3L) != dg(9L))
+  }
+
+  test("dedup: lshParams meets the recall floor at the threshold") {
+    for (j <- Seq(0.3, 0.5, 0.7, 0.8, 0.9)) {
+      val (k, b) = Dedup.lshParams(j)
+      assert(k % b == 0, s"k=$k not divisible by bands=$b")
+      assert(Dedup.lshRecall(j, k / b, b) >= 0.9, s"recall floor violated at J=$j")
+    }
+    // the wired configuration: J=0.5 derives (18, 9), recall ~92.5%
+    assert(Dedup.lshParams(0.5) == (18, 9))
+  }
+
+  test("dedup: exact jaccard variant matches a brute-force cross join") {
+    val expected = {
+      val sh = Dedup.shingleSets(docs, "doc_id", col("text"), 3)
+      sh.toDF("id_a", "sa").crossJoin(sh.toDF("id_b", "sb"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("j", col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter")))
+        .filter(col("j") >= 0.5)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("j")))
+        .toSet
+    }
+    val got = Dedup.ngramJaccardPairsExact(docs, "doc_id", col("text"), n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+      .toSet
+    assert(got == expected && got.nonEmpty)
+    // doc-frequency cap drops the universal shingle vocabulary → no pairs
+    val capped = Dedup.ngramJaccardPairsExact(docs, "doc_id", col("text"), n = 3,
+      minJaccard = 0.5, maxDocFreq = Some(0L))
+    assert(capped.count() == 0)
+  }
+
   test("dedup: ngram jaccard finds the near-dup pair") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), n = 3, minJaccard = 0.5)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
