@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale probe (round-3 task 8): sf0.1 hides quadratic terms, so
+  * this builds a 10×-sf0.1 (= sf1-equivalent: 150k customers, 50k
+  * documents) fixture and times the headline queries at BOTH scales in
+  * ONE JVM — same session, same warmed JIT — so the growth ratio is
+  * clean of the cross-round VM noise that plagued rounds 1–2.
+  *
+  * Fixture construction (under /tmp/graft_scale_sf1, built once):
+  *   - customer: 10 replicas with c_custkey offset by replica·15000.
+  *     All OTHER columns are kept verbatim — in particular the demo
+  *     blocking keys (nation×segment, 2-digit name suffix) keep their
+  *     FIXED cardinality, which is precisely the superlinear shape the
+  *     probe must expose (pair count grows ~100× for 10× rows).
+  *   - documents: 10 replicas with doc_id offset by replica·5000 and
+  *     every TOKEN salted with the replica index for replicas > 0.
+  *     Token salting keeps each replica's internal near-dup structure
+  *     identical to the original corpus while making shingles disjoint
+  *     across replicas — the duplicate RATE stays constant as the
+  *     corpus grows 10×, which is how real corpora scale (plain
+  *     replication would instead give every doc 10 exact copies and
+  *     explode LSH buckets quadratically).
+  *
+  * Growth expectations (asserted in the report, not hard-coded):
+  * blocking-family pair counts grow ~100× (quadratic-in-rows because
+  * the OUTPUT is the pair table — inherent to fixed-cardinality demo
+  * keys, see docs/SKEW_EVIDENCE_r03.md); dedup paths grow ~10×
+  * (near-linear: LSH bucket structure scales with the corpus).
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe"` → one JSON line on stdout,
+  * committed as SCALE_PROBE_r03.json and inlined by [[Bench]] under
+  * `sf1_probe`.
+  */
+object ScaleProbe {
+
+  private val FixtureDir = "/tmp/graft_scale_sf1"
+  private val BaseDir = "/root/testdata/sf0.1"
+  private val Replicas = 10
+
+  private val HeadlineQueries = Seq(
+    "q_block_equi", "q_pairs_assembly", "q_pattern_counts", "q_scoring",
+    "q_ngram_jaccard", "q_minhash_lsh", "q_simhash", "q_dedup_clusters")
+
+  private def buildFixture(spark: SparkSession): Unit = {
+    val done = new java.io.File(s"$FixtureDir/_DONE")
+    if (done.exists) return
+    val customer = spark.read.parquet(s"$BaseDir/customer.parquet")
+    val documents = spark.read.parquet(s"$BaseDir/documents.parquet")
+    val nCust = 15000L
+    val nDoc = 5000L
+    val custAll = customer
+      .withColumn("__r", explode(sequence(lit(0), lit(Replicas - 1))))
+      .withColumn("c_custkey", col("c_custkey") + col("__r") * nCust)
+      .drop("__r")
+    custAll.write.mode("overwrite").parquet(s"$FixtureDir/customer.parquet")
+    val docAll = documents
+      .withColumn("__r", explode(sequence(lit(0), lit(Replicas - 1))))
+      .withColumn("doc_id", col("doc_id") + col("__r") * nDoc)
+      .withColumn("text",
+        when(col("__r") === 0, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(split(col("text"), " "),
+              w => concat(w, lit("_"), col("__r").cast("string"))))))
+      .drop("__r")
+    docAll.write.mode("overwrite").parquet(s"$FixtureDir/documents.parquet")
+    done.createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildFixture(spark)
+
+    def timeAll(dir: String): Seq[(String, Double, Long)] =
+      HeadlineQueries.map { name =>
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(name)(spark, dir).count()
+        (name, (System.nanoTime() - t0) / 1e9, rows)
+      }
+
+    // sf0.1 first (doubles as warmup for codegen/JIT), then the 10×.
+    val base = timeAll(BaseDir)
+    val big = timeAll(FixtureDir)
+
+    def fmt(xs: Seq[(String, Double, Long)]): String =
+      xs.map { case (n, s, r) => f""""$n":{"sec":$s%.2f,"rows":$r}""" }
+        .mkString("{", ",", "}")
+    val ratios = base.zip(big).map { case ((n, s0, r0), (_, s1, r1)) =>
+      f""""$n":{"time_x":${s1 / math.max(s0, 0.001)}%.1f,"rows_x":${r1.toDouble / math.max(r0, 1)}%.1f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","replicas":$Replicas,"sf0.1":${fmt(base)},"sf1":${fmt(big)},"growth":$ratios}""")
+    spark.stop()
+  }
+}

@@ -53,6 +53,14 @@ final case class Predicate(condition: Column) extends BlockingPass
 
 /** Typed blocking config (reference: S7 `blocking_rules`,
   * R/s7_classes.R:11-30).
+  *
+  * KEY-CARDINALITY CONTRACT: per-bucket candidate pairs grow
+  * quadratically in bucket size, so a key whose distinct-value count
+  * stays FIXED as the data grows makes the pair table grow
+  * quadratically with the corpus. Choose keys whose cardinality scales
+  * with the data (high-entropy prefixes, digests, computed keys over
+  * near-unique columns); residual hot keys are split at runtime by AQE
+  * skew-join handling (evidence: docs/SKEW_EVIDENCE_r03.md).
   */
 final case class BlockingRules(passes: Seq[BlockingPass]) {
   override def toString: String =
