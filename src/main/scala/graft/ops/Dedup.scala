@@ -338,11 +338,22 @@ object Dedup {
     * sf0.1 vs one shuffle of (id, code) rows here). Counter sums are
     * order-independent integers, so the result is deterministic and
     * DuckDB-mirrorable.
+    *
+    * `bits` defaults to 32: a 16-bit fingerprint SATURATES around 10⁴
+    * docs — the round-3 sf1 scale probe measured 29× output-pair
+    * growth for 10× docs at bits=16, because random pairs collide
+    * within Hamming ≤ 3 once the corpus is comparable to the 2¹⁶
+    * fingerprint space. At 32 bits the random-collision expectation
+    * stays ≪ 1 per 10⁵ docs; grow further (≤ 62) for larger corpora
+    * (the DuckDB mirror adds 1 ≤ 2⁶² terms into a signed BIGINT).
     */
-  def simhashFingerprints(df: DataFrame, idCol: String, text: Column, bits: Int = 16): DataFrame = {
+  def simhashFingerprints(df: DataFrame, idCol: String, text: Column, bits: Int = 32): DataFrame = {
+    require(bits > 0 && bits <= 62, "bits must be in [1, 62]")
     val toks = graft.util.Parallelism.ensure(df)
       .select(col(idCol).as("id"), explode(split(text, " ")).as("__w"))
-      .select(col("id"), conv(substring(md5(col("__w")), 1, 4), 16, 10).cast("long").as("__code"))
+      .select(col("id"),
+        conv(substring(md5(col("__w")), 1, (bits + 3) / 4), 16, 10)
+          .cast("long").bitwiseAND(lit((1L << bits) - 1)).as("__code"))
     val sums = (0 until bits).map(b =>
       sum(when(shiftright(col("__code"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"__c$b"))
     val counts = toks.groupBy(col("id")).agg(sums.head, sums.tail: _*)
@@ -354,14 +365,15 @@ object Dedup {
   /** DuckDB mirror of [[simhashFingerprints]] as a CTE chain ending in
     * `fp(id, fp)`; `table`/`idExpr`/`textExpr` name the source.
     */
-  def simhashFpCtesSql(table: String, idExpr: String, textExpr: String, bits: Int = 16): String = {
+  def simhashFpCtesSql(table: String, idExpr: String, textExpr: String, bits: Int = 32): String = {
     val sums = (0 until bits)
       .map(b => s"sum(CASE WHEN (code >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS c$b").mkString(", ")
     val fpExpr = (0 until bits)
       .map(b => s"(CASE WHEN c$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
+    val hexDigits = (bits + 3) / 4
     s"""toks AS (
-       |  SELECT $idExpr AS id, CAST(('0x' || substr(md5(u.w), 1, 4)) AS BIGINT) AS code
+       |  SELECT $idExpr AS id, CAST(('0x' || substr(md5(u.w), 1, $hexDigits)) AS BIGINT) & ${(1L << bits) - 1} AS code
        |  FROM $table, unnest(string_split($textExpr, ' ')) AS u(w)),
        |cnt AS (SELECT id, $sums FROM toks GROUP BY id),
        |fp AS (SELECT id, $fpExpr AS fp FROM cnt)""".stripMargin
@@ -375,7 +387,7 @@ object Dedup {
     * whose differing bits straddled the high byte. Output
     * (id_a, id_b, hamming), distinct, id_a < id_b.
     */
-  def simhashPairsFromFingerprints(fp: DataFrame, maxHamming: Int, bits: Int = 16): DataFrame = {
+  def simhashPairsFromFingerprints(fp: DataFrame, maxHamming: Int, bits: Int = 32): DataFrame = {
     val nb = maxHamming + 1
     require(bits % nb == 0, s"bits=$bits must be divisible by maxHamming+1=$nb bands")
     val w = bits / nb
@@ -398,14 +410,14 @@ object Dedup {
     * Output (id_a, id_b, hamming ≤ maxHamming).
     */
   def simhashNearDups(
-      df: DataFrame, idCol: String, text: Column, maxHamming: Int, bits: Int = 16): DataFrame =
+      df: DataFrame, idCol: String, text: Column, maxHamming: Int, bits: Int = 32): DataFrame =
     simhashPairsFromFingerprints(simhashFingerprints(df, idCol, text, bits), maxHamming, bits)
 
   /** DuckDB mirror of [[simhashNearDups]] past the `fp` CTE (append
     * after [[simhashFpCtesSql]]): bit-slice bands + distinct Hamming
     * pairs.
     */
-  def simhashPairsSql(maxHamming: Int, bits: Int = 16): String = {
+  def simhashPairsSql(maxHamming: Int, bits: Int = 32): String = {
     val nb = maxHamming + 1
     val w = bits / nb
     val mask = (1L << w) - 1
