@@ -277,6 +277,47 @@ object SparkEntry {
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
   }
 
+  /** Bucketed-table co-located join: both sides bucketed by the join
+    * key into the same bucket count → the join runs with NO exchange
+    * on either side (plan evidence: docs/EXPLAIN_bucketed_r03.txt).
+    * Aggregates use count/min/max only — no order-dependent float
+    * accumulation.
+    */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    graft.etl.Etl.writeBucketed(
+      t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+      "bkt_customer", s"$tmp/customer", "c_custkey", 8, Some("c_custkey"))
+    graft.etl.Etl.writeBucketed(
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      "bkt_orders", s"$tmp/orders", "o_custkey", 8, Some("o_custkey"))
+    val c = graft.etl.Etl.readBucketed(s, "bkt_customer")
+    val o = graft.etl.Etl.readBucketed(s, "bkt_orders")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"))
+  }
+
+  /** ANN recall report: multi-table LSH near-dup pairs measured
+    * against the exact brute-force ground truth on a slice — the
+    * metric that gates an approximate index replacing an exact path.
+    * The single-table (planes=8) config this evaluator first exposed
+    * finds ~1.7% of true pairs at cosine 0.4; (planes=4, tables=16)
+    * is the 1−(1−p⁴)¹⁶ ≈ 94% configuration.
+    */
+  private val RecallPlanes = 4
+  private val RecallTables = 16
+
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val slice = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+    val exact = graft.ops.Similarity.bruteForceNearDups(slice, "vec_id", "embedding", minCosine = 0.4)
+    val approx = graft.ops.Similarity.lshNearDups(
+      slice, "vec_id", "embedding", planes = RecallPlanes, minCosine = 0.4,
+      maxBucketSize = Some(LshCap), tables = RecallTables)
+    graft.ops.Similarity.pairRecall(exact, approx)
+  }
+
   private def qTsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_tsv").toString
     t(s, dir, "events").select("event_id", "event_type", "value")
@@ -470,6 +511,8 @@ object SparkEntry {
     "q_stack_long" -> (qStackLong _),
     "q_broadcast_lookup" -> (qBroadcastLookup _),
     "q_partitioned_write" -> (qPartitionedWrite _),
+    "q_bucketed_join" -> (qBucketedJoin _),
+    "q_ann_recall" -> (qAnnRecall _),
     "q_tsv_roundtrip" -> (qTsvRoundtrip _),
     "q_text_stats" -> (qTextStats _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -593,6 +636,42 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n,
         |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+        |       min(o.o_totalprice) AS min_price, max(o.o_totalprice) AS max_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
+    "q_ann_recall" -> {
+      val cos = graft.ops.Similarity.cosineSql("a.v", "c.v", EmbDim)
+      val cosJ = graft.ops.Similarity.cosineSql("ea.v", "eb.v", EmbDim)
+      val tablesSql = (0 until RecallTables).map { t =>
+        val b = graft.ops.Similarity.lshBucketSql(
+          "v", EmbDim, RecallPlanes, graft.ops.Similarity.tableSeed(42L, t))
+        s"SELECT id, v, $t AS tbl, $b AS bucket FROM e"
+      }.mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 500),
+         |exact AS (
+         |  SELECT a.id AS id_a, c.id AS id_b
+         |  FROM e a JOIN e c ON a.id < c.id
+         |  WHERE round($cos, 6) >= 0.4),
+         |bt AS ($tablesSql),
+         |b AS (SELECT * FROM bt QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= $LshCap),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+         |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.id < c.id),
+         |approx AS (
+         |  SELECT cand.id_a, cand.id_b FROM cand
+         |  JOIN e ea ON cand.id_a = ea.id
+         |  JOIN e eb ON cand.id_b = eb.id
+         |  WHERE round($cosJ, 6) >= 0.4),
+         |f AS (
+         |  SELECT count(*) AS n_found FROM exact
+         |  WHERE EXISTS (SELECT 1 FROM approx
+         |                WHERE approx.id_a = exact.id_a AND approx.id_b = exact.id_b)),
+         |x AS (SELECT count(*) AS n_exact FROM exact)
+         |SELECT x.n_exact, f.n_found, CAST(f.n_found AS DOUBLE) / x.n_exact AS recall
+         |FROM x, f""".stripMargin
+    },
     "q_tsv_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |       min(event_id) AS min_id, max(event_id) AS max_id,

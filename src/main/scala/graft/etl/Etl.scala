@@ -42,4 +42,31 @@ object Etl {
     df.createOrReplaceTempView(name)
     df
   }
+
+  /** Bucketed (+ optionally sorted) external parquet table: the
+    * co-located-join storage layout. Two tables bucketed by their join
+    * key into the SAME bucket count join with NO exchange on either
+    * side — at 100 TB that deletes the dominant shuffle of every
+    * repeated fact-to-fact join (plan evidence:
+    * docs/EXPLAIN_bucketed_r03.txt). Sorting within buckets
+    * additionally removes the sort-merge join's per-task sort.
+    *
+    * Bucketed tables must go through the catalog (`saveAsTable`);
+    * `path` keeps the data external at an explicit location.
+    */
+  def writeBucketed(
+      df: DataFrame, name: String, path: String,
+      bucketCol: String, nBuckets: Int, sortCol: Option[String] = None): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$name`")
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", path).bucketBy(nBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(name)
+  }
+
+  /** Read a bucketed table back through the catalog (the bucket
+    * metadata lives there — a plain parquet read of the same files
+    * would lose the co-location guarantee).
+    */
+  def readBucketed(spark: SparkSession, name: String): DataFrame =
+    spark.table(name)
 }

@@ -107,37 +107,98 @@ object Similarity {
     bits.mkString("(", " + ", ")")
   }
 
+  /** Brute-force near-duplicate pairs: exact cosine for EVERY distinct
+    * pair (id_a < id_b), thresholded. O(n²) — the ground-truth
+    * generator for recall evaluation on slices, not a scale path.
+    */
+  def bruteForceNearDups(
+      df: DataFrame, idCol: String, vecCol: String, minCosine: Double): DataFrame = {
+    val b = graft.util.Parallelism.ensure(df)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val l = b.toDF("id_a", "v_a", "norm_a")
+    val r = b.toDF("id_b", "v_b", "norm_b")
+    l.crossJoin(r)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** Recall of an approximate pair set against an exact one: the
+    * fraction of ground-truth pairs the ANN path found. One row
+    * (n_exact, n_found, recall) — the metric every approximate index
+    * must report before it replaces a brute-force path on real data.
+    * Both inputs are keyed by `keys` (default (id_a, id_b), both sides
+    * canonicalized id_a < id_b by construction in this package).
+    */
+  def pairRecall(
+      exact: DataFrame, approx: DataFrame,
+      keys: Seq[String] = Seq("id_a", "id_b")): DataFrame = {
+    val e = exact.select(keys.map(col): _*)
+    val a = approx.select(keys.map(col): _*)
+    e.join(a, keys, "left_semi").agg(count(lit(1)).as("n_found"))
+      .crossJoin(e.agg(count(lit(1)).as("n_exact")))
+      .select(col("n_exact"), col("n_found"),
+        (col("n_found").cast("double") / col("n_exact")).as("recall"))
+  }
+
+  /** Per-table seed salt: table 0 keeps the base seed, so
+    * `tables = 1` reproduces the single-table bucketing bit-for-bit.
+    */
+  def tableSeed(seed: Long, table: Int): Long = seed + 1000003L * table
+
   /** LSH-bucketed near-duplicate pairs: exact cosine computed only
-    * within buckets. Output (id_a, id_b, cosine) with cosine ≥ min.
+    * within buckets. Output (id_a, id_b, cosine) with cosine ≥ min,
+    * distinct pairs, id_a < id_b.
     *
-    * `maxBucketSize` is the degenerate-corpus guard: a bucket of f
-    * vectors emits f² pairs, so one boilerplate bucket holding 10⁶
-    * embeddings of a 100 TB corpus is a 10¹² explosion. Over-full
-    * buckets are dropped via a broadcast anti-join against the (small)
-    * hot-bucket list — same shape as the shingle doc-frequency cap.
+    * RECALL is the single-table curve p^planes with
+    * p = 1 − angle/π — steep: at cosine 0.4, 8 planes find only ~2.5%
+    * of true pairs (measured 1.7% on the test corpus by
+    * [[pairRecall]]). `tables` is the standard fix — L independent
+    * hash tables (salted hyperplane seeds), candidates = the UNION of
+    * per-table bucket joins, recall = 1 − (1 − p^planes)^L. Candidate
+    * pairs are DEDUPLICATED BEFORE the cosine evaluation, so a pair
+    * found by several tables costs its dot product once. Fewer planes
+    * + more tables trades candidate volume for recall; e.g.
+    * (planes=4, tables=16) ⇒ ~94% recall at cosine 0.4.
+    *
+    * `maxBucketSize` is the degenerate-corpus guard, applied per
+    * (table, bucket): a bucket of f vectors emits f² pairs, so one
+    * boilerplate bucket holding 10⁶ embeddings of a 100 TB corpus is a
+    * 10¹² explosion. Over-full buckets are dropped via a broadcast
+    * anti-join against the (small) hot-bucket list — same shape as the
+    * shingle doc-frequency cap.
     */
   def lshNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       planes: Int, minCosine: Double, seed: Long = 42L,
-      maxBucketSize: Option[Long] = None): DataFrame = {
+      maxBucketSize: Option[Long] = None, tables: Int = 1): DataFrame = {
     // Norms materialized per VECTOR (n of them), not per pair — the
     // in-bucket pair count is quadratic in bucket size and each cosine
     // should cost exactly one dot product.
-    val b0 = graft.util.Parallelism.ensure(df)
+    val base = graft.util.Parallelism.ensure(df)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), planes, seed))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val b0 = base.select(col("id"), col("v"), col("norm"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"), lshBucket(col("v"), planes, tableSeed(seed, t)).as("bucket"))): _*)).as("tb"))
+      .select(col("id"), col("v"), col("norm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val b = maxBucketSize.fold(b0) { cap =>
-      val hot = b0.groupBy("bucket").agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > cap).select("bucket")
-      // using-column joins move the key first — re-pin column order.
-      b0.join(broadcast(hot), Seq("bucket"), "left_anti")
-        .select("id", "v", "bucket", "norm")
+      val hot = b0.groupBy("tbl", "bucket").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > cap).select("tbl", "bucket")
+      // using-column joins move the keys first — re-pin column order.
+      b0.join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
+        .select("id", "v", "norm", "tbl", "bucket")
     }
-    val l = b.toDF("id_a", "v_a", "bucket", "norm_a")
-    val r = b.toDF("id_b", "v_b", "bucket", "norm_b")
-    l.join(r, Seq("bucket"))
+    val cand = b.select(col("id").as("id_a"), col("tbl"), col("bucket"))
+      .join(b.select(col("id").as("id_b"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a"), col("norm").as("norm_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b"), col("norm").as("norm_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)

@@ -38,6 +38,31 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
   }
 
+  /** Streaming deduplication — the incremental form of the exact-dup
+    * keep-list (see `graft.ops.Dedup.exactDuplicates`): first
+    * occurrence of each key wins, and the WATERMARK BOUNDS THE STATE —
+    * `dropDuplicatesWithinWatermark` keeps a key's dedup state only
+    * until the watermark passes it, so an unbounded ingest stream holds
+    * a bounded key set instead of every key ever seen (plain streaming
+    * `dropDuplicates` state grows forever — a non-starter for a
+    * continuous 100 TB/day training-data feed; duplicates farther
+    * apart than the watermark are the batch backfill's job).
+    *
+    * On a BATCH frame the same call degrades to plain
+    * `dropDuplicates(idCols)` — same code path for backfill and
+    * ingest.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      idCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame = {
+    val timed = withEventTime(events)
+    if (timed.isStreaming)
+      timed.withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(idCols)
+    else timed.dropDuplicates(idCols)
+  }
+
   final case class SessionEvent(user_id: Long, event_time: java.sql.Timestamp)
   final case class SessionUpdate(user_id: Long, n_events: Long, closed: Boolean)
 

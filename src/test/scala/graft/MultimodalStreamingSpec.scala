@@ -54,6 +54,28 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: watermark dedup — stream keeps one row per key, equals batch") {
+    val stream = MemoryStream[(Long, Long, String)](spark)
+    val streamDf = stream.toDF().toDF("ts", "user_id", "event_type")
+    val q = Streams.dedupWithinWatermark(streamDf, Seq("user_id"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L * 1000000L // nanos
+      // users 1 and 2, with duplicates of user 1 within the watermark
+      stream.addData(Seq((t0, 1L, "a"), (t0 + 1000L, 1L, "b"), (t0, 2L, "c")))
+      q.processAllAvailable()
+      stream.addData(Seq((t0 + 2000L, 1L, "d"), (t0, 3L, "e")))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("user_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(1L, 2L, 3L)) // one row per key
+      // batch path: same call, same semantics
+      val batch = Seq((t0, 1L, "a"), (t0 + 1000L, 1L, "b"), (t0, 2L, "c"))
+        .toDF("ts", "user_id", "event_type")
+      assert(Streams.dedupWithinWatermark(batch, Seq("user_id")).count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming: stateful session counts accumulate per user") {
     val stream = MemoryStream[Streams.SessionEvent](spark)
     // timeoutMs = 0: ProcessingTimeTimeout schedules no-data timeout

@@ -185,6 +185,26 @@ class OpsSpec extends SparkSpec {
     assert(pairs.length == 1 && pairs.head.getAs[Double]("cosine") == 1.0)
   }
 
+  test("similarity: pairRecall — found fraction of exact ground truth") {
+    val exact = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val approx = Seq((1L, 2L), (2L, 3L), (9L, 10L)).toDF("id_a", "id_b")
+    val r = Similarity.pairRecall(exact, approx).head
+    assert(r.getAs[Long]("n_exact") == 4 && r.getAs[Long]("n_found") == 2)
+    assert(r.getAs[Double]("recall") == 0.5)
+  }
+
+  test("similarity: brute-force near-dups find the planted pair, LSH recall = 1 on it") {
+    val dup = Seq(
+      (0L, Array(1f, 2f, 3f)), (1L, Array(1f, 2f, 3.01f)), (2L, Array(-3f, 1f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceNearDups(dup, "vec_id", "embedding", minCosine = 0.99)
+    val got = exact.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 1L)))
+    val approx = Similarity.lshNearDups(dup, "vec_id", "embedding", planes = 8, minCosine = 0.99)
+    val rec = Similarity.pairRecall(exact, approx).head.getAs[Double]("recall")
+    assert(rec == 1.0) // near-identical vectors share every hyperplane sign
+  }
+
   test("similarity: lsh bucket cap defuses an all-identical embedding set") {
     val dup = (0 until 40).map(i => (i.toLong, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
     val capped = Similarity.lshNearDups(dup, "vec_id", "embedding", planes = 8, minCosine = 0.99,
