@@ -15,6 +15,12 @@ object Explain {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_NO_BROADCAST=1 forces the shuffled join path —
+      // for inspecting the plan shape LARGE sides would take (small
+      // local tables otherwise broadcast, hiding bucketing/skew
+      // behavior).
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        if (sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1")) "-1" else "10485760")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Shuffle spill on this VM's virtio disk is burst-throttled;
       // tmpfs keeps shuffle-heavy queries off the device entirely.
