@@ -20,8 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right dot product of two float-array columns on doubles. */
-  def dot(a: Column, b: Column): Column =
+  /** Left-to-right dot product of two float-array columns on doubles —
+    * a codegen'd Catalyst expression ([[graft.expr.DotProduct]]): the
+    * Column-algebra fold ([[dotHof]]) is interpreted (higher-order
+    * functions never enter whole-stage codegen), which made the dot
+    * product the hot-path cost of every similarity operator. Results
+    * are bit-identical (same IEEE fold order; property-tested).
+    */
+  def dot(a: Column, b: Column): Column = graft.expr.VectorExprs.dot_product(a, b)
+
+  /** The interpreted Column-algebra fold — kept as the parity
+    * reference for [[dot]]'s property tests.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -83,8 +94,18 @@ object Similarity {
     * deterministic hyperplanes. Vectors in the same bucket are cosine-
     * close with high probability; the ANN query joins on the bucket
     * then scores exactly — sub-quadratic at corpus scale.
+    *
+    * Codegen'd and FUSED ([[graft.expr.LshBucketExpr]]): one array
+    * pass for all planes, vs `planes` interpreted HOF folds in
+    * [[lshBucketHof]]. Bit-identical per-plane accumulation order.
     */
-  def lshBucket(vec: Column, planes: Int, seed: Long = 42L): Column = {
+  def lshBucket(vec: Column, planes: Int, seed: Long = 42L): Column =
+    graft.expr.VectorExprs.lsh_bucket(vec, planes, seed)
+
+  /** The interpreted Column-algebra form — parity reference for
+    * [[lshBucket]]'s property tests.
+    */
+  def lshBucketHof(vec: Column, planes: Int, seed: Long = 42L): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(1), size(vec)),

@@ -185,6 +185,24 @@ class OpsSpec extends SparkSpec {
     assert(pairs.length == 1 && pairs.head.getAs[Double]("cosine") == 1.0)
   }
 
+  test("similarity: codegen dot/bucket bit-identical to the interpreted HOF folds") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40)
+      .map(i => (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * 4f)))
+      .toDF("vec_id", "embedding")
+    val pairs = vecs.toDF("id_a", "va").crossJoin(vecs.toDF("id_b", "vb"))
+    val d = pairs.select(
+      Similarity.dot(col("va"), col("vb")).as("fast"),
+      Similarity.dotHof(col("va"), col("vb")).as("slow")).collect()
+    assert(d.nonEmpty && d.forall(r => r.getDouble(0) == r.getDouble(1)))
+    for (planes <- Seq(1, 4, 8, 16)) {
+      val b = vecs.select(
+        Similarity.lshBucket(col("embedding"), planes).as("fast"),
+        Similarity.lshBucketHof(col("embedding"), planes).as("slow")).collect()
+      assert(b.forall(r => r.getLong(0) == r.getLong(1)), s"bucket mismatch at planes=$planes")
+    }
+  }
+
   test("similarity: pairRecall — found fraction of exact ground truth") {
     val exact = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
     val approx = Seq((1L, 2L), (2L, 3L), (9L, 10L)).toDF("id_a", "id_b")
