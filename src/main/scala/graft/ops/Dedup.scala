@@ -57,16 +57,20 @@ object Dedup {
       .select(col(idCol), col("digest"), (col(idCol) === col("__keep_id")).as("keep"))
   }
 
-  /** Word n-gram shingles over a MATERIALIZED token-array column
-    * (n ≥ 1); the empty array when the document has fewer than n
-    * tokens.
-    *
-    * `toks` must be a bound attribute, not an inline `split(...)`
-    * expression: expressions referenced inside the transform lambda are
-    * re-evaluated per element, turning shingling into O(tokens²) per
-    * document (measured 40× on the 400-token documents corpus).
+  /** Word n-gram shingles over a token-array column (n ≥ 1); the empty
+    * array when the document has fewer than n tokens. Codegen'd one-
+    * pass kernel ([[graft.expr.ShinglesExpr]]); the interpreted HOF
+    * form is kept as [[shinglesFromTokensHof]] for parity tests — that
+    * form additionally required `toks` to be a bound attribute
+    * (expressions inside a `transform` lambda re-evaluate per element,
+    * O(tokens²); measured 40× on the 400-token documents corpus), a
+    * trap the expression kernel does not have.
     */
   def shinglesFromTokens(toks: Column, n: Int): Column =
+    if (n == 1) toks else graft.expr.TextExprs.shingles(toks, n)
+
+  /** Interpreted Column-algebra shingling — parity reference. */
+  def shinglesFromTokensHof(toks: Column, n: Int): Column =
     if (n == 1) toks
     else {
       val idx = sequence(lit(0), size(toks) - n) // 0-based subscripts
@@ -297,12 +301,20 @@ object Dedup {
     */
   def minhashLshCandidatesFromShingles(sh: DataFrame, k: Int, bands: Int,
       maxBucketSize: Option[Long] = None): DataFrame = {
-    val hashed = sh.withColumn("__h", transform(col("sh"), s => shingleBaseHash(s)))
-    val withSig = minhashSignature(col("__h"), k).foldLeft(hashed) {
-      case (d, (name, c)) => d.withColumn(name, c)
-    }
-    val withBands = lshBands((0 until k).map(i => s"sig_$i"), bands).foldLeft(withSig) {
-      case (d, (name, c)) => d.withColumn(name, c)
+    require(k % bands == 0, "k must be divisible by bands")
+    val rpb = k / bands
+    // Codegen'd map side: per-shingle MD5 base hashes and all k
+    // signature minima in fused single-pass kernels (the HOF forms —
+    // an interpreted md5 lambda per shingle plus k interpreted array
+    // walks — are kept for the parity tests). Band digests then read
+    // sig elements directly; values are identical either way (exact
+    // integer math), as is the DuckDB mirror.
+    val withSig = sh.withColumn("__sig",
+      graft.expr.TextExprs.minhash_signature(
+        graft.expr.TextExprs.shingle_hashes(col("sh")), k))
+    val withBands = (0 until bands).foldLeft(withSig) { case (d, j) =>
+      d.withColumn(s"band_$j", md5(concat_ws("|",
+        (j * rpb until (j + 1) * rpb).map(i => element_at(col("__sig"), i + 1).cast("string")): _*)))
     }
     val long = withBands.select(col("id"),
       explode(array((0 until bands).map(j =>

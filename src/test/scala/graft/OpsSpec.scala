@@ -72,6 +72,33 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_docs") == 4 && r.getAs[Long]("n_unique") == 3)
   }
 
+  test("dedup: codegen shingles/hashes/signature match the interpreted HOF forms") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 60).map { i =>
+      val nTok = rnd.nextInt(12) // includes < n cases
+      (i.toLong, (0 until nTok).map(_ => s"w${rnd.nextInt(40)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = rows.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    for (n <- Seq(1, 2, 3, 5)) {
+      val cmp = toks.select(
+        Dedup.shinglesFromTokens(col("toks"), n).as("fast"),
+        Dedup.shinglesFromTokensHof(col("toks"), n).as("slow")).collect()
+      assert(cmp.forall(r => r.getSeq[String](0) == r.getSeq[String](1)), s"shingles n=$n")
+    }
+    val sh = toks.select(array_distinct(Dedup.shinglesFromTokens(col("toks"), 2)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val hcmp = sh.select(
+      graft.expr.TextExprs.shingle_hashes(col("sh")).as("fast"),
+      transform(col("sh"), s => Dedup.shingleBaseHash(s)).as("slow")).collect()
+    assert(hcmp.nonEmpty && hcmp.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
+    val k = 6
+    val withH = sh.withColumn("__h", transform(col("sh"), s => Dedup.shingleBaseHash(s)))
+    val scmp = withH.select(
+      graft.expr.TextExprs.minhash_signature(col("__h"), k).as("fast"),
+      array(Dedup.minhashSignature(col("__h"), k).map(_._2): _*).as("slow")).collect()
+    assert(scmp.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("dedup: exact keep-list labels a 3-way duplicate group") {
     val three = Seq(
       (7L, "same text here"), (3L, "same text here"), (5L, "same text here"),
