@@ -106,9 +106,58 @@ object TextExprs {
     new GenericArrayData(out)
   }
 
+  /** Count of array elements contained in `set` — one pass, no
+    * per-element lambda dispatch. Matches
+    * `size(filter(arr, w => w.isin(set)))` for non-null elements.
+    */
+  def countInSet(toks: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val num = toks.numElements()
+    var c = 0
+    var i = 0
+    while (i < num) {
+      if (set.contains(toks.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  private val FpMod = 1000000007L
+
+  /** Polynomial rolling fingerprint over a token array:
+    * h ← (h·31 + code(w)) mod 1e9+7 with code = first 8 hex digits of
+    * MD5 (= the first 4 digest bytes, big-endian). Value-identical to
+    * the `aggregate(transform(...))` fold in
+    * [[graft.ops.TextAnalysis.fingerprintHof]] — exact integer math,
+    * same left-to-right order — without the interpreted md5 lambda per
+    * token.
+    */
+  def tokenFingerprint(toks: ArrayData): Long = {
+    val num = toks.numElements()
+    val md = digest.get()
+    var h = 0L
+    var i = 0
+    while (i < num) {
+      md.reset()
+      val d = md.digest(toks.getUTF8String(i).getBytes)
+      val code = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      h = (h * 31 + code) % FpMod
+      i += 1
+    }
+    h
+  }
+
   /** Column entry point: codegen'd shingles over a token array. */
   def shingles(toks: Column, n: Int): Column =
     Bridge.column(ShinglesExpr(Bridge.expression(toks), n))
+
+  /** Column entry point: codegen'd in-set element count. */
+  def count_in_set(toks: Column, words: Seq[String]): Column =
+    Bridge.column(CountInSetExpr(Bridge.expression(toks), words))
+
+  /** Column entry point: codegen'd rolling-hash token fingerprint. */
+  def token_fingerprint(toks: Column): Column =
+    Bridge.column(TokenFingerprintExpr(Bridge.expression(toks)))
 
   /** Column entry point: codegen'd per-element base minhash hashes. */
   def shingle_hashes(shingles: Column): Column =
@@ -133,6 +182,53 @@ case class ShinglesExpr(child: Expression, n: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, v => s"graft.expr.TextExprs.shingles($v, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd in-set count: `array<string> → int`, the fused form of
+  * `size(filter(arr, isin(words)))`. The word set is shipped into
+  * generated code as a reference object.
+  */
+case class CountInSetExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "count_in_set"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprs.countInSet(v.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordSet", set, "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    defineCodeGen(ctx, ev, v => s"graft.expr.TextExprs.countInSet($v, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd rolling-hash fingerprint: `array<string> → bigint`. */
+case class TokenFingerprintExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "token_fingerprint"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprs.tokenFingerprint(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expr.TextExprs.tokenFingerprint($v)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -28,8 +28,15 @@ object TextAnalysis {
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
 
-  /** Stopword count over whitespace tokens. */
+  /** Stopword count over whitespace tokens — codegen'd set-membership
+    * pass ([[graft.expr.CountInSetExpr]]); [[stopwordCountHof]] is the
+    * interpreted parity reference.
+    */
   def stopwordCount(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
+    graft.expr.TextExprs.count_in_set(tokensWs(text), stopwords)
+
+  /** Interpreted Column-algebra form — parity reference. */
+  def stopwordCountHof(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
     size(filter(tokensWs(text), w => w.isin(stopwords.map(lit(_)): _*)))
 
   /** Quality signals: length, token count, punctuation ratio, stopword
@@ -57,7 +64,7 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "que", "los"))
 
   private def markerCount(toks: Column, markers: Seq[String]): Column =
-    size(filter(toks, w => w.isin(markers.map(lit(_)): _*)))
+    graft.expr.TextExprs.count_in_set(toks, markers)
 
   /** Language identification: CJK by codepoint range, else a cascade
     * over marker-word counts — a language wins if its count is positive
@@ -94,11 +101,18 @@ object TextAnalysis {
 
   /** Document fingerprint: polynomial rolling hash over whitespace
     * tokens, each token coded by the first 8 hex digits of its MD5.
-    * h ← (h·31 + code) mod 1e9+7, folded LEFT-TO-RIGHT — both Spark's
-    * `aggregate` and DuckDB's `list_reduce` fold sequentially, so the
-    * result is bit-identical across engines.
+    * h ← (h·31 + code) mod 1e9+7, folded LEFT-TO-RIGHT — DuckDB's
+    * `list_reduce` mirror folds sequentially over exact integers, so
+    * the result is bit-identical across engines. Codegen'd
+    * ([[graft.expr.TokenFingerprintExpr]]) — the Column-algebra fold
+    * ran an interpreted md5 lambda per token; [[fingerprintHof]] is
+    * the parity reference.
     */
-  def fingerprint(text: Column): Column = {
+  def fingerprint(text: Column): Column =
+    graft.expr.TextExprs.token_fingerprint(tokensWs(text))
+
+  /** Interpreted Column-algebra form — parity reference. */
+  def fingerprintHof(text: Column): Column = {
     val codes = transform(tokensWs(text), w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
     aggregate(codes, lit(0L), (h, x) => (h * 31 + x) % FpMod)
   }

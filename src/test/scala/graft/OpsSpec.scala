@@ -72,6 +72,21 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_docs") == 4 && r.getAs[Long]("n_unique") == 3)
   }
 
+  test("text: codegen stopword-count/fingerprint match the interpreted HOF forms") {
+    val rnd = new scala.util.Random(13)
+    val vocab = TextAnalysis.DefaultStopwords ++ Seq("fox", "dog", "λambda", "", "x1")
+    val texts = (0 until 80)
+      .map(_ => (0 until rnd.nextInt(15)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      .toDF("text")
+    val cmp = texts.select(
+      TextAnalysis.stopwordCount(col("text")).as("sc_fast"),
+      TextAnalysis.stopwordCountHof(col("text")).as("sc_slow"),
+      TextAnalysis.fingerprint(col("text")).as("fp_fast"),
+      TextAnalysis.fingerprintHof(col("text")).as("fp_slow")).collect()
+    assert(cmp.forall(r => r.getInt(0) == r.getInt(1)))
+    assert(cmp.forall(r => r.getLong(2) == r.getLong(3)))
+  }
+
   test("dedup: codegen shingles/hashes/signature match the interpreted HOF forms") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 60).map { i =>
