@@ -217,6 +217,29 @@ object SparkEntry {
         round(col("weight"), 6).as("weight"))
   }
 
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`), rounded to 6 dp: the interpolation formulas are
+    * algebraically equivalent but associate differently, so the last
+    * ulp can differ.
+    */
+  private def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("p25_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("p75_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"))
+
+  /** Hierarchical rollup totals (count/min/max only — no
+    * order-dependent float accumulation).
+    */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
   private def qWindowFraction(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     t(s, dir, "events")
@@ -275,6 +298,21 @@ object SparkEntry {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+  }
+
+  /** JSONL roundtrip: documents → JSON lines on disk → read back with
+    * an explicit schema → aggregate; equality with the direct oracle
+    * aggregation proves write/read fidelity (escaping, unicode,
+    * schema). Counts and integer sums only.
+    */
+  private def qJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    graft.etl.Etl.writeJsonl(t(s, dir, "documents").select("doc_id", "text"), tmp)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING")
+    graft.etl.Etl.readJsonl(s, tmp, Some(schema))
+      .agg(count(lit(1)).as("n"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+        sum(length(col("text"))).as("sum_chars"))
   }
 
   /** Bucketed-table co-located join: both sides bucketed by the join
@@ -505,6 +543,8 @@ object SparkEntry {
     "q_u_probs" -> (qUProbs _),
     "q_scoring" -> (qScoring _),
     "q_window_fraction" -> (qWindowFraction _),
+    "q_quantiles" -> (qQuantiles _),
+    "q_rollup" -> (qRollup _),
     "q_topk" -> (qTopK _),
     "q_set_ops" -> (qSetOps _),
     "q_na_safe_in" -> (qNaSafeIn _),
@@ -512,6 +552,7 @@ object SparkEntry {
     "q_broadcast_lookup" -> (qBroadcastLookup _),
     "q_partitioned_write" -> (qPartitionedWrite _),
     "q_bucketed_join" -> (qBucketedJoin _),
+    "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_tsv_roundtrip" -> (qTsvRoundtrip _),
     "q_text_stats" -> (qTextStats _),
@@ -602,6 +643,17 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |       count(*) / (sum(count(*)) OVER () + 0.0) AS p
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
@@ -636,6 +688,10 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n,
         |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_jsonl_roundtrip" ->
+      """SELECT count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       sum(length(text)) AS sum_chars
+        |FROM documents""".stripMargin,
     "q_bucketed_join" ->
       """SELECT c.c_mktsegment, count(*) AS n,
         |       min(o.o_totalprice) AS min_price, max(o.o_totalprice) AS max_price

@@ -43,6 +43,17 @@ object Etl {
     df
   }
 
+  /** JSON-lines write — the lingua franca of training-data corpora. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSON-lines scan. Schema inference reads the data twice — pass an
+    * explicit schema for 100 TB inputs (same contract as [[readTsv]]).
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema.fold(spark.read.json(path))(s => spark.read.schema(s).json(path))
+
   /** Bucketed (+ optionally sorted) external parquet table: the
     * co-located-join storage layout. Two tables bucketed by their join
     * key into the SAME bucket count join with NO exchange on either
