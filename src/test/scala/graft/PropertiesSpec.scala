@@ -68,4 +68,18 @@ object GraftProperties extends Properties("graft") {
       ms.forall(v => v >= 0 && v <= 1) && us.forall(v => v >= 0 && v <= 1) &&
       math.abs(ms.sum - 1.0) < 1e-6 && math.abs(us.sum - 1.0) < 1e-6
   }
+
+  private val threshold: Gen[Double] = Gen.chooseNum(0.15, 0.9)
+
+  property("lsh.recall-monotone-in-bands") = Prop.forAll(threshold, Gen.chooseNum(1, 6), Gen.chooseNum(1, 20)) { (j, r, b) =>
+    import graft.ops.Dedup
+    Dedup.lshRecall(j, r, b + 1) >= Dedup.lshRecall(j, r, b) &&
+      Dedup.lshRecall(j, r, b) >= 0.0 && Dedup.lshRecall(j, r, b) <= 1.0
+  }
+
+  property("lsh.params-meet-recall-floor-within-budget") = Prop.forAll(threshold) { j =>
+    import graft.ops.Dedup
+    val (k, b) = Dedup.lshParams(j)
+    k % b == 0 && k <= 32 && Dedup.lshRecall(j, k / b, b) >= 0.9
+  }
 }
