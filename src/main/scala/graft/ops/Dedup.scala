@@ -53,7 +53,15 @@ object Dedup {
   def exactDuplicates(df: DataFrame, idCol: String, text: Column): DataFrame = {
     val d = df.select(col(idCol), md5(text).as("digest"))
     val keepers = d.groupBy("digest").agg(min(col(idCol)).as("__keep_id"))
-    d.join(keepers, Seq("digest"))
+      .withColumnRenamed("digest", "__keep_digest")
+    // Null-safe join key: null-text rows share a null digest and must
+    // form ONE dup group (matching SQL window PARTITION BY semantics)
+    // — a plain equi-join would silently DROP them from the keep-list,
+    // which for a corpus prune means losing rows instead of labeling
+    // them. EqualNullSafe is still a hash-joinable key. (The keeper
+    // side's key is renamed — keepers derives from d, so qualifying
+    // by parent frame trips Spark's ambiguous-self-join detection.)
+    d.join(keepers, col("digest") <=> col("__keep_digest"))
       .select(col(idCol), col("digest"), (col(idCol) === col("__keep_id")).as("keep"))
   }
 

@@ -122,6 +122,13 @@ class OpsSpec extends SparkSpec {
     val got = Dedup.exactDuplicates(three, "doc_id", col("text"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
     assert(got == Map(3L -> true, 5L -> false, 7L -> false, 9L -> true))
+    // null texts share a null digest: ONE group, min id kept — not
+    // silently dropped (null-safe join key)
+    val withNulls = Seq((1L, null: String), (2L, null: String), (3L, "x"))
+      .toDF("doc_id", "text")
+    val nk = Dedup.exactDuplicates(withNulls, "doc_id", col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(nk == Map(1L -> true, 2L -> false, 3L -> true))
     // digest column is present and equal within the dup group
     val dg = Dedup.exactDuplicates(three, "doc_id", col("text"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("digest")).toMap
