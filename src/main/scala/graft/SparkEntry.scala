@@ -527,6 +527,64 @@ object SparkEntry {
       .groupBy("date_cmp").agg(count(lit(1)).as("n"))
   }
 
+  // ---- wave 5: temporal + skew-aware joins -------------------------
+
+  /** As-of join: each event attached to the user's latest order at or
+    * before the event time (oracle: DuckDB `ASOF LEFT JOIN`). The
+    * right side is restricted (custkey % 3 != 0) so ~⅓ of events
+    * exercise the no-match null path, and pre-aggregated to one row
+    * per (custkey, orderdate) per [[graft.ops.Joins.asofJoin]]'s
+    * uniqueness contract.
+    */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.Streams.withEventTime(t(s, dir, "events"))
+      .select(col("event_id"), col("user_id"), col("event_time"))
+    val ord = t(s, dir, "orders")
+      .filter(pmod(col("o_custkey"), lit(3)) =!= 0)
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    graft.ops.Joins.asofJoin(ev, ord,
+        Seq("user_id" -> "o_custkey"), "event_time", "o_orderdate")
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+  }
+
+  /** Banded range join: pairs of events by the same user within one
+    * hour of each other. Times compared in EPOCH MICROS on both
+    * engines (events carry nanos; DuckDB's TIMESTAMP truncates to
+    * micros, so comparing raw nanos to an INTERVAL predicate could
+    * flip sub-microsecond edge pairs).
+    */
+  private def qBandJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val a = ev.select(col("user_id"), col("event_id").as("event_id_a"),
+      col("event_type").as("type_a"), expr("ts div 1000").as("t_a"))
+    val b = ev.select(col("user_id").as("user_id_b"), col("event_id").as("event_id_b"),
+      col("event_type").as("type_b"), expr("ts div 1000").as("t_b"))
+    graft.ops.Joins.bandJoin(a, b, Seq("user_id" -> "user_id_b"), "t_a", "t_b",
+        band = 3600000000L)
+      .filter(col("event_id_a") < col("event_id_b"))
+      .select(col("user_id"), col("event_id_a"), col("event_id_b"),
+        col("type_a"), col("type_b"), (col("t_b") - col("t_a")).as("dt_us"))
+  }
+
+  /** Salted skew join: semantically a plain orders⋈customer — the
+    * oracle IS the unsalted join — but executed with the big side
+    * spread over 8 deterministic salt sub-keys
+    * ([[graft.ops.Joins.saltedJoin]]). min/max are raw passthrough
+    * doubles (no order-dependent sums).
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "orders").select(col("o_custkey").as("custkey"),
+      col("o_orderkey"), col("o_totalprice"))
+    val small = t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+      col("c_mktsegment"))
+    graft.ops.Joins.saltedJoin(big, small, Seq("custkey"), col("o_orderkey"), salts = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"))
+  }
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -568,6 +626,9 @@ object SparkEntry {
     "q_event_window" -> (qEventWindow _),
     "q_rename_join" -> (qRenameJoin _),
     "q_date_exact" -> (qDateExact _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_band_join" -> (qBandJoin _),
+    "q_salted_join" -> (qSaltedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -841,6 +902,26 @@ object SparkEntry {
         |       count(*) AS n
         |FROM orders a JOIN orders b
         |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+        |         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders WHERE o_custkey % 3 <> 0 GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
+    "q_band_join" ->
+      """SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b,
+        |       a.event_type AS type_a, b.event_type AS type_b,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
   )
 }

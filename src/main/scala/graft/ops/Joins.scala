@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Temporal / skew-aware join operators.
+  *
+  * Spark has no native as-of join (reference engines and DuckDB ship
+  * one as a primitive; DuckDB's `ASOF JOIN` is the oracle for ours),
+  * and a naive range join plans as a per-key cross product. Both are
+  * expressed here as compositions of shuffles Spark already optimizes:
+  * the as-of join is ONE union + ONE window per key (no join at all),
+  * the range join is an equi-join on a derived bin key.
+  */
+object Joins {
+
+  /** Backward as-of join: for each left row, attach the right row with
+    * the LARGEST `rightTime <= leftTime` within the same key (ties on
+    * time include the right row; `forward = true` flips to the
+    * SMALLEST `rightTime >= leftTime`). Left rows with no such right
+    * row keep null payload columns — i.e. `ASOF LEFT JOIN` semantics,
+    * with null keys/times never matching (SQL comparison semantics).
+    *
+    * Contract: the right side must be UNIQUE per (key, time) — with
+    * duplicates the carried row is nondeterministic; pre-aggregate
+    * (e.g. `max_by`) first. Left and right time columns must be the
+    * same type.
+    *
+    * Plan shape — the scale rationale: both sides are unioned with a
+    * side tag, hash-partitioned ONCE by key, and sorted ONCE by
+    * (time, side) inside each partition; the match is a running
+    * `last(payload-struct, ignoreNulls)` carry-forward. That is
+    * strictly cheaper than any join-based encoding (no pair blow-up,
+    * no secondary shuffle) and is the same O(n log n) per key a native
+    * engine pays. The payload travels as ONE struct so a legitimately
+    * null payload FIELD can never mix values across right rows (per-
+    * column `last(ignoreNulls)` would). Hot keys skew the single
+    * window sort — salt the key upstream or pre-filter if one key
+    * dominates.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String,
+      rightTime: String,
+      forward: Boolean = false,
+      matchedTimeCol: Option[String] = None): DataFrame = {
+    val leftKeys = keys.map(_._1)
+    val rightKeyNames = keys.map(_._2).toSet
+    val payload = right.columns.filterNot(c => rightKeyNames.contains(c) || c == rightTime)
+
+    val leftPacked = left.select(
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__l") +:
+        (leftKeys.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side")): _*)
+    // Right rows with a null key or null time can never match (SQL
+    // comparison semantics) — drop them before the union so they don't
+    // pollute the null-key partition that unmatched left rows fall in.
+    val rightPacked = right
+      .filter(keys.map { case (_, r) => col(r).isNotNull }
+        .foldLeft(col(rightTime).isNotNull)(_ && _))
+      .select(
+        struct((payload.map(col) :+ col(rightTime).as("__rt")).toIndexedSeq: _*).as("__r") +:
+          (keys.map { case (l, r) => col(r).as(l) } :+
+            col(rightTime).as("__t") :+ lit(0).as("__side")): _*)
+
+    val lType = leftPacked.schema("__l").dataType.asInstanceOf[StructType]
+    val rType = rightPacked.schema("__r").dataType.asInstanceOf[StructType]
+    val cols = leftKeys :+ "__t" :+ "__side"
+    val unioned =
+      leftPacked.select((cols.map(col) :+ col("__l") :+ lit(null).cast(rType).as("__r")): _*)
+        .unionByName(rightPacked.select(
+          (cols.map(col) :+ lit(null).cast(lType).as("__l") :+ col("__r")): _*))
+
+    // Right rows (side 0) sort BEFORE left rows at equal time, so a
+    // tie on time is visible to the left row — matching ASOF `>=`.
+    val order = if (forward) Seq(col("__t").desc, col("__side").asc)
+                else Seq(col("__t").asc, col("__side").asc)
+    val w = Window.partitionBy(leftKeys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = unioned
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    matched.select(
+      col("__l.*") +:
+        (payload.map(p => col(s"__m.$p").as(p)) ++
+          matchedTimeCol.map(n => col("__m.__rt").as(n)).toSeq): _*)
+  }
+
+  /** Banded range join: all pairs with equal keys and
+    * `|leftTime − rightTime| <= band`, for NUMERIC time columns (for
+    * timestamps, pass e.g. epoch micros and a band in micros).
+    *
+    * Plan shape: each side gets a bin id `floor(t / band)`; the left
+    * side explodes to its bin ± 1 (3 rows), then an EQUI-join on
+    * (keys, bin) + the exact band predicate. Any right row within the
+    * band lies in exactly one of the left row's three bins, so the
+    * join is complete and duplicate-free with no `distinct`. This
+    * turns what Catalyst would otherwise plan as a per-key cross
+    * product into a shuffled hash join with 3× left fan-out — the
+    * standard binned interval-join trick (cf. interval joins in
+    * streaming engines).
+    *
+    * Column names must already be disjoint across the two sides apart
+    * from the key/time roles (use [[graft.linkage.Suffix]]).
+    */
+  def bandJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String,
+      rightTime: String,
+      band: Long): DataFrame = {
+    require(band > 0, s"band must be positive, got $band")
+    // Floor division in exact integer arithmetic (long `/` truncates
+    // toward zero — wrong for negative times; pmod is always >= 0).
+    def floorDiv(t: Column): Column = (t - pmod(t, lit(band))) / band
+
+    val l = left
+      .withColumn("__bin", explode(array(
+        floorDiv(col(leftTime)) - 1, floorDiv(col(leftTime)), floorDiv(col(leftTime)) + 1)))
+    val r = right.withColumn("__bin", floorDiv(col(rightTime)))
+    val joinCond = keys
+      .map { case (lk, rk) => l(lk) === r(rk) }
+      .reduce(_ && _) && l("__bin") === r("__bin") &&
+      abs(l(leftTime) - r(rightTime)) <= band
+    l.join(r, joinCond).drop("__bin")
+  }
+
+  /** Salted equi-join for EXTREME key skew: when one key's rows exceed
+    * what AQE skew-split can rebalance (AQE splits at map-output-block
+    * granularity — see docs/SKEW_EVIDENCE_r03.md), spread the big
+    * side's hot keys over `salts` sub-partitions and replicate the
+    * small side to every sub-partition. Semantics-identical to
+    * `big.join(small, keys, joinType)` for row-preserving join types
+    * (inner / left with big on the left).
+    *
+    * `saltSrc` is any big-side column that varies within a key (an id
+    * column is ideal); the salt is `pmod(xxhash64(saltSrc), salts)` —
+    * deterministic, so plans and tests are reproducible. Cost: the
+    * small side is scanned/shuffled `salts`× — keep `salts` at the
+    * executor-count scale, not higher.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      saltSrc: Column,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val b = big.withColumn("__salt", pmod(xxhash64(saltSrc), lit(salts)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0).cast("long"), lit(salts - 1).cast("long"))))
+    b.join(s, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

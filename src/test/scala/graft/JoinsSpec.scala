@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Joins
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def asofFixture = {
+    val left = Seq(
+      (1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 8L, "e0"),
+      (2L, 5L, "e3"), (3L, 7L, "e4")
+    ).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, 8L, "a", 1.0), (1L, 15L, "b", 2.0), (2L, 9L, "c", 3.0)
+    ).toDF("k", "t", "name", "v")
+    (left, right)
+  }
+
+  test("asof backward: latest right at-or-before, ties included, left join nulls") {
+    val (left, right) = asofFixture
+    val got = Joins.asofJoin(left, right, Seq("k" -> "k"), "t", "t")
+      .select("k", "t", "ev", "name", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)), Option(r.get(4)))).toSet
+    assert(got == Set(
+      (1L, 8L, "e0", Some("a"), Some(1.0)),   // tie t=8 matches
+      (1L, 10L, "e1", Some("a"), Some(1.0)),
+      (1L, 20L, "e2", Some("b"), Some(2.0)),
+      (2L, 5L, "e3", None, None),             // right only at t=9 (after)
+      (3L, 7L, "e4", None, None)))            // no right rows for key
+  }
+
+  test("asof forward: earliest right at-or-after") {
+    val (left, right) = asofFixture
+    val got = Joins.asofJoin(left, right, Seq("k" -> "k"), "t", "t", forward = true)
+      .select("k", "t", "ev", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(got == Set(
+      (1L, 8L, "e0", Some("a")),
+      (1L, 10L, "e1", Some("b")),
+      (1L, 20L, "e2", None),
+      (2L, 5L, "e3", Some("c")),
+      (3L, 7L, "e4", None)))
+  }
+
+  test("asof: packed struct carry never mixes columns of different right rows") {
+    // Right row at t=15 has a NULL v; a per-column last(ignoreNulls)
+    // carry would pair name="b" with v=1.0 from the EARLIER row.
+    val left = Seq((1L, 20L)).toDF("k", "t")
+    val right = Seq((1L, 8L, "a", Option(1.0)), (1L, 15L, "b", Option.empty[Double]))
+      .toDF("k", "t", "name", "v")
+    val row = Joins.asofJoin(left, right, Seq("k" -> "k"), "t", "t")
+      .select("name", "v").collect().head
+    assert(row.getString(0) == "b" && row.isNullAt(1))
+  }
+
+  test("asof: null keys and null times never match; matched time exposed") {
+    val left = Seq((Option(1L), Option(10L)), (Option.empty[Long], Option(10L)),
+      (Option(1L), Option.empty[Long])).toDF("k", "t")
+    val right = Seq((Option(1L), Option(5L), "a"), (Option.empty[Long], Option(1L), "n"),
+      (Option(1L), Option.empty[Long], "z")).toDF("k", "t", "name")
+    val got = Joins.asofJoin(left, right, Seq("k" -> "k"), "t", "t",
+        matchedTimeCol = Some("matched_t"))
+      .select("k", "t", "name", "matched_t")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(got == Set(
+      (Some(1L), Some(10L), Some("a"), Some(5L)),
+      (None, Some(10L), None, None),
+      (Some(1L), None, None, None)))
+  }
+
+  test("band join: complete and duplicate-free across bin boundaries") {
+    // band = 10; pairs within |dt| <= 10 on the same key. Includes a
+    // right row in the left row's own bin, one in bin-1, one in bin+1,
+    // exact-band edges, and an out-of-band row.
+    val left = Seq((1L, 100L, "L1"), (2L, 50L, "L2")).toDF("k", "lt", "ltag")
+    val right = Seq(
+      (1L, 104L, "same-bin"), (1L, 95L, "bin-1"), (1L, 110L, "edge+10"),
+      (1L, 90L, "edge-10"), (1L, 111L, "out"), (2L, 39L, "out2"), (2L, 60L, "edge2")
+    ).toDF("k", "rt", "rtag")
+    val got = Joins.bandJoin(left, right, Seq("k" -> "k"), "lt", "rt", band = 10L)
+      .select("ltag", "rtag").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.length == got.toSet.size, "duplicate pairs emitted")
+    assert(got.toSet == Set(
+      ("L1", "same-bin"), ("L1", "bin-1"), ("L1", "edge+10"), ("L1", "edge-10"),
+      ("L2", "edge2")))
+  }
+
+  test("band join matches the naive theta-join on random data, incl. negative times") {
+    val left = (1 to 200).map(i => ((i % 5).toLong, (i * 37 % 400).toLong - 200, i))
+      .toDF("k", "lt", "lid")
+    val right = (1 to 200).map(i => ((i % 5).toLong, (i * 53 % 400).toLong - 200, i))
+      .toDF("k", "rt", "rid")
+    val fast = Joins.bandJoin(left, right, Seq("k" -> "k"), "lt", "rt", band = 7L)
+      .select("lid", "rid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val naive = left.join(right, left("k") === right("k") &&
+        abs(left("lt") - right("rt")) <= 7)
+      .select("lid", "rid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(fast == naive)
+  }
+
+  test("salted join equals the plain join") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else (i % 7).toLong, i))
+      .toDF("k", "id")
+    val small = Seq((0L, "z"), (1L, "a"), (2L, "b"), (6L, "f"), (9L, "missing"))
+      .toDF("k", "tag")
+    val plain = big.join(small, Seq("k")).select("id", "tag")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val salted = Joins.saltedJoin(big, small, Seq("k"), col("id"), salts = 8)
+      .select("id", "tag").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(salted == plain && plain.nonEmpty)
+    // left-join parity too (unmatched big rows survive exactly once)
+    val plainL = big.join(small, Seq("k"), "left").count()
+    val saltedL = Joins.saltedJoin(big, small, Seq("k"), col("id"), salts = 8, "left").count()
+    assert(plainL == saltedL && saltedL == 1000L)
+  }
+}
