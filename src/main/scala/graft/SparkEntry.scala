@@ -527,6 +527,21 @@ object SparkEntry {
       .groupBy("date_cmp").agg(count(lit(1)).as("n"))
   }
 
+  /** IVF ANN: one map-only assignment scan (codegen argmax-cosine),
+    * probe the 2 nearest of 8 seed centroids per query, exact top-5
+    * within the probed lists. Seed centroids are the 8 smallest
+    * vec_ids (contiguous from 0 in the fixtures), so the oracle's
+    * `vec_id < 8` slice is the same set in the same index order.
+    */
+  private def qIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = graft.ops.Similarity.seedCentroids(e, "vec_id", "embedding", 8)
+    graft.ops.Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", cents, k = 5, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
   // ---- wave 5: temporal + skew-aware joins -------------------------
 
   /** As-of join: each event attached to the user's latest order at or
@@ -629,6 +644,7 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_band_join" -> (qBandJoin _),
     "q_salted_join" -> (qSaltedJoin _),
+    "q_ivf_topk" -> (qIvfTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -923,5 +939,25 @@ object SparkEntry {
         |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+    "q_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT e.vec_id AS id, e.embedding AS ev, c.cid
+         |  FROM embeddings e, cent c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${graft.ops.Similarity.cosineSql("e.embedding", "c.cv", EmbDim)} DESC, c.cid) = 1),
+         |probes AS (
+         |  SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid
+         |  FROM embeddings q, cent c WHERE q.vec_id < 5
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${graft.ops.Similarity.cosineSql("q.embedding", "c.cv", EmbDim)} DESC, c.cid) <= 2),
+         |sim AS (
+         |  SELECT p.query_id, a.id AS neighbor_id,
+         |         round(${graft.ops.Similarity.cosineSql("p.qv", "a.ev", EmbDim)}, 6) AS cosine
+         |  FROM probes p JOIN assign a ON p.cid = a.cid WHERE a.id <> p.query_id)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rank FROM sim)
+         |WHERE rank <= 5""".stripMargin,
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Codegen'd vector kernels for the similarity operators.
   *
@@ -63,9 +63,56 @@ object VectorExprs {
     result
   }
 
+  /** Argmax-cosine centroid index for an IVF index: one pass for the
+    * row norm, then one dot product per centroid; ties break to the
+    * SMALLEST index (strict `>` keeps the first maximum). Each cosine
+    * is `dot / (nv * norms(p))` — the same association as the SQL
+    * mirror `dot / (sqrt(dot(v,v)) * sqrt(dot(c,c)))`, with `norms`
+    * precomputed by [[centroidNorm]]'s identical fold — so the
+    * comparison outcomes are bit-identical across engines. A
+    * zero-norm vector would divide by zero (NaN, assigned index 0);
+    * embedding corpora are dense by construction.
+    */
+  def nearestCentroid(v: ArrayData, cents: Array[Array[Float]], norms: Array[Double]): Int = {
+    val n = v.numElements()
+    var sv = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; sv += x * x; i += 1 }
+    val nv = math.sqrt(sv)
+    var best = 0
+    var bestCos = java.lang.Double.NEGATIVE_INFINITY
+    var p = 0
+    while (p < cents.length) {
+      val c = cents(p)
+      val m = math.min(n, c.length)
+      var d = 0.0
+      i = 0
+      while (i < m) { d += v.getFloat(i).toDouble * c(i).toDouble; i += 1 }
+      val cos = d / (nv * norms(p))
+      if (cos > bestCos) { bestCos = cos; best = p }
+      p += 1
+    }
+    best
+  }
+
+  /** ‖c‖ with the same left-to-right fold as [[dot]]. */
+  def centroidNorm(c: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < c.length) { val x = c(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
   /** Column entry point: codegen'd dot product over float arrays. */
   def dot_product(left: Column, right: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(left), Bridge.expression(right)))
+
+  /** Column entry point: codegen'd nearest-centroid assignment. */
+  def nearest_centroid(vec: Column, centroids: Array[Array[Float]]): Column = {
+    require(centroids.nonEmpty, "nearest_centroid needs at least one centroid")
+    Bridge.column(NearestCentroidExpr(Bridge.expression(vec), centroids,
+      centroids.map(centroidNorm)))
+  }
 
   /** Column entry point: codegen'd fused LSH bucket id. */
   def lsh_bucket(vec: Column, planes: Int, seed: Long): Column =
@@ -89,6 +136,34 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd IVF centroid assignment: `array<float> → int`, the index
+  * of the argmax-cosine centroid. The centroid matrix and its
+  * precomputed norms ride into generated code as reference objects —
+  * no row inflation, no join: assignment is map-only whole-stage
+  * codegen, which is what makes the IVF index buildable in a single
+  * corpus scan at 100 TB.
+  */
+case class NearestCentroidExpr(
+    child: Expression, centroids: Array[Array[Float]], norms: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorExprs.nearestCentroid(v.asInstanceOf[ArrayData], centroids, norms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val nRef = ctx.addReferenceObj("centroidNorms", norms, "double[]")
+    defineCodeGen(ctx, ev, v => s"graft.expr.VectorExprs.nearestCentroid($v, $cRef, $nRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Codegen'd fused hyperplane-LSH bucket id: `array<float> → bigint`,

@@ -224,4 +224,113 @@ object Similarity {
         round(dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  // ---- IVF (inverted-file) ANN — the partition-based scale path ----
+  //
+  // LSH buckets by random geometry; IVF buckets by DATA geometry: a
+  // small set of centroids partitions the corpus into inverted lists,
+  // a query probes only the `nprobe` lists nearest its own vector.
+  // Candidate volume ≈ corpus · nprobe / K instead of the LSH
+  // collision curve, and the index is rebuildable in ONE map-only
+  // corpus scan ([[graft.expr.NearestCentroidExpr]]).
+
+  /** Deterministic seed centroids: the `k` corpus vectors with the
+    * SMALLEST ids, in id order — reproducible across engines, which is
+    * what makes the whole IVF path oracle-checkable (k-means centroids
+    * would differ run-to-run and engine-to-engine). For quality on a
+    * real corpus, refine these with [[kmeansCentroids]] (Spark-only).
+    * Collects k·dim floats to the driver — the index metadata, tiny by
+    * construction (k ≤ thousands).
+    */
+  def seedCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Float]] =
+    corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+      .collect().map(_.getSeq[Float](1).toArray)
+
+  /** Lloyd's refinement of seed centroids, executed as Spark
+    * aggregations: assign (map-only codegen expr) → per-centroid mean
+    * (one hash agg per round). Deliberately NOT oracle-wired — float
+    * means are order-dependent across engines — but property-tested:
+    * inertia is monotonically non-increasing. Empty clusters keep
+    * their previous centroid.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      init: Array[Array[Float]], rounds: Int): Array[Array[Float]] = {
+    var cents = init
+    val dim = init.head.length
+    for (_ <- 0 until rounds) {
+      val assigned = corpus.select(col(vecCol).as("v"),
+        graft.expr.VectorExprs.nearest_centroid(col(vecCol), cents).as("cid"))
+      val dimMeans = (0 until dim).map(i =>
+        avg(col("v").getItem(i).cast("double")).as(s"m$i"))
+      val means = assigned.groupBy("cid")
+        .agg(dimMeans.head, dimMeans.tail: _*)
+        .collect().map(r => r.getInt(0) ->
+          Array.tabulate(dim)(i => r.getDouble(i + 1).toFloat)).toMap
+      cents = cents.indices.map(p => means.getOrElse(p, cents(p))).toArray
+    }
+    cents
+  }
+
+  /** Mean squared cosine-distance to the assigned centroid — the
+    * k-means objective, for convergence tests. */
+  def inertia(
+      corpus: DataFrame, vecCol: String, cents: Array[Array[Float]]): Double = {
+    val centDf = centroidsDf(corpus, cents)
+    corpus.select(col(vecCol).as("v"),
+        graft.expr.VectorExprs.nearest_centroid(col(vecCol), cents).as("cid"))
+      .join(broadcast(centDf), Seq("cid"))
+      .select(avg(pow(lit(1.0) - cosine(col("v"), col("cv")), 2)).as("j"))
+      .collect().head.getDouble(0)
+  }
+
+  private def centroidsDf(like: DataFrame, cents: Array[Array[Float]]): DataFrame = {
+    val s = like.sparkSession
+    import s.implicits._
+    cents.toIndexedSeq.map(_.toIndexedSeq).zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cid", "cv")
+      .select(col("cid"), col("cv").cast("array<float>").as("cv"))
+  }
+
+  /** IVF top-k: for each query vector, the k nearest corpus vectors by
+    * cosine among the inverted lists of the query's `nprobe` nearest
+    * centroids. `nprobe = centroids.length` degenerates to exact
+    * brute force (every list probed) — the equivalence the spec
+    * asserts.
+    *
+    * Plan shape at scale: corpus → ONE map-only scan (codegen
+    * assignment, no inflation) → equi-join against the BROADCAST
+    * (query × probe) list → per-query top-k window over ~|corpus| ·
+    * nprobe / K candidate rows. No shuffle touches the full corpus
+    * except the final window's hash partition on query_id, which
+    * carries only candidates.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], k: Int, nprobe: Int): DataFrame = {
+    val centDf = centroidsDf(corpus, centroids)
+    // raw (unrounded) cosine for probe ordering — identical IEEE ops
+    // on both engines, see the oracle mirror
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+      .crossJoin(broadcast(centDf))
+      .withColumn("__c", cosine(col("__qv"), col("cv")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("__c"), asc("cid"))))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("cid"))
+    val assigned = graft.util.Parallelism.ensure(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        graft.expr.VectorExprs.nearest_centroid(col(vecCol), centroids).as("cid"))
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
+    assigned.join(broadcast(probed), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
 }
