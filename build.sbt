@@ -26,7 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 48g of the VM's 128g: the round-4 bench JVM died mid-run with
+  // executor exit 56 (heartbeat failure — a GC death spiral under the
+  // old 16g heap with 32 shuffle-heavy threads). Headroom is cheaper
+  // than a lost bench round; -Xmx is a cap, not a reservation.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // Whole-stage codegen emits one class per stage; a many-query run
   // (Bench/Verify) overflows the 240m default JIT code cache and the
   // JVM silently stops compiling — late queries then run interpreted

@@ -767,7 +767,7 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_jsonl_roundtrip" ->
       """SELECT count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
-        |       sum(length(text)) AS sum_chars
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars
         |FROM documents""".stripMargin,
     "q_bucketed_join" ->
       """SELECT c.c_mktsegment, count(*) AS n,

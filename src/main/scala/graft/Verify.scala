@@ -18,6 +18,11 @@ object Verify {
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Same self-exit guard as Bench: wide heartbeat spacing so a
+      // driver GC pause can't trip the in-process executor's
+      // heartbeat-failure suicide (exit 56, lost round 4's bench).
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

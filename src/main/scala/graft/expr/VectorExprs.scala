@@ -24,7 +24,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   */
 object VectorExprs {
 
-  /** Left-to-right Σ double(aᵢ)·double(bᵢ) over min(|a|,|b|). */
+  /** Left-to-right Σ double(aᵢ)·double(bᵢ). Callers guarantee equal
+    * lengths ([[DotProduct]] nulls mismatches before reaching here;
+    * [[nearestCentroid]] clamps to the centroid length).
+    */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
@@ -119,19 +122,35 @@ object VectorExprs {
     Bridge.column(LshBucketExpr(Bridge.expression(vec), planes, seed))
 }
 
-/** Codegen'd dot product: `array<float> × array<float> → double`. */
+/** Codegen'd dot product: `array<float> × array<float> → double`.
+  * Length-mismatched inputs yield NULL — the same observable result as
+  * the HOF parity form (`aggregate` over `zip_with`, whose null-padding
+  * poisons the fold), so a malformed corpus surfaces as NULLs rather
+  * than silently-truncated partial dot products.
+  */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any =
-    VectorExprs.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) null else VectorExprs.dot(a, b)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VectorExprs.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.expr.VectorExprs.dot($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -364,11 +364,15 @@ object Dedup {
     * growth for 10× docs at bits=16, because random pairs collide
     * within Hamming ≤ 3 once the corpus is comparable to the 2¹⁶
     * fingerprint space. At 32 bits the random-collision expectation
-    * stays ≪ 1 per 10⁵ docs; grow further (≤ 62) for larger corpora
-    * (the DuckDB mirror adds 1 ≤ 2⁶² terms into a signed BIGINT).
+    * stays ≪ 1 per 10⁵ docs; grow further (≤ 60) for larger corpora.
+    * The cap is 60 because the per-token code is parsed from
+    * `(bits+3)/4` hex digits: 15 digits (60 bits) always fit a signed
+    * long, while 16 digits can reach ≥ 2⁶³ — Spark's
+    * `conv(...).cast(long)` silently nulls there and DuckDB's
+    * `CAST('0x…' AS BIGINT)` errors, so 61–62 would diverge.
     */
   def simhashFingerprints(df: DataFrame, idCol: String, text: Column, bits: Int = 32): DataFrame = {
-    require(bits > 0 && bits <= 62, "bits must be in [1, 62]")
+    require(bits > 0 && bits <= 60, "bits must be in [1, 60]")
     val toks = graft.util.Parallelism.ensure(df)
       .select(col(idCol).as("id"), explode(split(text, " ")).as("__w"))
       .select(col("id"),
@@ -386,6 +390,7 @@ object Dedup {
     * `fp(id, fp)`; `table`/`idExpr`/`textExpr` name the source.
     */
   def simhashFpCtesSql(table: String, idExpr: String, textExpr: String, bits: Int = 32): String = {
+    require(bits > 0 && bits <= 60, "bits must be in [1, 60]")
     val sums = (0 until bits)
       .map(b => s"sum(CASE WHEN (code >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS c$b").mkString(", ")
     val fpExpr = (0 until bits)

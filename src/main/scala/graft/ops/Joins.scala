@@ -76,8 +76,12 @@ object Joins {
 
     // Right rows (side 0) sort BEFORE left rows at equal time, so a
     // tie on time is visible to the left row — matching ASOF `>=`.
-    val order = if (forward) Seq(col("__t").desc, col("__side").asc)
-                else Seq(col("__t").asc, col("__side").asc)
+    // Null-time LEFT rows must sort before every right row in both
+    // directions (asc puts nulls first already; desc needs
+    // desc_nulls_first) or the running carry-forward would hand them a
+    // fabricated match instead of the contractual no-match.
+    val order = if (forward) Seq(col("__t").desc_nulls_first, col("__side").asc)
+                else Seq(col("__t").asc_nulls_first, col("__side").asc)
     val w = Window.partitionBy(leftKeys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -117,7 +121,12 @@ object Joins {
     require(band > 0, s"band must be positive, got $band")
     // Floor division in exact integer arithmetic (long `/` truncates
     // toward zero — wrong for negative times; pmod is always >= 0).
-    def floorDiv(t: Column): Column = (t - pmod(t, lit(band))) / band
+    // Column `/` is DOUBLE division, which rounds for |t/band| beyond
+    // 2^53 (epoch-nanos with a small band) and would drop in-band
+    // pairs; the numerator is an exact multiple of band, so decimal
+    // division is exact and the long cast lossless.
+    def floorDiv(t: Column): Column =
+      ((t - pmod(t, lit(band))).cast("decimal(38,0)") / lit(band)).cast("long")
 
     val l = left
       .withColumn("__bin", explode(array(

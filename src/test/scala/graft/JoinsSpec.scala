@@ -72,6 +72,26 @@ class JoinsSpec extends SparkSpec {
       (Some(1L), None, None, None)))
   }
 
+  test("asof forward: null keys and null times never match") {
+    // Regression: forward mode sorts by __t DESC, and plain desc puts
+    // nulls LAST — a null-time left row then sorted after every right
+    // row and the running carry handed it a fabricated match
+    // (the smallest right time). desc_nulls_first restores no-match.
+    val left = Seq((Option(1L), Option(10L)), (Option.empty[Long], Option(10L)),
+      (Option(1L), Option.empty[Long])).toDF("k", "t")
+    val right = Seq((Option(1L), Option(15L), "a"), (Option.empty[Long], Option(1L), "n"),
+      (Option(1L), Option.empty[Long], "z")).toDF("k", "t", "name")
+    val got = Joins.asofJoin(left, right, Seq("k" -> "k"), "t", "t", forward = true,
+        matchedTimeCol = Some("matched_t"))
+      .select("k", "t", "name", "matched_t")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(got == Set(
+      (Some(1L), Some(10L), Some("a"), Some(15L)),
+      (None, Some(10L), None, None),
+      (Some(1L), None, None, None)))
+  }
+
   test("band join: complete and duplicate-free across bin boundaries") {
     // band = 10; pairs within |dt| <= 10 on the same key. Includes a
     // right row in the left row's own bin, one in bin-1, one in bin+1,
@@ -100,6 +120,26 @@ class JoinsSpec extends SparkSpec {
         abs(left("lt") - right("rt")) <= 7)
       .select("lid", "rid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
     assert(fast == naive)
+  }
+
+  test("band join: exact bins beyond double precision (epoch-nanos scale)") {
+    // Regression: the bin used to be computed with Column `/` (double
+    // division), so for |t/band| > 2^53 the quotient rounded and
+    // equal/adjacent true bins landed on non-equal doubles — in-band
+    // pairs silently dropped. Times here sit at 9.1e18 (epoch-nanos
+    // magnitude) with band=1000, i.e. quotients ~9.1e15 > 2^53.
+    val base = 9100000000000000000L
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 300).map(i => ((i % 3).toLong, base + rnd.nextInt(6000).toLong, i))
+      .toDF("k", "lt", "lid")
+    val right = (1 to 300).map(i => ((i % 3).toLong, base + rnd.nextInt(6000).toLong, i))
+      .toDF("k", "rt", "rid")
+    val fast = Joins.bandJoin(left, right, Seq("k" -> "k"), "lt", "rt", band = 1000L)
+      .select("lid", "rid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val naive = left.join(right, left("k") === right("k") &&
+        abs(left("lt") - right("rt")) <= 1000L)
+      .select("lid", "rid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(fast == naive && naive.nonEmpty)
   }
 
   test("salted join equals the plain join") {

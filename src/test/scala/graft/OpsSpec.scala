@@ -252,6 +252,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("similarity: dot_product NULLs length-mismatched vectors like the HOF form") {
+    // A malformed corpus (ragged embedding lengths) must surface as
+    // NULL — the zip_with HOF null-pads the shorter side and poisons
+    // the fold — not as a silently truncated partial dot product.
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 1f, 1f)),
+      (Array(1f, 2f, 3f), Array(1f, 1f))
+    ).toDF("va", "vb")
+    val rows = df.select(
+      Similarity.dot(col("va"), col("vb")).as("fast"),
+      Similarity.dotHof(col("va"), col("vb")).as("slow")).collect()
+    assert(rows(0).getDouble(0) == 6.0 && rows(0).getDouble(1) == 6.0)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+  }
+
   test("similarity: pairRecall — found fraction of exact ground truth") {
     val exact = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
     val approx = Seq((1L, 2L), (2L, 3L), (9L, 10L)).toDF("id_a", "id_b")
