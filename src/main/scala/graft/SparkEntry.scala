@@ -435,6 +435,41 @@ object SparkEntry {
         graft.ops.TextAnalysis.fingerprint(col("text")).as("fingerprint")): _*)
   }
 
+  /** Gopher-style repetition metrics (word granularity) per document —
+    * map-only, codegen'd top-token kernel.
+    */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.util.Parallelism.ensure(t(s, dir, "documents"))
+    val cols = graft.ops.TextAnalysis.repetitionColumns(col("text"))
+    d.select((col("doc_id") +: cols.map { case (n, c) => c.as(n) }): _*)
+  }
+
+  /** Train/eval decontamination: benchmark = every 20th doc, corpus =
+    * the rest; flags corpus docs sharing ≥ 5 distinct 3-gram
+    * shingles with the benchmark union (broadcast bench-side semi
+    * join — the corpus is scanned once, never pair-exploded).
+    */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.Decontaminate.overlapReport(
+      docs.filter(col("doc_id") % 20 =!= 0), "doc_id", col("text"),
+      docs.filter(col("doc_id") % 20 === 0), col("text"),
+      n = 3, minOverlap = 5L)
+  }
+
+  /** Quality-aware cluster keeper: same LSH candidate graph as
+    * q_dedup_clusters, but keep the LONGEST text per cluster (tie →
+    * min id) — struct-min aggregate, no corpus-wide window sort.
+    */
+  private def qDedupBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cand = graft.ops.Dedup.minhashLshCandidates(
+      docs, "doc_id", col("text"), n = 3, k = 8, bands = 4,
+      maxBucketSize = Some(LshCap))
+    graft.ops.Clusters.resolveDuplicatesBy(
+      docs.select("doc_id", "text"), "doc_id", length(col("text")), cand)
+  }
+
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.exactSummary(t(s, dir, "documents"), col("text"))
 
@@ -631,6 +666,9 @@ object SparkEntry {
     "q_text_stats" -> (qTextStats _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_keeplist" -> (qDedupKeeplist _),
+    "q_repetition" -> (qRepetition _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_dedup_best" -> (qDedupBest _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_jaccard_exact" -> (qJaccardExact _),
     "q_minhash_lsh" -> (qMinhashLsh _),
@@ -829,6 +867,48 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS digest,
         |  (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keep
         |FROM documents""".stripMargin,
+    "q_repetition" -> {
+      val top = "list_max(list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x))))"
+      s"""SELECT doc_id,
+         |  len(t) AS n_tokens,
+         |  len(list_distinct(t)) AS n_distinct_tokens,
+         |  CAST($top AS BIGINT) AS top_token_count,
+         |  CAST(len(shl) - len(list_distinct(shl)) AS BIGINT) AS dup_bigram_count,
+         |  CAST($top AS DOUBLE) / len(t) AS top_token_frac
+         |FROM (SELECT doc_id, string_split(text, ' ') AS t,
+         |        ${graft.ops.Dedup.shinglesSql("text", 2)} AS shl
+         |      FROM documents)""".stripMargin
+    },
+    "q_decontaminate" ->
+      s"""WITH bsh AS (
+         |  SELECT DISTINCT u.sh
+         |  FROM (SELECT list_distinct(${graft.ops.Dedup.shinglesSql("text", 3)}) AS shl
+         |        FROM documents WHERE doc_id % 20 = 0) b,
+         |       unnest(b.shl) AS u(sh)),
+         |csh AS (
+         |  SELECT doc_id, CAST(len(shl) AS BIGINT) AS n_shingles, u.sh
+         |  FROM (SELECT doc_id, list_distinct(${graft.ops.Dedup.shinglesSql("text", 3)}) AS shl
+         |        FROM documents
+         |        WHERE doc_id % 20 <> 0 AND len(string_split(text, ' ')) >= 3) c,
+         |       unnest(c.shl) AS u(sh))
+         |SELECT doc_id, n_shingles, count(*) AS n_overlap
+         |FROM csh JOIN bsh USING (sh)
+         |GROUP BY doc_id, n_shingles
+         |HAVING count(*) >= 5""".stripMargin,
+    "q_dedup_best" ->
+      s"""WITH RECURSIVE ${minhashCandCtes(8, 4, Some(LshCap))},
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM cand
+         |  UNION SELECT id_b, id_a FROM cand),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT l.id AS doc_id, l.cluster_id,
+         |  (row_number() OVER (PARTITION BY l.cluster_id
+         |                      ORDER BY length(d.text) DESC, l.id) = 1) AS keep
+         |FROM lab l JOIN documents d ON l.id = d.doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH ${minhashCandCtes(jacK, jacBands, Some(LshCap))},
          |v AS (

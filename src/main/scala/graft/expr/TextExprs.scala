@@ -121,6 +121,28 @@ object TextExprs {
     c
   }
 
+  /** Highest single-token occurrence count in one hash-map pass — the
+    * Gopher-style "top n-gram fraction" numerator. The HOF parity form
+    * (`array_max` over a per-distinct-token `size(filter(...))`) is
+    * O(distinct · tokens) in the lambda interpreter; this is O(tokens).
+    * Empty array → 0. UTF8String keys are row-lifetime views — safe
+    * here because the map never outlives the call.
+    */
+  def topTokenCount(toks: ArrayData): Long = {
+    val num = toks.numElements()
+    if (num == 0) return 0L
+    val m = new java.util.HashMap[UTF8String, Integer](num * 2)
+    var best = 0
+    var i = 0
+    while (i < num) {
+      val c = m.merge(toks.getUTF8String(i), Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      if (c.intValue > best) best = c.intValue
+      i += 1
+    }
+    best.toLong
+  }
+
   private val FpMod = 1000000007L
 
   /** Polynomial rolling fingerprint over a token array:
@@ -166,6 +188,10 @@ object TextExprs {
   /** Column entry point: codegen'd one-pass minhash signature. */
   def minhash_signature(hashes: Column, k: Int): Column =
     Bridge.column(MinHashSignatureExpr(Bridge.expression(hashes), k))
+
+  /** Column entry point: codegen'd max single-token frequency. */
+  def top_token_count(toks: Column): Column =
+    Bridge.column(TopTokenCountExpr(Bridge.expression(toks)))
 }
 
 /** Codegen'd n-gram shingling: `array<string> → array<string>`. */
@@ -270,6 +296,24 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, v => s"graft.expr.TextExprs.minhashSignature($v, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd max single-token frequency: `array<string> → bigint`. */
+case class TopTokenCountExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "top_token_count"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprs.topTokenCount(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expr.TextExprs.topTokenCount($v)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: candidate pairs → connected
@@ -117,5 +117,43 @@ object Clusters {
       .select(col(idCol),
         coalesce(col("__cid"), col(idCol)).as("cluster_id"))
       .withColumn("keep", col(idCol) === col("cluster_id"))
+  }
+
+  /** Quality-aware duplicate resolution: like [[resolveDuplicates]],
+    * but the keeper per cluster is the row MAXIMIZING `quality`
+    * (ties → smallest id) rather than the min id — what a corpus prune
+    * actually wants ("keep the best copy", e.g. longest text or
+    * highest quality score), re-expressed as ONE struct-min aggregate
+    * per cluster: `min(struct(−quality, id))` orders lexicographically,
+    * so no window sort over the corpus is ever planned. Null quality
+    * ranks WORST (never kept unless the whole cluster is null-quality,
+    * then min id). `quality` is evaluated against `ids`, which must
+    * carry every column it references. Output: (idCol, cluster_id,
+    * keep). The keeper join keys both sides on cluster_id, the same
+    * key the aggregate hash-partitioned on — the exchange is reused.
+    */
+  def resolveDuplicatesBy(ids: DataFrame, idCol: String, quality: Column,
+      pairs: DataFrame, srcCol: String = "id_a", dstCol: String = "id_b",
+      maxRounds: Int = 25): DataFrame = {
+    val labels = connectedComponents(pairs, srcCol, dstCol, maxRounds)
+      .select(col("src").as(idCol), col("dst").as("__cid"))
+      .groupBy(idCol).agg(min("__cid").as("__cid"))
+    val labeled = ids
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__cid"), col(idCol)).as("cluster_id"),
+        // −quality so struct-min = max quality; nulls → −∞ quality
+        // (+∞ after negation, i.e. sorts last, never preferred).
+        negate(coalesce(quality.cast("double"), lit(Double.NegativeInfinity)))
+          .as("__nq"))
+    // Keeper side renames its key — it derives from `labeled`, and
+    // qualifying by the parent frame would trip ambiguous-self-join
+    // detection (same pattern as Dedup.exactDuplicates).
+    val keepers = labeled.groupBy("cluster_id")
+      .agg(min(struct(col("__nq"), col(idCol).as("__kid"))).as("__best"))
+      .select(col("cluster_id").as("__kcid"), col("__best.__kid").as("__keep_id"))
+    labeled.join(keepers, col("cluster_id") === col("__kcid"))
+      .select(col(idCol), col("cluster_id"),
+        (col(idCol) === col("__keep_id")).as("keep"))
   }
 }

@@ -97,6 +97,39 @@ object TextAnalysis {
        |${whens.mkString(" ")} ELSE 'und' END""".stripMargin.replace("\n", " ")
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, adapted
+    * to word granularity — this corpus is single-line, so the paper's
+    * line-based rules are vacuous here): token counts, distinct-token
+    * count, the highest single-token frequency (codegen'd one-pass
+    * kernel, [[graft.expr.TopTokenCountExpr]]), duplicate-bigram count
+    * (`size − size∘distinct` over 2-gram shingles — no frequency map
+    * needed), and the top-token fraction as the one ratio (a single
+    * division of exact counts). All map-only Column programs; the
+    * DuckDB mirrors live in the q_repetition oracle.
+    */
+  def repetitionColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokensWs(text)
+    val top = graft.expr.TextExprs.top_token_count(toks)
+    val sh2 = Dedup.shinglesFromTokens(toks, 2)
+    Seq(
+      "n_tokens" -> size(toks).cast("long"),
+      "n_distinct_tokens" -> size(array_distinct(toks)).cast("long"),
+      "top_token_count" -> top,
+      "dup_bigram_count" -> (size(sh2) - size(array_distinct(sh2))).cast("long"),
+      "top_token_frac" -> top.cast("double") / size(toks))
+  }
+
+  /** Interpreted parity reference for the top-token count:
+    * max over distinct tokens of that token's occurrence count.
+    * O(distinct·tokens) lambda evaluation — tests only.
+    */
+  def topTokenCountHof(text: Column): Column = {
+    val toks = tokensWs(text)
+    coalesce(
+      array_max(transform(array_distinct(toks), x => size(filter(toks, y => y === x)))),
+      lit(0)).cast("long")
+  }
+
   private val FpMod = 1000000007L
 
   /** Document fingerprint: polynomial rolling hash over whitespace

@@ -56,4 +56,23 @@ class ClustersSpec extends SparkSpec {
       .toSet
     assert(got == Set((7L, 7L, true), (8L, 8L, true)))
   }
+
+  test("resolveDuplicatesBy: keeps max quality, ties break to min id, null ranks worst") {
+    import org.apache.spark.sql.functions.col
+    // cluster {1,2,3}: q = 5, 9, 9 → id 2 wins the tie at q=9;
+    // cluster {4,5}: q = null, 1 → 5 wins (null never preferred);
+    // singleton 6 keeps itself even with null quality.
+    val ids = Seq(
+      (1L, Option(5.0)), (2L, Option(9.0)), (3L, Option(9.0)),
+      (4L, Option.empty[Double]), (5L, Option(1.0)), (6L, Option.empty[Double])
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Clusters.resolveDuplicatesBy(ids, "doc_id", col("q"), pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep")))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, false), (5L, 4L, true),
+      (6L, 6L, true)))
+  }
 }

@@ -295,4 +295,48 @@ class OpsSpec extends SparkSpec {
     val uncapped = Similarity.lshNearDups(dup, "vec_id", "embedding", planes = 8, minCosine = 0.99)
     assert(uncapped.count() == 40L * 39 / 2)
   }
+
+  test("text: repetition metrics — hand values and codegen/HOF parity") {
+    val df = Seq(
+      (1L, "a a a b c"),          // top=3 (a), bigrams: "a a","a a","a b","b c" → 1 dup
+      (2L, "x y z"),              // no repetition at all
+      (3L, "w"),                  // single token, no bigrams
+      (4L, "p q p q p q")         // top=3, bigrams: pq,qp,pq,qp,pq → 5−2=3 dups
+    ).toDF("doc_id", "text")
+    val cols = TextAnalysis.repetitionColumns(col("text"))
+    val got = df.select((col("doc_id") +: cols.map { case (n, c) => c.as(n) }): _*)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct_tokens"),
+          r.getAs[Long]("top_token_count"), r.getAs[Long]("dup_bigram_count")))).toMap
+    assert(got(1L) == ((5L, 3L, 3L, 1L)))
+    assert(got(2L) == ((3L, 3L, 1L, 0L)))
+    assert(got(3L) == ((1L, 1L, 1L, 0L)))
+    assert(got(4L) == ((6L, 2L, 3L, 3L)))
+    // codegen kernel == interpreted HOF form on the shared fixture
+    val parity = docs.select(
+      graft.expr.TextExprs.top_token_count(split(col("text"), " ")).as("fast"),
+      TextAnalysis.topTokenCountHof(col("text")).as("slow")).collect()
+    assert(parity.nonEmpty && parity.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("decontaminate: flags the planted eval overlap, not the clean doc") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),   // contains bench 3-grams
+      (11L, "one two three four five six seven"),     // clean
+      (12L, "alpha beta gamma nine ten"),             // only 1 overlapping shingle
+      (13L, "a b")                                    // too short to shingle
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "unrelated eval text here")
+    ).toDF("bid", "btext")
+    val got = graft.ops.Decontaminate.overlapReport(
+        corpus, "doc_id", col("text"), bench, col("btext"), n = 3, minOverlap = 2L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_shingles"), r.getAs[Long]("n_overlap"))).toSet
+    // doc 10 shares the 3 bench shingles "alpha beta gamma",
+    // "beta gamma delta", "gamma delta epsilon"; doc 12 shares only 1
+    // (below minOverlap); 11 none; 13 unshingleable.
+    assert(got == Set((10L, 4L, 3L)))
+  }
 }
