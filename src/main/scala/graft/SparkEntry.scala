@@ -300,6 +300,43 @@ object SparkEntry {
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
   }
 
+  /** Dynamic partition overwrite: full partitioned write, then
+    * re-write ONLY the '1-URGENT' partition with its even-keyed half.
+    * Reading back proves the overwritten partition changed while every
+    * other partition survived — static overwrite would have truncated
+    * them (and the counts would scream).
+    */
+  private def qPartitionOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+    val orders = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+    graft.etl.Etl.writePartitioned(orders, tmp, Seq("o_orderpriority"))
+    graft.etl.Etl.overwritePartitions(
+      orders.filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 2 === 0),
+      tmp, Seq("o_orderpriority"))
+    graft.etl.Etl.readPartitioned(s, tmp)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"))
+  }
+
+  /** Range-sorted layout + data-skipping read: lineitem written
+    * range-partitioned/sorted on l_orderkey, then a narrow key-range
+    * scan with the filter pushed to the parquet reader — disjoint
+    * per-file min/max stats skip all other files/row-groups (plan
+    * evidence: docs/EXPLAIN_range_pruned_r05.txt).
+    */
+  private def qRangePruned(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rng").toString
+    graft.etl.Etl.writeRangeSorted(
+      t(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice"),
+      tmp, "l_orderkey", nFiles = 16)
+    s.read.parquet(tmp)
+      .filter(col("l_orderkey").between(1000, 2000))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+  }
+
   /** JSONL roundtrip: documents → JSON lines on disk → read back with
     * an explicit schema → aggregate; equality with the direct oracle
     * aggregation proves write/read fidelity (escaping, unicode,
@@ -659,6 +696,8 @@ object SparkEntry {
     "q_stack_long" -> (qStackLong _),
     "q_broadcast_lookup" -> (qBroadcastLookup _),
     "q_partitioned_write" -> (qPartitionedWrite _),
+    "q_partition_overwrite" -> (qPartitionOverwrite _),
+    "q_range_pruned" -> (qRangePruned _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_ann_recall" -> (qAnnRecall _),
@@ -803,6 +842,15 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n,
         |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_partition_overwrite" ->
+      """SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS min_key
+        |FROM orders
+        |WHERE o_orderpriority <> '1-URGENT' OR o_orderkey % 2 = 0
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_range_pruned" ->
+      """SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
+        |       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
     "q_jsonl_roundtrip" ->
       """SELECT count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars

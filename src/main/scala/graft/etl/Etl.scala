@@ -43,6 +43,36 @@ object Etl {
     df
   }
 
+  /** DYNAMIC partition overwrite: replaces ONLY the hive partitions
+    * present in `df`, leaving every other partition untouched — the
+    * idempotent re-run primitive of a partitioned 100 TB pipeline
+    * (re-process one day/shard without rewriting, or losing, the
+    * rest). Plain `mode("overwrite")` + `partitionBy` is STATIC: it
+    * truncates the whole table first. The mode is set as a per-write
+    * option so no session-level config leaks into other writers.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Range-sorted parquet layout for data-skipping: global range
+    * partition on `sortCol` into `nFiles` files + a sort within each,
+    * so per-file (and per-row-group) min/max footer stats are DISJOINT
+    * ranges. A later range/point filter on `sortCol` then skips
+    * everything else at the reader level — the poor man's clustered
+    * index, and the difference between scanning 100 TB and scanning
+    * one file. The one-time cost is the range-exchange (sampled
+    * boundaries, skew-tolerant); worth it for any layout read many
+    * times.
+    */
+  def writeRangeSorted(df: DataFrame, path: String, sortCol: String, nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, df(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** JSON-lines write — the lingua franca of training-data corpora. */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

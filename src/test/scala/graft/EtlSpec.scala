@@ -31,4 +31,40 @@ class EtlSpec extends SparkSpec {
       assert(joined.filter(col("id") === 7L).count() == 3)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("dynamic partition overwrite replaces only the partitions present in the frame") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpo_spec").toString
+    val base = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+      .toDF("id", "part")
+    Etl.writePartitioned(base, tmp, Seq("part"))
+    // Overwrite partition 'a' with a single row; 'b' and 'c' must survive.
+    Etl.overwritePartitions(Seq((99L, "a")).toDF("id", "part"), tmp, Seq("part"))
+    val got = Etl.readPartitioned(spark, tmp)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("part"))).toSet
+    assert(got == Set((99L, "a"), (3L, "b"), (4L, "b"), (5L, "c")))
+  }
+
+  test("range-sorted write: per-file key ranges are disjoint (data-skipping layout)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rng_spec").toString
+    val df = (1L to 1000L).map(i => (i * 37 % 1000, i)).toDF("k", "v")
+    Etl.writeRangeSorted(df, tmp, "k", nFiles = 4)
+    // min/max of k per physical file must not overlap across files —
+    // that disjointness is what makes parquet footer stats prune.
+    val perFile = spark.read.parquet(tmp)
+      .select(input_file_name().as("f"), col("k"))
+      .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    assert(perFile.length > 1)
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlapping file ranges: $perFile")
+      case _ =>
+    }
+    // and the filter reaches the scan as a pushed filter
+    val scan = spark.read.parquet(tmp).filter(col("k").between(100, 200))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual(k,100)"),
+      s"filter not pushed:\n$plan")
+    assert(scan.count() == df.filter(col("k").between(100, 200)).count())
+  }
 }
