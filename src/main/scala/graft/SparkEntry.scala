@@ -507,6 +507,19 @@ object SparkEntry {
       docs.select("doc_id", "text"), "doc_id", length(col("text")), cand)
   }
 
+  /** Deterministic hash sample: ~10% of documents by md5 bucket —
+    * stable across partitioning/layout, unlike df.sample().
+    */
+  private def qHashSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.hashSample(
+      t(s, dir, "documents").select("doc_id"), col("doc_id"), permille = 100)
+
+  /** Rarity keywords: 3 globally-rarest tokens per document — integer-
+    * exact TF-IDF ranking (no float log to diverge between engines).
+    */
+  private def qRareTokens(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.rareTokens(t(s, dir, "documents"), "doc_id", col("text"), k = 3)
+
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.exactSummary(t(s, dir, "documents"), col("text"))
 
@@ -706,6 +719,8 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_keeplist" -> (qDedupKeeplist _),
     "q_repetition" -> (qRepetition _),
+    "q_hash_sample" -> (qHashSample _),
+    "q_rare_tokens" -> (qRareTokens _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_dedup_best" -> (qDedupBest _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
@@ -927,6 +942,18 @@ object SparkEntry {
          |        ${graft.ops.Dedup.shinglesSql("text", 2)} AS shl
          |      FROM documents)""".stripMargin
     },
+    "q_hash_sample" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE ${graft.ops.Sampling.hashBucketSql("doc_id")} < 100""".stripMargin,
+    "q_rare_tokens" ->
+      """WITH e AS (
+        |  SELECT doc_id, u.w AS token
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(w)),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM e GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+        |SELECT doc_id, token, tf, df
+        |FROM tf JOIN dfreq USING (token)
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY df, token) <= 3""".stripMargin,
     "q_decontaminate" ->
       s"""WITH bsh AS (
          |  SELECT DISTINCT u.sh

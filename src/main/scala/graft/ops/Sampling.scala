@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for 100 TB pipelines. `df.sample()` draws
+  * from per-partition RNG state: the selected set changes with
+  * partitioning, retries, and Spark version — useless for reproducible
+  * dev slices, A/B corpus experiments, or an oracle. Hash sampling
+  * keys the decision on the ROW (md5 of a stable key), so the same row
+  * is in or out everywhere, forever, regardless of layout — and the
+  * predicate is a map-only codegen'd filter that composes with
+  * pushdown (partition pruning still applies above it).
+  */
+object Sampling {
+
+  /** Keep rows whose `md5(key) mod 1000 < permille` — a deterministic
+    * ~permille/1000 sample. The key is cast to string first so integer
+    * keys hash identically across engines; md5's first 15 hex digits
+    * (60 bits) always fit a signed long (same parity trick as the
+    * minhash kernels, Dedup.shingleBaseHash).
+    */
+  def hashSample(df: DataFrame, key: Column, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, s"permille must be in [0,1000], got $permille")
+    df.filter(hashBucket(key) < permille)
+  }
+
+  /** The row's stable bucket in [0, 1000). */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % 1000
+
+  /** DuckDB mirror of [[hashBucket]]. */
+  def hashBucketSql(keyExpr: String): String =
+    s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
+}

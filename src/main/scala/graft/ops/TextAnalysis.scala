@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -128,6 +128,33 @@ object TextAnalysis {
     coalesce(
       array_max(transform(array_distinct(toks), x => size(filter(toks, y => y === x)))),
       lit(0)).cast("long")
+  }
+
+  /** Per-document keywords by GLOBAL rarity: the k tokens of each doc
+    * with the lowest corpus document-frequency (ties → lexicographic).
+    * This is TF-IDF's ranking with the float log dropped — pure
+    * integer ordering (df asc, token asc), so the result is
+    * bit-identical across engines, which `tf·ln(N/df)` is not (libm
+    * vs DuckDB log may differ in the last ulp and flip ranks).
+    *
+    * Plan shape: one explode → two hash aggregations (tf per (doc,
+    * token), df per token) → broadcast-or-shuffle join → per-DOC
+    * window top-k. The window partitions by doc_id, so no global sort
+    * exists anywhere; df is corpus-wide but only |vocab| rows.
+    * Output: (idCol, token, tf, df).
+    */
+  def rareTokens(df: DataFrame, idCol: String, text: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = graft.util.Parallelism.ensure(df)
+      .select(col(idCol), explode(tokensWs(text)).as("token"))
+    val tf = e.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df").asc, col("token").asc)
+    tf.join(dfreq, Seq("token"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"))
   }
 
   private val FpMod = 1000000007L

@@ -319,6 +319,36 @@ class OpsSpec extends SparkSpec {
     assert(parity.nonEmpty && parity.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("sampling: hash sample is layout-independent and roughly sized") {
+    val ids = (1L to 2000L).toDF("id")
+    val a = graft.ops.Sampling.hashSample(ids, col("id"), permille = 250)
+      .collect().map(_.getLong(0)).toSet
+    // identical selection under a different partitioning — the whole
+    // point vs df.sample()
+    val b = graft.ops.Sampling.hashSample(ids.repartition(7), col("id"), permille = 250)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.size > 2000 * 0.25 * 0.7 && a.size < 2000 * 0.25 * 1.3, s"got ${a.size}")
+    assert(graft.ops.Sampling.hashSample(ids, col("id"), 0).count() == 0)
+    assert(graft.ops.Sampling.hashSample(ids, col("id"), 1000).count() == 2000)
+  }
+
+  test("text: rareTokens ranks by global document-frequency, ties lexicographic") {
+    val df = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common rare2 zz"),
+      (3L, "common zz aa")
+    ).toDF("doc_id", "text")
+    // df: common=3, zz=2, rare1=1, rare2=1, aa=1
+    val got = TextAnalysis.rareTokens(df, "doc_id", col("text"), k = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"))).toSet
+    assert(got == Set(
+      (1L, "rare1", 1L, 1L), (1L, "common", 2L, 3L), // only 2 distinct tokens in doc 1
+      (2L, "rare2", 1L, 1L), (2L, "zz", 1L, 2L),
+      (3L, "aa", 1L, 1L), (3L, "zz", 1L, 2L)))
+  }
+
   test("decontaminate: flags the planted eval overlap, not the clean doc") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon zeta"),   // contains bench 3-grams
