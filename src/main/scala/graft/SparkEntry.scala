@@ -685,6 +685,81 @@ object SparkEntry {
         min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"))
   }
 
+  // ---- wave 6: SQL surface, two-table linkage, keyed windows -------
+
+  /** SQL-surface parity: the registered [[GraftFunctions]] make this
+    * query's text runnable VERBATIM on DuckDB (whose built-in
+    * `jaro_winkler_similarity` is what the reference calls,
+    * comparators.R:7-12) — the strongest switch-engines evidence we
+    * can produce: same SQL, same bits.
+    */
+  private def qSqlFunctions(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "part").createOrReplaceTempView("part")
+    s.sql(SqlFunctionsSql)
+  }
+
+  private val SqlFunctionsSql: String =
+    """SELECT p_partkey,
+      |       jaro_winkler_similarity(p_name, p_type) AS jw_name_type,
+      |       jaro_winkler_similarity(p_brand, p_type) AS jw_brand_type
+      |FROM part WHERE p_partkey <= 300""".stripMargin
+
+  /** Two-table linkage (the reference's primary production shape:
+    * linking two different snapshots/tables, scratch.R:142-156 links
+    * NCVR 2021×2023). Schemas differ — blocking keys are a left→right
+    * name map, comparators are free-form expressions over the suffixed
+    * pair — and there is NO self-linkage canonical filter (A≠B).
+    */
+  private def qTwoTableLink(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val rules = BlockingRules(Seq(EquiKeys(Map("c_nationkey" -> "s_nationkey"))))
+    val ids = Blocking.extractBlocks(c, sup, "c_custkey", "s_suppkey", rules)
+    val pairs = Pairs.computePairsDataset(c, sup, "c_custkey", "s_suppkey", ids)
+    val comps = Seq(
+      Comparators.expression("name_band", coalesce(
+        graft.expr.JaroWinkler.jaro_winkler_band(
+          col("c_name_left"), col("s_name_right"), 0.9, 0.85),
+        lit("no agreement"))),
+      Comparators.expression("acct_band",
+        when(abs(col("c_acctbal_left") - col("s_acctbal_right")) < lit(500.0), "close")
+          .otherwise("far")))
+    Pairs.patternCounts(Comparators.doComparisons(pairs, comps), comps)
+  }
+
+  /** Gap-based sessionization over the events stream table: per-user
+    * sessions split at >30 min of inactivity, summarized per session.
+    * Times in integral epoch micros on both engines.
+    */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("t_us"))
+    graft.ops.Windows.sessionSummary(ev, Seq("user_id"), "t_us",
+      maxGap = 1800000000L)
+  }
+
+  /** Per-group top-k: 3 highest-balance customers per market segment —
+    * keyed window, deterministic tie-break on custkey.
+    */
+  private def qGroupedTopK(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.groupedTopK(
+        t(s, dir, "customer").select("c_mktsegment", "c_custkey", "c_acctbal"),
+        Seq("c_mktsegment"), col("c_acctbal"), Seq(col("c_custkey")), k = 3)
+      .withColumn("rnk", col("rnk").cast("long"))
+
+  /** The decontamination KEEP side: corpus minus flagged docs via one
+    * anti join (same flag parameters as q_decontaminate).
+    */
+  private def qDecontaminateFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.Decontaminate.filterClean(
+        docs.filter(col("doc_id") % 20 =!= 0), "doc_id", col("text"),
+        docs.filter(col("doc_id") % 20 === 0), col("text"),
+        n = 3, minOverlap = 5L)
+      .select("doc_id", "lang")
+  }
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -737,6 +812,11 @@ object SparkEntry {
     "q_band_join" -> (qBandJoin _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_ivf_topk" -> (qIvfTopK _),
+    "q_sql_functions" -> (qSqlFunctions _),
+    "q_two_table_link" -> (qTwoTableLink _),
+    "q_sessionize" -> (qSessionize _),
+    "q_grouped_topk" -> (qGroupedTopK _),
+    "q_decontaminate_filter" -> (qDecontaminateFilter _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1114,5 +1194,58 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id) AS rank FROM sim)
          |WHERE rank <= 5""".stripMargin,
+    // Verbatim: DuckDB's built-in jaro_winkler_similarity runs the
+    // exact SQL text our registered function table runs on Spark.
+    "q_sql_functions" -> SqlFunctionsSql,
+    "q_two_table_link" ->
+      """WITH compared AS (
+        |  SELECT CASE WHEN jaro_winkler_similarity(a.c_name, b.s_name) = 1 THEN 'full agreement'
+        |              WHEN jaro_winkler_similarity(a.c_name, b.s_name) > 0.9 THEN 'strong partial agreement'
+        |              WHEN jaro_winkler_similarity(a.c_name, b.s_name) > 0.85 THEN 'weak partial agreement'
+        |              ELSE 'no agreement' END AS name_band,
+        |         CASE WHEN abs(a.c_acctbal - b.s_acctbal) < 500.0 THEN 'close'
+        |              ELSE 'far' END AS acct_band
+        |  FROM customer a JOIN supplier b ON a.c_nationkey = b.s_nationkey)
+        |SELECT name_band, acct_band, count(*) AS n
+        |FROM compared GROUP BY name_band, acct_band""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t_us FROM events),
+        |flags AS (
+        |  SELECT user_id, t_us,
+        |    CASE WHEN lag(t_us) OVER w IS NULL
+        |           OR t_us - lag(t_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS sess_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+        |sessions AS (
+        |  SELECT user_id, t_us,
+        |    CAST(sum(sess_start) OVER (PARTITION BY user_id ORDER BY t_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flags)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(t_us) AS t_start, max(t_us) AS t_end
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    "q_grouped_topk" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer) WHERE rnk <= 3""".stripMargin,
+    "q_decontaminate_filter" ->
+      s"""WITH bsh AS (
+         |  SELECT DISTINCT u.sh
+         |  FROM (SELECT list_distinct(${graft.ops.Dedup.shinglesSql("text", 3)}) AS shl
+         |        FROM documents WHERE doc_id % 20 = 0) b,
+         |       unnest(b.shl) AS u(sh)),
+         |csh AS (
+         |  SELECT doc_id, u.sh
+         |  FROM (SELECT doc_id, list_distinct(${graft.ops.Dedup.shinglesSql("text", 3)}) AS shl
+         |        FROM documents
+         |        WHERE doc_id % 20 <> 0 AND len(string_split(text, ' ')) >= 3) c,
+         |       unnest(c.shl) AS u(sh)),
+         |flagged AS (
+         |  SELECT doc_id FROM csh JOIN bsh USING (sh)
+         |  GROUP BY doc_id HAVING count(*) >= 5)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id % 20 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
   )
 }

@@ -54,4 +54,21 @@ object Decontaminate {
       .filter(col("n_overlap") >= minOverlap)
       .select(col("id").as(idCol), col("n_shingles"), col("n_overlap"))
   }
+
+  /** The keep side: the corpus minus every flagged document — what a
+    * pipeline actually ships. One `left_anti` join against the
+    * (flagged-ids-only) report; the anti side is tiny relative to the
+    * corpus, so AQE plans it broadcast and the corpus still streams
+    * through exactly once.
+    */
+  def filterClean(
+      corpus: DataFrame, idCol: String, corpusText: Column,
+      bench: DataFrame, benchText: Column,
+      n: Int, minOverlap: Long,
+      broadcastBench: Boolean = true): DataFrame = {
+    val flagged = overlapReport(
+      corpus, idCol, corpusText, bench, benchText, n, minOverlap, broadcastBench)
+      .select(idCol)
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
 }

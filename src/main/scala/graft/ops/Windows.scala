@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed window operators: gap-based sessionization and per-group
+  * top-k. Both partition every window by a key whose cardinality grows
+  * with the data (users, groups), so no stage ever concentrates on a
+  * single partition — the 100 TB failure mode of unpartitioned windows
+  * (cf. the `row_number()` note in SURVEY.md §2.5 W1).
+  */
+object Windows {
+
+  /** Gap-based sessionization: assign each row a per-key `session_id`
+    * (1-based, in time order) that increments whenever the gap from
+    * the previous row of the same key exceeds `maxGap` (same time
+    * unit as `timeCol` — the callers here use integral epoch micros,
+    * which mirrors exactly into any engine with no timestamp
+    * semantics in play).
+    *
+    * Shape: one shuffle by key, two window passes over the same
+    * partitioning (lag, then running sum — Catalyst reuses the single
+    * sort+exchange). Rows with equal times within a key order
+    * arbitrarily, but the gap between them is 0 regardless of order,
+    * so session assignment is deterministic either way.
+    *
+    * For unbounded streams use Structured Streaming's
+    * `session_window(timestamp, gap)` instead — this is the batch
+    * shape (and the cross-engine-mirrorable one: integer lag/cumsum).
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], timeCol: String, maxGap: Long): DataFrame = {
+    require(keys.nonEmpty, "sessionize needs at least one key column")
+    require(maxGap > 0, s"maxGap must be positive, got $maxGap")
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(timeCol))
+    val prev = lag(col(timeCol), 1).over(byKey)
+    // First row of a key (lag null) and any gap > maxGap start a session.
+    val starts = when(prev.isNull || col(timeCol) - prev > maxGap, 1L).otherwise(0L)
+    df.withColumn("session_id",
+      sum(starts).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session summary: one row per (keys, session_id) with event
+    * count and the session's time span. The downstream shape most
+    * pipelines want (and driver-sized enough to inspect).
+    */
+  def sessionSummary(df: DataFrame, keys: Seq[String], timeCol: String, maxGap: Long): DataFrame =
+    sessionize(df, keys, timeCol, maxGap)
+      .groupBy((keys :+ "session_id").map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(col(timeCol)).as("t_start"),
+        max(col(timeCol)).as("t_end"))
+
+  /** Top-k rows per group by `order` (desc), ties broken by the
+    * caller's `tiebreak` columns so results are deterministic.
+    * `row_number` over a keyed window: partial top-k runs map-side
+    * inside the window sort's local phase; no global sort.
+    */
+  def groupedTopK(df: DataFrame, groupCols: Seq[String], order: Column,
+      tiebreak: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(order.desc +: tiebreak.map(_.asc): _*)
+    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Decontaminate, Windows}
+
+/** Specs for the SQL function surface (GraftFunctions/GraftExtensions)
+  * and the keyed window operators (sessionize / groupedTopK).
+  */
+class ExtensionsWindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sql surface: registered functions evaluate like the Column API") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT jaro_winkler_similarity('martha', 'marhta') AS jw,
+        |       dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                   array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
+        |       top_token_count(split('a b a c a', ' ')) AS top,
+        |       token_fingerprint(split('b a b', ' ')) AS fp,
+        |       word_shingles(split('a b c', ' '), 2) AS sh,
+        |       minhash_signature(shingle_hashes(split('a b c d', ' ')), 4) AS sig""".stripMargin)
+      .head()
+    assert(math.abs(r.getAs[Double]("jw") - 0.9611111111111111) < 1e-15)
+    assert(r.getAs[Double]("dot") == 11.0)
+    assert(r.getAs[Long]("top") == 3L)
+    val fpViaCol = Seq("b a b").toDF("text")
+      .select(graft.ops.TextAnalysis.fingerprint(col("text"))).head().getLong(0)
+    assert(r.getAs[Long]("fp") == fpViaCol)
+    assert(r.getAs[scala.collection.Seq[String]]("sh").toSeq == Seq("a b", "b c"))
+    assert(r.getAs[scala.collection.Seq[Long]]("sig").length == 4)
+  }
+
+  test("sql surface: column API and SQL spelling produce identical values") {
+    GraftFunctions.register(spark)
+    val df = Seq(("jellyfish", "smellyfish"), ("dwayne", "duane"), ("", "x"))
+      .toDF("a", "b")
+    val viaCol = df.select(graft.expr.JaroWinkler.jaro_winkler(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    df.createOrReplaceTempView("jw_pairs")
+    val viaSql = spark.sql("SELECT jaro_winkler_similarity(a, b) FROM jw_pairs")
+      .collect().map(_.getDouble(0))
+    assert(viaCol.toSeq == viaSql.toSeq)
+  }
+
+  test("sql surface: extensions class injects the same function table") {
+    // A fresh SparkSession over the shared context picks up extensions
+    // at build time — the cluster deployment path
+    // (--conf spark.sql.extensions=graft.GraftExtensions).
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val v = s2.sql("SELECT jaro_winkler_similarity('abc', 'abc')").head().getDouble(0)
+      assert(v == 1.0)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
+  test("sessionize: gaps split sessions per key, first row starts one") {
+    val ev = Seq(
+      (1L, 0L), (1L, 100L), (1L, 2100L), (1L, 2200L), // user 1: 2 sessions (gap 2000 > 1000)
+      (2L, 50L), // user 2: singleton
+      (3L, 0L), (3L, 1000L), (3L, 2000L) // user 3: gap == maxGap never splits
+    ).toDF("user_id", "t")
+    val got = Windows.sessionize(ev, Seq("user_id"), "t", maxGap = 1000L)
+      .select("user_id", "t", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 0L, 1L), (1L, 100L, 1L), (1L, 2100L, 2L), (1L, 2200L, 2L),
+      (2L, 50L, 1L),
+      (3L, 0L, 1L), (3L, 1000L, 1L), (3L, 2000L, 1L)))
+  }
+
+  test("sessionize: summary aggregates per session") {
+    val ev = Seq((1L, 0L), (1L, 100L), (1L, 5000L)).toDF("user_id", "t")
+    val got = Windows.sessionSummary(ev, Seq("user_id"), "t", maxGap = 1000L)
+      .orderBy("session_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 2L, 0L, 100L), (2L, 1L, 5000L, 5000L)))
+  }
+
+  test("groupedTopK: k per group, ordered desc, deterministic ties") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0),
+      ("b", 5L, 1.0)
+    ).toDF("g", "id", "score")
+    val got = Windows.groupedTopK(df, Seq("g"), col("score"), Seq(col("id")), k = 2)
+      .select("g", "id", "rnk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // score ties (id 2 and 4 at 30.0) resolve by min id first.
+    assert(got == Set(("a", 2L, 1), ("a", 4L, 2), ("b", 5L, 1)))
+  }
+
+  test("decontaminate: filterClean = corpus minus flagged, short docs kept") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // contaminated
+      (2L, "totally unrelated words with no overlap at all"),
+      (3L, "xy") // < n tokens: no shingles, must be KEPT
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val kept = Decontaminate.filterClean(
+        corpus, "doc_id", col("text"), bench, col("text"), n = 3, minOverlap = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+}
