@@ -88,8 +88,11 @@ object Bench {
     def jnum(v: Double): String = f"$v%.3f"
 
     val probe = {
-      val f = new java.io.File("SCALE_PROBE_r03.json")
-      if (f.exists) scala.io.Source.fromFile(f).getLines().mkString(" ").trim else "null"
+      // Latest committed probe artifact (SCALE_PROBE_r{N}.json).
+      val fs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("SCALE_PROBE_r\\d+\\.json")).sortBy(_.getName)
+      if (fs.nonEmpty) scala.io.Source.fromFile(fs.last).getLines().mkString(" ").trim
+      else "null"
     }
 
     // The driver keeps only the LAST 2000 chars of output (measured:

@@ -80,14 +80,21 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     buildFixture(spark)
 
+    // One untimed warmup run per (query, scale) before the timed run:
+    // the round-3 probe timed single cold-ish runs in sequence, so the
+    // FIRST query at each scale absorbed page-cache/JIT/codegen
+    // warmup while later queries rode the warmed state — q_block_equi
+    // read 29× while its superset q_pairs_assembly read 172× on the
+    // same fixture, an ordering artifact, not a plan property. Warm
+    // timings make the growth ratio warm-vs-warm at both scales.
     def timeAll(dir: String): Seq[(String, Double, Long)] =
       HeadlineQueries.map { name =>
+        SparkEntry.queries(name)(spark, dir).count()
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, dir).count()
         (name, (System.nanoTime() - t0) / 1e9, rows)
       }
 
-    // sf0.1 first (doubles as warmup for codegen/JIT), then the 10×.
     val base = timeAll(BaseDir)
     val big = timeAll(FixtureDir)
 
