@@ -760,6 +760,34 @@ object SparkEntry {
       .select("doc_id", "lang")
   }
 
+  /** Sketch aggregation: HyperLogLog++ approximate distinct count,
+    * asserted within 5% of exact IN the query result — the oracle row
+    * then hash-checks that the sketch's accuracy contract holds (the
+    * sketch itself is deterministic for a given input). At 100 TB,
+    * approx_count_distinct is one pass with constant memory where
+    * count(DISTINCT) is a full shuffle.
+    */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").agg(
+      countDistinct(col("o_custkey")).as("n_exact"),
+      // rsd 0.01 → expected relative error ~1%; contract asserts 3%
+      // (the default rsd=0.05 sketch landed outside 5% on this data).
+      (abs(approx_count_distinct(col("o_custkey"), 0.01) - countDistinct(col("o_custkey")))
+        / countDistinct(col("o_custkey")) < 0.03).as("within_3pct"))
+
+  /** Window frame spec (ROWS BETWEEN): rolling min/max/count over the
+    * last 3 events per user in event order. Exact (no float sums);
+    * keyed partitioning.
+    */
+  private def qWindowFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+    t(s, dir, "events").select(col("user_id"), col("event_id"),
+      count(lit(1)).over(w).as("n_in_frame"),
+      min(col("value")).over(w).as("min_v"),
+      max(col("value")).over(w).as("max_v"))
+  }
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -817,6 +845,8 @@ object SparkEntry {
     "q_sessionize" -> (qSessionize _),
     "q_grouped_topk" -> (qGroupedTopK _),
     "q_decontaminate_filter" -> (qDecontaminateFilter _),
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_window_frame" -> (qWindowFrame _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1247,5 +1277,19 @@ object SparkEntry {
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id % 20 <> 0
          |  AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
+    // The oracle proves the sketch's 5% accuracy contract, not the
+    // sketch bits: n_exact hash-matches, within_5pct must come out
+    // true on the Spark side.
+    "q_approx_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS n_exact, true AS within_3pct
+        |FROM orders""".stripMargin,
+    "q_window_frame" ->
+      """SELECT user_id, event_id,
+        |       count(*) OVER w AS n_in_frame,
+        |       min(value) OVER w AS min_v,
+        |       max(value) OVER w AS max_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
   )
 }
