@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through RAW (no "[info] " logger
+// prefix): the driver parses Bench's JSON line from the output tail,
+// and sbt's default LoggedOutput decoration makes every line
+// non-JSON. (Plausibly why every BENCH_r*.json so far has
+// parsed: null even when the line itself fit the tail window.)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -788,6 +788,22 @@ object SparkEntry {
       max(col("value")).over(w).as("max_v"))
   }
 
+  /** PII redaction: plant a synthetic email / IPv4 / account number on
+    * every document (the fixture corpus carries none), scrub with
+    * [[graft.ops.TextAnalysis.redactPii]], and hash-compare the full
+    * redacted text against DuckDB running the same RE2-compatible
+    * patterns. Map-only, codegen'd, no shuffle.
+    */
+  private def qRedactPii(s: SparkSession, dir: String): DataFrame = {
+    val dirty = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+        lit(" from 10.0."), (col("doc_id") % 200).cast("string"), lit(".77"),
+        lit(" acct 1234567890"), col("doc_id").cast("string")).as("text"))
+    dirty.select(col("doc_id"),
+      graft.ops.TextAnalysis.redactPii(col("text")).as("redacted"))
+  }
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -847,6 +863,7 @@ object SparkEntry {
     "q_decontaminate_filter" -> (qDecontaminateFilter _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_window_frame" -> (qWindowFrame _),
+    "q_redact_pii" -> (qRedactPii _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1291,5 +1308,14 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_redact_pii" ->
+      s"""WITH dirty AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+         |         || ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.77'
+         |         || ' acct 1234567890' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM documents)
+         |SELECT doc_id, ${graft.ops.TextAnalysis.redactPiiSql("text")} AS redacted
+         |FROM dirty""".stripMargin,
   )
 }

@@ -184,4 +184,34 @@ object TextAnalysis {
        |    list_transform(string_split($textExpr, ' '),
        |      w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT))),
        |  (h, x) -> (h * 31 + x) % $FpMod)""".stripMargin.replace("\n", " ")
+
+  // ---- PII redaction ------------------------------------------------
+
+  /** Conservative PII patterns, restricted to syntax that means the
+    * same thing in Java regex (Spark) and RE2 (DuckDB): character
+    * classes, bounded quantifiers, \b. Order matters — emails carry
+    * digits and dots, so they redact before IPs and digit runs.
+    */
+  private val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
+    "[0-9]{10,}" -> "<NUM>")
+
+  /** Redact emails, IPv4 addresses, and 10+-digit runs (account/phone
+    * numbers) — the standard scrub a corpus gets before training
+    * (cf. the public C4/Dolma pipelines). Map-only `regexp_replace`
+    * chain: stays inside whole-stage codegen, composes with pushdown.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
+
+  /** The identical redaction in DuckDB SQL (RE2 needs the 'g' flag for
+    * replace-all; Spark replaces all by default). DuckDB string
+    * literals are standard-conforming — backslashes pass through
+    * verbatim, so the pattern embeds as-is.
+    */
+  def redactPiiSql(textExpr: String): String =
+    PiiPatterns.foldLeft(textExpr) { case (e, (pat, rep)) =>
+      s"regexp_replace($e, '$pat', '$rep', 'g')"
+    }
 }

@@ -369,4 +369,20 @@ class OpsSpec extends SparkSpec {
     // (below minOverlap); 11 none; 13 unshingleable.
     assert(got == Set((10L, 4L, 3L)))
   }
+
+  test("text: redactPii scrubs emails, IPv4, and long digit runs") {
+    val rows = Seq(
+      "mail a.b-c+x@sub.example.org now",
+      "ip 192.168.1.254 and 10.0.0.7 ok",
+      "acct 12345678901 but keep 123456789", // 9 digits stay
+      "v1.2.3.4000 no ip (4000 > 3 digits leaves boundary intact)",
+      "clean text stays clean"
+    ).toDF("text")
+    val got = rows.select(TextAnalysis.redactPii(col("text"))).collect().map(_.getString(0))
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "ip <IP> and <IP> ok")
+    assert(got(2) == "acct <NUM> but keep 123456789")
+    assert(got(3) == "v1.2.3.4000 no ip (4000 > 3 digits leaves boundary intact)")
+    assert(got(4) == "clean text stays clean")
+  }
 }
