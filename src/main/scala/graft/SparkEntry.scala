@@ -804,6 +804,35 @@ object SparkEntry {
       graft.ops.TextAnalysis.redactPii(col("text")).as("redacted"))
   }
 
+  /** Stratified deterministic sampling: downsample the dominant
+    * language, keep more of the rare ones — the corpus-mixing move.
+    * Same stable md5-bucket decision as q_hash_sample; rates compile
+    * to one folded `when`, map-only.
+    */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedHashSample(
+      t(s, dir, "documents").select("doc_id", "lang"),
+      col("doc_id"), col("lang"),
+      Map("en" -> 100, "de" -> 400), defaultPermille = 250)
+
+  /** Global top-20 bigrams: corpus phrase statistics via explode +
+    * hash agg + TakeOrderedAndProject (no global sort).
+    */
+  private def qTopNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.topNgrams(
+      t(s, dir, "documents"), col("text"), n = 2, k = 20)
+
+  /** Left semi join (EXISTS): customers with at least one open-status
+    * order — no right-side columns, no row duplication, the shape a
+    * keep-list membership check takes at scale.
+    */
+  private def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val open = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+    t(s, dir, "customer")
+      .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+  }
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -864,6 +893,9 @@ object SparkEntry {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_window_frame" -> (qWindowFrame _),
     "q_redact_pii" -> (qRedactPii _),
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_top_ngrams" -> (qTopNgrams _),
+    "q_semi_join" -> (qSemiJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1317,5 +1349,18 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, ${graft.ops.TextAnalysis.redactPiiSql("text")} AS redacted
          |FROM dirty""".stripMargin,
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${graft.ops.Sampling.hashBucketSql("doc_id")} <
+         |  CASE lang WHEN 'de' THEN 400 WHEN 'en' THEN 100 ELSE 250 END""".stripMargin,
+    "q_top_ngrams" ->
+      s"""SELECT ngram, count(*) AS n
+         |FROM (SELECT unnest(${graft.ops.Dedup.shinglesSql("text", 2)}) AS ngram
+         |      FROM documents)
+         |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
   )
 }

@@ -32,4 +32,25 @@ object Sampling {
   /** DuckDB mirror of [[hashBucket]]. */
   def hashBucketSql(keyExpr: String): String =
     s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
+
+  /** Stratified deterministic sample: a different permille per stratum
+    * value (e.g. downsample English, keep all of a rare language —
+    * the standard corpus-mixing move). Same stable row-hash decision
+    * as [[hashSample]]; the per-stratum rate compiles into one folded
+    * `when` chain, so the filter stays a map-only codegen predicate.
+    * Strata absent from the map fall back to `defaultPermille`.
+    */
+  def stratifiedHashSample(
+      df: DataFrame, key: Column, strata: Column,
+      permilleByStratum: Map[String, Int], defaultPermille: Int = 0): DataFrame = {
+    (permilleByStratum.values.toSeq :+ defaultPermille).foreach { p =>
+      require(p >= 0 && p <= 1000, s"permille must be in [0,1000], got $p")
+    }
+    // Sorted fold for a deterministic expression tree.
+    val rate = permilleByStratum.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPermille)) { case (acc, (s, p)) =>
+        when(strata === s, lit(p)).otherwise(acc)
+      }
+    df.filter(hashBucket(key) < rate)
+  }
 }

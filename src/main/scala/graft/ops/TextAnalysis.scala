@@ -185,6 +185,20 @@ object TextAnalysis {
        |      w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT))),
        |  (h, x) -> (h * 31 + x) % $FpMod)""".stripMargin.replace("\n", " ")
 
+  /** Global top-k n-grams by frequency — corpus vocabulary/phrase
+    * statistics (the LM-data profiling staple). One explode, one
+    * partial+final hash aggregate, then a top-k that Catalyst executes
+    * as TakeOrderedAndProject (per-partition heaps + driver merge of k
+    * rows — no global sort materializes). Deterministic tie-break on
+    * the n-gram text.
+    */
+  def topNgrams(df: DataFrame, text: Column, n: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(explode(Dedup.shingles(text, n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram")).limit(k)
+  }
+
   // ---- PII redaction ------------------------------------------------
 
   /** Conservative PII patterns, restricted to syntax that means the

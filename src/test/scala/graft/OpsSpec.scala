@@ -370,6 +370,33 @@ class OpsSpec extends SparkSpec {
     assert(got == Set((10L, 4L, 3L)))
   }
 
+  test("sampling: stratified rates apply per stratum, default elsewhere") {
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "xx"))
+      .toDF("id", "lang")
+    val kept = graft.ops.Sampling.stratifiedHashSample(
+      df, col("id"), col("lang"), Map("en" -> 100), defaultPermille = 1000)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("xx") == 1000L) // default 1000 permille keeps all
+    assert(byLang("en") > 50 && byLang("en") < 160) // ~10% of 1000
+    // Determinism: same selection under a different layout.
+    val kept2 = graft.ops.Sampling.stratifiedHashSample(
+      df.repartition(7), col("id"), col("lang"), Map("en" -> 100), defaultPermille = 1000)
+    assert(kept2.select("id").collect().map(_.getLong(0)).toSet ==
+      kept.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("text: topNgrams counts bigrams with deterministic tie-break") {
+    val df = Seq(
+      "a b c", // "a b", "b c"
+      "a b d", // "a b", "b d"
+      "x"      // too short: no bigrams
+    ).toDF("text")
+    val got = TextAnalysis.topNgrams(df, col("text"), n = 2, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a b", 2L), ("b c", 1L))) // tie (1,1) → "b c" < "b d"
+  }
+
   test("text: redactPii scrubs emails, IPv4, and long digit runs") {
     val rows = Seq(
       "mail a.b-c+x@sub.example.org now",
