@@ -90,7 +90,7 @@ object Joins {
       .filter(col("__side") === 1)
     matched.select(
       col("__l.*") +:
-        (payload.map(p => col(s"__m.$p").as(p)) ++
+        (payload.toSeq.map(p => col(s"__m.$p").as(p)) ++
           matchedTimeCol.map(n => col("__m.__rt").as(n)).toSeq): _*)
   }
 
