@@ -88,10 +88,15 @@ object Bench {
     def jnum(v: Double): String = f"$v%.3f"
 
     val probe = {
-      // Latest committed probe artifact (SCALE_PROBE_r{N}.json).
+      // Latest committed probe artifact (SCALE_PROBE_r{N}.json),
+      // newest by NUMERIC round (lexicographic sort puts r9 > r10).
+      val P = "SCALE_PROBE_r(\\d+)\\.json".r
       val fs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("SCALE_PROBE_r\\d+\\.json")).sortBy(_.getName)
-      if (fs.nonEmpty) scala.io.Source.fromFile(fs.last).getLines().mkString(" ").trim
+        .flatMap(f => f.getName match {
+          case P(n) => Some(n.toInt -> f)
+          case _ => None
+        }).sortBy(_._1)
+      if (fs.nonEmpty) scala.io.Source.fromFile(fs.last._2).getLines().mkString(" ").trim
       else "null"
     }
 
@@ -119,7 +124,17 @@ object Bench {
       catch { case _: Throwable => () } // bench result must not die on a doc write
       val top = perQuery.sortBy { case (_, xs) => -median(xs) }.take(10)
         .map { case (n, xs) => s"${jstr(n)}:${jnum(median(xs))}" }.mkString("{", ",", "}")
-      println(s"""{"metric":"total_of_medians","value":${jnum(total)},"unit":"sec","runs":$runs,"passes_completed":${passes.size},"n_queries":${names.size},"pass_totals":$passTotals,"failed":$failed,"sf":"$sfDir","top10":$top,"detail":"docs/BENCH_full_latest.json"}""")
+      // The compact line must survive the driver's 2000-char output
+      // tail even in a MASS-failure run: cap the inlined failure map
+      // at 3 entries + a count (the full map is in the full line and
+      // the persisted file).
+      val failedCompact = {
+        val es = errors.take(3).map { case (k, e) =>
+          s"${jstr(k)}:${jstr(e.take(80))}"
+        }.mkString("{", ",", "}")
+        s""""n_failed":${errors.size},"failed":$es"""
+      }
+      println(s"""{"metric":"total_of_medians","value":${jnum(total)},"unit":"sec","runs":$runs,"passes_completed":${passes.size},"n_queries":${names.size},"pass_totals":$passTotals,$failedCompact,"sf":"$sfDir","top10":$top,"detail":"docs/BENCH_full_latest.json"}""")
       System.out.flush()
     }
 

@@ -42,10 +42,16 @@ object ScaleProbe {
 
   private val HeadlineQueries = Seq(
     "q_block_equi", "q_pairs_assembly", "q_pattern_counts", "q_scoring",
-    "q_ngram_jaccard", "q_minhash_lsh", "q_simhash", "q_dedup_clusters")
+    "q_ngram_jaccard", "q_minhash_lsh", "q_simhash", "q_dedup_clusters",
+    // round-5 operator families (documents/events-based):
+    "q_dedup_best", "q_decontaminate", "q_top_ngrams", "q_sessionize",
+    "q_redact_pii")
 
   private def buildFixture(spark: SparkSession): Unit = {
-    val done = new java.io.File(s"$FixtureDir/_DONE")
+    // Versioned sentinel: bump when the fixture CONTENTS change, or a
+    // dir built by an earlier round silently lacks the new tables
+    // (an unversioned _DONE skipped the events build entirely).
+    val done = new java.io.File(s"$FixtureDir/_DONE_v2_events")
     if (done.exists) return
     val customer = spark.read.parquet(s"$BaseDir/customer.parquet")
     val documents = spark.read.parquet(s"$BaseDir/documents.parquet")
@@ -66,6 +72,17 @@ object ScaleProbe {
               w => concat(w, lit("_"), col("__r").cast("string"))))))
       .drop("__r")
     docAll.write.mode("overwrite").parquet(s"$FixtureDir/documents.parquet")
+    // events: 10 replicas with event_id offset and user_id offset —
+    // the user population grows WITH the data (the correct scaling
+    // story for keyed windows: per-user session state stays bounded).
+    val events = spark.read.parquet(s"$BaseDir/events.parquet")
+    val maxEvent = events.agg(max("event_id")).head.getLong(0) + 1
+    events
+      .withColumn("__r", explode(sequence(lit(0), lit(Replicas - 1))))
+      .withColumn("event_id", col("event_id") + col("__r") * maxEvent)
+      .withColumn("user_id", col("user_id") + col("__r") * 1000000L)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$FixtureDir/events.parquet")
     done.createNewFile()
   }
 
@@ -76,6 +93,10 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.ui.enabled", "false")
+      // Same self-exit guard as Bench/Verify (round-4 exit 56): the
+      // probe is the shuffle-heaviest entry point of the three.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     buildFixture(spark)
@@ -87,12 +108,20 @@ object ScaleProbe {
     // read 29× while its superset q_pairs_assembly read 172× on the
     // same fixture, an ordering artifact, not a plan property. Warm
     // timings make the growth ratio warm-vs-warm at both scales.
+    // Per-query recovery: one failing query must cost its own row,
+    // not the whole probe's output (rows = -1 marks the failure).
     def timeAll(dir: String): Seq[(String, Double, Long)] =
       HeadlineQueries.map { name =>
-        SparkEntry.queries(name)(spark, dir).count()
-        val t0 = System.nanoTime()
-        val rows = SparkEntry.queries(name)(spark, dir).count()
-        (name, (System.nanoTime() - t0) / 1e9, rows)
+        try {
+          SparkEntry.queries(name)(spark, dir).count()
+          val t0 = System.nanoTime()
+          val rows = SparkEntry.queries(name)(spark, dir).count()
+          (name, (System.nanoTime() - t0) / 1e9, rows)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[probe] $name failed in $dir: ${e.getMessage}")
+            (name, -1.0, -1L)
+        }
       }
 
     val base = timeAll(BaseDir)

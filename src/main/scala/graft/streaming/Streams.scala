@@ -38,6 +38,32 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
   }
 
+  /** Gap-based session aggregation with Spark's built-in
+    * `session_window` — the streaming-native form of
+    * `graft.ops.Windows.sessionize` (which is the batch,
+    * oracle-mirrorable lag/cumsum form). Output: one row per
+    * (user_id, session) with the event count and the session's
+    * window bounds. Semantics note: `session_window` merges events
+    * whose gap is STRICTLY LESS than the gap duration (a new session
+    * starts when gap >= gapDuration), while the batch form splits on
+    * gap > maxGap; they agree on every dataset with no gap exactly
+    * equal to the threshold. On a stream, the watermark finalizes and
+    * evicts sessions; state is per live session, bounded.
+    */
+  def sessionWindowCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val timed = withEventTime(events)
+    val maybeWatermarked =
+      if (timed.isStreaming) timed.withWatermark("event_time", watermark) else timed
+    maybeWatermarked
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+  }
+
   /** Streaming deduplication — the incremental form of the exact-dup
     * keep-list (see `graft.ops.Dedup.exactDuplicates`): first
     * occurrence of each key wins, and the WATERMARK BOUNDS THE STATE —

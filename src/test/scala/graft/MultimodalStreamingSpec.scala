@@ -54,6 +54,40 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: session_window — batch result equals Windows.sessionize; stream equals batch") {
+    // events.parquet ts are NANOS; the gap threshold is 30 min. The
+    // built-in session_window splits on gap >= g, the batch lag/cumsum
+    // form on gap > g — they agree unless a fixture gap lands exactly
+    // on the threshold (in which case this set compare would fail).
+    val batchDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val viaSessionize = graft.ops.Windows.sessionSummary(
+        batchDf.select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.expr("ts div 1000").as("t_us")),
+        Seq("user_id"), "t_us", maxGap = 1800000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))) // user, n, t_start
+      .toSet
+    val viaSessionWindow = Streams.sessionWindowCounts(batchDf)
+      .collect().map(r => (r.getLong(0), r.getLong(3),
+        r.getTimestamp(1).getTime * 1000 + r.getTimestamp(1).getNanos / 1000 % 1000))
+      .toSet
+    assert(viaSessionWindow == viaSessionize)
+
+    val stream = MemoryStream[(Long, Long, String)](spark)
+    val streamDf = stream.toDF().toDF("ts", "user_id", "event_type")
+    val q = Streams.sessionWindowCounts(streamDf)
+      .writeStream.format("memory").queryName("sess_out").outputMode("complete").start()
+    try {
+      stream.addData(batchDf.select("ts", "user_id", "event_type")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .collect().map(r => (r.getLong(0), r.getLong(3),
+          r.getTimestamp(1).getTime * 1000 + r.getTimestamp(1).getNanos / 1000 % 1000))
+        .toSet
+      assert(got == viaSessionWindow)
+    } finally q.stop()
+  }
+
   test("streaming: watermark dedup — stream keeps one row per key, equals batch") {
     val stream = MemoryStream[(Long, Long, String)](spark)
     val streamDf = stream.toDF().toDF("ts", "user_id", "event_type")
