@@ -775,6 +775,25 @@ object SparkEntry {
       (abs(approx_count_distinct(col("o_custkey"), 0.01) - countDistinct(col("o_custkey")))
         / countDistinct(col("o_custkey")) < 0.03).as("within_3pct"))
 
+  /** Approx-percentile sketch (Greenwald–Khanna variant) with its
+    * accuracy contract inside the row, like [[qApproxDistinct]]: the
+    * exact percentiles anchor the oracle compare, and the booleans
+    * assert the sketch landed within 1% relative error of them. At
+    * scale the sketch is the only viable path (exact `percentile`
+    * materializes per-group value arrays; the sketch is fixed-size,
+    * mergeable, one pass).
+    */
+  private def qApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ex50 = expr("percentile(l_quantity, 0.5D)")
+    val ex99 = expr("percentile(l_quantity, 0.99D)")
+    val ap50 = expr("approx_percentile(l_quantity, 0.5D, 10000)")
+    val ap99 = expr("approx_percentile(l_quantity, 0.99D, 10000)")
+    t(s, dir, "lineitem").agg(
+      ex50.as("p50_exact"), ex99.as("p99_exact"),
+      (abs(ap50 - ex50) / ex50 <= 0.01).as("p50_within_1pct"),
+      (abs(ap99 - ex99) / ex99 <= 0.01).as("p99_within_1pct"))
+  }
+
   /** Window frame spec (ROWS BETWEEN): rolling min/max/count over the
     * last 3 events per user in event order. Exact (no float sums);
     * keyed partitioning.
@@ -822,6 +841,19 @@ object SparkEntry {
     graft.ops.TextAnalysis.topNgrams(
       t(s, dir, "documents"), col("text"), n = 2, k = 20)
 
+  /** Segment-level dedup (CCNet line dedup): drop segments occurring
+    * in ≥ 300 distinct docs (boilerplate), rebuild each doc from its
+    * surviving segments in original order. The synthetic corpus has
+    * no newlines, so the oracle row segments on spaces — same
+    * explode → distinct-doc count → join-back → ordered-reassembly
+    * plan as line dedup, with the boilerplate threshold separating
+    * the ~30 ubiquitous tokens from rare content.
+    */
+  private def qLineDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.removeFrequentSegments(
+      t(s, dir, "documents"), "doc_id", "text",
+      minDocs = 300, splitRegex = " ", joinStr = " ")
+
   /** Left semi join (EXISTS): customers with at least one open-status
     * order — no right-side columns, no row duplication, the shape a
     * keep-list membership check takes at scale.
@@ -831,6 +863,18 @@ object SparkEntry {
     t(s, dir, "customer")
       .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_mktsegment")
+  }
+
+  /** Bloom-prefiltered semi join: lineitem rows whose order is
+    * urgent-priority. The Bloom pass drops most of the probe side
+    * before the shuffle; the trailing exact semi join keeps the
+    * result identical to the plain EXISTS oracle.
+    */
+  private def qBloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    graft.ops.Joins.bloomSemiJoin(
+      t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
+      urgent, "l_orderkey", "o_orderkey", expectedItems = 1000000L)
   }
 
   def entry(spark: SparkSession): DataFrame =
@@ -891,10 +935,13 @@ object SparkEntry {
     "q_grouped_topk" -> (qGroupedTopK _),
     "q_decontaminate_filter" -> (qDecontaminateFilter _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_approx_quantiles" -> (qApproxQuantiles _),
     "q_window_frame" -> (qWindowFrame _),
     "q_redact_pii" -> (qRedactPii _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_top_ngrams" -> (qTopNgrams _),
+    "q_line_dedup" -> (qLineDedup _),
+    "q_bloom_semi_join" -> (qBloomSemiJoin _),
     "q_semi_join" -> (qSemiJoin _),
   )
 
@@ -1332,6 +1379,11 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT count(DISTINCT o_custkey) AS n_exact, true AS within_3pct
         |FROM orders""".stripMargin,
+    "q_approx_quantiles" ->
+      """SELECT quantile_cont(l_quantity, 0.5) AS p50_exact,
+        |       quantile_cont(l_quantity, 0.99) AS p99_exact,
+        |       true AS p50_within_1pct, true AS p99_within_1pct
+        |FROM lineitem""".stripMargin,
     "q_window_frame" ->
       """SELECT user_id, event_id,
         |       count(*) OVER w AS n_in_frame,
@@ -1362,5 +1414,26 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+    "q_line_dedup" ->
+      """WITH segs AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, ' ')) AS seg,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents
+        |), freq AS (
+        |  SELECT seg FROM segs WHERE length(seg) >= 1
+        |  GROUP BY seg HAVING count(DISTINCT doc_id) >= 300
+        |)
+        |SELECT s.doc_id,
+        |       coalesce(string_agg(CASE WHEN f.seg IS NULL THEN s.seg END,
+        |                           ' ' ORDER BY s.pos), '') AS clean_text,
+        |       count(f.seg) AS n_removed
+        |FROM segs s LEFT JOIN freq f USING (seg)
+        |GROUP BY s.doc_id""".stripMargin,
+    "q_bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey
+        |                AND o_orderpriority = '1-URGENT')""".stripMargin,
   )
 }

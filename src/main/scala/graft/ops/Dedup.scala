@@ -65,6 +65,60 @@ object Dedup {
       .select(col(idCol), col("digest"), (col(idCol) === col("__keep_id")).as("keep"))
   }
 
+  /** Segment-level deduplication (CCNet-style line dedup, Wenzek et
+    * al. 2020): split every document into segments, count in how many
+    * DISTINCT documents each segment occurs, drop segments occurring
+    * in ≥ `minDocs` documents (boilerplate — navigation chrome,
+    * license headers, repeated templates), and reassemble each
+    * document from its surviving segments IN ORIGINAL ORDER. With
+    * `splitRegex = "\n"` this is classic line-level dedup; any
+    * segmentation (sentences, paragraphs) plugs in via the regex.
+    * Segments shorter than `minChars` are never treated as
+    * boilerplate (empty lines / separators stay).
+    *
+    * Output: (idCol, clean_text, n_removed) for every input row.
+    *
+    * Scale shape: posexplode → one hash agg on the segment (the
+    * distinct-doc count is a partial-agg pair on (seg, id) then
+    * (seg)) → join back on the segment → one hash agg on the doc id.
+    * The frequent-segment side is SMALL by construction (only
+    * segments repeated across ≥ minDocs docs), so AQE turns the
+    * join-back into a broadcast at runtime; reassembly sorts each
+    * doc's own segments with `array_sort` inside the aggregate — no
+    * window, no global sort. `collect_list` of one doc's segments is
+    * bounded by that doc's size, the same per-row bound as the text
+    * column itself.
+    */
+  def removeFrequentSegments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Long,
+      splitRegex: String = "\n",
+      joinStr: String = "\n",
+      minChars: Int = 1): DataFrame = {
+    val segs = df
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), splitRegex))
+          .as(Seq("__pos", "__seg")))
+    val frequent = segs
+      .filter(length(col("__seg")) >= minChars)
+      .groupBy("__seg").agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__seg"), lit(true).as("__dup"))
+    // left join + null-mark instead of left_anti: one pass yields both
+    // the surviving segments and the per-doc removed count.
+    segs.join(frequent, Seq("__seg"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(joinStr,
+          transform(
+            array_sort(collect_list(
+              when(col("__dup").isNull, struct(col("__pos"), col("__seg"))))),
+            x => x("__seg"))).as("clean_text"),
+        count(col("__dup")).as("n_removed"))
+  }
+
   /** Word n-gram shingles over a token-array column (n ≥ 1); the empty
     * array when the document has fewer than n tokens. Codegen'd one-
     * pass kernel ([[graft.expr.ShinglesExpr]]); the interpreted HOF

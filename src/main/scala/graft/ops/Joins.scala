@@ -166,4 +166,43 @@ object Joins {
       explode(sequence(lit(0).cast("long"), lit(salts - 1).cast("long"))))
     b.join(s, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Bloom-filter pre-filtered left-semi join: membership of `left`
+    * rows in `right`'s key set, for a right side too large to
+    * broadcast EXACTLY but whose Bloom filter fits on every executor
+    * (1% fpp ≈ 1.2 bytes/key — 100 M keys ≈ 120 MB; an exact
+    * broadcast of the same keys is ~10× that plus hash overhead).
+    *
+    * Result is IDENTICAL to `left SEMI JOIN right` — the Bloom pass
+    * only pre-drops left rows that cannot match (no false negatives),
+    * and the exact semi join afterwards removes the fpp-bounded false
+    * positives. What the filter buys at scale: the big probe side is
+    * cut to ~|matches| BEFORE its shuffle, so the exchange moves the
+    * surviving fraction instead of the full table — the same
+    * runtime-filter idea as Spark's own
+    * `spark.sql.optimizer.runtime.bloomFilter.enabled` (which only
+    * fires on selective non-semi shapes), made explicit and
+    * deterministic here.
+    *
+    * The filter is built with `DataFrameStatFunctions.bloomFilter` (a
+    * treeAggregate over the right side — one pass, driver merge) and
+    * broadcast once. Long keys only: integral join keys are the
+    * common case, and the typed path avoids boxing in the per-row
+    * probe. `expectedItems` sizes the filter — overestimate freely
+    * (memory is linear in it; recall is unaffected).
+    */
+  def bloomSemiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val bf = right.stat.bloomFilter(rightKey, expectedItems, fpp)
+    val bcast = left.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bcast.value.mightContainLong(k))
+    left.filter(mightContain(col(leftKey).cast("long")))
+      .join(right, col(leftKey) === col(rightKey), "left_semi")
+  }
 }

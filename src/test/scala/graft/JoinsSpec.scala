@@ -157,4 +157,19 @@ class JoinsSpec extends SparkSpec {
     val saltedL = Joins.saltedJoin(big, small, Seq("k"), col("id"), salts = 8, "left").count()
     assert(plainL == saltedL && saltedL == 1000L)
   }
+
+  test("bloom semi join equals the exact semi join, null keys never match") {
+    // Probe keys mostly ABSENT from the build side (the case the Bloom
+    // pass exists for) + null keys + dup probe rows (semi keeps both).
+    val left = ((1L to 500L).map(k => (k: java.lang.Long, s"p$k")) ++
+      Seq((null.asInstanceOf[java.lang.Long], "pnull"), (7L: java.lang.Long, "p7b")))
+      .toDF("lk", "payload")
+    val right = Seq(7L, 21L, 400L, 9999L).toDF("rk")
+    val exact = left.join(right, col("lk") === col("rk"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val bloomed = Joins.bloomSemiJoin(left, right, "lk", "rk", expectedItems = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bloomed == exact)
+    assert(exact == Set((7L, "p7"), (7L, "p7b"), (21L, "p21"), (400L, "p400")))
+  }
 }

@@ -397,6 +397,32 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(("a b", 2L), ("b c", 1L))) // tie (1,1) → "b c" < "b d"
   }
 
+  test("dedup: removeFrequentSegments drops boilerplate lines, keeps order") {
+    val lined = Seq(
+      (1L, "COPYRIGHT 2024\nunique alpha content\nfollow us on social"),
+      (2L, "COPYRIGHT 2024\nother beta words\nfollow us on social"),
+      (3L, "COPYRIGHT 2024\nthird gamma text"),
+      (4L, ""), // empty doc: one empty segment, never boilerplate (minChars)
+      (5L, "follow us on social\nzeta first not last") // order check
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeFrequentSegments(lined, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // "COPYRIGHT 2024" (3 docs) and "follow us on social" (3 docs) are
+    // boilerplate at minDocs=2; per-doc unique lines survive in order.
+    assert(out(1L) == (("unique alpha content", 2L)))
+    assert(out(2L) == (("other beta words", 2L)))
+    assert(out(3L) == (("third gamma text", 1L)))
+    assert(out(4L) == (("", 0L)))
+    assert(out(5L) == (("zeta first not last", 1L)))
+
+    // minChars guard: 1-char separators repeated everywhere are kept.
+    val dashed = Seq((1L, "-\na"), (2L, "-\nb"), (3L, "-\nc")).toDF("doc_id", "text")
+    val kept = Dedup.removeFrequentSegments(dashed, "doc_id", "text",
+        minDocs = 2, minChars = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept == Map(1L -> "-\na", 2L -> "-\nb", 3L -> "-\nc"))
+  }
+
   test("text: redactPii scrubs emails, IPv4, and long digit runs") {
     val rows = Seq(
       "mail a.b-c+x@sub.example.org now",
