@@ -337,6 +337,24 @@ object SparkEntry {
         max(col("l_extendedprice")).as("max_price"))
   }
 
+  /** Z-ordered layout roundtrip: lineitem written Morton-interleaved
+    * on (l_orderkey, l_partkey), read back through a conjunctive 2-d
+    * range predicate, aggregated. Equality with the direct oracle
+    * filter proves the layout is semantics-free; the EtlSpec box test
+    * proves it skips files on BOTH columns.
+    */
+  private def qZorderPruned(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_z").toString
+    graft.etl.Etl.writeZOrdered(
+      t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity"),
+      tmp, Seq("l_orderkey", "l_partkey"), nFiles = 16)
+    s.read.parquet(tmp)
+      .filter(col("l_orderkey").between(1000, 3000) &&
+        col("l_partkey").between(100, 900))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_partkey")).as("max_pk"))
+  }
+
   /** JSONL roundtrip: documents → JSON lines on disk → read back with
     * an explicit schema → aggregate; equality with the direct oracle
     * aggregation proves write/read fidelity (escaping, unicode,
@@ -903,6 +921,7 @@ object SparkEntry {
     "q_partitioned_write" -> (qPartitionedWrite _),
     "q_partition_overwrite" -> (qPartitionOverwrite _),
     "q_range_pruned" -> (qRangePruned _),
+    "q_zorder_pruned" -> (qZorderPruned _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_ann_recall" -> (qAnnRecall _),
@@ -1072,6 +1091,11 @@ object SparkEntry {
       """SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
         |       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+    "q_zorder_pruned" ->
+      """SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
+        |       min(l_orderkey) AS min_ok, max(l_partkey) AS max_pk
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+        |  AND l_partkey BETWEEN 100 AND 900""".stripMargin,
     "q_jsonl_roundtrip" ->
       """SELECT count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars

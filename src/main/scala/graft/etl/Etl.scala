@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bulk ETL surface (reference: scratch.R:142-156): TSV → hive-
   * partitioned parquet and parquet-directory table registration, the
@@ -72,6 +73,58 @@ object Etl {
     df.repartitionByRange(nFiles, df(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
+
+  /** Z-ordered (Morton-interleaved) multi-column layout: the
+    * data-skipping generalization of [[writeRangeSorted]] to MORE
+    * THAN ONE predicate column. Each column is normalized to a
+    * `bitsPerCol`-bit rank against its global min/max (one tiny agg),
+    * the ranks are bit-interleaved into a single z-value, and files
+    * are range-partitioned + sorted on it — so every file covers a
+    * small HYPER-RECTANGLE of the value space and a conjunctive
+    * range predicate on ANY subset of the z-columns prunes most
+    * files via parquet min/max footers. A single-column sort gives
+    * perfect pruning on that column and NONE on the others; z-order
+    * trades a bit of the first for coverage of all.
+    *
+    * The z-value is a pure codegen'd bit expression (shift/and/or
+    * terms), used only for layout and dropped before the write — the
+    * stored data is byte-identical to the input rows. Null or
+    * degenerate (min==max) values rank 0. At 100 TB this runs as one
+    * range-exchange over the sampled z-value, the same cost as any
+    * global sort-write.
+    */
+  def writeZOrdered(
+      df: DataFrame, path: String, cols: Seq[String], nFiles: Int,
+      bitsPerCol: Int = 16): Unit = {
+    require(cols.size >= 2, "z-order needs at least two columns")
+    require(cols.size * bitsPerCol <= 62,
+      s"${cols.size} cols x $bitsPerCol bits exceeds a signed long")
+    val aggCols = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val mm = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val maxCode = (1L << bitsPerCol) - 1
+    val codes = cols.zipWithIndex.map { case (c, j) =>
+      if (mm.isNullAt(2 * j)) lit(0L) // all-null column
+      else {
+        val (mn, mx) = (mm.getDouble(2 * j), mm.getDouble(2 * j + 1))
+        if (mx <= mn) lit(0L)
+        else least(lit(maxCode), greatest(lit(0L),
+          ((coalesce(col(c).cast("double"), lit(mn)) - mn) / (mx - mn) * maxCode)
+            .cast("long")))
+      }
+    }
+    val k = cols.size
+    val z = (0 until bitsPerCol).flatMap { i =>
+      codes.zipWithIndex.map { case (code, j) =>
+        shiftleft(shiftright(code, i).bitwiseAND(lit(1L)), i * k + j)
+      }
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** JSON-lines write — the lingua franca of training-data corpora. */
   def writeJsonl(df: DataFrame, path: String): Unit =

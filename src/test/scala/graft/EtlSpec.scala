@@ -67,4 +67,37 @@ class EtlSpec extends SparkSpec {
       s"filter not pushed:\n$plan")
     assert(scan.count() == df.filter(col("k").between(100, 200)).count())
   }
+
+  test("z-ordered write: files cover small 2-d boxes; roundtrip exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_z_spec").toString
+    // 64x64 grid, shuffled ordering — x and y are independent, so a
+    // plain x-sort gives full-range y boxes.
+    val df = (0 until 4096).map { i =>
+      val (x, y) = ((i * 2654435761L % 4096 % 64).toLong, (i * 2654435761L % 4096 / 64).toLong)
+      (x, y, i.toLong)
+    }.toDF("x", "y", "id")
+    Etl.writeZOrdered(df, tmp, Seq("x", "y"), nFiles = 16)
+    // roundtrip: exact same rows
+    assert(spark.read.parquet(tmp).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      == df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // per-file (x,y) bounding boxes: mean area must be far below the
+    // full domain — 16 z-ordered files on a 64x64 grid approximate a
+    // 4x4 tiling (~1/16 of the area each); an x-sorted layout scores
+    // ~1/16 on x but 1.0 on y (~6.25% area floor is impossible there).
+    val boxes = spark.read.parquet(tmp)
+      .select(input_file_name().as("f"), col("x"), col("y"))
+      .groupBy("f").agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .collect().map(r => ((r.getLong(2) - r.getLong(1) + 1) *
+        (r.getLong(4) - r.getLong(3) + 1)).toDouble / (64.0 * 64.0))
+    assert(boxes.length > 4)
+    val meanArea = boxes.sum / boxes.length
+    assert(meanArea < 0.25, s"z-order boxes too large: mean=$meanArea")
+    // pruning evidence: a 2-d range read touches fewer files than exist
+    val touched = spark.read.parquet(tmp)
+      .filter(col("x").between(0, 15) && col("y").between(0, 15))
+      .select(input_file_name()).distinct().count()
+    assert(touched < boxes.length / 2,
+      s"2-d predicate touched $touched of ${boxes.length} files")
+  }
 }
