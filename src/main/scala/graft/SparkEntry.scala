@@ -883,6 +883,17 @@ object SparkEntry {
       .select("c_custkey", "c_mktsegment")
   }
 
+  /** Sequence packing (concat-and-chunk): whitespace token counts,
+    * packed per language shard in doc_id order into 512-token
+    * chunks. Exact integral chunk ids; the oracle casts the DuckDB
+    * window sum back to BIGINT (HUGEINT otherwise).
+    */
+  private def qPackChunks(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+      graft.ops.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+    graft.ops.Windows.packChunks(docs, "lang", "doc_id", "n_tokens", budget = 512L)
+  }
+
   /** Bloom-prefiltered semi join: lineitem rows whose order is
     * urgent-priority. The Bloom pass drops most of the probe side
     * before the shuffle; the trailing exact semi join keeps the
@@ -961,6 +972,7 @@ object SparkEntry {
     "q_top_ngrams" -> (qTopNgrams _),
     "q_line_dedup" -> (qLineDedup _),
     "q_bloom_semi_join" -> (qBloomSemiJoin _),
+    "q_pack_chunks" -> (qPackChunks _),
     "q_semi_join" -> (qSemiJoin _),
   )
 
@@ -1459,5 +1471,21 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_orderkey = l_orderkey
         |                AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_pack_chunks" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), cum AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           - n_tokens AS s_before
+        |  FROM toks
+        |)
+        |SELECT lang, doc_id, n_tokens,
+        |       s_before // 512 AS chunk,
+        |       s_before % 512 AS chunk_offset
+        |FROM cum""".stripMargin,
   )
 }

@@ -56,6 +56,37 @@ object Windows {
     * `row_number` over a keyed window: partial top-k runs map-side
     * inside the window sort's local phase; no global sort.
     */
+  /** Sequence packing (concat-and-chunk): documents are concatenated
+    * in (`shardCol`, `idCol`) order and sliced into fixed
+    * `budget`-token training sequences; each document is labeled with
+    * the `chunk` its first token lands in and its `chunk_offset`
+    * within that chunk. This is the GPT-style packing layout — the
+    * assignment is what a trainer needs to build sequences, and it is
+    * fully deterministic given the ordering.
+    *
+    * Packing is PER SHARD (language, source, date — any key whose
+    * cardinality grows with the corpus): one shuffle on the shard,
+    * one in-partition sort, one running sum. A global (unsharded)
+    * pack would serialize the corpus through a single partition —
+    * the same reason the reference's row_number shapes are keyed
+    * here (SURVEY.md §2.5 W1). Chunk ids are computed with EXACT
+    * integral arithmetic (pmod/decimal division, not double `/`),
+    * so they are stable beyond 2^53 cumulative tokens.
+    */
+  def packChunks(
+      df: DataFrame, shardCol: String, idCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+    val start = (sum(col(tokensCol).cast("long")).over(w) -
+      col(tokensCol).cast("long")).as("__start") // tokens before this doc
+    df.select(col(shardCol), col(idCol), col(tokensCol), start)
+      .select(col(shardCol), col(idCol), col(tokensCol),
+        ((col("__start") - pmod(col("__start"), lit(budget))) / budget)
+          .cast("long").as("chunk"),
+        pmod(col("__start"), lit(budget)).as("chunk_offset"))
+  }
+
   def groupedTopK(df: DataFrame, groupCols: Seq[String], order: Column,
       tiebreak: Seq[Column], k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

@@ -112,4 +112,24 @@ class ExtensionsWindowsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L))
   }
+
+  test("packChunks: chunk = concat position / budget, per shard, exact") {
+    // shard A doc sizes 300, 300, 500 with budget 512:
+    //   doc 1 starts at 0   -> chunk 0, offset 0
+    //   doc 2 starts at 300 -> chunk 0, offset 300
+    //   doc 3 starts at 600 -> chunk 1, offset 88
+    // shard B restarts the concatenation.
+    val docs = Seq(
+      ("A", 1L, 300L), ("A", 2L, 300L), ("A", 3L, 500L),
+      ("B", 9L, 1030L), ("B", 10L, 2L)
+    ).toDF("shard", "doc_id", "n_tokens")
+    val out = graft.ops.Windows.packChunks(docs, "shard", "doc_id", "n_tokens", 512L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(("A", 1L)) == ((0L, 0L)))
+    assert(out(("A", 2L)) == ((0L, 300L)))
+    assert(out(("A", 3L)) == ((1L, 88L)))
+    assert(out(("B", 9L)) == ((0L, 0L)))
+    assert(out(("B", 10L)) == ((2L, 6L))) // 1030 = 2*512 + 6
+  }
 }
