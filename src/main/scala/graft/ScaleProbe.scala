@@ -45,7 +45,7 @@ object ScaleProbe {
     "q_ngram_jaccard", "q_minhash_lsh", "q_simhash", "q_dedup_clusters",
     // round-5 operator families (documents/events-based):
     "q_dedup_best", "q_decontaminate", "q_top_ngrams", "q_sessionize",
-    "q_redact_pii")
+    "q_redact_pii", "q_line_dedup", "q_pack_chunks")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a

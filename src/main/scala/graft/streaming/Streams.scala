@@ -89,6 +89,42 @@ object Streams {
     else timed.dropDuplicates(idCols)
   }
 
+  /** Stream-stream interval join: pairs of left/right events with the
+    * SAME key whose event times differ by at most `band` — the
+    * streaming form of `graft.ops.Joins.bandJoin`. Both sides carry a
+    * watermark, and the time-range join condition is what lets Spark
+    * BOUND the join state: a buffered row is dropped as soon as the
+    * other side's watermark passes its band edge. Without the range
+    * condition (or with `band` >> the watermark) state grows with the
+    * stream — the 100 TB/day failure mode.
+    *
+    * Runs on batch frames unchanged (watermarks are no-ops there), so
+    * the parity test is `intervalJoin(batch, batch) == bandJoin`.
+    * Output: key, left event id/time, right event id/time.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String = "user_id",
+      idCol: String = "event_id",
+      band: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    def side(df: DataFrame, p: String): DataFrame = {
+      val timed = withEventTime(df)
+        .select(col(key).as(s"${p}_key"), col(idCol).as(s"${p}_$idCol"),
+          col("event_time").as(s"${p}_time"))
+      if (timed.isStreaming) timed.withWatermark(s"${p}_time", watermark) else timed
+    }
+    val l = side(left, "l")
+    val r = side(right, "r")
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_time") >= col("l_time") - expr(s"INTERVAL $band") &&
+        col("r_time") <= col("l_time") + expr(s"INTERVAL $band"))
+      .select(col("l_key").as(key), col(s"l_$idCol"), col("l_time"),
+        col(s"r_$idCol"), col("r_time"))
+  }
+
   final case class SessionEvent(user_id: Long, event_time: java.sql.Timestamp)
   final case class SessionUpdate(user_id: Long, n_events: Long, closed: Boolean)
 

@@ -88,6 +88,44 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: interval join — batch equals bandJoin; stream equals batch") {
+    val bandUs = 300000000L // 5 minutes in micros
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("user_id") % 17 === 0) // keep the self-join pair count sane
+      .select("ts", "user_id", "event_id")
+
+    // batch parity vs the exact integral band join on micros
+    val viaBand = {
+      val us = ev.select(col("user_id"), col("event_id"), expr("ts div 1000").as("t_us"))
+      val l = us.toDF("u", "lid", "lt")
+      val r = us.toDF("u2", "rid", "rt")
+      graft.ops.Joins.bandJoin(l, r, Seq(("u", "u2")), "lt", "rt", bandUs)
+        .select("u", "lid", "rid")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    }
+    val viaInterval = Streams.intervalJoin(ev, ev)
+      .select("user_id", "l_event_id", "r_event_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(viaInterval == viaBand && viaBand.nonEmpty)
+
+    // stream-stream: inner join emits eagerly; after draining, equals batch
+    val ls = MemoryStream[(Long, Long, Long)](spark)
+    val rs = MemoryStream[(Long, Long, Long)](spark)
+    val q = Streams.intervalJoin(
+        ls.toDF().toDF("ts", "user_id", "event_id"),
+        rs.toDF().toDF("ts", "user_id", "event_id"))
+      .writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      val rows = ev.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      ls.addData(rows.toIndexedSeq)
+      rs.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("ij_out").select("user_id", "l_event_id", "r_event_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got == viaBand)
+    } finally q.stop()
+  }
+
   test("streaming: watermark dedup — stream keeps one row per key, equals batch") {
     val stream = MemoryStream[(Long, Long, String)](spark)
     val streamDf = stream.toDF().toDF("ts", "user_id", "event_type")
