@@ -883,6 +883,53 @@ object SparkEntry {
       .select("c_custkey", "c_mktsegment")
   }
 
+  /** Pivot wider (the complement of the `stack` pivot_longer row):
+    * per-user event-type counts as columns. With the value domain
+    * given explicitly, Catalyst plans ONE hash aggregation with five
+    * conditional counts — no extra shuffle, no domain-discovery scan
+    * (omitting the values list costs a distinct pass first).
+    */
+  private def qPivotWider(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = t(s, dir, "events").groupBy("user_id")
+      .pivot("event_type", types).agg(count(lit(1)))
+    // pivot yields null for absent cells; the relational spelling is 0
+    p.select(col("user_id") +: types.map(tp =>
+      coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+  }
+
+  /** Schema-evolution roundtrip: half the corpus written WITHOUT the
+    * lang column (an old writer), half with it, read back through
+    * footer-merging into the superset schema — old rows read lang as
+    * null. Aggregates prove both halves and the null semantics.
+    */
+  private def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val docs = t(s, dir, "documents")
+    docs.filter(col("doc_id") % 2 === 0).select("doc_id", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/v=1")
+    docs.filter(col("doc_id") % 2 === 1).select("doc_id", "n_chars", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/v=2")
+    graft.etl.Etl.readMergedSchema(s, tmp)
+      .agg(count(lit(1)).as("n"), count(col("lang")).as("n_lang"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** Compaction roundtrip: documents scattered across 32 small files,
+    * compacted (shuffle-free coalesce) to 4, aggregated — equality
+    * with the direct oracle proves the rewrite is lossless; EtlSpec
+    * asserts the file count.
+    */
+  private def qCompact(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    t(s, dir, "documents").repartition(32)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    graft.etl.Etl.compact(s, s"$tmp/in", s"$tmp/out", targetFiles = 4)
+    s.read.parquet(s"$tmp/out")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"), sum(length(col("text"))).as("sum_chars"))
+  }
+
   /** Sequence packing (concat-and-chunk): whitespace token counts,
     * packed per language shard in doc_id order into 512-token
     * chunks. Exact integral chunk ids; the oracle casts the DuckDB
@@ -973,6 +1020,9 @@ object SparkEntry {
     "q_line_dedup" -> (qLineDedup _),
     "q_bloom_semi_join" -> (qBloomSemiJoin _),
     "q_pack_chunks" -> (qPackChunks _),
+    "q_pivot_wider" -> (qPivotWider _),
+    "q_schema_evolution" -> (qSchemaEvolution _),
+    "q_compact" -> (qCompact _),
     "q_semi_join" -> (qSemiJoin _),
   )
 
@@ -1471,6 +1521,23 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_orderkey = l_orderkey
         |                AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_pivot_wider" ->
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+        |       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+        |       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_schema_evolution" ->
+      """SELECT count(*) AS n,
+        |       count(CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_lang,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
+    "q_compact" ->
+      """SELECT count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
     "q_pack_chunks" ->
       """WITH toks AS (
         |  SELECT lang, doc_id,

@@ -126,6 +126,32 @@ object Etl {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Schema-evolution scan: merge the footers of every file under
+    * `path` into one superset schema (columns added by later writers
+    * read as null in older files). Footer merging is a file-listing
+    * cost, not a data cost — but it reads one footer per file, so at
+    * 100 TB turn it ON only for tables that actually evolved (the
+    * default parquet read takes one file's schema for free).
+    */
+  def readMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * `targetFiles` files. The bane of long-lived corpora — every
+    * incremental append leaves file counts growing until listing +
+    * per-file open dominates scan time. `coalesce` merges WITHOUT a
+    * shuffle (each output task concatenates whole input partitions);
+    * set `rebalance = true` to pay one round-robin shuffle when the
+    * inputs are so skewed that concatenation would leave uneven
+    * files. Data is byte-identical either way.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFiles: Int, rebalance: Boolean = false): Unit = {
+    val df = spark.read.parquet(inPath)
+    val sized = if (rebalance) df.repartition(targetFiles) else df.coalesce(targetFiles)
+    sized.write.mode("overwrite").parquet(outPath)
+  }
+
   /** JSON-lines write — the lingua franca of training-data corpora. */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

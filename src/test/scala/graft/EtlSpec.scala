@@ -100,4 +100,21 @@ class EtlSpec extends SparkSpec {
     assert(touched < boxes.length / 2,
       s"2-d predicate touched $touched of ${boxes.length} files")
   }
+
+  test("compact: shrinks the file count, keeps every row byte-identical") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cmp_spec").toString
+    val df = (1L to 2000L).map(i => (i, s"row_$i")).toDF("id", "payload")
+    df.repartition(37).write.parquet(s"$tmp/in")
+    def nFiles(p: String) = new java.io.File(p).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nFiles(s"$tmp/in") == 37)
+    Etl.compact(spark, s"$tmp/in", s"$tmp/out", targetFiles = 3)
+    assert(nFiles(s"$tmp/out") == 3)
+    assert(spark.read.parquet(s"$tmp/out").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == df.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // rebalance path: same rows, evenly sized files
+    Etl.compact(spark, s"$tmp/in", s"$tmp/out2", targetFiles = 3, rebalance = true)
+    assert(nFiles(s"$tmp/out2") == 3)
+    assert(spark.read.parquet(s"$tmp/out2").count() == 2000L)
+  }
 }
