@@ -883,6 +883,28 @@ object SparkEntry {
       .select("c_custkey", "c_mktsegment")
   }
 
+  /** Set-valued aggregation: per-user distinct event types, emitted
+    * as a canonical comma-joined sorted string so the hash compare is
+    * engine-neutral (array orderings differ; strings don't).
+    * `collect_set` is a hash-agg with map-side partials — the
+    * distinct happens inside the aggregate buffer, not via a
+    * pre-shuffle `distinct`.
+    */
+  private def qCollectSet(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy("user_id")
+      .agg(concat_ws(",", array_sort(collect_set(col("event_type"))))
+        .as("event_types"))
+
+  /** Schema'd JSON extraction from a string column (`from_json`, not
+    * a per-path `get_json_object` scan — one parse yields every
+    * field, codegen'd, malformed rows read null). Row-level output so
+    * the hash compare covers every value.
+    */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("event_id"),
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))("k").as("k"))
+
   /** Pivot wider (the complement of the `stack` pivot_longer row):
     * per-user event-type counts as columns. With the value domain
     * given explicitly, Catalyst plans ONE hash aggregation with five
@@ -1021,6 +1043,8 @@ object SparkEntry {
     "q_bloom_semi_join" -> (qBloomSemiJoin _),
     "q_pack_chunks" -> (qPackChunks _),
     "q_pivot_wider" -> (qPivotWider _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_collect_set" -> (qCollectSet _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_compact" -> (qCompact _),
     "q_semi_join" -> (qSemiJoin _),
@@ -1521,6 +1545,15 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_orderkey = l_orderkey
         |                AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_collect_set" ->
+      """SELECT user_id,
+        |       array_to_string(list(DISTINCT event_type ORDER BY event_type), ',')
+        |         AS event_types
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
     "q_pivot_wider" ->
       """SELECT user_id,
         |       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
