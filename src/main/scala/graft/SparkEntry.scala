@@ -895,6 +895,19 @@ object SparkEntry {
       .agg(concat_ws(",", array_sort(collect_set(col("event_type"))))
         .as("event_types"))
 
+  /** PageRank over the bipartite customer→order graph (order ids
+    * negated into their own node space). Iterative float fixpoint —
+    * not oracle-SQL-expressible bit-exactly, so this row takes the
+    * driver's rows-only check; ClustersSpec pins the algorithm to an
+    * independent scalar power iteration. 5 rounds, each one hash join
+    * + one hash agg on the node id.
+    */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.pageRank(
+      t(s, dir, "orders").select(col("o_custkey").as("src"),
+        (-col("o_orderkey")).as("dst")),
+      iterations = 5)
+
   /** Schema'd JSON extraction from a string column (`from_json`, not
     * a per-path `get_json_object` scan — one parse yields every
     * field, codegen'd, malformed rows read null). Row-level output so
@@ -1045,6 +1058,7 @@ object SparkEntry {
     "q_pivot_wider" -> (qPivotWider _),
     "q_json_extract" -> (qJsonExtract _),
     "q_collect_set" -> (qCollectSet _),
+    "q_pagerank" -> (qPageRank _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_compact" -> (qCompact _),
     "q_semi_join" -> (qSemiJoin _),

@@ -75,4 +75,25 @@ class ClustersSpec extends SparkSpec {
       (4L, 4L, false), (5L, 4L, true),
       (6L, 6L, true)))
   }
+
+  test("pageRank: matches the reference power iteration, conserves mass") {
+    // golden values from an independent scalar implementation of the
+    // same conventions (start 1.0/node, dangling mass redistributed,
+    // base = (1-d) + d*dangling/N), 10 iterations, d = 0.85.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (3L, 5L))
+      .toDF("src", "dst")
+    val got = graft.ops.Graphs.pageRank(edges, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Map(1L -> 1.071555, 2L -> 0.784614, 3L -> 1.740958,
+      4L -> 0.331318, 5L -> 1.071555)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (n, w) =>
+      assert(math.abs(got(n) - w) < 1e-5, s"node $n: got ${got(n)}, want $w") }
+    assert(math.abs(got.values.sum - 5.0) < 1e-9) // rank mass conserved
+    // duplicate edges collapse by default
+    val dup = graft.ops.Graphs.pageRank(
+      edges.union(edges), iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    want.foreach { case (n, w) => assert(math.abs(dup(n) - w) < 1e-5) }
+  }
 }
