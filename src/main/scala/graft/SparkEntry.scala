@@ -895,6 +895,33 @@ object SparkEntry {
       .agg(concat_ws(",", array_sort(collect_set(col("event_type"))))
         .as("event_types"))
 
+  /** Per-language quality cutoff: percent_rank of document length
+    * within each language shard, keep the bottom half — the
+    * per-stratum-threshold filter every quality pipeline needs
+    * (a GLOBAL rank would both skew against verbose languages and
+    * serialize into one partition; the keyed window does neither).
+    * percent_rank = (rank-1)/(n-1): one integer division, exact and
+    * engine-identical given identical tie groups.
+    */
+  private def qQualityCutoff(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("n_chars")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        percent_rank().over(w).as("pr"))
+      .filter(col("pr") <= 0.5)
+  }
+
+  /** Fixed-width histogram of the event value: exact floor-division
+    * bucketing (one hash agg, map-side combine) with per-bucket
+    * min/max — no float sums, engine-identical doubles.
+    */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(floor(col("value") / 25).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("value").as("min_v"), max("value").as("max_v"))
+
   /** PageRank over the bipartite customer→order graph (order ids
     * negated into their own node space). Iterative float fixpoint —
     * not oracle-SQL-expressible bit-exactly, so this row takes the
@@ -1059,6 +1086,8 @@ object SparkEntry {
     "q_json_extract" -> (qJsonExtract _),
     "q_collect_set" -> (qCollectSet _),
     "q_pagerank" -> (qPageRank _),
+    "q_quality_cutoff" -> (qQualityCutoff _),
+    "q_histogram" -> (qHistogram _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_compact" -> (qCompact _),
     "q_semi_join" -> (qSemiJoin _),
@@ -1564,6 +1593,16 @@ object SparkEntry {
         |       array_to_string(list(DISTINCT event_type ORDER BY event_type), ',')
         |         AS event_types
         |FROM events GROUP BY user_id""".stripMargin,
+    "q_quality_cutoff" ->
+      """SELECT doc_id, lang, n_chars, pr FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+        |  FROM documents)
+        |WHERE pr <= 0.5""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 25) AS BIGINT) AS bucket, count(*) AS n,
+        |       min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
