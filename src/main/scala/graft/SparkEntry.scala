@@ -923,17 +923,59 @@ object SparkEntry {
         min("value").as("min_v"), max("value").as("max_v"))
 
   /** PageRank over the bipartite customer→order graph (order ids
-    * negated into their own node space). Iterative float fixpoint —
-    * not oracle-SQL-expressible bit-exactly, so this row takes the
-    * driver's rows-only check; ClustersSpec pins the algorithm to an
-    * independent scalar power iteration. 5 rounds, each one hash join
-    * + one hash agg on the node id.
+    * negated into their own node space), in EXACT scaled-integer
+    * arithmetic (BIGINT micro-rank units): integer sums are
+    * order-independent, so a DuckDB chained-CTE mirror of the same
+    * update rule hashes bit-identically — this is a full
+    * rows+schema+hash oracle row, not a rows-only check. 5 rounds,
+    * each ONE job: one hash join + one hash agg on the node id plus a
+    * broadcast 1-row dangling-mass fold (no per-round driver action).
+    * ClustersSpec additionally pins the float variant to an
+    * independent scalar power iteration.
     */
   private def qPageRank(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Graphs.pageRank(
+    graft.ops.Graphs.pageRankExact(
       t(s, dir, "orders").select(col("o_custkey").as("src"),
         (-col("o_orderkey")).as("dst")),
       iterations = 5)
+
+  /** DuckDB mirror of [[graft.ops.Graphs.pageRankExact]]: the same
+    * integer update rule unrolled as a chained-CTE round per
+    * iteration (`//` is DuckDB integral division ≡ Spark `div` on
+    * these non-negative operands; sums promote to HUGEINT and are
+    * cast back to BIGINT after the final division, which is lossless
+    * because the true value fits long by construction).
+    */
+  private def pageRankOracle(iterations: Int): String = {
+    val (dampNum, dampDen, scale) = (85L, 100L, 1000000L)
+    val base = ((dampDen - dampNum) * scale) / dampDen
+    val rounds = (0 until iterations).map { i =>
+      s"""r${i + 1} AS (
+         |  SELECT nd.id,
+         |    CAST($base + ($dampNum * (COALESCE(inb.v, 0) + dang.d // nn.n)) // $dampDen AS BIGINT) AS rank,
+         |    nd.deg
+         |  FROM nd
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r$i.rank // r$i.deg) AS v
+         |    FROM edges e JOIN r$i ON e.src = r$i.id
+         |    GROUP BY e.dst
+         |  ) inb ON nd.id = inb.id
+         |  CROSS JOIN (SELECT COALESCE(sum(rank), 0) AS d FROM r$i WHERE deg IS NULL) dang
+         |  CROSS JOIN (SELECT count(*) AS n FROM nd) nn
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey AS src, -o_orderkey AS dst FROM orders
+       |),
+       |nodes AS (
+       |  SELECT src AS id FROM edges UNION SELECT dst FROM edges
+       |),
+       |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+       |nd AS (SELECT n.id, d.deg FROM nodes n LEFT JOIN deg d ON n.id = d.id),
+       |r0 AS (SELECT id, CAST($scale AS BIGINT) AS rank, deg FROM nd),
+       |$rounds
+       |SELECT id, rank FROM r$iterations""".stripMargin
+  }
 
   /** Schema'd JSON extraction from a string column (`from_json`, not
     * a per-path `get_json_object` scan — one parse yields every
@@ -1603,6 +1645,7 @@ object SparkEntry {
       """SELECT CAST(floor(value / 25) AS BIGINT) AS bucket, count(*) AS n,
         |       min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
+    "q_pagerank" -> pageRankOracle(5),
     "q_json_extract" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

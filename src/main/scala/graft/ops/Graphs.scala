@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative link-analysis over edge lists — the second graph
@@ -9,14 +9,51 @@ import org.apache.spark.sql.functions._
   * hyperlink graphs feeding quality-weighted sampling.
   *
   * Same execution discipline as [[Clusters]]: the driver loops over
-  * ROUNDS (fixed, small), never over edges; every round is two hash
-  * shuffles on the node id (a join edges⋈ranks and a groupBy-sum —
-  * both partition on the same key, so the exchange is reused); each
-  * round `localCheckpoint`s to keep the lineage flat. At 100 TB the
-  * per-round cost is one hash join + one hash aggregate over the edge
-  * list — the canonical Spark iterative-algorithm shape.
+  * ROUNDS (fixed, small), never over edges; every round is ONE job —
+  * one hash join edges⋈ranks, one groupBy-sum (both partition on the
+  * node id, so the exchange is reused), and a broadcast 1-row
+  * dangling-mass aggregate folded in via cross join, all materialized
+  * by the round's single `localCheckpoint`. No separate driver action
+  * per round: the out-degree is joined ONCE before the loop and
+  * carried inside the rank table, so the dangling sum is a filter+agg
+  * over the checkpointed ranks, not a second evaluation of the join.
   */
 object Graphs {
+
+  /** Normalizes an edge list to `(src, dst)`, optionally deduped, and
+    * returns (edges, nodes-with-degree, node count). Shared by the
+    * float and exact-integer iterations. `__deg` is NULL for dangling
+    * nodes (no out-edges) — carried inside the rank table so each
+    * round can compute the dangling mass without re-joining.
+    */
+  private def prepare(edges: DataFrame, dedupEdges: Boolean): (DataFrame, DataFrame, Long) = {
+    val cols = edges.columns
+    val e0 = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+    val e = (if (dedupEdges) e0.distinct() else e0).localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+    val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("__deg"))
+    val nodesDeg = nodes.join(outDeg, Seq("id"), "left").localCheckpoint(true)
+    (e, nodesDeg, nodesDeg.count())
+  }
+
+  /** One rank update round, shared shape for both arithmetics:
+    * ranks carries (id, rank, __deg); `update` builds the new rank
+    * from (`__in` nullable inbound sum, `__dang` 1-row dangling sum).
+    */
+  private def round(e: DataFrame, ranks: DataFrame, share: Column, zero: Column,
+      update: Column): DataFrame = {
+    val dang = ranks.filter(col("__deg").isNull)
+      .agg(coalesce(sum("rank"), zero).as("__dang"))
+    val contribs = e.join(ranks.filter(col("__deg").isNotNull), e("src") === ranks("id"))
+      .groupBy(e("dst").as("id")).agg(sum(share).as("__in"))
+    ranks.select("id", "__deg")
+      .join(contribs, Seq("id"), "left")
+      .crossJoin(dang) // 1 row — broadcast nested loop, no shuffle
+      .select(col("id"), update.as("rank"), col("__deg"))
+      .localCheckpoint(true)
+  }
 
   /** PageRank with uniform teleport over an UNWEIGHTED directed edge
     * list `(src, dst)`. Returns `(id, rank)` for every node appearing
@@ -28,7 +65,7 @@ object Graphs {
     * each round — without that term the total rank leaks and
     * comparisons across graphs are meaningless. Duplicate edges count
     * once (`distinct`): the common corpus-graph convention; pass a
-    * pre-weighted multi-edge variant through `distinct = false` if
+    * pre-weighted multi-edge variant through `dedupEdges = false` if
     * multiplicity should weight the walk.
     */
   def pageRank(
@@ -38,33 +75,59 @@ object Graphs {
       dedupEdges: Boolean = true): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val cols = edges.columns
-    val e0 = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
-    val e = (if (dedupEdges) e0.distinct() else e0).localCheckpoint(true)
-
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
-    val nNodes = nodes.count()
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
-
-    var ranks = nodes.select(col("id"), lit(1.0).as("rank"))
+    val (e, nodesDeg, nNodes) = prepare(edges, dedupEdges)
+    var ranks = nodesDeg.select(col("id"), lit(1.0).as("rank"), col("__deg"))
     for (_ <- 1 to iterations) {
-      val withDeg = ranks.join(outDeg, ranks("id") === outDeg("src"), "left")
-      // mass each node sends per out-edge; dangling nodes send nothing
-      // via edges — their total is collected and spread uniformly.
-      val contribPerEdge = withDeg.select(col("id"),
-        (col("rank") / col("__deg")).as("__share"), col("__deg"))
-      val danglingMass = withDeg.filter(col("__deg").isNull)
-        .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
-      val inbound = e.join(contribPerEdge, e("src") === contribPerEdge("id"))
-        .groupBy(col("dst").as("id")).agg(sum("__share").as("__in"))
-      val base = (1.0 - damping) + damping * danglingMass / nNodes
-      ranks = nodes.join(inbound, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+      // same association order as the scalar reference implementation:
+      // ((1-d) + d*dang/N) + d*inbound
+      val update = (lit(1.0 - damping) +
+        lit(damping) * col("__dang") / lit(nNodes.toDouble)) +
+        lit(damping) * coalesce(col("__in"), lit(0.0))
+      ranks = round(e, ranks, col("rank") / col("__deg"), lit(0.0), update)
     }
-    ranks
+    ranks.select("id", "rank")
+  }
+
+  /** PageRank in EXACT scaled-integer arithmetic: ranks are BIGINT
+    * micro-units (`scale` per 1.0), damping is the rational
+    * `dampNum/dampDen`, and every division is integral floor division
+    * (operands are non-negative, so truncation == floor). Integer
+    * sums are order-independent, so the result is bit-identical on
+    * ANY engine that implements the same update rule — which is what
+    * makes this variant DuckDB-oracle-checkable (a chained-CTE mirror
+    * hashes equal), unlike the float fixpoint whose sums depend on
+    * partitioning.
+    *
+    * Update rule, applied in this exact order (all `div` integral):
+    * {{{
+    *   share(src)  = rank div __deg                  (per out-edge)
+    *   inbound(id) = sum(shares over in-edges)       (0 if none)
+    *   dang        = sum(rank over dangling nodes)
+    *   rank'       = ((dampDen-dampNum)*scale) div dampDen
+    *                 + (dampNum * (inbound + dang div N)) div dampDen
+    * }}}
+    * Truncation loses < 1 micro-unit per term per round — fine for
+    * ranking/sampling use; use [[pageRank]] when float precision
+    * matters more than cross-engine exactness.
+    */
+  def pageRankExact(
+      edges: DataFrame,
+      iterations: Int = 5,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L,
+      scale: Long = 1000000L,
+      dedupEdges: Boolean = true): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val (e, nodesDeg, nNodes) = prepare(edges, dedupEdges)
+    val base = ((dampDen - dampNum) * scale) / dampDen // exact: driver long div
+    var ranks = nodesDeg.select(col("id"), lit(scale).as("rank"), col("__deg"))
+    for (_ <- 1 to iterations) {
+      val update = expr(
+        s"${base}L + (${dampNum}L * (coalesce(__in, 0L) + __dang div ${nNodes}L)) div ${dampDen}L")
+      ranks = round(e, ranks, expr("rank div __deg"), lit(0L), update)
+    }
+    ranks.select("id", "rank")
   }
 }

@@ -186,10 +186,14 @@ object Joins {
     *
     * The filter is built with `DataFrameStatFunctions.bloomFilter` (a
     * treeAggregate over the right side — one pass, driver merge) and
-    * broadcast once. Long keys only: integral join keys are the
-    * common case, and the typed path avoids boxing in the per-row
-    * probe. `expectedItems` sizes the filter — overestimate freely
-    * (memory is linear in it; recall is unaffected).
+    * broadcast once. Integral keys probe via the typed
+    * `mightContainLong` path (no boxing in the per-row probe); string
+    * keys via `mightContainString` — the same byte encoding
+    * `stat.bloomFilter` inserts, so no false negatives either way.
+    * Other key types are rejected up front: a silent wrong-typed
+    * probe would drop every row. `expectedItems` sizes the filter —
+    * overestimate freely (memory is linear in it; recall is
+    * unaffected).
     */
   def bloomSemiJoin(
       left: DataFrame,
@@ -198,11 +202,26 @@ object Joins {
       rightKey: String,
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, StringType}
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    val lType = left.schema(leftKey).dataType
+    val rType = right.schema(rightKey).dataType
+    require((integral(lType) && integral(rType)) || (lType == StringType && rType == StringType),
+      s"bloomSemiJoin needs both keys integral or both string, got $lType / $rType")
     val bf = right.stat.bloomFilter(rightKey, expectedItems, fpp)
     val bcast = left.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bcast.value.mightContainLong(k))
-    left.filter(mightContain(col(leftKey).cast("long")))
+    val probe =
+      if (integral(lType)) {
+        val mightContain = udf((k: java.lang.Long) =>
+          k != null && bcast.value.mightContainLong(k))
+        mightContain(col(leftKey).cast("long"))
+      } else {
+        val mightContain = udf((k: String) =>
+          k != null && bcast.value.mightContainString(k))
+        mightContain(col(leftKey))
+      }
+    left.filter(probe)
       .join(right, col(leftKey) === col(rightKey), "left_semi")
   }
 }

@@ -51,11 +51,6 @@ object Windows {
         min(col(timeCol)).as("t_start"),
         max(col(timeCol)).as("t_end"))
 
-  /** Top-k rows per group by `order` (desc), ties broken by the
-    * caller's `tiebreak` columns so results are deterministic.
-    * `row_number` over a keyed window: partial top-k runs map-side
-    * inside the window sort's local phase; no global sort.
-    */
   /** Sequence packing (concat-and-chunk): documents are concatenated
     * in (`shardCol`, `idCol`) order and sliced into fixed
     * `budget`-token training sequences; each document is labeled with
@@ -80,13 +75,23 @@ object Windows {
     val w = Window.partitionBy(shardCol).orderBy(idCol)
     val start = (sum(col(tokensCol).cast("long")).over(w) -
       col(tokensCol).cast("long")).as("__start") // tokens before this doc
+    // Same exact floor-div shape as Joins.bandJoin: the numerator is an
+    // exact multiple of budget, decimal division is exact, and the long
+    // cast is lossless — Column `/` on longs is DOUBLE division, which
+    // rounds past 2^53 cumulative tokens and can put a chunk id off by
+    // one for non-power-of-two budgets.
     df.select(col(shardCol), col(idCol), col(tokensCol), start)
       .select(col(shardCol), col(idCol), col(tokensCol),
-        ((col("__start") - pmod(col("__start"), lit(budget))) / budget)
-          .cast("long").as("chunk"),
+        ((col("__start") - pmod(col("__start"), lit(budget))).cast("decimal(38,0)") /
+          lit(budget)).cast("long").as("chunk"),
         pmod(col("__start"), lit(budget)).as("chunk_offset"))
   }
 
+  /** Top-k rows per group by `order` (desc), ties broken by the
+    * caller's `tiebreak` columns so results are deterministic.
+    * `row_number` over a keyed window: partial top-k runs map-side
+    * inside the window sort's local phase; no global sort.
+    */
   def groupedTopK(df: DataFrame, groupCols: Seq[String], order: Column,
       tiebreak: Seq[Column], k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

@@ -96,4 +96,75 @@ class ClustersSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     want.foreach { case (n, w) => assert(math.abs(dup(n) - w) < 1e-5) }
   }
+
+  test("pageRankExact: matches an independent scalar integer iteration") {
+    // Same toy graph; expected values from a driver-side simulation of
+    // the documented update rule (all divisions integral floor-div on
+    // non-negative operands — bit-exact, no tolerance needed).
+    val edgeList = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (3L, 5L))
+    val (scale, dampNum, dampDen, iters) = (1000000L, 85L, 100L, 5)
+    val out = edgeList.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct
+    val n = nodes.size.toLong
+    val base = ((dampDen - dampNum) * scale) / dampDen
+    var rank = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(out.contains).map(rank).sum
+      val inbound = edgeList.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / out(s).size }.sum).toMap
+      rank = nodes.map(nd =>
+        nd -> (base + (dampNum * (inbound.getOrElse(nd, 0L) + dang / n)) / dampDen)).toMap
+    }
+    val got = graft.ops.Graphs.pageRankExact(edgeList.toDF("src", "dst"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == rank)
+    // float and exact variants agree to within integer truncation loss
+    val flt = graft.ops.Graphs.pageRank(edgeList.toDF("src", "dst"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rank.foreach { case (nd, micro) =>
+      assert(math.abs(micro.toDouble / scale - flt(nd)) < 1e-4) }
+  }
+
+  test("pageRank rounds: single action per round, no per-round driver sync") {
+    // Round-structure regression for the round-5 verdict finding: a
+    // separate danglingMass `.head` per round both blocked the driver
+    // and forced a second evaluation of the ranks⋈outDeg join. The
+    // fixed shape has exactly ONE action per round (the round's
+    // localCheckpoint); AQE then splits that action into one job per
+    // materialized stage, which is fine — what must NOT appear is any
+    // `head`/`collect` callsite from Graphs, and the per-round job
+    // count must stay bounded by the round's fixed stage structure.
+    val edges = (1L to 200L).map(i => (i % 20, i % 13)).toDF("src", "dst")
+    def run(iters: Int): (Int, Seq[String]) = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet()
+          sites.add(Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse(""))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        graft.ops.Graphs.pageRankExact(edges, iterations = iters).count()
+        // listener delivery is async: poll until the count is stable
+        var (prev, stable) = (-1, 0)
+        while (stable < 3) {
+          Thread.sleep(100)
+          val cur = counter.get()
+          if (cur == prev) stable += 1 else { prev = cur; stable = 0 }
+        }
+        import scala.jdk.CollectionConverters._
+        (counter.get(), sites.asScala.toSeq)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (jobs2, sites2) = run(2)
+    val (jobs4, sites4) = run(4)
+    val badSites = (sites2 ++ sites4).filter(s =>
+      (s.startsWith("head") || s.startsWith("collect")) && s.contains("Graphs"))
+    assert(badSites.isEmpty, s"per-round driver action reappeared: $badSites")
+    val perRound = (jobs4 - jobs2) / 2.0
+    assert(perRound <= 8.0, s"PageRank round stage structure grew: $perRound jobs/round")
+  }
 }

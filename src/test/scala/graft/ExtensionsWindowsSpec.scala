@@ -132,4 +132,24 @@ class ExtensionsWindowsSpec extends SparkSpec {
     assert(out(("B", 9L)) == ((0L, 0L)))
     assert(out(("B", 10L)) == ((2L, 6L))) // 1030 = 2*512 + 6
   }
+
+  test("packChunks: chunk ids exact past 2^53 cumulative tokens") {
+    // Mirror of JoinsSpec's 2^63-scale bandJoin bin test. doc 2 starts
+    // at 9.1e18 tokens; with budget 997 the chunk-id numerator
+    // 9099999999999999049 is not representable as a double (ulp at this
+    // magnitude is 1024), and double division truncates to
+    // 9127382146439316 — one below the exact 9127382146439317. The
+    // decimal floor-div must get it right.
+    val start2 = 9100000000000000000L
+    val budget = 997L
+    val docs = Seq(("A", 1L, start2), ("A", 2L, 41L)).toDF("shard", "doc_id", "n_tokens")
+    val out = graft.ops.Windows.packChunks(docs, "shard", "doc_id", "n_tokens", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(("A", 1L)) == ((0L, 0L)))
+    val expOffset = start2 % budget              // 951
+    val expChunk = (start2 - expOffset) / budget // 9127382146439317 (exact long math)
+    assert(expChunk == 9127382146439317L)
+    assert(out(("A", 2L)) == ((expChunk, expOffset)))
+  }
 }

@@ -172,4 +172,21 @@ class JoinsSpec extends SparkSpec {
     assert(bloomed == exact)
     assert(exact == Set((7L, "p7"), (7L, "p7b"), (21L, "p21"), (400L, "p400")))
   }
+
+  test("bloom semi join: string keys probe correctly (not silently empty)") {
+    val left = ((1 to 300).map(i => (s"key_$i", i)) ++ Seq((null.asInstanceOf[String], -1)))
+      .toDF("lk", "id")
+    val right = Seq("key_7", "key_211", "key_300", "absent").toDF("rk")
+    val exact = left.join(right, col("lk") === col("rk"), "left_semi")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val bloomed = Joins.bloomSemiJoin(left, right, "lk", "rk", expectedItems = 50L)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(bloomed == exact)
+    assert(exact == Set(("key_7", 7), ("key_211", 211), ("key_300", 300)))
+    // Mixed key types are rejected up front rather than returning empty.
+    val thrown = intercept[IllegalArgumentException] {
+      Joins.bloomSemiJoin(left, Seq(1L).toDF("rk"), "lk", "rk", expectedItems = 10L)
+    }
+    assert(thrown.getMessage.contains("integral or both string"))
+  }
 }
