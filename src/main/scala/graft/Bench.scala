@@ -26,6 +26,11 @@ import org.apache.spark.sql.SparkSession
   * (total, pass totals, failures, top-10 medians) that fits the
   * driver's 2000-char output tail — the full line alone never fit, so
   * rounds 1–4 recorded `parsed: null`.
+  *
+  * Trend: the previous `docs/BENCH_full_latest.json` is read before
+  * being overwritten; per-query medians that moved >1.5× either way
+  * are attributed inline (`deltas`, capped at 5) next to `prev_total`
+  * in the compact line.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -100,6 +105,36 @@ object Bench {
       else "null"
     }
 
+    // Previous round's per-query medians (docs/BENCH_full_latest.json
+    // before this run overwrites it) → regressions/speedups >1.5× are
+    // attributed inline in the compact line, so no external diffing is
+    // needed to see WHAT moved round-over-round. json4s ships with
+    // Spark; parse failures (first round, schema change) degrade to no
+    // trend, never a bench failure.
+    val (prevQueries, prevTotal): (Map[String, Double], Option[Double]) = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("docs/BENCH_full_latest.json")))
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(txt)
+      def num(v: JValue): Option[Double] = v match {
+        case JDouble(d) => Some(d)
+        case JInt(i) => Some(i.toDouble)
+        case JDecimal(d) => Some(d.toDouble)
+        case _ => None
+      }
+      // a prev run at a DIFFERENT scale factor is not a trend baseline
+      val sameSf = (j \ "sf") match {
+        case JString(s) => s == sfDir
+        case _ => false
+      }
+      val qs = (j \ "queries") match {
+        case JObject(fields) if sameSf =>
+          fields.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
+        case _ => Map.empty[String, Double]
+      }
+      (qs, if (sameSf) num(j \ "value") else None)
+    } catch { case _: Throwable => (Map.empty, None) }
+
     // The driver keeps only the LAST 2000 chars of output (measured:
     // every BENCH_r*.json tail is exactly 2000), so the full per-query
     // line — ~4 KB at 40 queries — always lost its leading
@@ -124,6 +159,20 @@ object Bench {
       catch { case _: Throwable => () } // bench result must not die on a doc write
       val top = perQuery.sortBy { case (_, xs) => -median(xs) }.take(10)
         .map { case (n, xs) => s"${jstr(n)}:${jnum(median(xs))}" }.mkString("{", ",", "}")
+      // Round-over-round deltas: queries whose median moved >1.5×
+      // either way vs the previous persisted bench, ignoring sub-150ms
+      // medians on both sides (VM noise swings tiny queries wildly).
+      // Capped at 5 entries (largest movement first) to keep the
+      // compact line inside the driver's tail window.
+      val deltas = perQuery.flatMap { case (n, xs) =>
+        val cur = median(xs)
+        prevQueries.get(n).collect {
+          case p if math.max(p, cur) > 0.15 && p > 0 &&
+            (cur / p > 1.5 || p / cur > 1.5) => (n, cur / p)
+        }
+      }.sortBy { case (_, r) => -math.abs(math.log(r)) }.take(5)
+        .map { case (n, r) => s"${jstr(n)}:${jstr(f"$r%.2fx")}" }.mkString("{", ",", "}")
+      val trend = prevTotal.fold("")(p => s""","prev_total":${jnum(p)},"deltas":$deltas""")
       // The compact line must survive the driver's 2000-char output
       // tail even in a MASS-failure run: cap the inlined failure map
       // at 3 entries + a count (the full map is in the full line and
@@ -134,7 +183,7 @@ object Bench {
         }.mkString("{", ",", "}")
         s""""n_failed":${errors.size},"failed":$es"""
       }
-      println(s"""{"metric":"total_of_medians","value":${jnum(total)},"unit":"sec","runs":$runs,"passes_completed":${passes.size},"n_queries":${names.size},"pass_totals":$passTotals,$failedCompact,"sf":"$sfDir","top10":$top,"detail":"docs/BENCH_full_latest.json"}""")
+      println(s"""{"metric":"total_of_medians","value":${jnum(total)},"unit":"sec","runs":$runs,"passes_completed":${passes.size},"n_queries":${names.size},"pass_totals":$passTotals,$failedCompact,"sf":"$sfDir","top10":$top$trend,"detail":"docs/BENCH_full_latest.json"}""")
       System.out.flush()
     }
 

@@ -144,12 +144,63 @@ object Etl {
     * set `rebalance = true` to pay one round-robin shuffle when the
     * inputs are so skewed that concatenation would leave uneven
     * files. Data is byte-identical either way.
+    *
+    * Hive-partitioned input MUST pass `partitionCols`: the layout is
+    * then preserved (`targetFiles` becomes files PER PARTITION — one
+    * hash shuffle on the partition columns, full parallelism across
+    * partitions, each output task writes whole partition dirs).
+    * Without `partitionCols` a partitioned input is REFUSED rather
+    * than silently flattened — a flat rewrite would read partition
+    * dirs as data columns and destroy both the layout and every
+    * downstream partition-pruned scan.
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
-      targetFiles: Int, rebalance: Boolean = false): Unit = {
+      targetFiles: Int, rebalance: Boolean = false,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val looksPartitioned = Option(new java.io.File(inPath).listFiles())
+      .exists(_.exists(f => f.isDirectory && f.getName.contains("=")))
+    require(partitionCols.nonEmpty || !looksPartitioned,
+      s"$inPath is hive-partitioned; pass partitionCols to preserve the layout " +
+        "(a flat compact would silently destroy partition pruning)")
     val df = spark.read.parquet(inPath)
-    val sized = if (rebalance) df.repartition(targetFiles) else df.coalesce(targetFiles)
-    sized.write.mode("overwrite").parquet(outPath)
+    if (partitionCols.isEmpty) {
+      val sized = if (rebalance) df.repartition(targetFiles) else df.coalesce(targetFiles)
+      sized.write.mode("overwrite").parquet(outPath)
+    } else {
+      val parts = partitionCols.map(col)
+      // Hash-cluster rows so each hive partition lands in at most
+      // `targetFiles` write tasks (exactly 1 when targetFiles == 1);
+      // the deterministic row-hash salt splits big partitions without
+      // a nondeterministic round-robin.
+      val sized =
+        if (targetFiles <= 1) df.repartition(parts: _*)
+        else df.repartition(
+          parts :+ pmod(hash(df.columns.map(col): _*), lit(targetFiles)): _*)
+      sized.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outPath)
+    }
+  }
+
+  /** In-place compaction of a SINGLE hive partition: reads just that
+    * partition (partition-pruned scan), coalesces to `targetFiles`,
+    * and dynamic-overwrites ONLY that directory — sibling partitions
+    * are not read, not rewritten, not touched. This is the rolling
+    * maintenance shape for a 100 TB table: compact yesterday's
+    * partition without a full-table rewrite. The `localCheckpoint`
+    * materializes the partition's rows before the write so the read
+    * path and the overwrite path never overlap.
+    */
+  def compactPartition(spark: SparkSession, path: String,
+      partitionSpec: Seq[(String, String)], targetFiles: Int): Unit = {
+    require(partitionSpec.nonEmpty, "compactPartition needs a partition spec")
+    val pred = partitionSpec.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+    spark.read.parquet(path).filter(pred)
+      .coalesce(targetFiles)
+      .localCheckpoint(true)
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionSpec.map(_._1): _*)
+      .mode("overwrite")
+      .parquet(path)
   }
 
   /** JSON-lines write — the lingua franca of training-data corpora. */

@@ -12,11 +12,12 @@ import org.apache.spark.sql.types._
   * partition, library handles per-record work, output is a typed
   * schema Catalyst can keep optimizing after.
   *
-  * The actual codec call is STUBBED (no image/audio libraries in this
-  * environment): [[FakeCodec]] is a deterministic stand-in with the
-  * same signature a real decoder would have. The Spark-side plumbing —
-  * schema, partitioning, batch iteration, feature schema — is real and
-  * oracle-tested via [[mediaStats]].
+  * Image payloads decode through [[ImageCodec]] — the JDK's built-in
+  * `javax.imageio` (PNG/BMP/GIF/JPEG readers ship with every JDK; zero
+  * added dependencies). Non-image payloads (and the text-fixture path)
+  * go through [[FakeCodec]], a deterministic stand-in with the same
+  * signature. The Spark-side plumbing — schema, partitioning, batch
+  * iteration, feature schema — is oracle-tested via [[mediaStats]].
   */
 object Multimodal {
 
@@ -27,16 +28,57 @@ object Multimodal {
   final case class MediaFeatures(
       id: Long, byteLen: Int, width: Int, height: Int, features: Array[Float])
 
-  /** === STUB ===
-    * Deterministic fake decoder standing in for an image/audio codec
-    * (`???` boundary: replace body with e.g. javax.imageio / ffmpeg
-    * bindings in a real deployment — signature stays identical).
-    * "Dimensions" are derived from payload length, "features" are a
+  /** Real image decoder on the JDK's `javax.imageio`: width, height,
+    * and a [[FeatureDim]]-bin normalized luminance histogram. Integer
+    * BT.601 luma weights (299/587/114 over 1000) keep binning
+    * bit-deterministic across platforms. Returns None for payloads no
+    * installed reader accepts (truncated/corrupt/unknown format) —
+    * callers map that to a sentinel row rather than dropping the
+    * record, so a bad file in a 100 TB corpus is visible, not silent.
+    *
+    * `ImageIO.setUseCache(false)` keeps per-record decodes in-heap
+    * (the default spills every stream to a temp FILE — a per-record
+    * disk write on the executor's hot path).
+    */
+  object ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false)
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      Option(img).map { im =>
+        val (w, h) = (im.getWidth, im.getHeight)
+        val hist = new Array[Float](FeatureDim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum * FeatureDim / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        var j = 0; while (j < FeatureDim) { hist(j) /= n; j += 1 }
+        (w, h, hist)
+      }
+    }
+  }
+
+  /** Shared feature vector width for both codecs. */
+  val FeatureDim = 16
+
+  /** Deterministic fake decoder for NON-image payloads (the text
+    * fixture path, and any mime with no installed reader):
+    * "dimensions" derive from payload length, "features" are a
     * fixed-size byte histogram — deterministic, so tests can assert
     * exact values end-to-end through the mapPartitions plumbing.
     */
   object FakeCodec {
-    val FeatureDim = 16
+    val FeatureDim = Multimodal.FeatureDim
     def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
       val n = payload.length
       val width = math.max(1, n % 1024)
@@ -67,12 +109,21 @@ object Multimodal {
     * processed streaming (no per-partition materialization), output
     * typed. This is the stage shape that scales: decode parallelism ==
     * partition count, no driver involvement, constant memory.
+    *
+    * Dispatch is per-record on mime: `image/&#42;` decodes through the
+    * real [[ImageCodec]]; an image payload NO reader accepts yields
+    * the sentinel `(width, height) = (-1, -1)` with zero features
+    * (visible downstream, never silently faked); anything else takes
+    * the deterministic [[FakeCodec]] text path.
     */
   def decodeFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     records.mapPartitions { it =>
       it.map { r =>
-        val (w, h, f) = FakeCodec.decode(r.media)
+        val (w, h, f) =
+          if (r.mime.startsWith("image/"))
+            ImageCodec.decode(r.media).getOrElse((-1, -1, new Array[Float](FeatureDim)))
+          else FakeCodec.decode(r.media)
         MediaFeatures(r.id, r.media.length, w, h, f)
       }
     }

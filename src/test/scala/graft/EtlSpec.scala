@@ -117,4 +117,60 @@ class EtlSpec extends SparkSpec {
     assert(nFiles(s"$tmp/out2") == 3)
     assert(spark.read.parquet(s"$tmp/out2").count() == 2000L)
   }
+
+  test("compact: hive-partitioned input preserves layout; flat compact refused") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cmp_part").toString
+    val df = (1L to 3000L).map(i => (i % 3, i, s"row_$i")).toDF("p", "id", "payload")
+    df.repartition(20).write.partitionBy("p").parquet(s"$tmp/in")
+    def partFiles(root: String, p: Long) =
+      Option(new java.io.File(s"$root/p=$p").listFiles).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+    assert((0L to 2L).forall(p => partFiles(s"$tmp/in", p).size > 3))
+    // without partitionCols: hard refusal, not a silent flatten
+    val err = intercept[IllegalArgumentException] {
+      Etl.compact(spark, s"$tmp/in", s"$tmp/flat", targetFiles = 1)
+    }
+    assert(err.getMessage.contains("hive-partitioned"))
+    // with partitionCols: layout preserved, one file per partition
+    Etl.compact(spark, s"$tmp/in", s"$tmp/out", targetFiles = 1, partitionCols = Seq("p"))
+    (0L to 2L).foreach { p =>
+      assert(partFiles(s"$tmp/out", p).size == 1, s"partition p=$p not compacted to 1 file")
+    }
+    val want = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // hive partition values read back type-inferred (int) — normalize
+    val got = spark.read.parquet(s"$tmp/out")
+      .select(col("p").cast("long"), col("id"), col("payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want)
+    // targetFiles > 1: per-partition file count bounded by it
+    Etl.compact(spark, s"$tmp/in", s"$tmp/out4", targetFiles = 4, partitionCols = Seq("p"))
+    (0L to 2L).foreach { p =>
+      val n = partFiles(s"$tmp/out4", p).size
+      assert(n >= 1 && n <= 4, s"partition p=$p has $n files, want 1..4")
+    }
+  }
+
+  test("compactPartition: rewrites ONE partition in place, siblings byte-identical") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cmp_inplace").toString
+    val tmp = s"$root/t"
+    val df = (1L to 3000L).map(i => (i % 3, i, s"row_$i")).toDF("p", "id", "payload")
+    df.repartition(20).write.partitionBy("p").parquet(tmp)
+    def partFiles(p: Long) = Option(new java.io.File(s"$tmp/p=$p").listFiles).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def bytes(fs: Seq[java.io.File]) =
+      fs.map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    val sib1Before = bytes(partFiles(1L))
+    val sib2Before = bytes(partFiles(2L))
+    assert(partFiles(0L).size > 3)
+    Etl.compactPartition(spark, tmp, Seq("p" -> "0"), targetFiles = 1)
+    assert(partFiles(0L).size == 1, "target partition not compacted")
+    // siblings: same files, same bytes — never read, never rewritten
+    assert(bytes(partFiles(1L)) == sib1Before)
+    assert(bytes(partFiles(2L)) == sib2Before)
+    // table contents unchanged (partition values read back int — normalize)
+    val got = spark.read.parquet(tmp)
+      .select(col("p").cast("long"), col("id"), col("payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet)
+  }
 }

@@ -27,6 +27,42 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(again(0).features.toSeq == feats(0).features.toSeq)
   }
 
+  test("multimodal: real PNGs decode through ImageCodec end-to-end") {
+    // Deterministic fixtures written by the JDK's own encoder: ImageIO
+    // ships PNG read AND write, so the whole decode path is real — no
+    // canned binary blobs, no external libraries.
+    def png(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    // 4×2: left half black (lum 0 → bin 0), right half white (lum 255
+    // → bin 15). 3×1 mid-gray 0x808080: lum 128 → bin 8.
+    val bw = png(4, 2)((x, _) => if (x < 2) 0x000000 else 0xffffff)
+    val gray = png(3, 1)((_, _) => 0x808080)
+    val records = Seq(
+      Multimodal.MediaRecord(1L, bw, "image/png", Map("name" -> "bw")),
+      Multimodal.MediaRecord(2L, gray, "image/png", Map("name" -> "gray")),
+      Multimodal.MediaRecord(3L, Array[Byte](1, 2, 3), "image/png", Map.empty), // corrupt
+      Multimodal.MediaRecord(4L, "plain text".getBytes("UTF-8"), "text/plain", Map.empty)
+    ).toDS()
+    val feats = Multimodal.decodeFeatures(records).collect().sortBy(_.id)
+    assert(feats(0).width == 4 && feats(0).height == 2)
+    assert(feats(0).features(0) == 0.5f && feats(0).features(15) == 0.5f)
+    assert(feats(0).features.sum == 1.0f)
+    assert(feats(1).width == 3 && feats(1).height == 1)
+    assert(feats(1).features(8) == 1.0f)
+    // corrupt image payload → visible sentinel, not a fake decode
+    assert(feats(2).width == -1 && feats(2).height == -1)
+    assert(feats(2).features.forall(_ == 0f) && feats(2).byteLen == 3)
+    // non-image mime still takes the deterministic text path
+    assert(feats(3).width >= 1 && feats(3).byteLen == 10)
+    assert(math.abs(feats(3).features.sum - 1.0f) < 1e-5)
+  }
+
   test("multimodal: mediaStats digest matches md5 of the text bytes") {
     val docs = Seq((1L, "abc")).toDF("doc_id", "text")
     val r = Multimodal.mediaStats(docs, "doc_id", "text").head
