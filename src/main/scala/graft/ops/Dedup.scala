@@ -264,6 +264,49 @@ object Dedup {
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
   }
 
+  /** Edit-distance near-duplicate pairs: candidates from a character
+    * q-gram inverted index (only pairs sharing ≥ 1 q-gram are ever
+    * materialized — never the cross product), verified with the exact
+    * Levenshtein distance. Output `(id_a, id_b, dist)`, id_a < id_b,
+    * dist ≤ maxDist. The canonical fuzzy-key join for catalog /
+    * entity-name dedup where token-level Jaccard is too coarse.
+    *
+    * RECALL CONTRACT: one edit destroys at most q of a string's
+    * `L − q + 1` q-grams, so a pair at distance k still shares
+    * ≥ `L − q + 1 − k·q` grams of the shorter side; candidates have
+    * FULL recall whenever that bound is ≥ 1 (q=3, k=1 needs L ≥ 6;
+    * q=3, k=2 needs L ≥ 9). Below that, or with `maxGramFreq`
+    * dropping hot grams, recall is best-effort (same documented trade
+    * as [[ngramJaccardPairsExact]]).
+    *
+    * Scale shape: the index join emits f² rows per shared gram — cap
+    * stop-grams with `maxGramFreq` on big corpora; the Levenshtein
+    * verify runs only on surviving DISTINCT candidate pairs.
+    */
+  def editDistanceNearDups(
+      df: DataFrame, idCol: String, strCol: String, maxDist: Int,
+      q: Int = 3, maxGramFreq: Option[Long] = None): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(q >= 2, s"q must be >= 2, got $q")
+    val base = df
+      .select(col(idCol).as("id"), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull && length(col("__s")) >= q)
+    val grams = expr(s"transform(sequence(1, length(__s) - ${q - 1}), i -> substring(__s, i, $q))")
+    val idx = invertedIndex(
+        base.select(col("id"), grams.as("__g")), "id", col("__g"), maxGramFreq)
+      .toDF("id", "gram")
+    val cand = idx.toDF("id_a", "gram")
+      .join(idx.toDF("id_b", "gram"), Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.toDF("id_a", "__sa"), Seq("id_a"))
+      .join(base.toDF("id_b", "__sb"), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** LSH candidate-recall at similarity `j` for (rowsPerBand, bands):
     * 1 − (1 − j^r)^b — the probability a pair with Jaccard j collides
     * in at least one band.

@@ -87,6 +87,43 @@ object Windows {
         pmod(col("__start"), lit(budget)).as("chunk_offset"))
   }
 
+  /** Ordered event funnel: how many users complete each prefix of
+    * `stages` IN ORDER (stage k counts users with a stage-k event
+    * strictly after their earliest stage-(k−1) completion time —
+    * the standard product-analytics conversion funnel). Returns one
+    * row per stage: `(stage, stage_idx, n_users)`.
+    *
+    * Shape: one filtered groupBy(min) per stage plus a per-user
+    * equi-join against the previous stage's completion times — every
+    * shuffle is keyed by the user, so the plan is a chain of
+    * same-key hash joins/aggs that scales with users × stages, never
+    * a window over the whole event stream. The K single-row counts
+    * union into ONE plan (one action).
+    */
+  def funnel(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val completions: Seq[DataFrame] = stages.zipWithIndex
+      .foldLeft(Vector.empty[DataFrame]) { case (acc, (stage, i)) =>
+        val events = df.filter(col(typeCol) === stage)
+          .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+        val stageTimes =
+          if (i == 0)
+            events.groupBy("__u").agg(min(col("__ts")).as("__t"))
+          else {
+            val prev = acc.last.select(col("__u"), col("__t").as("__tprev"))
+            events.join(prev, Seq("__u"))
+              .filter(col("__ts") > col("__tprev"))
+              .groupBy("__u").agg(min(col("__ts")).as("__t"))
+          }
+        acc :+ stageTimes
+      }
+    completions.zip(stages.zipWithIndex).map { case (c, (stage, i)) =>
+      c.agg(count(lit(1)).as("n_users"))
+        .select(lit(stage).as("stage"), lit(i).as("stage_idx"), col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Top-k rows per group by `order` (desc), ties broken by the
     * caller's `tiebreak` columns so results are deterministic.
     * `row_number` over a keyed window: partial top-k runs map-side

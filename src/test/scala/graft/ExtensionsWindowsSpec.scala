@@ -133,6 +133,30 @@ class ExtensionsWindowsSpec extends SparkSpec {
     assert(out(("B", 10L)) == ((2L, 6L))) // 1030 = 2*512 + 6
   }
 
+  test("funnel: stages count only in-order completions") {
+    // user 1: view(10) -> click(20) -> purchase(30): completes all 3.
+    // user 2: click(5) BEFORE view(10), clicks again(15): view->click ok,
+    //         purchase(12) sits between view and click -> NOT counted.
+    // user 3: view only.
+    // user 4: purchase/click but never a view -> counted nowhere.
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "purchase", 12L), (2L, "click", 15L),
+      (3L, "view", 99L),
+      (4L, "click", 1L), (4L, "purchase", 2L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.ops.Windows.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set(("view", 0, 3L), ("click", 1, 2L), ("purchase", 2, 1L)))
+    // ties are NOT conversions: stage k must be strictly after k-1
+    val tie = Seq((9L, "view", 10L), (9L, "click", 10L)).toDF("user_id", "event_type", "ts")
+    val got2 = graft.ops.Windows.funnel(tie, "user_id", "event_type", "ts",
+        Seq("view", "click"))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(got2 == Set(("view", 1L), ("click", 0L)))
+  }
+
   test("packChunks: chunk ids exact past 2^53 cumulative tokens") {
     // Mirror of JoinsSpec's 2^63-scale bandJoin bin test. doc 2 starts
     // at 9.1e18 tokens; with budget 997 the chunk-id numerator

@@ -423,6 +423,43 @@ class OpsSpec extends SparkSpec {
     assert(kept == Map(1L -> "-\na", 2L -> "-\nb", 3L -> "-\nc"))
   }
 
+  test("dedup: editDistanceNearDups equals brute force within the recall bound") {
+    // all strings length >= 6 -> full recall for q=3, maxDist=1;
+    // length >= 9 -> full recall for maxDist=2.
+    val rows = Seq(
+      (1L, "cold plate"), (2L, "old plate"),  // d=1
+      (3L, "cold plates"),                    // d=1 of 1, d=2 of 2
+      (4L, "gold plate"),                     // d=1 of 1/2-ish
+      (5L, "anvil press"), (6L, "anvil dress"), // d=1
+      (7L, "completely different")
+    ).toDF("id", "s")
+    val got = graft.ops.Dedup.editDistanceNearDups(rows, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same rows
+    val strs = Seq(1L -> "cold plate", 2L -> "old plate", 3L -> "cold plates",
+      4L -> "gold plate", 5L -> "anvil press", 6L -> "anvil dress",
+      7L -> "completely different")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+      d = lev(sa, sb) if d <= 2
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == want && want.nonEmpty)
+    // hot-gram cap: stop-gram "ate" is droppable without losing the
+    // pairs that also share rare grams
+    val capped = graft.ops.Dedup.editDistanceNearDups(rows, "id", "s", maxDist = 2,
+      maxGramFreq = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped.subsetOf(want))
+  }
+
   test("text: redactPii scrubs emails, IPv4, and long digit runs") {
     val rows = Seq(
       "mail a.b-c+x@sub.example.org now",
