@@ -45,13 +45,16 @@ object ScaleProbe {
     "q_ngram_jaccard", "q_minhash_lsh", "q_simhash", "q_dedup_clusters",
     // round-5 operator families (documents/events-based):
     "q_dedup_best", "q_decontaminate", "q_top_ngrams", "q_sessionize",
-    "q_redact_pii", "q_line_dedup", "q_pack_chunks")
+    "q_redact_pii", "q_line_dedup", "q_pack_chunks",
+    // round-6: iterative graph rounds (orders-based, 10 disjoint
+    // replica components — linear growth expected) + event funnel.
+    "q_pagerank", "q_funnel")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a
     // dir built by an earlier round silently lacks the new tables
     // (an unversioned _DONE skipped the events build entirely).
-    val done = new java.io.File(s"$FixtureDir/_DONE_v2_events")
+    val done = new java.io.File(s"$FixtureDir/_DONE_v3_orders")
     if (done.exists) return
     val customer = spark.read.parquet(s"$BaseDir/customer.parquet")
     val documents = spark.read.parquet(s"$BaseDir/documents.parquet")
@@ -83,6 +86,18 @@ object ScaleProbe {
       .withColumn("user_id", col("user_id") + col("__r") * 1000000L)
       .drop("__r")
       .write.mode("overwrite").parquet(s"$FixtureDir/events.parquet")
+    // orders: 10 replicas with both keys offset — the pagerank graph
+    // becomes 10 disjoint components (nodes and edges ×10), so the
+    // per-round join+agg should scale LINEARLY; superlinear growth
+    // here would flag a round-structure regression.
+    val orders = spark.read.parquet(s"$BaseDir/orders.parquet")
+    val maxOrder = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+    orders
+      .withColumn("__r", explode(sequence(lit(0), lit(Replicas - 1))))
+      .withColumn("o_orderkey", col("o_orderkey") + col("__r") * maxOrder)
+      .withColumn("o_custkey", col("o_custkey") + col("__r") * 1000000L)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$FixtureDir/orders.parquet")
     done.createNewFile()
   }
 

@@ -1008,6 +1008,39 @@ object SparkEntry {
        |SELECT id, rank FROM r$iterations""".stripMargin
   }
 
+  /** Partition-scoped upsert roundtrip: orders written partitioned by
+    * priority, then a deterministic update batch (every 97th key gets
+    * a new totalprice) plus an insert batch (every 101st key re-keyed
+    * past the max) merged in via
+    * [[graft.etl.Etl.upsertPartitioned]] — only touched partitions
+    * rewritten. The readback aggregate (counts + key sums per
+    * priority) equals the oracle's relational expectation of the
+    * merge, proving replace/insert/keep semantics end-to-end through
+    * the filesystem.
+    */
+  private def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("ups")
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    // fresh base each run: the query must be idempotent across passes
+    graft.etl.Etl.writePartitioned(orders, tmp, Seq("o_orderpriority"))
+    val maxKey = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+    val updates = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val inserts = orders.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + maxKey)
+    graft.etl.Etl.upsertPartitioned(s, tmp, updates.unionByName(inserts),
+      Seq("o_orderkey"), Seq("o_orderpriority"))
+    graft.etl.Etl.readPartitioned(s, tmp)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("sum_key"),
+        // per-row floor is exact on both engines; the BIGINT sum then
+        // proves the +1000 price REPLACEMENT landed (not just the keys)
+        sum(floor(col("o_totalprice")).cast("long")).as("sum_floor_price"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+  }
+
   /** Edit-distance near-dup pairs over the distinct part-name
     * vocabulary: q-gram inverted-index candidates + exact Levenshtein
     * verify ([[graft.ops.Dedup.editDistanceNearDups]]). With q=3 and
@@ -1184,6 +1217,7 @@ object SparkEntry {
     "q_pagerank" -> (qPageRank _),
     "q_edit_distance" -> (qEditDistance _),
     "q_funnel" -> (qFunnel _),
+    "q_upsert" -> (qUpsert _),
     "q_quality_cutoff" -> (qQualityCutoff _),
     "q_histogram" -> (qHistogram _),
     "q_schema_evolution" -> (qSchemaEvolution _),
@@ -1705,6 +1739,22 @@ object SparkEntry {
         |       min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
     "q_pagerank" -> pageRankOracle(5),
+    "q_upsert" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice + 1000
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+        |         o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_floor_price,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged GROUP BY o_orderpriority""".stripMargin,
     "q_edit_distance" ->
       """WITH names AS (SELECT DISTINCT p_name FROM part)
         |SELECT a.p_name AS name_a, b.p_name AS name_b,

@@ -203,6 +203,55 @@ object Etl {
       .parquet(path)
   }
 
+  /** Key-based incremental merge ("upsert") into a FLAT parquet table:
+    * same-key rows are replaced by `updates`, new keys append. A full
+    * rewrite — the honest MERGE shape without a table format; use
+    * [[upsertPartitioned]] to rewrite only touched partitions of a
+    * hive layout. The merge is one anti-join + union; the
+    * `localCheckpoint` materializes the result before the overwrite so
+    * the read and write paths never overlap.
+    */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "upsert needs key columns")
+    val current = spark.read.parquet(path)
+    val survivors = current.join(
+      updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+    survivors.unionByName(updates.select(current.columns.map(col): _*))
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Partition-scoped upsert into a hive-partitioned table: only the
+    * partitions PRESENT IN `updates` are read (broadcast semi join on
+    * the partition columns — dynamic partition pruning keeps untouched
+    * partitions out of the scan), merged with the updates by key, and
+    * dynamic-overwritten; sibling partitions are never read or
+    * rewritten. This is the 100 TB maintenance shape: merging a day's
+    * corrections rewrites one day's partitions, not the table.
+    *
+    * CONTRACT: a key's partition value must be stable across the merge
+    * (or its old partition must also appear in `updates`) — a key that
+    * silently moves partitions would leave its old copy behind.
+    */
+  def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], partitionCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "upsertPartitioned needs key columns")
+    require(partitionCols.nonEmpty, "upsertPartitioned needs partition columns")
+    val current = spark.read.parquet(path)
+    val touchedParts = updates.select(partitionCols.map(col): _*).distinct()
+    val touched = current.join(broadcast(touchedParts), partitionCols, "left_semi")
+    val survivors = touched.join(
+      updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+    survivors.unionByName(updates.select(current.columns.map(col): _*))
+      .localCheckpoint(true)
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
   /** JSON-lines write — the lingua franca of training-data corpora. */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

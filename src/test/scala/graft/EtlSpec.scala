@@ -150,6 +150,40 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("upsertPartitioned: replace + insert by key, untouched partition byte-identical") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ups").toString
+    val tmp = s"$root/t"
+    val base = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0),
+      ("b", 3L, 30.0), ("b", 4L, 40.0),
+      ("c", 5L, 50.0)
+    ).toDF("p", "k", "v")
+    base.write.partitionBy("p").parquet(tmp)
+    def files(p: String) = Option(new java.io.File(s"$tmp/p=$p").listFiles).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def bytes(fs: Seq[java.io.File]) =
+      fs.map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    val cBefore = bytes(files("c"))
+    // update k=2 (partition a), insert k=9 (partition b); c untouched
+    val updates = Seq(("a", 2L, 99.0), ("b", 9L, 90.0)).toDF("p", "k", "v")
+    Etl.upsertPartitioned(spark, tmp, updates, keyCols = Seq("k"), partitionCols = Seq("p"))
+    val got = spark.read.parquet(tmp).select("p", "k", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      ("a", 1L, 10.0), ("a", 2L, 99.0),                 // replaced
+      ("b", 3L, 30.0), ("b", 4L, 40.0), ("b", 9L, 90.0), // inserted
+      ("c", 5L, 50.0)))                                  // untouched
+    assert(bytes(files("c")) == cBefore, "sibling partition was rewritten")
+    // flat-table variant: same semantics over an unpartitioned layout
+    val flat = s"$root/flat"
+    base.select("k", "v").write.parquet(flat)
+    Etl.upsert(spark, flat, Seq((2L, 99.0), (9L, 90.0)).toDF("k", "v"), Seq("k"))
+    val gotFlat = spark.read.parquet(flat)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(gotFlat == Set((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0),
+      (5L, 50.0), (9L, 90.0)))
+  }
+
   test("compactPartition: rewrites ONE partition in place, siblings byte-identical") {
     val root = java.nio.file.Files.createTempDirectory("graft_cmp_inplace").toString
     val tmp = s"$root/t"
