@@ -1008,6 +1008,32 @@ object SparkEntry {
        |SELECT id, rank FROM r$iterations""".stripMargin
   }
 
+  /** Deterministic train/valid/test split manifest: every document's
+    * stable md5 bucket assigns its split (900/50/50 permille) — the
+    * same row lands in the same split on ANY engine and layout
+    * ([[graft.ops.Sampling.assignSplit]]); per-(lang, split) counts +
+    * exact character sums.
+    */
+  private def qSplit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.assignSplit(t(s, dir, "documents"), col("doc_id"),
+        Seq("train" -> 900, "valid" -> 50, "test" -> 50))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+
+  /** Training-data mixing by weighted repetition
+    * ([[graft.ops.Sampling.repeatByWeight]]): non-English docs
+    * upsampled 2–3 epochs, row-level output (doc_id, lang, rep) so
+    * the hash compare covers every emitted copy.
+    */
+  private def qDataMix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.repeatByWeight(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          when(col("lang") === "en", 1)
+            .when(col("lang").isin("es", "de"), 2)
+            .otherwise(3).as("w")),
+        col("w"))
+      .select("doc_id", "lang", "rep")
+
   /** Partition-scoped upsert roundtrip: orders written partitioned by
     * priority, then a deterministic update batch (every 97th key gets
     * a new totalprice) plus an insert batch (every 101st key re-keyed
@@ -1218,6 +1244,8 @@ object SparkEntry {
     "q_edit_distance" -> (qEditDistance _),
     "q_funnel" -> (qFunnel _),
     "q_upsert" -> (qUpsert _),
+    "q_split" -> (qSplit _),
+    "q_data_mix" -> (qDataMix _),
     "q_quality_cutoff" -> (qQualityCutoff _),
     "q_histogram" -> (qHistogram _),
     "q_schema_evolution" -> (qSchemaEvolution _),
@@ -1739,6 +1767,21 @@ object SparkEntry {
         |       min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
     "q_pagerank" -> pageRankOracle(5),
+    "q_split" ->
+      """SELECT lang,
+        |  CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'valid' ELSE 'test' END AS split,
+        |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT lang, n_chars,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS b
+        |      FROM documents)
+        |GROUP BY lang, split""".stripMargin,
+    "q_data_mix" ->
+      """SELECT doc_id, lang, unnest(generate_series(1, w)) AS rep
+        |FROM (SELECT doc_id, lang,
+        |        CASE WHEN lang = 'en' THEN 1
+        |             WHEN lang IN ('es', 'de') THEN 2
+        |             ELSE 3 END AS w
+        |      FROM documents)""".stripMargin,
     "q_upsert" ->
       """WITH merged AS (
         |  SELECT o_orderkey, o_orderpriority, o_totalprice

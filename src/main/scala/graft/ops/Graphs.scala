@@ -43,16 +43,16 @@ object Graphs {
     * from (`__in` nullable inbound sum, `__dang` 1-row dangling sum).
     */
   private def round(e: DataFrame, ranks: DataFrame, share: Column, zero: Column,
-      update: Column): DataFrame = {
+      update: Column, checkpoint: Boolean): DataFrame = {
     val dang = ranks.filter(col("__deg").isNull)
       .agg(coalesce(sum("rank"), zero).as("__dang"))
     val contribs = e.join(ranks.filter(col("__deg").isNotNull), e("src") === ranks("id"))
       .groupBy(e("dst").as("id")).agg(sum(share).as("__in"))
-    ranks.select("id", "__deg")
+    val next = ranks.select("id", "__deg")
       .join(contribs, Seq("id"), "left")
       .crossJoin(dang) // 1 row — broadcast nested loop, no shuffle
       .select(col("id"), update.as("rank"), col("__deg"))
-      .localCheckpoint(true)
+    if (checkpoint) next.localCheckpoint(true) else next
   }
 
   /** PageRank with uniform teleport over an UNWEIGHTED directed edge
@@ -72,7 +72,8 @@ object Graphs {
       edges: DataFrame,
       iterations: Int = 10,
       damping: Double = 0.85,
-      dedupEdges: Boolean = true): DataFrame = {
+      dedupEdges: Boolean = true,
+      checkpointRounds: Boolean = true): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val (e, nodesDeg, nNodes) = prepare(edges, dedupEdges)
@@ -83,7 +84,7 @@ object Graphs {
       val update = (lit(1.0 - damping) +
         lit(damping) * col("__dang") / lit(nNodes.toDouble)) +
         lit(damping) * coalesce(col("__in"), lit(0.0))
-      ranks = round(e, ranks, col("rank") / col("__deg"), lit(0.0), update)
+      ranks = round(e, ranks, col("rank") / col("__deg"), lit(0.0), update, checkpointRounds)
     }
     ranks.select("id", "rank")
   }
@@ -110,13 +111,18 @@ object Graphs {
     * ranking/sampling use; use [[pageRank]] when float precision
     * matters more than cross-engine exactness.
     */
+  /** `checkpointRounds = false` keeps the whole iteration lazy (the
+    * full multi-round lineage stays visible to `explain` — plan
+    * inspection, tiny graphs); production runs materialize each round.
+    */
   def pageRankExact(
       edges: DataFrame,
       iterations: Int = 5,
       dampNum: Long = 85L,
       dampDen: Long = 100L,
       scale: Long = 1000000L,
-      dedupEdges: Boolean = true): DataFrame = {
+      dedupEdges: Boolean = true,
+      checkpointRounds: Boolean = true): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
     require(scale > 0, s"scale must be positive, got $scale")
@@ -126,7 +132,7 @@ object Graphs {
     for (_ <- 1 to iterations) {
       val update = expr(
         s"${base}L + (${dampNum}L * (coalesce(__in, 0L) + __dang div ${nNodes}L)) div ${dampDen}L")
-      ranks = round(e, ranks, expr("rank div __deg"), lit(0L), update)
+      ranks = round(e, ranks, expr("rank div __deg"), lit(0L), update, checkpointRounds)
     }
     ranks.select("id", "rank")
   }

@@ -33,6 +33,38 @@ object Sampling {
   def hashBucketSql(keyExpr: String): String =
     s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
 
+  /** Deterministic train/valid/test split assignment: the row's
+    * stable [[hashBucket]] lands in consecutive permille ranges, one
+    * per split — the same row gets the same split everywhere, forever,
+    * regardless of layout or engine (the property a training pipeline
+    * needs so no example ever crosses from test into train between
+    * runs). `splits` are (name, permille) pairs; they must sum to
+    * 1000 so every row is assigned. Map-only codegen `when` chain.
+    */
+  def assignSplit(df: DataFrame, key: Column, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 1000,
+      s"split permilles must sum to 1000, got $splits")
+    val bucket = hashBucket(key)
+    val cuts = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }
+    val expr = splits.zip(cuts.sliding(2).toSeq).foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), Seq(lo, hi))) =>
+        when(bucket >= lo && bucket < hi, name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Weighted repetition for training-data mixing: each row is
+    * emitted `weightCol` times (an INTEGER epoch count — the standard
+    * "rare domain ×3, common domain ×1" mix), tagged with a 1-based
+    * `rep` index; weight ≤ 0 drops the row. A map-only
+    * `explode(sequence)` — no shuffle, no driver involvement; output
+    * size is Σ weights, visible to AQE for downstream planning.
+    */
+  def repeatByWeight(df: DataFrame, weightCol: Column): DataFrame =
+    df.filter(weightCol >= 1)
+      .withColumn("rep", explode(sequence(lit(1), weightCol.cast("int"))))
+      .withColumn("rep", col("rep").cast("long")) // BIGINT on both engines
+
   /** Stratified deterministic sample: a different permille per stratum
     * value (e.g. downsample English, keep all of a rare language —
     * the standard corpus-mixing move). Same stable row-hash decision

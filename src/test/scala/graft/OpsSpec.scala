@@ -386,6 +386,32 @@ class OpsSpec extends SparkSpec {
       kept.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("sampling: assignSplit partitions every row, stable across layouts") {
+    val df = (1L to 2000L).toDF("id")
+    val splits = Seq("train" -> 900, "valid" -> 50, "test" -> 50)
+    val got = graft.ops.Sampling.assignSplit(df, col("id"), splits)
+    val bystr = got.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row assigned, proportions near the permilles
+    assert(bystr.values.sum == 2000L && got.filter(col("split").isNull).count() == 0)
+    assert(bystr("train") > 1700 && bystr("valid") > 60 && bystr("test") > 60)
+    // deterministic under repartition; consistent with hashBucket ranges
+    val again = graft.ops.Sampling.assignSplit(df.repartition(7), col("id"), splits)
+    assert(again.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      got.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // splits that don't cover [0,1000) are refused
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.assignSplit(df, col("id"), Seq("train" -> 900))
+    }
+  }
+
+  test("sampling: repeatByWeight emits one copy per epoch, drops weight<1") {
+    val df = Seq((1L, 3), (2L, 1), (3L, 0), (4L, -2)).toDF("id", "w")
+    val got = graft.ops.Sampling.repeatByWeight(df, col("w"))
+      .select("id", "rep").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)))
+  }
+
   test("text: topNgrams counts bigrams with deterministic tie-break") {
     val df = Seq(
       "a b c", // "a b", "b c"
