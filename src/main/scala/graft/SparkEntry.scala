@@ -1008,6 +1008,43 @@ object SparkEntry {
        |SELECT id, rank FROM r$iterations""".stripMargin
   }
 
+  /** Interval OVERLAP join ([[graft.ops.Joins.overlapJoin]]): view
+    * events open a VARIABLE-length interval (duration scales with the
+    * event value — genuinely an overlap join, not a band join in
+    * disguise), purchases likewise; pairs whose intervals intersect
+    * per user. Both sides explode to covered bins; exactly-once via
+    * the first-shared-bin trick, no distinct. Durations use per-row
+    * `floor(value * 6e10)` — exact-rounded IEEE multiply then explicit
+    * floor, identical on both engines (DuckDB's BIGINT cast ROUNDS, so
+    * the floor must be spelled out).
+    */
+  private def qOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        (col("ts") + floor(col("value") * 60000000000.0).cast("long")).as("t_end"))
+    val l = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("lu"), col("event_id").as("l_event"),
+        col("ts").as("ls"), col("t_end").as("le"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ru"), col("event_id").as("r_event"),
+        col("ts").as("rs"), col("t_end").as("re"))
+    graft.ops.Joins.overlapJoin(l, r, Seq("lu" -> "ru"),
+        "ls", "le", "rs", "re", binSize = 1800000000000L)
+      .select(col("lu").as("user_id"), col("l_event"), col("r_event"))
+  }
+
+  /** Exact triangle count ([[graft.ops.Graphs.triangleCount]]) over a
+    * synthetic 1500-node graph derived deterministically from orders
+    * (both endpoints folded into one id space). Degree-orientation on
+    * the Spark side (hub-proof O(m^1.5) wedges); the oracle counts by
+    * id-orientation — the count is orientation-invariant, so the
+    * engines must agree exactly.
+    */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.triangleCount(
+      t(s, dir, "orders").select((col("o_orderkey") % 1500).as("src"),
+        (col("o_custkey") % 1500).as("dst")))
+
   /** Deterministic train/valid/test split manifest: every document's
     * stable md5 bucket assigns its split (900/50/50 permille) — the
     * same row lands in the same split on ANY engine and layout
@@ -1246,6 +1283,8 @@ object SparkEntry {
     "q_upsert" -> (qUpsert _),
     "q_split" -> (qSplit _),
     "q_data_mix" -> (qDataMix _),
+    "q_overlap_join" -> (qOverlapJoin _),
+    "q_triangles" -> (qTriangles _),
     "q_quality_cutoff" -> (qQualityCutoff _),
     "q_histogram" -> (qHistogram _),
     "q_schema_evolution" -> (qSchemaEvolution _),
@@ -1767,6 +1806,22 @@ object SparkEntry {
         |       min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
     "q_pagerank" -> pageRankOracle(5),
+    "q_overlap_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS t,
+        |         epoch_ns(ts) + CAST(floor(value * 60000000000.0) AS BIGINT) AS te
+        |  FROM events)
+        |SELECT l.user_id AS user_id, l.event_id AS l_event, r.event_id AS r_event
+        |FROM (SELECT * FROM e WHERE event_type = 'view') l
+        |JOIN (SELECT * FROM e WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.t <= r.te AND r.t <= l.te""".stripMargin,
+    "q_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT least(o_orderkey % 1500, o_custkey % 1500) AS a,
+        |                  greatest(o_orderkey % 1500, o_custkey % 1500) AS b
+        |  FROM orders WHERE (o_orderkey % 1500) <> (o_custkey % 1500))
+        |SELECT count(*) AS n_triangles
+        |FROM e x JOIN e y ON x.b = y.a JOIN e z ON z.a = x.a AND z.b = y.b""".stripMargin,
     "q_split" ->
       """SELECT lang,
         |  CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'valid' ELSE 'test' END AS split,

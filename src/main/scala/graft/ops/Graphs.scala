@@ -111,6 +111,51 @@ object Graphs {
     * ranking/sampling use; use [[pageRank]] when float precision
     * matters more than cross-engine exactness.
     */
+  /** Exact triangle count over an UNDIRECTED graph (edge direction and
+    * duplicates ignored; self-loops dropped). Returns one row
+    * `(n_triangles)`.
+    *
+    * Uses the degree-orientation algorithm: every node gets the
+    * integer rank `degree·2^32 + id`, each edge is oriented from the
+    * lower to the higher rank, and a triangle is counted exactly once
+    * — at its minimum-rank vertex, as a pair of out-edges closed by a
+    * third oriented edge. Orienting by DEGREE (not id) bounds the
+    * wedge fan-out at Σ out-deg² = O(m^1.5) regardless of hubs — the
+    * difference between a web-scale graph finishing and its highest-
+    * degree node exploding quadratically. Plan: two hash joins to
+    * rank-encode, one self-join on the wedge apex, one semi join to
+    * close — all keyed shuffles, one driver-visible count.
+    *
+    * Rank packing needs `id` in [0, 2^32) and degree < 2^30 —
+    * asserted, not assumed.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val cols = edges.columns
+    val raw = edges.select(col(cols(0)).cast("long").as("u"), col(cols(1)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = raw
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct().localCheckpoint(true)
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__d"))
+    // rank = degree·2^32 + id: a single comparable long. Guard the
+    // packing envelope loudly rather than miscounting.
+    val bad = deg.filter(col("id") < 0 || col("id") >= (1L << 32) || col("__d") >= (1L << 30))
+    require(bad.isEmpty, "triangleCount rank packing needs 0 <= id < 2^32 and degree < 2^30")
+    val rank = deg.select(col("id"), (col("__d") * (1L << 32) + col("id")).as("__r"))
+    val oriented = und
+      .join(rank.select(col("id").as("a"), col("__r").as("__ra")), Seq("a"))
+      .join(rank.select(col("id").as("b"), col("__r").as("__rb")), Seq("b"))
+      .select(least(col("__ra"), col("__rb")).as("x"), greatest(col("__ra"), col("__rb")).as("y"))
+      .localCheckpoint(true)
+    val wedges = oriented.toDF("x", "y")
+      .join(oriented.toDF("x", "z"), Seq("x"))
+      .filter(col("y") < col("z"))
+    wedges
+      .join(oriented.toDF("y", "z"), Seq("y", "z"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** `checkpointRounds = false` keeps the whole iteration lazy (the
     * full multi-round lineage stays visible to `explain` — plan
     * inspection, tiny graphs); production runs materialize each round.

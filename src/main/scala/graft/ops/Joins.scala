@@ -167,6 +167,46 @@ object Joins {
     b.join(s, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Interval OVERLAP join: pairs where `[lStart,lEnd]` and
+    * `[rStart,rEnd]` intersect (closed intervals, exact predicate
+    * `lStart <= rEnd && rStart <= lEnd`), equi-keyed like
+    * [[bandJoin]]. Spark would plan the raw theta-join as a per-key
+    * cross product; here BOTH sides explode to the `binSize`-wide
+    * bins their interval covers, equi-join on (keys, bin), and a
+    * `min(bin)`-style dedup is avoided by only keeping the pair in
+    * the FIRST bin both intervals share (`greatest(floor(lStart),
+    * floor(rStart))` == the joined bin) — complete and
+    * duplicate-free with no `distinct` shuffle.
+    *
+    * Pick `binSize` near the typical interval length: fan-out per row
+    * is `len/binSize + 1` while per-bin population stays small. Exact
+    * integer bin math (same decimal floor-div as [[bandJoin]], stable
+    * past 2^53). Column names must already be disjoint across sides.
+    */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      binSize: Long): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    def floorDiv(t: Column): Column =
+      ((t - pmod(t, lit(binSize))).cast("decimal(38,0)") / lit(binSize)).cast("long")
+    def bins(s: String, e: String): Column =
+      sequence(floorDiv(col(s)), floorDiv(col(e)))
+    val l = left.withColumn("__bin", explode(bins(lStart, lEnd)))
+    val r = right.withColumn("__bin", explode(bins(rStart, rEnd)))
+    val joinCond = keys.map { case (lk, rk) => l(lk) === r(rk) }
+      .foldLeft(l("__bin") === r("__bin"))(_ && _) &&
+      l(lStart) <= r(rEnd) && r(rStart) <= l(lEnd) &&
+      // keep the pair only in the FIRST shared bin: both intervals
+      // cover it, and every other shared bin is larger — exactly-once
+      // without a distinct.
+      l("__bin") === greatest(floorDiv(l(lStart)), floorDiv(r(rStart)))
+    l.join(r, joinCond).drop("__bin")
+  }
+
   /** Bloom-filter pre-filtered left-semi join: membership of `left`
     * rows in `right`'s key set, for a right side too large to
     * broadcast EXACTLY but whose Bloom filter fits on every executor

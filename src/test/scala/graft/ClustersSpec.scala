@@ -125,6 +125,31 @@ class ClustersSpec extends SparkSpec {
       assert(math.abs(micro.toDouble / scale - flt(nd)) < 1e-4) }
   }
 
+  test("triangleCount: exact on known graphs, orientation/duplicates/direction invariant") {
+    // K4 has C(4,3) = 4 triangles; plus a pendant edge (no new
+    // triangle) and one extra triangle sharing an edge with K4.
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))).toDF("u", "v")
+    def count(df: org.apache.spark.sql.DataFrame): Long =
+      graft.ops.Graphs.triangleCount(df).head.getLong(0)
+    assert(count(edges) == 5L)
+    // direction and duplicate edges must not change the count
+    val messy = edges.select(edges("v"), edges("u")).union(edges.toDF("v", "u")).union(edges)
+    assert(count(messy) == 5L)
+    // triangle-free (bipartite star) -> 0; self-loops ignored
+    assert(count(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 2L)).toDF("u", "v")) == 0L)
+    // brute-force parity on a random graph (50 nodes, p ~ 0.12)
+    val rnd = new scala.util.Random(5)
+    val rand = (for (i <- 1L to 50L; j <- (i + 1) to 50L if rnd.nextDouble() < 0.12)
+      yield (i, j))
+    val adj = rand.toSet
+    val brute = (for {
+      a <- 1L to 50L; b <- (a + 1) to 50L if adj((a, b))
+      c <- (b + 1) to 50L if adj((b, c)) && adj((a, c))
+    } yield 1).size.toLong
+    assert(count(rand.toDF("u", "v")) == brute && brute > 0)
+  }
+
   test("pageRank rounds: single action per round, no per-round driver sync") {
     // Round-structure regression for the round-5 verdict finding: a
     // separate danglingMass `.head` per round both blocked the driver

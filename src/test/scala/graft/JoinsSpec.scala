@@ -158,6 +158,32 @@ class JoinsSpec extends SparkSpec {
     assert(plainL == saltedL && saltedL == 1000L)
   }
 
+  test("overlap join matches the naive theta-join on random variable intervals") {
+    val rnd = new scala.util.Random(23)
+    // variable-length intervals (0..5000 long) over a 0..40000 range,
+    // including zero-length and bin-straddling ones; binSize chosen
+    // off the interval-length scale to exercise multi-bin explodes.
+    val left = (1 to 250).map { i =>
+      val s = rnd.nextInt(40000).toLong
+      ((i % 3).toLong, i, s, s + rnd.nextInt(5000).toLong)
+    }.toDF("lk", "lid", "ls", "le")
+    val right = (1 to 250).map { i =>
+      val s = rnd.nextInt(40000).toLong
+      ((i % 3).toLong, i, s, s + rnd.nextInt(5000).toLong)
+    }.toDF("rk", "rid", "rs", "re")
+    val naive = left.join(right, left("lk") === right("rk") &&
+        left("ls") <= right("re") && right("rs") <= left("le"))
+      .select("lid", "rid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    for (bin <- Seq(700L, 5000L, 50000L)) {
+      val fast = Joins.overlapJoin(left, right, Seq("lk" -> "rk"),
+          "ls", "le", "rs", "re", binSize = bin)
+        .select("lid", "rid").collect().map(r => (r.getInt(0), r.getInt(1)))
+      assert(fast.length == fast.toSet.size, s"bin=$bin emitted duplicates")
+      assert(fast.toSet == naive, s"bin=$bin mismatch")
+    }
+    assert(naive.nonEmpty)
+  }
+
   test("bloom semi join equals the exact semi join, null keys never match") {
     // Probe keys mostly ABSENT from the build side (the case the Bloom
     // pass exists for) + null keys + dup probe rows (semi keeps both).
