@@ -13,19 +13,25 @@ import org.apache.spark.sql.functions._
   *     → exact Jaccard verification   (Dedup.ngramJaccardPairs shape)
   *     → duplicate-cluster resolution (Clusters.resolveDuplicates)
   *     → quality + language filter    (TextAnalysis)
+  *     → benchmark decontamination    (Decontaminate.filterClean)
+  *     → train/valid/test assignment  (Sampling.assignSplit)
+  *     → weighted language mixing     (Sampling.repeatByWeight)
+  *     → sequence packing             (Windows.packChunks)
   *     → JSONL export                 (Etl.writeJsonl)
   *
-  * Prints the funnel (rows surviving each stage). Every stage is a
-  * lazy DataFrame plan — the funnel counts are the only actions.
+  * Prints the funnel (rows surviving each stage) with per-stage wall
+  * times. Every stage is a lazy DataFrame plan — the funnel counts
+  * are the only actions.
   *
-  * Usage: `sbt "runMain graft.CorpusDemo [sfDir]"`.
+  * Usage: `sbt "runMain graft.CorpusDemo [sfDir]"` (SPARK_GRAFT_CPUS
+  * sizes the session; artifact: docs/CORPUS_E2E_r06.md).
   */
 object CorpusDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.ui.enabled", "false")
@@ -33,6 +39,10 @@ object CorpusDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    var t0 = System.nanoTime()
+    def lap(): Double = {
+      val sec = (System.nanoTime() - t0) / 1e9; t0 = System.nanoTime(); sec
+    }
     val total = docs.count()
 
     // 1. Exact dedup: keep the minimum doc_id per content digest.
@@ -40,6 +50,7 @@ object CorpusDemo {
       .filter(col("keep")).select("doc_id")
       .join(docs, Seq("doc_id"))
     val nExact = exactKept.count()
+    val tExact = lap()
 
     // 2. Near-dup clusters over the exact-deduped corpus: LSH
     //    candidates → exact Jaccard >= 0.5 verification → connected
@@ -52,25 +63,73 @@ object CorpusDemo {
     val nearKept = resolved.filter(col("keep")).select("doc_id")
       .join(exactKept, Seq("doc_id"))
     val nNear = nearKept.count()
+    val tNear = lap()
 
-    // 3. Quality gate: English-ish, sane stopword ratio, long enough.
+    // 3. Quality gate. Detection (`lang_detected`) is a SIGNAL kept
+    // alongside the table's curated `lang` label, not a replacement —
+    // on this corpus the non-en docs are English-vocabulary synthetic
+    // text, so detection reads "en" and only the metadata label can
+    // drive the language mix below. Language-aware gating: the
+    // stopword list is ENGLISH (an en-only gate would silently delete
+    // every other language), and the whitespace token count penalizes
+    // CJK (few spaces) — gate zh on characters instead.
     val quality = graft.ops.TextAnalysis.qualityColumns(col("text")).toMap
     val filtered = nearKept
-      .withColumn("lang", graft.ops.TextAnalysis.languageId(col("text")))
+      .withColumn("lang_detected", graft.ops.TextAnalysis.languageId(col("text")))
       .withColumn("n_tokens", quality("n_tokens"))
       .withColumn("stopword_ratio", quality("stopword_ratio"))
-      .filter(col("n_tokens") >= 50 && col("stopword_ratio") > 0.01)
+      .filter(
+        when(col("lang") === "zh", length(col("text")) >= 100)
+          .otherwise(col("n_tokens") >= 50) &&
+        (col("lang") =!= "en" || col("stopword_ratio") > 0.01))
     val nQuality = filtered.count()
+    val tQuality = lap()
 
-    // 4. Export the curated corpus as JSONL.
+    // 4. Decontamination: every 200th doc stands in for a benchmark
+    //    set; drop corpus docs sharing >= 5 of its 3-shingles.
+    val clean = graft.ops.Decontaminate.filterClean(
+      filtered, "doc_id", col("text"),
+      docs.filter(col("doc_id") % 200 === 0), col("text"),
+      n = 3, minOverlap = 5L)
+    val nClean = clean.count()
+    val tClean = lap()
+
+    // 5. Deterministic split assignment + weighted language mix for
+    //    the train side (non-English upsampled), then sequence
+    //    packing into 2048-token training chunks per language shard.
+    val split = graft.ops.Sampling.assignSplit(clean, col("doc_id"),
+      Seq("train" -> 900, "valid" -> 50, "test" -> 50))
+    val splitCounts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixed = graft.ops.Sampling.repeatByWeight(
+      split.filter(col("split") === "train")
+        .withColumn("w", when(col("lang") === "en", 1).otherwise(2)),
+      col("w"))
+    val nMixed = mixed.count()
+    val packed = graft.ops.Windows.packChunks(
+      mixed.select(col("lang"), (col("doc_id") * 10 + col("rep")).as("seq_id"),
+        col("n_tokens").cast("long")),
+      "lang", "seq_id", "n_tokens", budget = 2048L)
+    val nChunks = packed.agg(countDistinct(col("lang"), col("chunk"))).head.getLong(0)
+    val tMix = lap()
+
+    // 6. Export the curated train corpus as JSONL.
     val out = java.nio.file.Files.createTempDirectory("graft_corpus").toString
-    graft.etl.Etl.writeJsonl(filtered.select("doc_id", "lang", "text"), out)
+    graft.etl.Etl.writeJsonl(mixed.select("doc_id", "rep", "lang", "text"), out)
 
+    val tExport = lap()
     println(f"[corpus] total           $total%6d")
     println(f"[corpus] exact-deduped   $nExact%6d  (-${total - nExact}%d exact dups)")
     println(f"[corpus] near-deduped    $nNear%6d  (-${nExact - nNear}%d near dups)")
     println(f"[corpus] quality-passed  $nQuality%6d  (-${nNear - nQuality}%d low quality)")
+    println(f"[corpus] decontaminated  $nClean%6d  (-${nQuality - nClean}%d benchmark-tainted)")
+    println(s"[corpus] split           " + Seq("train", "valid", "test")
+      .map(k => s"$k=${splitCounts.getOrElse(k, 0L)}").mkString(" "))
+    println(f"[corpus] train mixed     $nMixed%6d rows after non-en x2 upsampling")
+    println(f"[corpus] packed          $nChunks%6d training chunks of 2048 tokens")
     println(s"[corpus] exported to $out")
+    println(f"[time] exact=$tExact%.1fs near=$tNear%.1fs quality=$tQuality%.1fs " +
+      f"decontam=$tClean%.1fs split+mix+pack=$tMix%.1fs export=$tExport%.1fs")
     spark.stop()
   }
 }
