@@ -271,11 +271,13 @@ object Dedup {
     * dist ≤ maxDist. The canonical fuzzy-key join for catalog /
     * entity-name dedup where token-level Jaccard is too coarse.
     *
-    * RECALL CONTRACT: one edit destroys at most q of a string's
-    * `L − q + 1` q-grams, so a pair at distance k still shares
-    * ≥ `L − q + 1 − k·q` grams of the shorter side; candidates have
-    * FULL recall whenever that bound is ≥ 1 (q=3, k=1 needs L ≥ 6;
-    * q=3, k=2 needs L ≥ 9). Below that, or with `maxGramFreq`
+    * RECALL CONTRACT: one edit touches at most q of a string's
+    * `L − q + 1` positional q-grams, so after k edits at least
+    * `L − q + 1 − k·q` positions survive untouched — and any ONE
+    * surviving position puts its gram in both strings' distinct-gram
+    * sets. Candidates therefore have FULL recall whenever
+    * `L − q + 1 − k·q ≥ 1` for the shorter string (q=3, k=1 needs
+    * L ≥ 6; q=3, k=2 needs L ≥ 9). Below that, or with `maxGramFreq`
     * dropping hot grams, recall is best-effort (same documented trade
     * as [[ngramJaccardPairsExact]]).
     *

@@ -42,8 +42,8 @@ object Sampling {
     * 1000 so every row is assigned. Map-only codegen `when` chain.
     */
   def assignSplit(df: DataFrame, key: Column, splits: Seq[(String, Int)]): DataFrame = {
-    require(splits.nonEmpty && splits.map(_._2).sum == 1000,
-      s"split permilles must sum to 1000, got $splits")
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) && splits.map(_._2).sum == 1000,
+      s"split permilles must be non-negative and sum to 1000, got $splits")
     val bucket = hashBucket(key)
     val cuts = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }
     val expr = splits.zip(cuts.sliding(2).toSeq).foldLeft(lit(null).cast("string")) {
@@ -59,11 +59,18 @@ object Sampling {
     * `rep` index; weight ≤ 0 drops the row. A map-only
     * `explode(sequence)` — no shuffle, no driver involvement; output
     * size is Σ weights, visible to AQE for downstream planning.
+    * Weights are EPOCH COUNTS (single digits in practice): each row
+    * materializes a weight-length array, so a wild weight is an OOM —
+    * bounded here at 10000 per row as a loud guard.
     */
-  def repeatByWeight(df: DataFrame, weightCol: Column): DataFrame =
-    df.filter(weightCol >= 1)
-      .withColumn("rep", explode(sequence(lit(1), weightCol.cast("int"))))
-      .withColumn("rep", col("rep").cast("long")) // BIGINT on both engines
+  def repeatByWeight(df: DataFrame, weightCol: Column): DataFrame = {
+    val w = weightCol.cast("long")
+    df.filter(w >= 1)
+      .withColumn("rep",
+        explode(sequence(lit(1L),
+          when(w <= 10000L, w).otherwise(raise_error(
+            concat(lit("repeatByWeight: weight exceeds the 10000-epoch guard: "), w))))))
+  }
 
   /** Stratified deterministic sample: a different permille per stratum
     * value (e.g. downsample English, keep all of a rare language —
