@@ -1008,6 +1008,24 @@ object SparkEntry {
        |SELECT id, rank FROM r$iterations""".stripMargin
   }
 
+  /** Event-transition (Markov bigram) counts: per user in time order,
+    * count each `event_type → next event_type` step — the
+    * session-path statistic behind next-action models and funnel
+    * design. One keyed window (lag over user_id×ts), one hash agg;
+    * ties on (user, ts) are broken by event_id so the sequence — and
+    * the oracle mirror — is total-ordered and deterministic.
+    */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Interval OVERLAP join ([[graft.ops.Joins.overlapJoin]]): view
     * events open a VARIABLE-length interval (duration scales with the
     * event value — genuinely an overlap join, not a band join in
@@ -1285,6 +1303,7 @@ object SparkEntry {
     "q_data_mix" -> (qDataMix _),
     "q_overlap_join" -> (qOverlapJoin _),
     "q_triangles" -> (qTriangles _),
+    "q_transitions" -> (qTransitions _),
     "q_quality_cutoff" -> (qQualityCutoff _),
     "q_histogram" -> (qHistogram _),
     "q_schema_evolution" -> (qSchemaEvolution _),
@@ -1806,6 +1825,14 @@ object SparkEntry {
         |       min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
     "q_pagerank" -> pageRankOracle(5),
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |FROM seq WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type""".stripMargin,
     "q_overlap_join" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS t,

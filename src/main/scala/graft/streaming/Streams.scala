@@ -160,4 +160,58 @@ object Streams {
           }
       }
   }
+
+  final case class FunnelEvent(user_id: Long, event_type: String, ts: Long)
+  final case class FunnelUpdate(user_id: Long, stage_idx: Int, stage: String, ts: Long)
+
+  /** Streaming funnel progress: per-user furthest IN-ORDER stage,
+    * maintained with `mapGroupsWithState`; emits one [[FunnelUpdate]]
+    * whenever a user's furthest completed stage advances (its `ts` is
+    * the completion time of the newly reached stage). The streaming
+    * complement of [[graft.ops.Windows.funnel]]: counting updates per
+    * stage_idx reproduces the batch funnel's `n_users`.
+    *
+    * State per user: the completion times of stages reached so far
+    * (≤ stages.size longs — bounded, partitioned by key). Each batch
+    * folds its events in event-time order into that state; stage k
+    * completes at the earliest event of `stages(k)` STRICTLY after
+    * the stage-(k−1) completion, exactly the batch semantics.
+    *
+    * EXACTNESS CONTRACT: equal to the batch funnel when each user's
+    * events arrive in event-time order across batches (any order
+    * WITHIN a batch is fine — the fold sorts the batch). A stage-k
+    * event that arrives after a later-timestamped stage-(k−1) event
+    * was already folded is gone (streaming funnels cannot replay
+    * discarded events with bounded state); under out-of-order arrival
+    * the result is a lower bound that never regresses.
+    */
+  def funnelProgress(
+      events: Dataset[FunnelEvent],
+      stages: Seq[String]): Dataset[FunnelUpdate] = {
+    require(stages.nonEmpty, "funnelProgress needs at least one stage")
+    import events.sparkSession.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .filter((e: FunnelEvent) => stageIdx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], FunnelUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[FunnelEvent], state: GroupState[List[Long]]) =>
+          // completion times of stages reached so far, index-aligned
+          var done = state.getOption.getOrElse(Nil).toVector
+          val before = done.size
+          val sorted = batch.toVector.sortBy(e => (e.ts, e.event_type))
+          sorted.foreach { e =>
+            val k = stageIdx(e.event_type)
+            // advance only at the frontier: stage k completes when
+            // k-1 is the furthest stage and this event is strictly
+            // after its completion
+            if (k == done.size && (k == 0 || e.ts > done(k - 1)))
+              done = done :+ e.ts
+          }
+          if (done.size > before) state.update(done.toList)
+          (before until done.size).iterator
+            .map(k => FunnelUpdate(userId, k, stages(k), done(k)))
+      }
+  }
 }

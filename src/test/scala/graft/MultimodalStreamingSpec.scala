@@ -184,6 +184,43 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: funnelProgress — stage counts equal the batch funnel; advances incrementally") {
+    val stages = Seq("view", "click", "purchase")
+    val batchDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val want = graft.ops.Windows.funnel(batchDf, "user_id", "event_type", "ts", stages)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+
+    val stream = MemoryStream[Streams.FunnelEvent](spark)
+    val q = Streams.funnelProgress(stream.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_out").outputMode("append").start()
+    try {
+      // all events in ONE batch: the stateful fold must reproduce the
+      // batch funnel exactly (counting updates per stage == n_users)
+      stream.addData(batchDf.collect().map(r =>
+        Streams.FunnelEvent(r.getLong(0), r.getString(1), r.getLong(2))).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("funnel_out").groupBy("stage_idx").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == want.filter(_._2 > 0))
+
+      // incremental, in-order arrival: a new user advances one stage
+      // per batch, each advance emitted exactly once
+      stream.addData(Streams.FunnelEvent(999999L, "view", 1L))
+      q.processAllAvailable()
+      stream.addData(Streams.FunnelEvent(999999L, "click", 2L))
+      q.processAllAvailable()
+      // same-ts click must NOT advance (strictly-after contract),
+      // stale re-sends must not re-emit
+      stream.addData(Streams.FunnelEvent(999999L, "purchase", 2L),
+        Streams.FunnelEvent(999999L, "click", 5L))
+      q.processAllAvailable()
+      val user = spark.table("funnel_out").filter(col("user_id") === 999999L)
+        .collect().map(r => (r.getInt(1), r.getLong(3))).sorted
+      assert(user.toSeq == Seq((0, 1L), (1, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming: stateful session counts accumulate per user") {
     val stream = MemoryStream[Streams.SessionEvent](spark)
     // timeoutMs = 0: ProcessingTimeTimeout schedules no-data timeout
