@@ -1008,6 +1008,65 @@ object SparkEntry {
        |SELECT id, rank FROM r$iterations""".stripMargin
   }
 
+  /** Personalized PageRank over the same customer→order graph:
+    * teleport and dangling mass go uniformly to the SEED set (every
+    * 100th customer — the "trusted domains") instead of all nodes.
+    * Scaled-BIGINT arithmetic like q_pagerank, so the DuckDB
+    * chained-CTE mirror hashes bit-identically.
+    */
+  private def qPpr(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    graft.ops.Graphs.personalizedPageRankExact(
+      orders.select(col("o_custkey").as("src"), (-col("o_orderkey")).as("dst")),
+      // custkey 0 exists in the data; keep it out of the seed set so
+      // the predicate mirrors the oracle's `id > 0 AND id % 100 = 0`
+      // (node 0 is also order 0's dst in this folded id space)
+      orders.select(col("o_custkey"))
+        .filter(col("o_custkey") % 100 === 0 && col("o_custkey") > 0),
+      iterations = 5)
+  }
+
+  /** DuckDB mirror of [[graft.ops.Graphs.personalizedPageRankExact]]:
+    * seed flag = (id > 0 AND id % 100 = 0), teleport constant
+    * computed IN SQL with the same integer-division chain the Spark
+    * driver uses (`(teleNum·N // |S|) // dampDen`).
+    */
+  private def pprOracle(iterations: Int): String = {
+    val (dampNum, dampDen, scale) = (85L, 100L, 1000000L)
+    val teleNum = (dampDen - dampNum) * scale
+    val rounds = (0 until iterations).map { i =>
+      s"""r${i + 1} AS (
+         |  SELECT nd.id,
+         |    CAST(($dampNum * (COALESCE(inb.v, 0) +
+         |           CASE WHEN nd.seed THEN dang.d // ns.k ELSE 0 END)) // $dampDen
+         |         + CASE WHEN nd.seed THEN (($teleNum * nn.n) // ns.k) // $dampDen ELSE 0 END
+         |         AS BIGINT) AS rank,
+         |    nd.deg, nd.seed
+         |  FROM nd
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r$i.rank // r$i.deg) AS v
+         |    FROM edges e JOIN r$i ON e.src = r$i.id
+         |    GROUP BY e.dst
+         |  ) inb ON nd.id = inb.id
+         |  CROSS JOIN (SELECT COALESCE(sum(rank), 0) AS d FROM r$i WHERE deg IS NULL) dang
+         |  CROSS JOIN (SELECT count(*) AS n FROM nd) nn
+         |  CROSS JOIN (SELECT count(*) AS k FROM nd WHERE seed) ns
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey AS src, -o_orderkey AS dst FROM orders
+       |),
+       |nodes AS (
+       |  SELECT src AS id FROM edges UNION SELECT dst FROM edges
+       |),
+       |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+       |nd AS (SELECT n.id, d.deg, (n.id > 0 AND n.id % 100 = 0) AS seed
+       |       FROM nodes n LEFT JOIN deg d ON n.id = d.id),
+       |r0 AS (SELECT id, CAST($scale AS BIGINT) AS rank, deg, seed FROM nd),
+       |$rounds
+       |SELECT id, rank FROM r$iterations""".stripMargin
+  }
+
   /** Event-transition (Markov bigram) counts: per user in time order,
     * count each `event_type → next event_type` step — the
     * session-path statistic behind next-action models and funnel
@@ -1304,6 +1363,7 @@ object SparkEntry {
     "q_overlap_join" -> (qOverlapJoin _),
     "q_triangles" -> (qTriangles _),
     "q_transitions" -> (qTransitions _),
+    "q_ppr" -> (qPpr _),
     "q_quality_cutoff" -> (qQualityCutoff _),
     "q_histogram" -> (qHistogram _),
     "q_schema_evolution" -> (qSchemaEvolution _),
@@ -1825,6 +1885,7 @@ object SparkEntry {
         |       min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
     "q_pagerank" -> pageRankOracle(5),
+    "q_ppr" -> pprOracle(5),
     "q_transitions" ->
       """WITH seq AS (
         |  SELECT event_type,

@@ -232,7 +232,10 @@ object Etl {
     *
     * CONTRACT: a key's partition value must be stable across the merge
     * (or its old partition must also appear in `updates`) — a key that
-    * silently moves partitions would leave its old copy behind.
+    * silently moves partitions would leave its old copy behind. Both
+    * upsert variants take `updates` as given: duplicate keys WITHIN
+    * the update batch are written as-is (dedupe upstream if
+    * last-writer-wins is wanted; a SQL MERGE would raise instead).
     */
   def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], partitionCols: Seq[String]): Unit = {

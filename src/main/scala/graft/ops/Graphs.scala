@@ -43,15 +43,16 @@ object Graphs {
     * from (`__in` nullable inbound sum, `__dang` 1-row dangling sum).
     */
   private def round(e: DataFrame, ranks: DataFrame, share: Column, zero: Column,
-      update: Column, checkpoint: Boolean): DataFrame = {
+      update: Column, checkpoint: Boolean,
+      static: Seq[String] = Seq("__deg")): DataFrame = {
     val dang = ranks.filter(col("__deg").isNull)
       .agg(coalesce(sum("rank"), zero).as("__dang"))
     val contribs = e.join(ranks.filter(col("__deg").isNotNull), e("src") === ranks("id"))
       .groupBy(e("dst").as("id")).agg(sum(share).as("__in"))
-    val next = ranks.select("id", "__deg")
+    val next = ranks.select(col("id") +: static.map(col): _*)
       .join(contribs, Seq("id"), "left")
       .crossJoin(dang) // 1 row — broadcast nested loop, no shuffle
-      .select(col("id"), update.as("rank"), col("__deg"))
+      .select(col("id") +: update.as("rank") +: static.map(col): _*)
     if (checkpoint) next.localCheckpoint(true) else next
   }
 
@@ -111,6 +112,56 @@ object Graphs {
     * ranking/sampling use; use [[pageRank]] when float precision
     * matters more than cross-engine exactness.
     */
+  /** PERSONALIZED PageRank in the same exact scaled-integer arithmetic
+    * as [[pageRankExact]]: the teleport (and the dangling mass) goes
+    * uniformly to the SEED set instead of all nodes — authority
+    * relative to a trusted set, the quality-propagation primitive for
+    * seeded corpus curation ("rank pages by proximity to known-good
+    * domains"). Seeds are the first column of `seeds`; seeds absent
+    * from the graph are ignored.
+    *
+    * Update rule (all `div` integral, non-negative):
+    * {{{
+    *   rank'(i) = (dampNum * (inbound(i) + [i∈S]·(dang div |S|))) div dampDen
+    *              + [i∈S] · teleSeed
+    *   teleSeed = ((dampDen−dampNum)·N·scale div |S|) div dampDen
+    * }}}
+    * Integer sums are order-independent → bit-identical on any engine
+    * mirroring the rule (q_ppr's DuckDB chained-CTE oracle).
+    */
+  def personalizedPageRankExact(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iterations: Int = 5,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L,
+      scale: Long = 1000000L,
+      dedupEdges: Boolean = true,
+      checkpointRounds: Boolean = true): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val (e, nodesDeg0, nNodes) = prepare(edges, dedupEdges)
+    val seedIds = seeds.select(col(seeds.columns(0)).as("id")).distinct()
+    val nodesDeg = nodesDeg0
+      .join(seedIds.withColumn("__seed", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("__deg"), coalesce(col("__seed"), lit(false)).as("__seed"))
+      .localCheckpoint(true)
+    val nSeeds = nodesDeg.filter(col("__seed")).count()
+    require(nSeeds > 0, "personalizedPageRankExact needs >= 1 seed present in the graph")
+    val teleSeed = (((dampDen - dampNum) * nNodes * scale) / nSeeds) / dampDen
+    var ranks = nodesDeg.select(col("id"), lit(scale).as("rank"), col("__deg"), col("__seed"))
+    for (_ <- 1 to iterations) {
+      val update = expr(
+        s"(${dampNum}L * (coalesce(__in, 0L) + " +
+          s"(CASE WHEN __seed THEN __dang div ${nSeeds}L ELSE 0L END))) div ${dampDen}L" +
+          s" + (CASE WHEN __seed THEN ${teleSeed}L ELSE 0L END)")
+      ranks = round(e, ranks, expr("rank div __deg"), lit(0L), update, checkpointRounds,
+        static = Seq("__deg", "__seed"))
+    }
+    ranks.select("id", "rank")
+  }
+
   /** Exact triangle count over an UNDIRECTED graph (edge direction and
     * duplicates ignored; self-loops dropped). Returns one row
     * `(n_triangles)`.

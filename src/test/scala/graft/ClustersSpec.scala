@@ -125,6 +125,45 @@ class ClustersSpec extends SparkSpec {
       assert(math.abs(micro.toDouble / scale - flt(nd)) < 1e-4) }
   }
 
+  test("personalizedPageRankExact: matches a scalar simulation; mass flows to seeds") {
+    val edgeList = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (3L, 5L))
+    val seeds = Seq(1L, 4L)
+    val (scale, dampNum, dampDen, iters) = (1000000L, 85L, 100L, 5)
+    val out = edgeList.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct
+    val n = nodes.size.toLong
+    val k = seeds.size.toLong
+    val teleSeed = (((dampDen - dampNum) * n * scale) / k) / dampDen
+    var rank = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(out.contains).map(rank).sum
+      val inbound = edgeList.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / out(s).size }.sum).toMap
+      rank = nodes.map { nd =>
+        val isSeed = seeds.contains(nd)
+        nd -> ((dampNum * (inbound.getOrElse(nd, 0L) +
+          (if (isSeed) dang / k else 0L))) / dampDen +
+          (if (isSeed) teleSeed else 0L))
+      }.toMap
+    }
+    val got = graft.ops.Graphs.personalizedPageRankExact(
+        edgeList.toDF("src", "dst"), seeds.toDF("id"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == rank)
+    // teleport mass concentrates at seeds: both seeds outrank every
+    // non-seed that isn't the graph's sink hub (node 3)
+    assert(got(1L) > got(2L) && got(1L) > got(5L) && got(4L) > got(2L))
+    // seeds absent from the graph are ignored; all-absent seeds refuse
+    val gotExtra = graft.ops.Graphs.personalizedPageRankExact(
+        edgeList.toDF("src", "dst"), (seeds :+ 99L).toDF("id"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotExtra == rank)
+    intercept[IllegalArgumentException] {
+      graft.ops.Graphs.personalizedPageRankExact(
+        edgeList.toDF("src", "dst"), Seq(99L).toDF("id"), iterations = 1).collect()
+    }
+  }
+
   test("triangleCount: exact on known graphs, orientation/duplicates/direction invariant") {
     // K4 has C(4,3) = 4 triangles; plus a pendant edge (no new
     // triangle) and one extra triangle sharing an edge with K4.

@@ -182,6 +182,17 @@ class JoinsSpec extends SparkSpec {
       assert(fast.toSet == naive, s"bin=$bin mismatch")
     }
     assert(naive.nonEmpty)
+
+    // negative timestamps (pre-epoch): pmod-based bins must stay exact
+    val nl = left.withColumn("ls", col("ls") - 100000L).withColumn("le", col("le") - 100000L)
+    val nr = right.withColumn("rs", col("rs") - 100000L).withColumn("re", col("re") - 100000L)
+    val nNaive = nl.join(nr, nl("lk") === nr("rk") &&
+        nl("ls") <= nr("re") && nr("rs") <= nl("le"))
+      .select("lid", "rid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val nFast = Joins.overlapJoin(nl, nr, Seq("lk" -> "rk"),
+        "ls", "le", "rs", "re", binSize = 700L)
+      .select("lid", "rid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(nFast == nNaive && nNaive == naive) // pure shift preserves pairs
   }
 
   test("bloom semi join equals the exact semi join, null keys never match") {
