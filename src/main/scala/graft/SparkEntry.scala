@@ -827,20 +827,27 @@ object SparkEntry {
   /** Approx-percentile sketch (Greenwald–Khanna variant) with its
     * accuracy contract inside the row, like [[qApproxDistinct]]: the
     * exact percentiles anchor the oracle compare, and the booleans
-    * assert the sketch landed within 1% relative error of them. At
-    * scale the sketch is the only viable path (exact `percentile`
-    * materializes per-group value arrays; the sketch is fixed-size,
-    * mergeable, one pass).
+    * assert the sketch landed within 1% relative error OR one unit of
+    * the (integer-valued) quantity domain. The granularity allowance
+    * is load-bearing: exact `percentile` INTERPOLATES between the two
+    * middle values while the sketch returns an actual data value, so
+    * on a discrete domain the sketch can be rank-perfect yet ~2% off
+    * the interpolated reference (first seen at sf0.1 — sf0.01's
+    * median happened to land on an integer). At scale the sketch is
+    * the only viable path (exact `percentile` materializes per-group
+    * value arrays; the sketch is fixed-size, mergeable, one pass).
     */
   private def qApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
     val ex50 = expr("percentile(l_quantity, 0.5D)")
     val ex99 = expr("percentile(l_quantity, 0.99D)")
     val ap50 = expr("approx_percentile(l_quantity, 0.5D, 10000)")
     val ap99 = expr("approx_percentile(l_quantity, 0.99D, 10000)")
+    def ok(ap: Column, ex: Column): Column =
+      abs(ap - ex) / ex <= 0.01 || abs(ap - ex) <= 1.0
     t(s, dir, "lineitem").agg(
       ex50.as("p50_exact"), ex99.as("p99_exact"),
-      (abs(ap50 - ex50) / ex50 <= 0.01).as("p50_within_1pct"),
-      (abs(ap99 - ex99) / ex99 <= 0.01).as("p99_within_1pct"))
+      ok(ap50, ex50).as("p50_within_1pct_or_unit"),
+      ok(ap99, ex99).as("p99_within_1pct_or_unit"))
   }
 
   /** Window frame spec (ROWS BETWEEN): rolling min/max/count over the
@@ -1816,7 +1823,7 @@ object SparkEntry {
     "q_approx_quantiles" ->
       """SELECT quantile_cont(l_quantity, 0.5) AS p50_exact,
         |       quantile_cont(l_quantity, 0.99) AS p99_exact,
-        |       true AS p50_within_1pct, true AS p99_within_1pct
+        |       true AS p50_within_1pct_or_unit, true AS p99_within_1pct_or_unit
         |FROM lineitem""".stripMargin,
     "q_window_frame" ->
       """SELECT user_id, event_id,
