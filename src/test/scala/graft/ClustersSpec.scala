@@ -228,7 +228,11 @@ class ClustersSpec extends SparkSpec {
     val badSites = (sites2 ++ sites4).filter(s =>
       (s.startsWith("head") || s.startsWith("collect")) && s.contains("Graphs"))
     assert(badSites.isEmpty, s"per-round driver action reappeared: $badSites")
+    // measured 7.0 jobs/round under AQE (each materialized stage is a
+    // job); the pre-fix shape with its extra driver action measured
+    // 12+. Bound 10 keeps headroom for AQE planning variation while
+    // still failing on a structural regression.
     val perRound = (jobs4 - jobs2) / 2.0
-    assert(perRound <= 8.0, s"PageRank round stage structure grew: $perRound jobs/round")
+    assert(perRound <= 10.0, s"PageRank round stage structure grew: $perRound jobs/round")
   }
 }
