@@ -9,14 +9,23 @@ import org.apache.spark.sql.functions._
   * hyperlink graphs feeding quality-weighted sampling.
   *
   * Same execution discipline as [[Clusters]]: the driver loops over
-  * ROUNDS (fixed, small), never over edges; every round is ONE job —
-  * one hash join edges⋈ranks, one groupBy-sum (both partition on the
-  * node id, so the exchange is reused), and a broadcast 1-row
-  * dangling-mass aggregate folded in via cross join, all materialized
-  * by the round's single `localCheckpoint`. No separate driver action
-  * per round: the out-degree is joined ONCE before the loop and
-  * carried inside the rank table, so the dangling sum is a filter+agg
-  * over the checkpointed ranks, not a second evaluation of the join.
+  * ROUNDS (fixed, small), never over edges; every round is one hash
+  * join edges⋈ranks, one groupBy-sum (both partition on the node id,
+  * so the exchange is reused), and a broadcast 1-row dangling-mass
+  * aggregate folded in via cross join. No separate driver action per
+  * round: the out-degree is joined ONCE before the loop and carried
+  * inside the rank table, so the dangling sum is a filter+agg over
+  * the rank table, not a second evaluation of the join.
+  *
+  * Rounds checkpoint PERIODICALLY (`checkpointEvery`, default 8): a
+  * `localCheckpoint` materialization is the EXPENSIVE part of a round
+  * (the .rdd conversion path bypasses AQE: measured at sf0.1/5
+  * rounds, fully lazy ≈ 2.1 s vs 3.8 s with per-round checkpoints),
+  * while a fully-lazy 50-round lineage blows up Catalyst planning.
+  * Every-8 keeps typical short runs (the 5-round oracle queries)
+  * fully lazy and bounds plan depth for long ones at 1/8 of the
+  * materializations. `checkpointEvery <= 0` never checkpoints (plan
+  * inspection, small iteration counts).
   */
 object Graphs {
 
@@ -74,44 +83,23 @@ object Graphs {
       iterations: Int = 10,
       damping: Double = 0.85,
       dedupEdges: Boolean = true,
-      checkpointRounds: Boolean = true): DataFrame = {
+      checkpointEvery: Int = 8): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val (e, nodesDeg, nNodes) = prepare(edges, dedupEdges)
     var ranks = nodesDeg.select(col("id"), lit(1.0).as("rank"), col("__deg"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       // same association order as the scalar reference implementation:
       // ((1-d) + d*dang/N) + d*inbound
       val update = (lit(1.0 - damping) +
         lit(damping) * col("__dang") / lit(nNodes.toDouble)) +
         lit(damping) * coalesce(col("__in"), lit(0.0))
-      ranks = round(e, ranks, col("rank") / col("__deg"), lit(0.0), update, checkpointRounds)
+      ranks = round(e, ranks, col("rank") / col("__deg"), lit(0.0), update,
+        checkpointEvery > 0 && i % checkpointEvery == 0)
     }
     ranks.select("id", "rank")
   }
 
-  /** PageRank in EXACT scaled-integer arithmetic: ranks are BIGINT
-    * micro-units (`scale` per 1.0), damping is the rational
-    * `dampNum/dampDen`, and every division is integral floor division
-    * (operands are non-negative, so truncation == floor). Integer
-    * sums are order-independent, so the result is bit-identical on
-    * ANY engine that implements the same update rule — which is what
-    * makes this variant DuckDB-oracle-checkable (a chained-CTE mirror
-    * hashes equal), unlike the float fixpoint whose sums depend on
-    * partitioning.
-    *
-    * Update rule, applied in this exact order (all `div` integral):
-    * {{{
-    *   share(src)  = rank div __deg                  (per out-edge)
-    *   inbound(id) = sum(shares over in-edges)       (0 if none)
-    *   dang        = sum(rank over dangling nodes)
-    *   rank'       = ((dampDen-dampNum)*scale) div dampDen
-    *                 + (dampNum * (inbound + dang div N)) div dampDen
-    * }}}
-    * Truncation loses < 1 micro-unit per term per round — fine for
-    * ranking/sampling use; use [[pageRank]] when float precision
-    * matters more than cross-engine exactness.
-    */
   /** PERSONALIZED PageRank in the same exact scaled-integer arithmetic
     * as [[pageRankExact]]: the teleport (and the dangling mass) goes
     * uniformly to the SEED set instead of all nodes — authority
@@ -137,7 +125,7 @@ object Graphs {
       dampDen: Long = 100L,
       scale: Long = 1000000L,
       dedupEdges: Boolean = true,
-      checkpointRounds: Boolean = true): DataFrame = {
+      checkpointEvery: Int = 8): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
     require(scale > 0, s"scale must be positive, got $scale")
@@ -151,12 +139,13 @@ object Graphs {
     require(nSeeds > 0, "personalizedPageRankExact needs >= 1 seed present in the graph")
     val teleSeed = (((dampDen - dampNum) * nNodes * scale) / nSeeds) / dampDen
     var ranks = nodesDeg.select(col("id"), lit(scale).as("rank"), col("__deg"), col("__seed"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val update = expr(
         s"(${dampNum}L * (coalesce(__in, 0L) + " +
           s"(CASE WHEN __seed THEN __dang div ${nSeeds}L ELSE 0L END))) div ${dampDen}L" +
           s" + (CASE WHEN __seed THEN ${teleSeed}L ELSE 0L END)")
-      ranks = round(e, ranks, expr("rank div __deg"), lit(0L), update, checkpointRounds,
+      ranks = round(e, ranks, expr("rank div __deg"), lit(0L), update,
+        checkpointEvery > 0 && i % checkpointEvery == 0,
         static = Seq("__deg", "__seed"))
     }
     ranks.select("id", "rank")
@@ -207,9 +196,27 @@ object Graphs {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
-  /** `checkpointRounds = false` keeps the whole iteration lazy (the
-    * full multi-round lineage stays visible to `explain` — plan
-    * inspection, tiny graphs); production runs materialize each round.
+  /** PageRank in EXACT scaled-integer arithmetic: ranks are BIGINT
+    * micro-units (`scale` per 1.0), damping is the rational
+    * `dampNum/dampDen`, and every division is integral floor division
+    * (operands are non-negative, so truncation == floor). Integer
+    * sums are order-independent, so the result is bit-identical on
+    * ANY engine that implements the same update rule — which is what
+    * makes this variant DuckDB-oracle-checkable (a chained-CTE mirror
+    * hashes equal), unlike the float fixpoint whose sums depend on
+    * partitioning.
+    *
+    * Update rule, applied in this exact order (all `div` integral):
+    * {{{
+    *   share(src)  = rank div __deg                  (per out-edge)
+    *   inbound(id) = sum(shares over in-edges)       (0 if none)
+    *   dang        = sum(rank over dangling nodes)
+    *   rank'       = ((dampDen-dampNum)*scale) div dampDen
+    *                 + (dampNum * (inbound + dang div N)) div dampDen
+    * }}}
+    * Truncation loses < 1 micro-unit per term per round — fine for
+    * ranking/sampling use; use [[pageRank]] when float precision
+    * matters more than cross-engine exactness.
     */
   def pageRankExact(
       edges: DataFrame,
@@ -218,17 +225,18 @@ object Graphs {
       dampDen: Long = 100L,
       scale: Long = 1000000L,
       dedupEdges: Boolean = true,
-      checkpointRounds: Boolean = true): DataFrame = {
+      checkpointEvery: Int = 8): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
     require(scale > 0, s"scale must be positive, got $scale")
     val (e, nodesDeg, nNodes) = prepare(edges, dedupEdges)
     val base = ((dampDen - dampNum) * scale) / dampDen // exact: driver long div
     var ranks = nodesDeg.select(col("id"), lit(scale).as("rank"), col("__deg"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val update = expr(
         s"${base}L + (${dampNum}L * (coalesce(__in, 0L) + __dang div ${nNodes}L)) div ${dampDen}L")
-      ranks = round(e, ranks, expr("rank div __deg"), lit(0L), update, checkpointRounds)
+      ranks = round(e, ranks, expr("rank div __deg"), lit(0L), update,
+        checkpointEvery > 0 && i % checkpointEvery == 0)
     }
     ranks.select("id", "rank")
   }

@@ -228,10 +228,12 @@ class ClustersSpec extends SparkSpec {
     val badSites = (sites2 ++ sites4).filter(s =>
       (s.startsWith("head") || s.startsWith("collect")) && s.contains("Graphs"))
     assert(badSites.isEmpty, s"per-round driver action reappeared: $badSites")
-    // measured 7.0 jobs/round under AQE (each materialized stage is a
-    // job); the pre-fix shape with its extra driver action measured
-    // 12+. Bound 10 keeps headroom for AQE planning variation while
-    // still failing on a structural regression.
+    // With periodic checkpointing (default every 5) these 2- and
+    // 4-iteration runs are fully lazy: the marginal cost of 2 extra
+    // rounds is their AQE stage-jobs only (measured ~4/round; the
+    // pre-fix per-round-action shape measured 12+). Bound 10 keeps
+    // headroom for AQE planning variation while still failing on a
+    // structural regression.
     val perRound = (jobs4 - jobs2) / 2.0
     assert(perRound <= 10.0, s"PageRank round stage structure grew: $perRound jobs/round")
   }
