@@ -74,6 +74,11 @@ object Clusters {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
+      // NOTE: one star round per materialization is the measured
+      // optimum — both star ops reference their input DataFrame
+      // multiple times (or/mins), so fusing two lazy rounds recomputes
+      // the inner round once per outer reference (tried in round 6:
+      // 2.8 s → 4.9 s at sf0.1).
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       // Star rounds are monotone (labels only decrease), so
       // next ⊆-equality with the previous round IS the fixpoint test:
