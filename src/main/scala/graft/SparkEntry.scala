@@ -262,6 +262,16 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
 
+  /** Full CUBE (all 2² grouping sets in ONE Expand + hash aggregate —
+    * the subtotal lattice a reporting layer wants without four
+    * scans); count/min/max only, like [[qRollup]].
+    */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
   private def qWindowFraction(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     t(s, dir, "events")
@@ -1371,6 +1381,7 @@ object SparkEntry {
     "q_triangles" -> (qTriangles _),
     "q_transitions" -> (qTransitions _),
     "q_ppr" -> (qPpr _),
+    "q_cube" -> (qCube _),
     "q_quality_cutoff" -> (qQualityCutoff _),
     "q_histogram" -> (qHistogram _),
     "q_schema_evolution" -> (qSchemaEvolution _),
@@ -1893,6 +1904,10 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
     "q_pagerank" -> pageRankOracle(5),
     "q_ppr" -> pprOracle(5),
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q_transitions" ->
       """WITH seq AS (
         |  SELECT event_type,
