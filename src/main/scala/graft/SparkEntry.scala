@@ -262,6 +262,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
 
+  /** Exact per-group distinct counting through the typed Aggregator
+    * (UDAF) surface ([[graft.expr.BitmapDistinct]]): one pass,
+    * map-side partials, fixed 188 KB bitmap buffer per group instead
+    * of `count(DISTINCT)`'s value de-dup shuffle; merge is bytewise
+    * OR, so the result is deterministic under any merge order — and
+    * must equal the oracle's COUNT(DISTINCT) exactly.
+    */
+  private def qBitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").groupBy("o_orderpriority")
+      .agg(graft.expr.BitmapDistinct.bitmapDistinct(1500000L)(col("o_custkey"))
+          .as("n_distinct_cust"),
+        count(lit(1)).as("n_rows"))
+
   /** Full CUBE (all 2² grouping sets in ONE Expand + hash aggregate —
     * the subtotal lattice a reporting layer wants without four
     * scans); count/min/max only, like [[qRollup]].
@@ -1382,6 +1395,7 @@ object SparkEntry {
     "q_transitions" -> (qTransitions _),
     "q_ppr" -> (qPpr _),
     "q_cube" -> (qCube _),
+    "q_bitmap_distinct" -> (qBitmapDistinct _),
     "q_quality_cutoff" -> (qQualityCutoff _),
     "q_histogram" -> (qHistogram _),
     "q_schema_evolution" -> (qSchemaEvolution _),
@@ -1908,6 +1922,10 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_bitmap_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct_cust,
+        |       count(*) AS n_rows
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_transitions" ->
       """WITH seq AS (
         |  SELECT event_type,

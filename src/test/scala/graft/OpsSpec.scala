@@ -386,6 +386,25 @@ class OpsSpec extends SparkSpec {
       kept.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("expr: BitmapDistinct equals count(DISTINCT) exactly; out-of-range fails loudly") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 5000).map(_ => (rnd.nextInt(4).toString, rnd.nextInt(900).toLong))
+    val df = rows.toDF("g", "id").repartition(13) // force cross-partition merges
+    val got = df.groupBy("g")
+      .agg(graft.expr.BitmapDistinct.bitmapDistinct(1000L)(col("id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    assert(got == want)
+    // ids past maxId must fail, not silently undercount
+    val err = intercept[org.apache.spark.SparkException] {
+      Seq(("a", 5000L)).toDF("g", "id").groupBy("g")
+        .agg(graft.expr.BitmapDistinct.bitmapDistinct(1000L)(col("id")))
+        .collect()
+    }
+    assert(err.getMessage.contains("outside") ||
+      Option(err.getCause).exists(_.getMessage.contains("outside")))
+  }
+
   test("sampling: assignSplit partitions every row, stable across layouts") {
     val df = (1L to 2000L).toDF("id")
     val splits = Seq("train" -> 900, "valid" -> 50, "test" -> 50)
