@@ -262,6 +262,20 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
 
+  /** Incremental dedup: every 10th document plays the NEW BATCH, the
+    * rest the existing corpus; exact cross-only Jaccard ≥ 0.5 via
+    * [[graft.ops.Dedup.crossJaccardPairsExact]] (corpus-side hot
+    * shingles capped at 50 docs, same trade as q_jaccard_exact). No
+    * corpus×corpus pair is ever materialized.
+    */
+  private def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.Dedup.crossJaccardPairsExact(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", col("text"), n = 3, minJaccard = 0.5, maxDocFreq = Some(50L))
+  }
+
   /** Exact per-group distinct counting through the typed Aggregator
     * (UDAF) surface ([[graft.expr.BitmapDistinct]]): one pass,
     * map-side partials, fixed 188 KB bitmap buffer per group instead
@@ -1396,6 +1410,7 @@ object SparkEntry {
     "q_ppr" -> (qPpr _),
     "q_cube" -> (qCube _),
     "q_bitmap_distinct" -> (qBitmapDistinct _),
+    "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_quality_cutoff" -> (qQualityCutoff _),
     "q_histogram" -> (qHistogram _),
     "q_schema_evolution" -> (qSchemaEvolution _),
@@ -1926,6 +1941,30 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct_cust,
         |       count(*) AS n_rows
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_incremental_dedup" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(${graft.ops.Dedup.shinglesSql("text", 3)}) AS shl
+         |  FROM documents),
+         |shf AS (SELECT * FROM sh WHERE len(shl) > 0),
+         |corp AS (SELECT * FROM shf WHERE doc_id % 10 <> 0),
+         |newb AS (SELECT * FROM shf WHERE doc_id % 10 = 0),
+         |idxc AS (
+         |  SELECT doc_id, u.s AS shingle FROM corp, unnest(corp.shl) AS u(s)
+         |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 50),
+         |idxb AS (SELECT doc_id, u.s AS shingle FROM newb, unnest(newb.shl) AS u(s)),
+         |co AS (
+         |  SELECT b.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS inter
+         |  FROM idxb b JOIN idxc c ON b.shingle = c.shingle GROUP BY 1, 2),
+         |v AS (
+         |  SELECT co.new_id, co.corpus_id, co.inter,
+         |         CAST(len(nb.shl) AS BIGINT) AS size_new,
+         |         CAST(len(cp.shl) AS BIGINT) AS size_corpus
+         |  FROM co JOIN newb nb ON co.new_id = nb.doc_id
+         |          JOIN corp cp ON co.corpus_id = cp.doc_id)
+         |SELECT new_id, corpus_id, inter, size_new, size_corpus,
+         |  CAST(inter AS DOUBLE) / (size_new + size_corpus - inter) AS jaccard
+         |FROM v
+         |WHERE CAST(inter AS DOUBLE) / (size_new + size_corpus - inter) >= 0.5""".stripMargin,
     "q_transitions" ->
       """WITH seq AS (
         |  SELECT event_type,

@@ -264,6 +264,38 @@ object Dedup {
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
   }
 
+  /** INCREMENTAL exact n-gram Jaccard: near-dup pairs between a NEW
+    * BATCH and an EXISTING CORPUS only — never corpus×corpus — the
+    * daily-ingest dedup shape ("is anything in today's crawl a dup of
+    * what we already have?"). A full-corpus recompute grows with the
+    * corpus; this grows with |batch| × matching corpus postings.
+    * Output `(new_id, corpus_id, inter, size_new, size_corpus,
+    * jaccard)`, 100% recall over the kept vocabulary (same
+    * `maxDocFreq` undercount trade as [[ngramJaccardPairsExact]] —
+    * the cap applies to CORPUS-side posting lists, where the f²
+    * blow-up lives).
+    */
+  def crossJaccardPairsExact(
+      corpus: DataFrame, batch: DataFrame, idCol: String, text: Column, n: Int,
+      minJaccard: Double, maxDocFreq: Option[Long] = None): DataFrame = {
+    val shC = shingleSets(corpus, idCol, text, n)
+    val shB = shingleSets(batch, idCol, text, n)
+    val idxC = invertedIndex(shC, "id", col("sh"), maxDocFreq).toDF("corpus_id", "shingle")
+    val idxB = invertedIndex(shB, "id", col("sh")).toDF("new_id", "shingle")
+    val co = idxB.join(idxC, Seq("shingle"))
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("inter"))
+      .select(col("new_id"), col("corpus_id"), col("inter").cast("long").as("inter"))
+    co
+      .join(shB.select(col("id").as("new_id"),
+        size(col("sh")).cast("long").as("size_new")), Seq("new_id"))
+      .join(shC.select(col("id").as("corpus_id"),
+        size(col("sh")).cast("long").as("size_corpus")), Seq("corpus_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_new") + col("size_corpus") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("new_id", "corpus_id", "inter", "size_new", "size_corpus", "jaccard")
+  }
+
   /** Edit-distance near-duplicate pairs: candidates from a character
     * q-gram inverted index (only pairs sharing ≥ 1 q-gram are ever
     * materialized — never the cross product), verified with the exact

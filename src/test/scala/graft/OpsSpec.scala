@@ -468,6 +468,26 @@ class OpsSpec extends SparkSpec {
     assert(kept == Map(1L -> "-\na", 2L -> "-\nb", 3L -> "-\nc"))
   }
 
+  test("dedup: crossJaccardPairsExact pairs batch against corpus only") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated corpus text about spark plans"),
+      (3L, "another unrelated document with different words entirely")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 1
+      (101L, "brand new content sharing nothing with the corpus"),
+      // near-dup of ANOTHER BATCH doc (102~103): must NOT pair — cross only
+      (102L, "batch internal duplicate pair alpha beta gamma delta"),
+      (103L, "batch internal duplicate pair alpha beta gamma epsilon")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.crossJaccardPairsExact(
+        corpus, batch, "doc_id", col("text"), n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    assert(got.map(p => (p._1, p._2)).toSet == Set((100L, 1L)))
+    assert(got.head._3 > 0.5 && got.head._3 < 1.0)
+  }
+
   test("dedup: editDistanceNearDups equals brute force within the recall bound") {
     // all strings length >= 6 -> full recall for q=3, maxDist=1;
     // length >= 9 -> full recall for maxDist=2.
