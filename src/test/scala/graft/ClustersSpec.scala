@@ -125,6 +125,37 @@ class ClustersSpec extends SparkSpec {
       assert(math.abs(micro.toDouble / scale - flt(nd)) < 1e-4) }
   }
 
+  test("pageRankExact: random graphs match the scalar simulation bit-exactly") {
+    // Beyond the single golden: seeded random digraphs with dangling
+    // nodes, self-loop-free, duplicate edges possible. The distributed
+    // integer iteration must equal the driver-side fold EXACTLY (no
+    // tolerance) — any divergence in div order, dangling handling, or
+    // dedup shows up as a hard mismatch.
+    val (scale, dampNum, dampDen, iters) = (1000000L, 85L, 100L, 4)
+    for (seed <- Seq(3, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val edgeList = (for (_ <- 1 to 90) yield {
+        val a = rnd.nextInt(30).toLong; val b = rnd.nextInt(30).toLong
+        if (a == b) None else Some((a, b))
+      }).flatten.distinct
+      val out = edgeList.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct
+      val n = nodes.size.toLong
+      val base = ((dampDen - dampNum) * scale) / dampDen
+      var rank = nodes.map(_ -> scale).toMap
+      for (_ <- 1 to iters) {
+        val dang = nodes.filterNot(out.contains).map(rank).sum
+        val inbound = edgeList.groupBy(_._2).view.mapValues(
+          _.map { case (s, _) => rank(s) / out(s).size }.sum).toMap
+        rank = nodes.map(nd =>
+          nd -> (base + (dampNum * (inbound.getOrElse(nd, 0L) + dang / n)) / dampDen)).toMap
+      }
+      val got = graft.ops.Graphs.pageRankExact(edgeList.toDF("src", "dst"), iterations = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == rank, s"seed $seed diverged")
+    }
+  }
+
   test("personalizedPageRankExact: matches a scalar simulation; mass flows to seeds") {
     val edgeList = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (3L, 5L))
     val seeds = Seq(1L, 4L)
