@@ -274,6 +274,13 @@ object Dedup {
     * `maxDocFreq` undercount trade as [[ngramJaccardPairsExact]] —
     * the cap applies to CORPUS-side posting lists, where the f²
     * blow-up lives).
+    *
+    * The corpus shingle subtree is referenced twice (inverted index +
+    * size join), i.e. two scans of the corpus per run. For a standing
+    * daily-ingest pipeline, persist the corpus's `shingleSets` (or
+    * write the inverted index out as a bucketed table keyed by
+    * shingle) and amortize it across batches — the batch side stays
+    * cheap either way.
     */
   def crossJaccardPairsExact(
       corpus: DataFrame, batch: DataFrame, idCol: String, text: Column, n: Int,
