@@ -161,6 +161,39 @@ object Streams {
       }
   }
 
+  /** Streaming upsert sink: apply each micro-batch as a key-based
+    * MERGE into a hive-partitioned parquet table via
+    * [[graft.etl.Etl.upsertPartitioned]] — the CDC-to-table pattern
+    * (stream of corrections → standing partitioned corpus) without a
+    * table format. Each batch rewrites ONLY the partitions it
+    * touches; an empty batch is a no-op rather than an empty
+    * overwrite.
+    *
+    * Delivery contract: `foreachBatch` is at-least-once, and the
+    * merge is idempotent for a replayed batch (same keys → same
+    * rows), so the table converges under retries as long as batches
+    * for a key arrive in order (the same contract as any
+    * last-writer-wins CDC apply). A batch carrying SEVERAL rows for
+    * one key is written as-is ([[graft.etl.Etl.upsertPartitioned]]'s
+    * documented pass-through) — reduce upstream (e.g. latest-by-
+    * timestamp struct agg) when at most one row per key is wanted.
+    */
+  def upsertSink(
+      df: org.apache.spark.sql.DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      partitionCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          if (new java.io.File(path).exists())
+            graft.etl.Etl.upsertPartitioned(batch.sparkSession, path, batch,
+              keyCols, partitionCols)
+          else
+            batch.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+        }
+    }
+
   final case class FunnelEvent(user_id: Long, event_type: String, ts: Long)
   final case class FunnelUpdate(user_id: Long, stage_idx: Int, stage: String, ts: Long)
 

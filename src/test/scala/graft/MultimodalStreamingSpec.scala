@@ -221,6 +221,31 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: upsertSink merges each micro-batch into a partitioned table") {
+    val root = java.nio.file.Files.createTempDirectory("graft_upsink").toString
+    val path = s"$root/t"
+    val stream = MemoryStream[(String, Long, Double)](spark)
+    val q = Streams.upsertSink(stream.toDF().toDF("p", "k", "v"), path,
+        keyCols = Seq("k"), partitionCols = Seq("p"))
+      .outputMode("update").start()
+    try {
+      // batch 1 creates the table
+      stream.addData(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0))
+      q.processAllAvailable()
+      // batch 2: update k=2, insert k=9 into a NEW partition; a is
+      // touched, b must survive untouched
+      stream.addData(("a", 2L, 99.0), ("c", 9L, 90.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(path)
+        .select(col("p").cast("string"), col("k"), col("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set(
+        ("a", 1L, 10.0), ("a", 2L, 99.0), // replaced
+        ("b", 3L, 30.0),                  // untouched partition
+        ("c", 9L, 90.0)))                 // inserted new partition
+    } finally q.stop()
+  }
+
   test("streaming: stateful session counts accumulate per user") {
     val stream = MemoryStream[Streams.SessionEvent](spark)
     // timeoutMs = 0: ProcessingTimeTimeout schedules no-data timeout
