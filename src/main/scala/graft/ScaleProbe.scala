@@ -47,8 +47,11 @@ object ScaleProbe {
     "q_dedup_best", "q_decontaminate", "q_top_ngrams", "q_sessionize",
     "q_redact_pii", "q_line_dedup", "q_pack_chunks",
     // round-6: iterative graph rounds (orders-based, 10 disjoint
-    // replica components — linear growth expected) + event funnel.
-    "q_pagerank", "q_funnel")
+    // replica components — linear growth expected), event funnel, and
+    // batch-vs-corpus incremental dedup (token-salted replicas keep
+    // cross-replica shingles disjoint — growth should track the
+    // corpus, not its square).
+    "q_pagerank", "q_funnel", "q_incremental_dedup")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a
