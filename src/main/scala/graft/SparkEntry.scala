@@ -1328,6 +1328,40 @@ object SparkEntry {
       urgent, "l_orderkey", "o_orderkey", expectedItems = 1000000L)
   }
 
+  /** ORC roundtrip: orders → ORC on disk → read back → aggregate;
+    * equality with the oracle's direct aggregation over the source
+    * parquet proves the second columnar format's write/read fidelity
+    * (schema, encodings, string round-trip).
+    */
+  private def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("orc")
+    graft.etl.Etl.writeOrc(
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority"), tmp)
+    graft.etl.Etl.readOrc(s, tmp)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+        sum("o_custkey").as("sum_cust"))
+  }
+
+  /** Write-audit-publish gate: a slice of orders written as an AUDITED
+    * parquet table (`_AUDIT.json` manifest holding the row count and
+    * the order-independent xor content checksum of the durable bytes),
+    * read back through the VERIFYING reader (throws on any
+    * divergence), audit summary re-emitted. The oracle recomputes the
+    * identical checksum directly over the source table — equality
+    * proves the write lost/duplicated nothing AND that the checksum
+    * is engine/layout/partitioning-independent (the property that
+    * makes it a cross-system migration gate at 100 TB).
+    */
+  private def qWriteAudit(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("aud")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority")
+    graft.etl.Etl.writeAudited(
+      t(s, dir, "orders").select(cols.map(col): _*), tmp, cols)
+    graft.etl.Etl.auditSummary(graft.etl.Etl.readAudited(s, tmp), cols)
+  }
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -1415,6 +1449,8 @@ object SparkEntry {
     "q_histogram" -> (qHistogram _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_compact" -> (qCompact _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_write_audit" -> (qWriteAudit _),
     "q_semi_join" -> (qSemiJoin _),
   )
 
@@ -1554,6 +1590,18 @@ object SparkEntry {
       """SELECT count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars
         |FROM documents""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_write_audit" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(coalesce(bit_xor(CAST(('0x' || substr(md5(concat_ws(chr(1),
+        |         coalesce(CAST(o_orderkey AS VARCHAR), chr(2)),
+        |         coalesce(CAST(o_custkey AS VARCHAR), chr(2)),
+        |         coalesce(o_orderpriority, chr(2)))), 1, 15)) AS BIGINT)), 0) AS BIGINT) AS checksum
+        |FROM orders""".stripMargin,
     "q_bucketed_join" ->
       """SELECT c.c_mktsegment, count(*) AS n,
         |       min(o.o_totalprice) AS min_price, max(o.o_totalprice) AS max_price

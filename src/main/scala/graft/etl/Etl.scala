@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Bulk ETL surface (reference: scratch.R:142-156): TSV → hive-
@@ -253,6 +253,96 @@ object Etl {
       .partitionBy(partitionCols: _*)
       .mode("overwrite")
       .parquet(path)
+  }
+
+  /** ORC write — the second columnar interchange format a complete
+    * engine speaks (warehouse handoffs and Hive-era lakes are ORC;
+    * Spark's reader/writer is native, same predicate-pushdown +
+    * column-pruning story as parquet). Fidelity is proven by
+    * q_orc_roundtrip: parquet → ORC → read → aggregate must equal the
+    * oracle's direct aggregation over the source parquet.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** ORC scan. Pass an explicit schema at scale (same contract as
+    * [[readTsv]]/[[readJsonl]]); without one the footer schema is
+    * used (no data scan — ORC self-describes, unlike JSONL).
+    */
+  def readOrc(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema.fold(spark.read.orc(path))(s => spark.read.schema(s).orc(path))
+
+  /** Per-row 60-bit content digest for audit checksums: the first 15
+    * hex digits of md5 over the row's columns joined with U+0001
+    * (NULLs → a U+0002 marker so NULL ≠ empty string and the join
+    * never skips a position). Aggregated with `bit_xor`, the table
+    * checksum is ORDER-INDEPENDENT and can never overflow — any
+    * engine/layout/partitioning computes the same value (DuckDB
+    * mirror: `bit_xor(CAST(('0x' || substr(md5(concat_ws(chr(1),
+    * ...)), 1, 15)) AS BIGINT))`, see q_write_audit's oracle). Same
+    * md5-prefix trick as [[graft.ops.Sampling.hashBucket]]. Only
+    * string/integer columns digest portably across engines — float
+    * formatting differs; cast or round floats upstream.
+    */
+  def rowDigest(cols: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("\u0001",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0002"))): _*)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** `(n_rows, checksum)` audit summary of `df` over `cols` — one
+    * map-side-combined hash-agg job ending in a 1-row reduce (xor and
+    * count are both partial-aggregable, so the exchange moves one row
+    * per partition).
+    */
+  def auditSummary(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(rowDigest(cols.map(col)).as(auditDigestSqlName))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(expr(s"bit_xor($auditDigestSqlName)"), lit(0L)).as("checksum"))
+
+  private val auditDigestSqlName = "__audit_digest"
+
+  /** Write-audit-publish: write `df` as parquet, then READ THE FILES
+    * BACK and record `(rows, checksum)` of what is actually on disk
+    * into `_AUDIT.json` next to the data (underscore-prefixed —
+    * invisible to parquet scans, like `_SUCCESS`). Auditing the
+    * read-back (not the in-memory frame) is the point: it certifies
+    * the durable bytes, catching lost/truncated/double-written files.
+    * `cols` defaults to every column in deterministic name order.
+    */
+  def writeAudited(df: DataFrame, path: String, cols: Seq[String] = Nil): Unit = {
+    df.write.mode("overwrite").parquet(path)
+    val back = df.sparkSession.read.parquet(path)
+    val useCols = if (cols.nonEmpty) cols else back.columns.sorted.toSeq
+    val row = auditSummary(back, useCols).head()
+    val json = s"""{"rows":${row.getLong(0)},"checksum":${row.getLong(1)},""" +
+      s""""cols":[${useCols.map(c => "\"" + c + "\"").mkString(",")}]}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_AUDIT.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Read an audited table and VERIFY it: recompute the checksum over
+    * the manifest's column list and fail loudly on any divergence
+    * (row loss, duplication, or corruption since the audit). Returns
+    * the verified frame. The verify pass is one scan — skip it on
+    * hot paths and run it as the acceptance gate after copies /
+    * compactions / migrations.
+    */
+  def readAudited(spark: SparkSession, path: String): DataFrame = {
+    val raw = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path, "_AUDIT.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val rows = """"rows":(-?\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
+    val checksum = """"checksum":(-?\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
+    val cols = """"cols":\[([^\]]*)\]""".r.findFirstMatchIn(raw).get.group(1)
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    val df = spark.read.parquet(path)
+    val got = auditSummary(df, cols).head()
+    require(got.getLong(0) == rows && got.getLong(1) == checksum,
+      s"audit mismatch at $path: manifest (rows=$rows, checksum=$checksum), " +
+        s"found (rows=${got.getLong(0)}, checksum=${got.getLong(1)})")
+    df
   }
 
   /** JSON-lines write — the lingua franca of training-data corpora. */
