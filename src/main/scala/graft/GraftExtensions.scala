@@ -81,6 +81,18 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         arity("minhash_signature", args, 2)
         MinHashSignatureExpr(args(0), litInt(args(1), "minhash_signature", "k"))
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", classOf[NfcNormalizeExpr]),
+      (args: Seq[Expression]) => {
+        arity("nfc_normalize", args, 1)
+        NfcNormalizeExpr(args(0))
+      }),
+    (FunctionIdentifier("strip_accents"),
+      info("strip_accents", classOf[StripAccentsExpr]),
+      (args: Seq[Expression]) => {
+        arity("strip_accents", args, 1)
+        StripAccentsExpr(args(0))
       }))
 
   /** Register every function on a live session (temp-function scope —

@@ -782,6 +782,40 @@ object SparkEntry {
       |       jaro_winkler_similarity(p_brand, p_type) AS jw_brand_type
       |FROM part WHERE p_partkey <= 300""".stripMargin
 
+  /** Unicode canonicalization, the q_sql_functions way: the IDENTICAL
+    * SQL text runs on Spark (via [[graft.expr.UnicodeExprs]],
+    * registered under DuckDB's own function names) and on DuckDB.
+    * Odd doc_ids get a tail that exercises every normalization class:
+    * decomposed e+U+0301, precomposed é/ñ, the U+212B→Å singleton,
+    * double-mark U+1E39, a spacing mark (U+0903) and an enclosing
+    * mark (U+20DD) — so the hash compare pins composed/decomposed
+    * collapse, all three mark categories, and the no-recompose
+    * singleton path. Lengths cast to BIGINT (Spark length is INT,
+    * DuckDB's BIGINT; the cast is the same text on both).
+    */
+  private val UnicodeNormSql: String = {
+    // decomposed e+mark, composed é, ñ, Å-singleton, double-mark,
+    // base+spacing-mark, base+enclosing-mark — explicit codepoints
+    val tail = " e\u0301 \u00e9 \u00f1 \u212b \u1e39 \u0915\u0903 a\u20dd"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 40)
+       |              ELSE substr(text, 1, 40) || '$tail' END AS decorated
+       |  FROM documents WHERE doc_id % 7 = 0)
+       |SELECT doc_id,
+       |       CAST(length(decorated) AS BIGINT) AS len_raw,
+       |       CAST(length(nfc_normalize(decorated)) AS BIGINT) AS len_nfc,
+       |       nfc_normalize(decorated) AS nfc,
+       |       strip_accents(decorated) AS stripped
+       |FROM d""".stripMargin
+  }
+
+  private def qUnicodeNorm(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql(UnicodeNormSql)
+  }
+
   /** Two-table linkage (the reference's primary production shape:
     * linking two different snapshots/tables, scratch.R:142-156 links
     * NCVR 2021×2023). Schemas differ — blocking keys are a left→right
@@ -1451,6 +1485,7 @@ object SparkEntry {
     "q_compact" -> (qCompact _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_write_audit" -> (qWriteAudit _),
+    "q_unicode_norm" -> (qUnicodeNorm _),
     "q_semi_join" -> (qSemiJoin _),
   )
 
@@ -1849,6 +1884,7 @@ object SparkEntry {
     // Verbatim: DuckDB's built-in jaro_winkler_similarity runs the
     // exact SQL text our registered function table runs on Spark.
     "q_sql_functions" -> SqlFunctionsSql,
+    "q_unicode_norm" -> UnicodeNormSql,
     "q_two_table_link" ->
       """WITH compared AS (
         |  SELECT CASE WHEN jaro_winkler_similarity(a.c_name, b.s_name) = 1 THEN 'full agreement'
