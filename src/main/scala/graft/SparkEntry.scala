@@ -1396,6 +1396,31 @@ object SparkEntry {
     graft.etl.Etl.auditSummary(graft.etl.Etl.readAudited(s, tmp), cols)
   }
 
+  /** Exact heavy hitters via a Misra-Gries sketch + one verification
+    * pass: tokens occurring strictly more than 1/200 of the stream.
+    * The full distinct-token set is never shuffled — the sketch holds
+    * ≤256 counters and its recall guarantee (freq > n/257 always
+    * tracked) makes the verified answer EQUAL to the oracle's plain
+    * GROUP BY ... HAVING, which is exactly what the hash compare
+    * proves on every run.
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    graft.expr.HeavyHitters.heavyHitters(toks, col("token"), capacity = 256, freqDen = 200L)
+      .withColumnRenamed("value", "token")
+  }
+
+  /** Join-key skew profile on orders.o_custkey: top 25 keys by exact
+    * count with integral ppm share — the pre-flight diagnostic that
+    * decides salting/broadcast before a 100 TB join. Deterministic
+    * under ties (count desc, key asc) so the LIMIT boundary agrees
+    * across engines.
+    */
+  private def qKeySkew(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.keySkew(t(s, dir, "orders"), col("o_custkey"), topN = 25)
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -1486,6 +1511,8 @@ object SparkEntry {
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_write_audit" -> (qWriteAudit _),
     "q_unicode_norm" -> (qUnicodeNorm _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_key_skew" -> (qKeySkew _),
     "q_semi_join" -> (qSemiJoin _),
   )
 
@@ -1885,6 +1912,21 @@ object SparkEntry {
     // exact SQL text our registered function table runs on Spark.
     "q_sql_functions" -> SqlFunctionsSql,
     "q_unicode_norm" -> UnicodeNormSql,
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tok2 AS (SELECT token FROM tok WHERE token <> ''),
+        |t AS (SELECT count(*) AS n FROM tok2)
+        |SELECT token, count(*) AS cnt
+        |FROM tok2 GROUP BY token
+        |HAVING count(*) >= (SELECT n // 200 + 1 FROM t)""".stripMargin,
+    "q_key_skew" ->
+      """WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM c)
+        |SELECT c.key, c.cnt, c.cnt * 1000000 // t.total AS share_ppm, t.n_keys
+        |FROM c, t
+        |ORDER BY c.cnt DESC, c.key ASC
+        |LIMIT 25""".stripMargin,
     "q_two_table_link" ->
       """WITH compared AS (
         |  SELECT CASE WHEN jaro_winkler_similarity(a.c_name, b.s_name) = 1 THEN 'full agreement'

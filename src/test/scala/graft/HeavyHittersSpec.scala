@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.HeavyHitters
+import graft.ops.Profiling
+
+/** Misra-Gries heavy hitters: the exactness contract (verified
+  * candidates ≡ plain GROUP BY HAVING) must hold under ANY
+  * partitioning — the merge path is where sketch implementations
+  * usually break, so the specs sweep partition counts.
+  */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Zipf-ish stream: value v_k appears ~N/k times — realistic token
+    * skew with a long tail, plus a deterministic shuffle so reduce
+    * order is adversarial rather than sorted.
+    */
+  private def zipfStream(n: Int): Seq[String] = {
+    val raw = (1 to n).flatMap { k =>
+      Seq.fill(n / k)(s"v$k")
+    }
+    // deterministic pseudo-shuffle (LCG index permutation)
+    val arr = raw.toArray
+    val m = arr.length
+    (0 until m).map(i => arr(((i * 48271L + 11) % m).toInt))
+  }
+
+  test("heavyHitters equals exact GROUP BY HAVING across partitionings and thresholds") {
+    val data = zipfStream(120) // ~650 rows, top value ~120 occurrences
+    for (parts <- Seq(1, 7, 32); freqDen <- Seq(10L, 40L)) {
+      val df = data.toDF("v").repartition(parts)
+      val got = HeavyHitters.heavyHitters(df, col("v"), capacity = 64, freqDen = freqDen)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val n = data.size
+      val thresh = n / freqDen + 1
+      val want = data.groupBy(identity).map { case (v, vs) => (v, vs.size.toLong) }
+        .filter(_._2 >= thresh).toSet
+      assert(got == want, s"parts=$parts freqDen=$freqDen thresh=$thresh")
+    }
+  }
+
+  test("sketch recall guarantee: every value with freq > n/(capacity+1) is a candidate") {
+    val data = zipfStream(80)
+    val n = data.size
+    val cap = 16
+    for (parts <- Seq(1, 5, 13)) {
+      val df = data.toDF("v").repartition(parts)
+      val cands = HeavyHitters.heavyHitters(df, col("v"), capacity = cap, freqDen = cap + 1L)
+        .collect().map(_.getString(0)).toSet
+      val mustHave = data.groupBy(identity)
+        .collect { case (v, vs) if vs.size.toLong > n.toLong / (cap + 1) => v }.toSet
+      // heavyHitters at freqDen=cap+1 keeps exactly the guaranteed band
+      assert(mustHave.subsetOf(cands), s"parts=$parts missing ${mustHave.diff(cands)}")
+    }
+  }
+
+  test("exactness precondition is enforced") {
+    val df = Seq("a", "b").toDF("v")
+    intercept[IllegalArgumentException] {
+      HeavyHitters.heavyHitters(df, col("v"), capacity = 4, freqDen = 6L)
+    }
+  }
+
+  test("keySkew: exact counts, integral ppm, deterministic tie order") {
+    // 3 heavy keys + tail; ties between k2 and k3 broken by key asc
+    val rows = Seq.fill(50)("hot") ++ Seq.fill(20)("k2") ++ Seq.fill(20)("k3") ++
+      (1 to 10).map(i => s"t$i")
+    val out = Profiling.keySkew(rows.toDF("k"), col("k"), topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.size.toLong
+    assert(out.toSeq == Seq(
+      ("hot", 50L, 50L * 1000000L / total, 13L),
+      ("k2", 20L, 20L * 1000000L / total, 13L),
+      ("k3", 20L, 20L * 1000000L / total, 13L)))
+  }
+}
