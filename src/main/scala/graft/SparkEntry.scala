@@ -1421,6 +1421,49 @@ object SparkEntry {
   private def qKeySkew(s: SparkSession, dir: String): DataFrame =
     graft.ops.Profiling.keySkew(t(s, dir, "orders"), col("o_custkey"), topN = 25)
 
+  /** BM25 document scoring against a static 3-term query with a wide
+    * idf spread ('dup' is rare, 'hash' mid, 'scan' near-ubiquitous).
+    * Both engines evaluate the SAME fixed-order scoring chain
+    * (TextAnalysis.bm25TermSql) — floats cross the engine boundary
+    * only through the 6-dp round, the q_scoring precedent.
+    */
+  private val Bm25Terms = Seq("dup", "hash", "scan")
+
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.bm25(
+      t(s, dir, "documents"), "doc_id", col("text"), Bm25Terms)
+
+  /** Per-language heavy tokens: the grouped Misra-Gries path — each
+    * language's sketch is independent, candidates verified exactly,
+    * equality with the per-group GROUP BY HAVING oracle by the same
+    * recall-guarantee argument as q_heavy_hitters.
+    */
+  private def qGroupedHeavy(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    graft.expr.HeavyHitters
+      .heavyHittersByGroup(toks, col("lang"), col("token"), capacity = 256, freqDen = 100L)
+      .withColumnRenamed("grp", "lang").withColumnRenamed("value", "token")
+  }
+
+  /** Mergeable distinct-count sketches: per-priority HLL sketches
+    * (the pre-aggregate a 100 TB pipeline stores per day/shard),
+    * UNIONED into a global estimate without touching raw rows again —
+    * accuracy contract in-row like q_approx_distinct (lgConfigK=14 →
+    * ~0.8% expected error, asserted < 3%).
+    */
+  private def qHllPartial(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val merged = o.groupBy("o_orderpriority")
+      .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    o.agg(countDistinct(col("o_custkey")).as("n_exact"))
+      .crossJoin(broadcast(merged))
+      .select(col("n_exact"),
+        (abs(col("est") - col("n_exact")) / col("n_exact") < 0.03).as("within_3pct"))
+  }
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -1513,6 +1556,9 @@ object SparkEntry {
     "q_unicode_norm" -> (qUnicodeNorm _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_key_skew" -> (qKeySkew _),
+    "q_bm25" -> (qBm25 _),
+    "q_grouped_heavy" -> (qGroupedHeavy _),
+    "q_hll_partial" -> (qHllPartial _),
     "q_semi_join" -> (qSemiJoin _),
   )
 
@@ -1920,6 +1966,19 @@ object SparkEntry {
         |SELECT token, count(*) AS cnt
         |FROM tok2 GROUP BY token
         |HAVING count(*) >= (SELECT n // 200 + 1 FROM t)""".stripMargin,
+    "q_bm25" -> graft.ops.TextAnalysis.bm25OracleSql(
+      "documents", "doc_id", "text", Bm25Terms),
+    "q_grouped_heavy" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tok2 AS (SELECT lang, token FROM tok WHERE token <> ''),
+        |c AS (SELECT lang, token, count(*) AS cnt FROM tok2 GROUP BY 1, 2),
+        |t AS (SELECT lang, count(*) AS n FROM tok2 GROUP BY 1)
+        |SELECT c.lang, c.token, c.cnt
+        |FROM c JOIN t ON c.lang = t.lang
+        |WHERE c.cnt >= t.n // 100 + 1""".stripMargin,
+    "q_hll_partial" ->
+      "SELECT count(DISTINCT o_custkey) AS n_exact, true AS within_3pct FROM orders",
     "q_key_skew" ->
       """WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),
         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM c)

@@ -119,8 +119,35 @@ object HeavyHitters {
       .select(col("value"), col("cnt"))
   }
 
-  /** Kryo map payload → MapType column (one 1-row invocation per
-    * query — never on a per-row hot path).
+  /** Per-group exact heavy hitters — `(grp, value, cnt)` for every
+    * group value pair with in-group frequency ≥ n_grp div freqDen + 1
+    * (same exactness argument as [[heavyHitters]], applied per group:
+    * each group's sketch sees exactly its own stream, and partial
+    * sketches merge per group key). The shape for "top tokens per
+    * language / top URLs per domain" over a corpus whose (group,
+    * value) distinct space is too large to shuffle whole: only rows
+    * matching the ≤capacity-per-group candidates reach the counting
+    * aggregate.
+    */
+  def heavyHittersByGroup(df: DataFrame, group: Column, value: Column,
+      capacity: Int, freqDen: Long): DataFrame = {
+    require(freqDen > 0, s"freqDen must be positive, got $freqDen")
+    require(freqDen <= capacity + 1L,
+      s"exactness needs freqDen <= capacity+1; got freqDen=$freqDen, capacity=$capacity")
+    val agg = udaf(new MisraGries(capacity), Encoders.STRING)
+    val vals = df.select(group.as("grp"), value.as("value")).na.drop(Seq("grp", "value"))
+    val cand = vals.groupBy("grp").agg(agg(col("value")).as("__mg"))
+      .select(col("grp"), explode(map_keys(deserializeMg(col("__mg")))).as("value"))
+    val totals = vals.groupBy("grp").agg(count(lit(1)).as("__n"))
+    vals.join(cand, Seq("grp", "value"), "left_semi")
+      .groupBy("grp", "value").agg(count(lit(1)).as("cnt"))
+      .join(totals, Seq("grp"))
+      .filter(col("cnt") >= expr(s"__n div ${freqDen}L") + lit(1L))
+      .select(col("grp"), col("value"), col("cnt"))
+  }
+
+  /** Kryo map payload → MapType column (one invocation per GROUP —
+    * never on a per-row hot path).
     */
   private val deserializeMg = udf((bytes: Array[Byte]) => {
     val ser = new org.apache.spark.serializer.KryoSerializer(

@@ -199,6 +199,83 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("ngram")).limit(k)
   }
 
+  // ---- BM25 retrieval scoring ---------------------------------------
+
+  /** One BM25 term component as a SQL fragment over columns
+    * `__tf{i}` (term frequency), `__len` (doc tokens), `__n` (corpus
+    * docs), `__df{i}` (docs containing the term), `__sumlen` (total
+    * tokens) — the IDENTICAL text evaluates on Spark and DuckDB, so
+    * the two engines execute the same floating-point expression tree
+    * in the same order (the q_scoring precedent: ln/÷ agree to well
+    * under the 6-dp round; sums are a FIXED-ORDER chain of k terms,
+    * never a data-ordered aggregate). idf is the BM25+ always-positive
+    * form ln(1 + (N − df + ½)/(df + ½)).
+    */
+  def bm25TermSql(i: Int, k1: Double, b: Double): String =
+    s"(CASE WHEN __tf$i > 0 THEN ln(1 + (__n - __df$i + 0.5)/(__df$i + 0.5)) * " +
+      s"(__tf$i * ($k1 + 1)) / (__tf$i + $k1 * (1 - $b + $b * __len / " +
+      s"(CAST(__sumlen AS DOUBLE) / __n))) ELSE 0.0 END)"
+
+  /** BM25 relevance of every document against a STATIC term set
+    * (Robertson-Spärck Jones; k1/b the classic defaults) — the
+    * retrieval primitive for corpus curation ("score documents
+    * against the eval-set keywords"). Returns `(id, bm25)` for
+    * documents matching ≥1 term, score rounded to 6 dp for
+    * cross-engine hash equality.
+    *
+    * Plan shape: ONE map pass computes per-term tf columns (k
+    * higher-order filters per doc — k is query-sized, single digits),
+    * ONE 1-row aggregate collects N/avg-length/per-term df
+    * (map-side combined), broadcast back, second map pass evaluates
+    * the fixed-order score chain. The corpus is scanned twice, no
+    * shuffle beyond the 1-row agg — survives any corpus size for a
+    * bounded term set.
+    */
+  def bm25(df: DataFrame, idCol: String, text: Column, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    require(terms.forall(t => t.nonEmpty && !t.contains("'") && !t.contains("\\")),
+      s"terms must be non-empty and quote-free, got $terms")
+    require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]; got k1=$k1 b=$b")
+    val toks = tokensWs(text)
+    val base = df.select(col(idCol), toks.as("__toks"), size(toks).cast("long").as("__len"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      expr(s"size(filter(__toks, x -> x = '$t'))").cast("long").as(s"__tf$i")
+    }
+    val tf = base.select(col(idCol) +: col("__len") +: tfCols: _*)
+    val statAggs = sum(col("__len")).as("__sumlen") +: count(lit(1)).as("__n") +:
+      terms.indices.map(i => sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = tf.agg(statAggs.head, statAggs.tail: _*)
+    tf.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"__tf$i") > 0).reduce(_ || _))
+      .select(col(idCol),
+        round(expr(terms.indices.map(i => bm25TermSql(i, k1, b)).mkString(" + ")), 6)
+          .as("bm25"))
+  }
+
+  /** DuckDB mirror of [[bm25]] — tf/df CTEs in DuckDB's dialect, the
+    * scoring chain from the SAME [[bm25TermSql]] fragments.
+    */
+  def bm25OracleSql(table: String, idExpr: String, textExpr: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): String = {
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(string_split($textExpr, ' '), x -> x = '$t')) AS __tf$i"
+    }
+    val dfs = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN __tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS __df$i")
+    s"""WITH tf AS (
+       |  SELECT $idExpr, len(string_split($textExpr, ' ')) AS __len,
+       |         ${tfs.mkString(",\n         ")}
+       |  FROM $table),
+       |st AS (
+       |  SELECT CAST(sum(__len) AS BIGINT) AS __sumlen, count(*) AS __n,
+       |         ${dfs.mkString(",\n         ")}
+       |  FROM tf)
+       |SELECT $idExpr, round(${terms.indices.map(i => bm25TermSql(i, k1, b)).mkString(" + ")}, 6) AS bm25
+       |FROM tf, st
+       |WHERE ${terms.indices.map(i => s"__tf$i > 0").mkString(" OR ")}""".stripMargin
+  }
+
   // ---- PII redaction ------------------------------------------------
 
   /** Conservative PII patterns, restricted to syntax that means the

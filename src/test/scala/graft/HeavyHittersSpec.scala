@@ -63,6 +63,45 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("heavyHittersByGroup equals per-group exact GROUP BY HAVING") {
+    val a = zipfStream(60).map(("ga", _))
+    val b = zipfStream(25).map(("gb", _)) // different skew profile per group
+    val data = a ++ b
+    for (parts <- Seq(1, 9)) {
+      val df = data.toDF("g", "v").repartition(parts)
+      val got = HeavyHitters.heavyHittersByGroup(df, col("g"), col("v"),
+          capacity = 32, freqDen = 12L)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val want = data.groupBy(_._1).flatMap { case (g, rows) =>
+        val n = rows.size.toLong
+        rows.groupBy(_._2).collect {
+          case (v, vs) if vs.size.toLong >= n / 12 + 1 => (g, v, vs.size.toLong)
+        }
+      }.toSet
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("bm25: rare terms outscore common ones; tf raises score; golden value") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "rare common common filler filler"),
+      (2L, "rare rare common filler filler"),
+      (3L, "common filler filler filler filler"),
+      (4L, "filler filler filler filler filler")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", col("text"), Seq("rare", "common"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // doc 4 matches nothing
+    assert(out(2L) > out(1L)) // extra 'rare' occurrence raises the score
+    assert(out(1L) > out(3L)) // doc with the rare term beats common-only
+    // golden: doc 3, term 'common' only: tf=1, len=5, N=4, df=3, avg=5
+    // idf = ln(1 + (4-3+0.5)/(3+0.5)); tfpart = (1*2.2)/(1+1.2*(0.25+0.75*1))
+    val idf = math.log(1 + 1.5 / 3.5)
+    val expected = BigDecimal(idf * 2.2 / (1 + 1.2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(3L) - expected) < 1e-9, s"got ${out(3L)}, want $expected")
+  }
+
   test("keySkew: exact counts, integral ppm, deterministic tie order") {
     // 3 heavy keys + tail; ties between k2 and k3 broken by key asc
     val rows = Seq.fill(50)("hot") ++ Seq.fill(20)("k2") ++ Seq.fill(20)("k3") ++
