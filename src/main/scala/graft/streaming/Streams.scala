@@ -194,6 +194,31 @@ object Streams {
         }
     }
 
+  /** Stream-static enrichment join: decorate a stream with dimension
+    * attributes from a batch table (user → segment, doc → source
+    * metadata). The broadcast hint keeps the per-batch join map-only
+    * (no stream-side shuffle, no state: the 100 TB/day stream never
+    * waits on an exchange). Left join so dimension gaps decorate with
+    * NULLs instead of dropping events; use [[graft.linkage.Suffix]]-
+    * style disjoint column names upstream.
+    *
+    * SNAPSHOT CONTRACT: for file sources the dimension's file listing
+    * is captured when `dim` is defined — the stream joins that
+    * snapshot for its whole lifetime, and overwriting the files under
+    * a running query FAILS the query (verified in the spec), it does
+    * not refresh it. To pick up dimension changes, restart the query,
+    * or apply batches through `foreachBatch` re-reading the dimension
+    * per batch (the [[upsertSink]] pattern), or serve the dimension
+    * from a snapshot-isolated table format.
+    */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "enrich needs join keys")
+    stream.join(broadcast(dim), keys, "left")
+  }
+
   final case class FunnelEvent(user_id: Long, event_type: String, ts: Long)
   final case class FunnelUpdate(user_id: Long, stage_idx: Int, stage: String, ts: Long)
 

@@ -246,6 +246,43 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: enrich decorates across batches; dim overwrite under a live query FAILS it") {
+    val root = java.nio.file.Files.createTempDirectory("graft_enrich").toString
+    val dimPath = s"$root/dim"
+    Seq((1L, "bronze"), (2L, "silver")).toDF("k", "segment")
+      .write.mode("overwrite").parquet(dimPath)
+    val stream = MemoryStream[(Long, Double)](spark)
+    val out = Streams.enrich(
+      stream.toDF().toDF("k", "v"), spark.read.parquet(dimPath), Seq("k"))
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, 10.0), (3L, 30.0))
+      q.processAllAvailable()
+      val b1 = spark.table("enrich_out")
+        .collect().map(r => (r.getLong(0), r.getAs[String]("segment"))).toSet
+      // known key decorated, unknown key kept with NULL (left join)
+      assert(b1 == Set((1L, "bronze"), (3L, null)))
+      // same snapshot serves later batches
+      stream.addData((2L, 20.0))
+      q.processAllAvailable()
+      val b2 = spark.table("enrich_out")
+        .collect().map(r => (r.getLong(0), r.getAs[String]("segment"))).toSet
+      assert(b2.contains((2L, "silver")))
+      // SNAPSHOT CONTRACT: overwriting the dimension files under the
+      // running query kills the next batch (file listing is pinned at
+      // definition) — refresh requires a restart or foreachBatch.
+      Seq((3L, "gold")).toDF("k", "segment")
+        .write.mode("overwrite").parquet(dimPath)
+      stream.addData((3L, 31.0))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("FILE_NOT_EXIST") ||
+        Option(e.getCause).exists(_.getMessage.contains("FILE_NOT_EXIST")))
+    } finally q.stop()
+  }
+
   test("streaming: stateful session counts accumulate per user") {
     val stream = MemoryStream[Streams.SessionEvent](spark)
     // timeoutMs = 0: ProcessingTimeTimeout schedules no-data timeout
