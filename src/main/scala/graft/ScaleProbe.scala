@@ -51,7 +51,13 @@ object ScaleProbe {
     // batch-vs-corpus incremental dedup (token-salted replicas keep
     // cross-replica shingles disjoint — growth should track the
     // corpus, not its square).
-    "q_pagerank", "q_funnel", "q_incremental_dedup")
+    "q_pagerank", "q_funnel", "q_incremental_dedup",
+    // continuation: sketch + fixed-order scoring passes (documents-
+    // based; the salted replicas multiply the distinct-token space,
+    // so these exercise the bounded-state claim — MG state stays at
+    // `capacity` and the BM25 stats row stays 1 row while the corpus
+    // grows 10×).
+    "q_heavy_hitters", "q_bm25")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a

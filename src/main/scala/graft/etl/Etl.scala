@@ -180,6 +180,40 @@ object Etl {
     }
   }
 
+  /** Size-targeted compaction: derive the file count from the actual
+    * on-disk bytes (`ceil(bytes / targetFileBytes)`) instead of a
+    * hand-picked count — the knob operators actually reason in
+    * ("~512 MB files"), and the difference between a table compacted
+    * once and one re-tuned every time it grows. Parquet compression
+    * carries over (the post-compaction encoding matches the input's),
+    * so input bytes are an honest size proxy. Delegates to
+    * [[compact]] for the write.
+    */
+  def compactToSize(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long, partitionCols: Seq[String] = Nil): Unit = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    def du(f: java.io.File): Long =
+      if (f.isFile) { if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0L else f.length }
+      else Option(f.listFiles()).toSeq.flatten.map(du).sum
+    val bytes = du(new java.io.File(inPath))
+    require(bytes > 0, s"no data bytes under $inPath")
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    compact(spark, inPath, outPath, nFiles, partitionCols = partitionCols)
+  }
+
+  /** Parquet scan that SKIPS corrupt or truncated files instead of
+    * failing the job — the triage read for a 100 TB table with a bad
+    * write behind it (a failed executor's partial file, a torn copy).
+    * Scoped per-read (an option on this scan, not a session config —
+    * nothing leaks into other readers). NOT for production pipelines:
+    * silently dropping data is the wrong default, which is why the
+    * regular [[readPartitioned]] stays strict; pair this with
+    * [[readAudited]]'s checksum to quantify exactly what a salvage
+    * read lost.
+    */
+  def readSalvage(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+
   /** In-place compaction of a SINGLE hive partition: reads just that
     * partition (partition-pruned scan), coalesces to `targetFiles`,
     * and dynamic-overwrites ONLY that directory — sibling partitions
