@@ -197,8 +197,27 @@ object Etl {
       else Option(f.listFiles()).toSeq.flatten.map(du).sum
     val bytes = du(new java.io.File(inPath))
     require(bytes > 0, s"no data bytes under $inPath")
-    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    compact(spark, inPath, outPath, nFiles, partitionCols = partitionCols)
+    def ceilDiv(a: Long, b: Long): Int = math.max(1L, (a + b - 1) / b).toInt
+    if (partitionCols.isEmpty) {
+      val nFiles = ceilDiv(bytes, targetFileBytes)
+      // coalesce can only LOWER the partition count: when the derived
+      // count exceeds the scan's (small target vs the reader's
+      // bin-packing), rebalance (shuffle) or the target is silently
+      // missed by up to maxPartitionBytes/target ×.
+      val scanParts = spark.read.parquet(inPath).rdd.getNumPartitions
+      compact(spark, inPath, outPath, nFiles, rebalance = nFiles > scanParts)
+    } else {
+      // compact's partitioned branch takes files PER HIVE PARTITION
+      // (its write salt is per-partition): derive the per-partition
+      // count from the AVERAGE partition's bytes, not the table's —
+      // a global count here would write nFiles files into EVERY
+      // partition and explode the file count.
+      val nPartDirs = math.max(1,
+        Option(new java.io.File(inPath).listFiles()).toSeq.flatten
+          .count(f => f.isDirectory && f.getName.contains("=")))
+      val perPartition = ceilDiv(bytes / nPartDirs, targetFileBytes)
+      compact(spark, inPath, outPath, perPartition, partitionCols = partitionCols)
+    }
   }
 
   /** Parquet scan that SKIPS corrupt or truncated files instead of
@@ -348,12 +367,22 @@ object Etl {
     df.write.mode("overwrite").parquet(path)
     val back = df.sparkSession.read.parquet(path)
     val useCols = if (cols.nonEmpty) cols else back.columns.sorted.toSeq
+    // The manifest's flat JSON encoder has no escaping — refuse names
+    // it cannot round-trip rather than verifying the wrong column set.
+    require(useCols.forall(c => !c.contains(",") && !c.contains("\"") && !c.contains("\\")),
+      s"audited column names must not contain ',', '\"', or '\\': $useCols")
     val row = auditSummary(back, useCols).head()
     val json = s"""{"rows":${row.getLong(0)},"checksum":${row.getLong(1)},""" +
       s""""cols":[${useCols.map(c => "\"" + c + "\"").mkString(",")}]}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, "_AUDIT.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Manifest IO goes through the Hadoop filesystem of the DATA path,
+    // so audited tables work on any URI scheme the parquet write
+    // honors (a java.nio write would silently drop the manifest onto
+    // the driver's local disk for hdfs://-style paths).
+    val hPath = new org.apache.hadoop.fs.Path(path, "_AUDIT.json")
+    val fs = hPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(hPath, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Read an audited table and VERIFY it: recompute the checksum over
@@ -364,12 +393,23 @@ object Etl {
     * compactions / migrations.
     */
   def readAudited(spark: SparkSession, path: String): DataFrame = {
-    val raw = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path, "_AUDIT.json")),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val rows = """"rows":(-?\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
-    val checksum = """"checksum":(-?\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
-    val cols = """"cols":\[([^\]]*)\]""".r.findFirstMatchIn(raw).get.group(1)
+    val hPath = new org.apache.hadoop.fs.Path(path, "_AUDIT.json")
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(hPath)
+    val raw =
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in: java.io.InputStream),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    def field(name: String): String =
+      (s""""$name":(-?\\d+)""").r.findFirstMatchIn(raw).map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException(
+          s"malformed _AUDIT.json at $path: missing numeric field '$name' in: $raw"))
+    val rows = field("rows").toLong
+    val checksum = field("checksum").toLong
+    val cols = """"cols":\[([^\]]*)\]""".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException(
+          s"malformed _AUDIT.json at $path: missing cols list in: $raw"))
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
     val df = spark.read.parquet(path)
     val got = auditSummary(df, cols).head()

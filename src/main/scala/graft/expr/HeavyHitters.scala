@@ -108,13 +108,18 @@ object HeavyHitters {
     require(freqDen <= capacity + 1L,
       s"exactness needs freqDen <= capacity+1 (guarantee covers freq > n/(capacity+1)); " +
         s"got freqDen=$freqDen, capacity=$capacity")
+    val agg = udaf(new MisraGries(capacity), Encoders.STRING)
     val vals = df.select(value.as("value")).na.drop(Seq("value"))
-    val cand = candidates(df, value, capacity)
-      .select(explode(map_keys(deserializeMg(col("__mg")))).as("value"))
-    val total = vals.agg(count(lit(1)).as("__n"))
-    vals.join(broadcast(cand), Seq("value"), "left_semi")
-      .groupBy("value").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+    // sketch AND total in the SAME 1-row pass — a separate count()
+    // would be a third full scan of the stream for one number
+    val sketchAndTotal = vals
+      .agg(agg(col("value")).as("__mg"), count(lit(1)).as("__n"))
+    val cand = sketchAndTotal
+      .select(explode(map_keys(deserializeMg(col("__mg")))).as("value"), col("__n"))
+    // inner join carries the constant __n along with each candidate
+    // row — ONE reference to the sketch plan, no second evaluation
+    vals.join(broadcast(cand), Seq("value"))
+      .groupBy("value").agg(count(lit(1)).as("cnt"), first(col("__n")).as("__n"))
       .filter(col("cnt") >= expr(s"__n div ${freqDen}L") + lit(1L))
       .select(col("value"), col("cnt"))
   }
@@ -136,12 +141,14 @@ object HeavyHitters {
       s"exactness needs freqDen <= capacity+1; got freqDen=$freqDen, capacity=$capacity")
     val agg = udaf(new MisraGries(capacity), Encoders.STRING)
     val vals = df.select(group.as("grp"), value.as("value")).na.drop(Seq("grp", "value"))
-    val cand = vals.groupBy("grp").agg(agg(col("value")).as("__mg"))
-      .select(col("grp"), explode(map_keys(deserializeMg(col("__mg")))).as("value"))
-    val totals = vals.groupBy("grp").agg(count(lit(1)).as("__n"))
-    vals.join(cand, Seq("grp", "value"), "left_semi")
-      .groupBy("grp", "value").agg(count(lit(1)).as("cnt"))
-      .join(totals, Seq("grp"))
+    // per-group sketch AND per-group total in ONE keyed agg pass; the
+    // inner join then carries the group's __n on every candidate row
+    // (no separate totals scan, no second join)
+    val cand = vals.groupBy("grp")
+      .agg(agg(col("value")).as("__mg"), count(lit(1)).as("__n"))
+      .select(col("grp"), explode(map_keys(deserializeMg(col("__mg")))).as("value"), col("__n"))
+    vals.join(cand, Seq("grp", "value"))
+      .groupBy("grp", "value").agg(count(lit(1)).as("cnt"), first(col("__n")).as("__n"))
       .filter(col("cnt") >= expr(s"__n div ${freqDen}L") + lit(1L))
       .select(col("grp"), col("value"), col("cnt"))
   }
@@ -150,8 +157,13 @@ object HeavyHitters {
     * never on a per-row hot path).
     */
   private val deserializeMg = udf((bytes: Array[Byte]) => {
-    val ser = new org.apache.spark.serializer.KryoSerializer(
-      new org.apache.spark.SparkConf(false)).newInstance()
+    // Use the running environment's Spark conf so custom kryo settings
+    // (registrator, registrationRequired) match the Encoders.kryo
+    // side that produced the payload; default conf only as a fallback
+    // for detached test contexts.
+    val conf = Option(org.apache.spark.SparkEnv.get).map(_.conf)
+      .getOrElse(new org.apache.spark.SparkConf(false))
+    val ser = new org.apache.spark.serializer.KryoSerializer(conf).newInstance()
     ser.deserialize[Map[String, Long]](java.nio.ByteBuffer.wrap(bytes))
   })
 }

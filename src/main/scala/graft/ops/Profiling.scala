@@ -33,7 +33,10 @@ object Profiling {
       .select(col("key"), col("cnt"),
         expr("cnt * 1000000L div __total").as("share_ppm"),
         col("n_keys"))
-      .orderBy(col("cnt").desc, col("key").asc)
+      // asc_nulls_last: DuckDB's ASC default is NULLS LAST while
+      // Spark's is NULLS FIRST — a NULL key tying at the topN
+      // boundary would otherwise pick different rows per engine.
+      .orderBy(col("cnt").desc, col("key").asc_nulls_last)
       .limit(topN)
   }
 }

@@ -258,6 +258,9 @@ object TextAnalysis {
     */
   def bm25OracleSql(table: String, idExpr: String, textExpr: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): String = {
+    require(terms.nonEmpty, "bm25OracleSql needs at least one term")
+    require(terms.forall(t => t.nonEmpty && !t.contains("'") && !t.contains("\\")),
+      s"terms must be non-empty and quote-free (they interpolate into SQL literals), got $terms")
     val tfs = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(string_split($textExpr, ' '), x -> x = '$t')) AS __tf$i"
     }
