@@ -1464,6 +1464,15 @@ object SparkEntry {
         (abs(col("est") - col("n_exact")) / col("n_exact") < 0.03).as("within_3pct"))
   }
 
+  /** Overlapping token-window chunking (64-token windows, stride 48 →
+    * 16-token overlap): the RAG/training splitter, all-integer
+    * arithmetic — the mirror is bit-exact including the clamped final
+    * window per document.
+    */
+  private def qChunkText(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.chunkTokens(
+      t(s, dir, "documents"), "doc_id", col("text"), chunkTokens = 64, stride = 48)
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -1559,6 +1568,7 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_grouped_heavy" -> (qGroupedHeavy _),
     "q_hll_partial" -> (qHllPartial _),
+    "q_chunk_text" -> (qChunkText _),
     "q_semi_join" -> (qSemiJoin _),
   )
 
@@ -1979,6 +1989,8 @@ object SparkEntry {
         |WHERE c.cnt >= t.n // 100 + 1""".stripMargin,
     "q_hll_partial" ->
       "SELECT count(DISTINCT o_custkey) AS n_exact, true AS within_3pct FROM orders",
+    "q_chunk_text" -> graft.ops.TextAnalysis.chunkTokensOracleSql(
+      "documents", "doc_id", "text", chunkTokens = 64, stride = 48),
     "q_key_skew" ->
       """WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),
         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM c)

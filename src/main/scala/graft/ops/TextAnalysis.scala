@@ -199,6 +199,58 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("ngram")).limit(k)
   }
 
+  // ---- overlapping token-window chunking ----------------------------
+
+  /** Split each document into overlapping token windows — the
+    * training/RAG splitter: chunk k covers tokens
+    * `[k·stride, k·stride + chunkTokens)`, so consecutive chunks
+    * share `chunkTokens − stride` tokens of context. Output
+    * `(id, chunk_idx, chunk_text, n_tokens)`; the final chunk may be
+    * shorter. NULL text emits nothing; an empty string emits ONE
+    * empty chunk (whitespace split of "" is [""] — one empty token —
+    * on Spark and DuckDB alike; filter upstream if that row is
+    * unwanted). Contrast [[graft.ops.Windows.packChunks]], which
+    * assigns whole documents to fixed budgets — this slices WITHIN
+    * documents.
+    *
+    * Map-only: one `transform(sequence)` + posexplode per doc, no
+    * shuffle, no state — the shape survives any corpus size. All
+    * arithmetic integral (offsets, slice bounds), so the DuckDB
+    * mirror is bit-exact with no float anywhere.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, text: Column,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens] (overlap = chunkTokens - stride), got $stride")
+    df.select(col(idCol), tokensWs(text).as("__toks"))
+      // guard BEFORE sequence(): Spark's sequence(0, -1) helpfully
+      // infers step -1 and yields [0, -1] for an empty doc
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, (size(__toks) - 1) div $stride), " +
+          s"k -> array_join(slice(__toks, k * $stride + 1, $chunkTokens), ' '))")))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        (size(split(col("col"), " "))).cast("long").as("n_tokens"))
+  }
+
+  /** DuckDB mirror of [[chunkTokens]] (list slice ≡ Spark `slice`,
+    * both clamp past the end; `range` end-exclusive ≡ the sequence
+    * bound; floor division on the non-negative n−1 ≡ `div`).
+    */
+  def chunkTokensOracleSql(table: String, idExpr: String, textExpr: String,
+      chunkTokens: Int, stride: Int): String =
+    s"""WITH d AS (
+       |  SELECT $idExpr, string_split($textExpr, ' ') AS toks,
+       |         len(string_split($textExpr, ' ')) AS n
+       |  FROM $table),
+       |nonempty AS (SELECT * FROM d WHERE n > 0)
+       |SELECT $idExpr, k AS chunk_idx,
+       |       array_to_string(toks[k * $stride + 1 : k * $stride + $chunkTokens], ' ') AS chunk_text,
+       |       len(toks[k * $stride + 1 : k * $stride + $chunkTokens]) AS n_tokens
+       |FROM nonempty, UNNEST(range(0, (n - 1) // $stride + 1)) AS t(k)""".stripMargin
+
   // ---- BM25 retrieval scoring ---------------------------------------
 
   /** One BM25 term component as a SQL fragment over columns

@@ -102,6 +102,37 @@ class HeavyHittersSpec extends SparkSpec {
     assert(math.abs(out(3L) - expected) < 1e-9, s"got ${out(3L)}, want $expected")
   }
 
+  test("chunkTokens: overlap, clamped tail, empty-doc guard, reconstruction") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                   // shorter than one chunk
+      (3L, "")).toDF("doc_id", "text")                 // split("") -> [""], len 1
+    val out = TextAnalysis.chunkTokens(docs, "doc_id", col("text"), chunkTokens = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val d1 = out.filter(_._1 == 1L)
+    // offsets 0,3,6,9: windows of 4 tokens, final clamped to 1
+    assert(d1.map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L, 1L))
+    // consecutive chunks share chunkTokens - stride = 1 token
+    assert(d1(0)._3.split(" ").last == d1(1)._3.split(" ").head)
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.map(_._3).toSeq == Seq("a b c"))
+    // empty string: whitespace split yields one empty token (both
+    // engines) -> exactly one empty chunk, pinned here
+    val d3 = out.filter(_._1 == 3L)
+    assert(d3.map(t => (t._3, t._4)).toSeq == Seq(("", 1L)))
+    // stride-covering: every token index appears in some chunk
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    // parameter guards
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(docs, "doc_id", col("text"), 4, 5)
+    }
+  }
+
   test("keySkew: exact counts, integral ppm, deterministic tie order") {
     // 3 heavy keys + tail; ties between k2 and k3 broken by key asc
     val rows = Seq.fill(50)("hot") ++ Seq.fill(20)("k2") ++ Seq.fill(20)("k3") ++
