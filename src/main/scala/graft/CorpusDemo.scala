@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * the oracle queries check one at a time:
   *
   *   documents
+  *     → unicode canonicalization     (UnicodeExprs.nfcNormalizeCol)
   *     → exact dedup keep-list        (Dedup.exactDuplicates)
   *     → near-dup candidates          (Dedup.minhashLshCandidates)
   *     → exact Jaccard verification   (Dedup.ngramJaccardPairs shape)
@@ -17,7 +18,9 @@ import org.apache.spark.sql.functions._
   *     → train/valid/test assignment  (Sampling.assignSplit)
   *     → weighted language mixing     (Sampling.repeatByWeight)
   *     → sequence packing             (Windows.packChunks)
-  *     → JSONL export                 (Etl.writeJsonl)
+  *     → vocabulary report            (HeavyHitters.heavyHitters)
+  *     → JSONL export + AUDITED parquet export (Etl.writeJsonl,
+  *       Etl.writeAudited → readAudited verification gate)
   *
   * Prints the funnel (rows surviving each stage) with per-stage wall
   * times. Every stage is a lazy DataFrame plan — the funnel counts
@@ -38,7 +41,12 @@ object CorpusDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // 0. Unicode canonicalization FIRST: every downstream digest,
+    //    shingle, and comparator is byte-level, so composed/decomposed
+    //    spellings of the same text must converge before dedup sees
+    //    them (map-only codegen pass; free on clean corpora).
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("text", graft.expr.UnicodeExprs.nfcNormalizeCol(col("text")))
     var t0 = System.nanoTime()
     def lap(): Double = {
       val sec = (System.nanoTime() - t0) / 1e9; t0 = System.nanoTime(); sec
@@ -113,10 +121,27 @@ object CorpusDemo {
     val nChunks = packed.agg(countDistinct(col("lang"), col("chunk"))).head.getLong(0)
     val tMix = lap()
 
-    // 6. Export the curated train corpus as JSONL.
-    val out = java.nio.file.Files.createTempDirectory("graft_corpus").toString
-    graft.etl.Etl.writeJsonl(mixed.select("doc_id", "rep", "lang", "text"), out)
+    // 6. Vocabulary report: exact heavy tokens of the train mix (the
+    //    sanity check before a tokenizer run — a glued artifact or
+    //    boilerplate blob shows up here first).
+    val vocab = graft.expr.HeavyHitters.heavyHitters(
+      mixed.select(explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= ""),
+      col("t"), capacity = 256, freqDen = 100L)
+    val nVocab = vocab.count()
+    val tVocab = lap()
 
+    // 7. Export: JSONL for interchange + AUDITED parquet (manifest
+    //    carries row count + order-independent checksum of the
+    //    durable bytes); the read-back through the verifying reader
+    //    IS the publish gate.
+    val out = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    graft.etl.Etl.writeJsonl(mixed.select("doc_id", "rep", "lang", "text"), s"$out/jsonl")
+    graft.etl.Etl.writeAudited(
+      mixed.select("doc_id", "rep", "lang", "text"), s"$out/parquet",
+      Seq("doc_id", "rep", "lang", "text"))
+    val verifiedRows = graft.etl.Etl.readAudited(spark, s"$out/parquet").count()
+    require(verifiedRows == nMixed, s"audited export rows $verifiedRows != $nMixed")
     val tExport = lap()
     println(f"[corpus] total           $total%6d")
     println(f"[corpus] exact-deduped   $nExact%6d  (-${total - nExact}%d exact dups)")
@@ -127,9 +152,10 @@ object CorpusDemo {
       .map(k => s"$k=${splitCounts.getOrElse(k, 0L)}").mkString(" "))
     println(f"[corpus] train mixed     $nMixed%6d rows after non-en x2 upsampling")
     println(f"[corpus] packed          $nChunks%6d training chunks of 2048 tokens")
-    println(s"[corpus] exported to $out")
+    println(f"[corpus] vocab report    $nVocab%6d heavy tokens (>1%% of train stream)")
+    println(s"[corpus] exported to $out (jsonl + audited parquet, verified $verifiedRows rows)")
     println(f"[time] exact=$tExact%.1fs near=$tNear%.1fs quality=$tQuality%.1fs " +
-      f"decontam=$tClean%.1fs split+mix+pack=$tMix%.1fs export=$tExport%.1fs")
+      f"decontam=$tClean%.1fs split+mix+pack=$tMix%.1fs vocab=$tVocab%.1fs export=$tExport%.1fs")
     spark.stop()
   }
 }
