@@ -621,6 +621,16 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", col("text"), n = 3, minJaccard = JacMinJaccard,
       maxDocFreq = Some(50L))
 
+  /** Prefix-filtered EXACT Jaccard: same threshold as q_jaccard_exact
+    * but UNCAPPED — the prefix filter replaces the doc-frequency cap,
+    * so the oracle is the full co-occurrence join with no QUALIFY
+    * truncation and the result has no undercount caveat. Equality
+    * here is the recall proof of the prefix lemma on real data.
+    */
+  private def qJaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.ngramJaccardPairsPrefix(
+      t(s, dir, "documents"), "doc_id", col("text"), n = 3, minJaccard = JacMinJaccard)
+
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.minhashLshCandidates(
       t(s, dir, "documents"), "doc_id", col("text"), n = 3, k = 8, bands = 4,
@@ -1514,6 +1524,7 @@ object SparkEntry {
     "q_dedup_best" -> (qDedupBest _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_jaccard_exact" -> (qJaccardExact _),
+    "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
     "q_ann_topk" -> (qAnnTopK _),
@@ -1854,6 +1865,26 @@ object SparkEntry {
          |idx AS (
          |  SELECT doc_id, u.s AS shingle FROM shf, unnest(shf.shl) AS u(s)
          |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 50),
+         |co AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM idx a JOIN idx b ON a.shingle = b.shingle
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |v AS (
+         |  SELECT co.id_a, co.id_b, co.inter,
+         |    CAST(len(sa.shl) AS BIGINT) AS size_a, CAST(len(sb.shl) AS BIGINT) AS size_b
+         |  FROM co
+         |  JOIN shf sa ON co.id_a = sa.doc_id
+         |  JOIN shf sb ON co.id_b = sb.doc_id)
+         |SELECT id_a, id_b, inter, size_a, size_b,
+         |  CAST(inter AS DOUBLE) / (size_a + size_b - inter) AS jaccard
+         |FROM v WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= $JacMinJaccard""".stripMargin,
+    "q_jaccard_prefix" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(${graft.ops.Dedup.shinglesSql("text", 3)}) AS shl
+         |  FROM documents),
+         |shf AS (SELECT * FROM sh WHERE len(shl) > 0),
+         |idx AS (
+         |  SELECT doc_id, u.s AS shingle FROM shf, unnest(shf.shl) AS u(s)),
          |co AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
          |  FROM idx a JOIN idx b ON a.shingle = b.shingle

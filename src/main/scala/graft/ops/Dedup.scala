@@ -264,6 +264,66 @@ object Dedup {
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
   }
 
+  /** EXACT n-gram Jaccard pairs via PREFIX FILTERING (Chaudhuri/
+    * Ganti/Kaushik ICDE'06; Bayardo WWW'07 — public literature,
+    * implemented fresh as a DataFrame program): identical output to
+    * the UNCAPPED [[ngramJaccardPairsExact]], at a fraction of the
+    * candidate cost. Shingles get a GLOBAL canonical order (ascending
+    * document frequency, ties on text — rarest first); each document
+    * indexes only its first `s − ceil(t·s) + 1` shingles in that
+    * order. Any pair with J ≥ t overlaps by ≥ ceil(t·max(sa,sb)), and
+    * two sets overlapping that much must share a PREFIX token under a
+    * common order — so joining prefixes has 100% recall while the
+    * boilerplate shingles (most frequent = last in order) almost
+    * never enter the index. That kills the f² posting explosion the
+    * capped exact path merely truncates: the cap trades completeness,
+    * the prefix trades nothing.
+    *
+    * Candidates are verified with the full shingle sets
+    * (`array_intersect`), so the result is exact with no undercount
+    * caveat. Cost: one vocab-keyed frequency agg + one keyed window
+    * for the per-doc prefix + the (small) prefix self-join + two
+    * hash-join probes per candidate. The frequency ranking is the
+    * price of the global order — ~one extra pass over postings,
+    * amortizable by persisting (freq) for a standing corpus.
+    */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame, idCol: String, text: Column, n: Int,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val sh = shingleSets(df, idCol, text, n)
+    val posts = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    val freq = posts.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val ordered = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("__df").asc, col("shingle").asc)
+    // p = s − ceil(t·s) + 1; the 1e-9 backs off double noise in t·s
+    // landing a hair ABOVE an exact integer (which would shorten the
+    // prefix and silently lose recall — the failure mode the oracle
+    // equality would catch, backed off here so it cannot arise).
+    val prefix = posts.join(freq, Seq("shingle"))
+      .withColumn("__s", count(lit(1)).over(byDoc))
+      .withColumn("__rn", row_number().over(ordered))
+      .filter(col("__rn") <=
+        col("__s") - ceil(col("__s") * lit(minJaccard) - lit(1e-9)) + 1)
+      .select(col("id"), col("shingle"))
+    val cand = prefix.toDF("id_a", "shingle")
+      .join(prefix.toDF("id_b", "shingle"), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("__sa")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("__sb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("size_a", size(col("__sa")).cast("long"))
+      .withColumn("size_b", size(col("__sb")).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
   /** INCREMENTAL exact n-gram Jaccard: near-dup pairs between a NEW
     * BATCH and an EXISTING CORPUS only — never corpus×corpus — the
     * daily-ingest dedup shape ("is anything in today's crawl a dup of

@@ -167,6 +167,35 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("dedup: prefix-filtered jaccard equals brute force on adversarial thresholds") {
+    // randomized docs over a TINY vocabulary: heavy boilerplate
+    // shingles (the prefix filter's hard case) + near-dup structure;
+    // deterministic LCG so the test is reproducible
+    var seed = 42L
+    def nextInt(n: Int): Int = { seed = (seed * 48271) % 2147483647L; (seed % n).toInt }
+    val vocab = Seq("a", "b", "c", "d")
+    val rdocs = (1L to 40L).map { i =>
+      val len = 6 + nextInt(10)
+      (i, (0 until len).map(_ => vocab(nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val expected = {
+        val sh = Dedup.shingleSets(rdocs, "doc_id", col("text"), 3)
+        sh.toDF("id_a", "sa").crossJoin(sh.toDF("id_b", "sb"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .withColumn("j", col("inter").cast("double") /
+            (size(col("sa")) + size(col("sb")) - col("inter")))
+          .filter(col("j") >= t)
+          .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      }
+      val got = Dedup.ngramJaccardPairsPrefix(rdocs, "doc_id", col("text"),
+          n = 3, minJaccard = t)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(got == expected, s"threshold $t: got ${got.size}, want ${expected.size}")
+    }
+  }
+
   test("dedup: ngram jaccard finds the near-dup pair") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), n = 3, minJaccard = 0.5)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
