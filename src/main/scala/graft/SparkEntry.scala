@@ -1483,6 +1483,117 @@ object SparkEntry {
     graft.ops.TextAnalysis.chunkTokens(
       t(s, dir, "documents"), "doc_id", col("text"), chunkTokens = 64, stride = 48)
 
+  // ---- wave 8: winnowing / span dedup / semantic dedup / SQL surface --
+
+  private val WinnowK = 4         // gram size (tokens)
+  private val WinnowW = 4         // window size (hashes)
+  private val WinnowCap = 50L     // hot-fingerprint doc-frequency cap
+  private val WinnowMinShared = 3L
+
+  /** Winnowing overlap detection: documents sharing ≥ 3 selected
+    * fingerprints (MOSS — any shared run of ≥ k+w−1 tokens guarantees
+    * a shared fingerprint, and the selected set is ~2/(w+1) the size
+    * of the full gram index, so this is the CHEAP overlap join).
+    * Hot fingerprints (> WinnowCap docs) are dropped by broadcast
+    * anti-join exactly like [[graft.ops.Dedup.invertedIndex]] —
+    * boilerplate fps otherwise cost f² pairs — and the cap is
+    * mirrored in the oracle's QUALIFY.
+    */
+  private def qWinnow(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.ops.TextAnalysis.winnowFingerprints(
+      t(s, dir, "documents"), "doc_id", col("text"), WinnowK, WinnowW)
+    val hot = fp.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > WinnowCap).select("fp")
+    val idx = fp.join(broadcast(hot), Seq("fp"), "left_anti")
+    val a = idx.select(col("fp"), col("doc_id").as("id_a"))
+    val b = idx.select(col("fp"), col("doc_id").as("id_b"))
+    a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinnowMinShared)
+  }
+
+  /** Cross-document duplicated-span removal (token-level Lee et al.
+    * 2022): every 5-gram occurring >1× corpus-wide marks its positions
+    * duplicated; docs come back with those spans cut and the exact
+    * removed-token count.
+    */
+  private def qSpanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.removeDuplicatedSpans(
+      t(s, dir, "documents"), "doc_id", col("text"), k = 5)
+
+  /** SemDeDup-style semantic dedup keep-list: nearest-centroid
+    * clustering (the q_ivf_topk assignment, oracle-expressible seed
+    * centroids), within-cluster cosine ≥ 0.4 pairs, connected
+    * components → min-id keeper over ALL vectors (singletons keep
+    * themselves).
+    */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = graft.ops.Similarity.seedCentroids(e, "vec_id", "embedding", 8)
+    val pairs = graft.ops.Similarity.semanticNearDupPairs(
+      e, "vec_id", "embedding", cents, minCosine = 0.4)
+    graft.ops.Clusters.resolveDuplicates(e.select("vec_id"), "vec_id", pairs)
+  }
+
+  /** GROUPING SETS — the general subtotal lattice (rollup and cube are
+    * its specializations; this row pins the MIXED case: the two
+    * one-column subtotals plus the grand total, with grouping_id
+    * disambiguating which set a row belongs to). One Expand + hash
+    * aggregate, count/min/max only.
+    */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
+  /** Rank-family window functions (dense_rank / percent_rank /
+    * cume_dist / ntile) over a keyed window with a unique (acctbal,
+    * custkey) order — ties impossible, so every function is
+    * deterministic; the two ratio functions are single divisions of
+    * exact ranks, rounded to 6 dp (q_scoring precedent).
+    */
+  private def qRankFunctions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer").select(
+      col("c_nationkey"), col("c_custkey"),
+      dense_rank().over(w).cast("long").as("drank"),
+      round(percent_rank().over(w), 6).as("prank"),
+      round(cume_dist().over(w), 6).as("cdist"),
+      ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  /** Quoted-CSV roundtrip: a derived column carrying BOTH the
+    * delimiter and the quote char (`, segment="BUILDING"`) goes
+    * through write-CSV → read-CSV (RFC-4180 double-quote escaping —
+    * Spark's default escape is backslash, which DuckDB/Excel/readr
+    * would misparse; `escape="` pins the interoperable dialect), then
+    * exact aggregates are compared against the oracle computing the
+    * same from the ORIGINAL parquet — equality proves the quoting
+    * survived. Money sums in integer cents (round(x·100) per row,
+    * long sum): float sums are order-dependent, integer sums are not.
+    */
+  private def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tricky = t(s, dir, "customer").select(
+      col("c_custkey"),
+      concat(col("c_name"), lit(", segment=\""), col("c_mktsegment"), lit("\"")).as("c_desc"),
+      col("c_acctbal"))
+    val out = scratchDir("csv_roundtrip")
+    tricky.write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true").option("escape", "\"")
+      .csv(out)
+    s.read.option("header", "true").option("escape", "\"")
+      .schema("c_custkey long, c_desc string, c_acctbal double").csv(out)
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("c_desc"))).cast("long").as("sum_desc_len"),
+        min("c_desc").as("min_desc"),
+        sum(round(col("c_acctbal") * 100).cast("long")).cast("long").as("sum_bal_cents"))
+  }
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -1580,6 +1691,12 @@ object SparkEntry {
     "q_grouped_heavy" -> (qGroupedHeavy _),
     "q_hll_partial" -> (qHllPartial _),
     "q_chunk_text" -> (qChunkText _),
+    "q_winnow" -> (qWinnow _),
+    "q_span_dedup" -> (qSpanDedup _),
+    "q_semantic_dedup" -> (qSemanticDedup _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_rank_functions" -> (qRankFunctions _),
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_semi_join" -> (qSemiJoin _),
   )
 
@@ -2303,5 +2420,64 @@ object SparkEntry {
         |       s_before // 512 AS chunk,
         |       s_before % 512 AS chunk_offset
         |FROM cum""".stripMargin,
+    "q_winnow" ->
+      s"""WITH ${graft.ops.TextAnalysis.winnowFingerprintsSqlCtes(
+              "documents", "doc_id", "text", WinnowK, WinnowW)},
+         |capped AS (
+         |  SELECT doc_id, fp FROM winnow_fp
+         |  QUALIFY count(*) OVER (PARTITION BY fp) <= $WinnowCap)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared""".stripMargin,
+    "q_span_dedup" -> graft.ops.Dedup.removeDuplicatedSpansSql(
+      "documents", "doc_id", "text", k = 5),
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE cent AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT e.vec_id AS id, e.embedding AS ev, c.cid
+         |  FROM embeddings e, cent c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${graft.ops.Similarity.cosineSql("e.embedding", "c.cv", EmbDim)} DESC, c.cid) = 1),
+         |p AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         round(${graft.ops.Similarity.cosineSql("a.ev", "b.ev", EmbDim)}, 6) AS cosine
+         |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id),
+         |pairs AS (SELECT id_a, id_b FROM p WHERE cosine >= 0.4),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a)
+         |SELECT id AS vec_id, min(r) AS cluster_id, (min(r) = id) AS keep
+         |FROM reach GROUP BY id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS n,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q_rank_functions" ->
+      """SELECT c_nationkey, c_custkey,
+        |       dense_rank() OVER w AS drank,
+        |       round(percent_rank() OVER w, 6) AS prank,
+        |       round(cume_dist() OVER w, 6) AS cdist,
+        |       ntile(4) OVER w AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin,
+    "q_csv_roundtrip" ->
+      """WITH tricky AS (
+        |  SELECT c_custkey,
+        |         c_name || ', segment="' || c_mktsegment || '"' AS c_desc,
+        |         c_acctbal
+        |  FROM customer)
+        |SELECT count(*) AS n,
+        |       CAST(sum(length(c_desc)) AS BIGINT) AS sum_desc_len,
+        |       min(c_desc) AS min_desc,
+        |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents
+        |FROM tricky""".stripMargin,
   )
 }

@@ -663,4 +663,101 @@ object Dedup {
        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
        |  WHERE a.id < b.id AND bit_count(xor(a.fp, b.fp)) <= $maxHamming)""".stripMargin
   }
+
+  // ---- duplicated-span removal (exact substring dedup) ---------------
+
+  /** Cross-document duplicated-SPAN removal (the token-level
+    * counterpart of Lee et al. 2022's "Deduplicating Training Data
+    * Makes Language Models Better" suffix-array dedup): a token
+    * position is DUPLICATED if it is covered by any k-gram that
+    * occurs more than once in the whole corpus (including twice in
+    * the same document). Each document is returned with its
+    * duplicated positions removed and the survivors rejoined in
+    * original order:
+    * `(idCol, n_tokens, n_dup_tokens, clean_text)` — one row per
+    * input row, including docs shorter than k tokens (nothing to
+    * dedup → n_dup_tokens = 0).
+    *
+    * Granularity: matching runs of ≥ k tokens are removed exactly
+    * (every position in the run is covered by a duplicated gram);
+    * runs shorter than k never trigger. That is the suffix-array
+    * semantics at gram resolution — and gram hashing is the shape
+    * that DISTRIBUTES, where a corpus-wide suffix array does not.
+    *
+    * Scale shape — everything is linear in total tokens, never
+    * quadratic in matches: gram occurrences explode to one row per
+    * (doc, pos); the corpus-wide occurrence count is one partial-agg
+    * hash aggregate on the 60-bit gram hash; duplicated-gram
+    * occurrences come back via a hash SEMI join of occurrences
+    * against the duplicated-hash set (occurrence × occurrence pairs
+    * are never formed — an f-times-repeated gram costs f rows, not
+    * f²); coverage positions fan out ≤ k per occurrence and dedup in
+    * a (doc, pos) aggregate; reassembly is the [[removeFrequentSegments]]
+    * agg-side `array_sort(collect_list(struct))` — per-doc state only,
+    * no window over the corpus.
+    */
+  def removeDuplicatedSpans(
+      df: DataFrame, idCol: String, text: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val toks = df.select(col(idCol), split(text, " ").as("__toks"))
+    val occ = toks.filter(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(shinglesFromTokens(col("__toks"), k)).as(Seq("__pos", "__g")))
+      .select(col(idCol), col("__pos"), shingleBaseHash(col("__g")).as("__h"))
+    val dupHashes = occ.groupBy("__h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select("__h")
+    val covered = occ.join(dupHashes, Seq("__h"), "left_semi")
+      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__cpos"))
+      .groupBy(col(idCol), col("__cpos")).agg(lit(1).as("__one"))
+      .select(col(idCol), col("__cpos"))
+    val tokPos = toks.select(col(idCol), posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+    // left join + null-mark (the removeFrequentSegments pattern): one
+    // pass yields the surviving tokens AND the per-doc removed count.
+    // covered's id is renamed first — both frames descend from `toks`,
+    // and a same-lineage `a(id) === b(id)` trips Spark's ambiguous-
+    // self-join resolution into a trivially-true predicate.
+    val coveredR = covered.select(col(idCol).as("__cid"), col("__cpos"))
+    val marked = tokPos.join(coveredR,
+      col(idCol) === col("__cid") && col("__pos") === col("__cpos"), "left")
+      .select(col(idCol), col("__pos"), col("__tok"), col("__cpos"))
+    marked.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(col("__cpos")).as("n_dup_tokens"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("__cpos").isNull, struct(col("__pos"), col("__tok"))))),
+            x => x("__tok"))).as("clean_text"))
+  }
+
+  /** DuckDB mirror of [[removeDuplicatedSpans]]. Token positions are
+    * 0-based on both engines (generate_series shifted); the aggregate
+    * reassembly is `string_agg(... ORDER BY pos)` ≡ the struct-sorted
+    * `collect_list`; coalesce handles the no-survivor and no-dup
+    * docs identically (string_agg over zero rows is NULL, Spark's
+    * concat_ws over an all-null collect is '').
+    */
+  def removeDuplicatedSpansSql(table: String, idExpr: String, textExpr: String,
+      k: Int): String =
+    s"""WITH d AS (
+       |  SELECT $idExpr, string_split($textExpr, ' ') AS toks FROM $table),
+       |occ AS (
+       |  SELECT $idExpr, j - 1 AS pos,
+       |         ${shingleBaseHashSql(s"array_to_string(toks[j : j + ${k - 1}], ' ')")} AS h
+       |  FROM d, unnest(generate_series(1, len(toks) - ${k - 1})) AS t(j)
+       |  WHERE len(toks) >= $k),
+       |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) > 1),
+       |covered AS (
+       |  SELECT DISTINCT $idExpr, c.cpos
+       |  FROM occ JOIN dup USING (h), unnest(generate_series(occ.pos, occ.pos + ${k - 1})) AS c(cpos)),
+       |tp AS (
+       |  SELECT $idExpr, j - 1 AS pos, toks[j] AS tok
+       |  FROM d, unnest(generate_series(1, len(toks))) AS t(j)),
+       |m AS (
+       |  SELECT tp.$idExpr, tp.pos, tp.tok, covered.cpos
+       |  FROM tp LEFT JOIN covered
+       |    ON tp.$idExpr = covered.$idExpr AND tp.pos = covered.cpos)
+       |SELECT $idExpr, count(*) AS n_tokens, count(cpos) AS n_dup_tokens,
+       |       coalesce(string_agg(CASE WHEN cpos IS NULL THEN tok END, ' ' ORDER BY pos), '') AS clean_text
+       |FROM m GROUP BY $idExpr""".stripMargin
 }

@@ -333,4 +333,46 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** SemDeDup-style semantic near-dup candidate pairs (Abbas et al.
+    * 2023): assign every vector to its nearest centroid (max cosine,
+    * ties → smallest centroid id — the [[ivfTopK]] assignment), then
+    * compare ONLY within a cluster. Output `(id_a, id_b, cosine)`
+    * with id_a < id_b and cosine ≥ `minCosine` (6-dp rounded for
+    * cross-engine hash equality).
+    *
+    * The clustering is what makes semantic dedup tractable: pair
+    * count drops from n² to Σ|cluster|², and with k sized so clusters
+    * hold ~thousands of vectors (SemDeDup used 50k clusters for
+    * 1.3 B embeddings) each cluster's self-join is an ordinary
+    * equi-join partition — no driver involvement past the k·dim
+    * centroid metadata. Recall trade: a near-dup pair split across
+    * two clusters is missed; that is the SemDeDup contract (dup pairs
+    * have near-identical embeddings, so they co-assign except exactly
+    * at a cluster boundary). Compose with
+    * [[graft.ops.Clusters.resolveDuplicates]] for the keep-list.
+    *
+    * Plan shape: ONE map-only codegen assignment scan, one
+    * self-equi-join on cid (AQE handles modest cluster skew; a
+    * degenerate corpus that collapses into one cluster needs more
+    * centroids, the same remedy as an LSH bucket cap).
+    */
+  def semanticNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], minCosine: Double): DataFrame = {
+    val assigned = graft.util.Parallelism.ensure(corpus)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        graft.expr.VectorExprs.nearest_centroid(col(vecCol), centroids).as("cid"))
+      .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
+    val a = assigned.select(col("cid"), col("__id").as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = assigned.select(col("cid"), col("__id").as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
 }

@@ -360,4 +360,64 @@ object TextAnalysis {
     PiiPatterns.foldLeft(textExpr) { case (e, (pat, rep)) =>
       s"regexp_replace($e, '$pat', '$rep', 'g')"
     }
+
+  // ---- winnowing fingerprints ----------------------------------------
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS algorithm): hash every k-token gram, slide a w-hash
+    * window, keep each window's MINIMUM hash. The guarantee: any
+    * shared run of ≥ k+w−1 tokens between two documents contributes
+    * at least one IDENTICAL selected fingerprint to both — so overlap
+    * detection needs only the selected set (≈ 2/(w+1) of all gram
+    * hashes), not every gram.
+    *
+    * Output: `(id, fp)` — the DISTINCT selected fingerprints per
+    * document. Documents shorter than k+w−1 tokens have no full
+    * window and emit nothing (mirrored in the oracle).
+    *
+    * Plan shape: map-only — tokens, grams (codegen kernel), per-gram
+    * 60-bit md5 hashes, window minima, `array_distinct`, ONE explode.
+    * Per-doc dedup via `array_distinct` means no global distinct
+    * shuffle: each emitted row is already unique. Intermediates are
+    * materialized as bound attributes between selects so lambda
+    * bodies reference an attribute, not a re-evaluated subtree (the
+    * O(tokens²) trap documented at [[Dedup.shinglesFromTokens]]).
+    * Window minima cost O(tokens·w) per doc — w is small (4-8) by
+    * construction.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, text: Column,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    df.select(col(idCol), tokensWs(text).as("__toks"))
+      .filter(size(col("__toks")) >= k + w - 1) // ≥ 1 full window
+      .select(col(idCol), Dedup.shinglesFromTokens(col("__toks"), k).as("__g"))
+      .select(col(idCol),
+        transform(col("__g"), g => Dedup.shingleBaseHash(g)).as("__h"))
+      .select(col(idCol), transform(
+        sequence(lit(0), size(col("__h")) - w),
+        j => array_min(slice(col("__h"), j + lit(1), lit(w)))).as("__w"))
+      .select(col(idCol), explode(array_distinct(col("__w"))).as("fp"))
+  }
+
+  /** DuckDB mirror of [[winnowFingerprints]] as a CTE chain; the final
+    * CTE `winnow_fp` has columns (`idExpr`, fp). List slices are
+    * 1-based inclusive on both ends (w elements); `list_min` ≡ Spark
+    * `array_min`; the token-length guard keeps the no-full-window
+    * cutoff identical.
+    */
+  def winnowFingerprintsSqlCtes(table: String, idExpr: String, textExpr: String,
+      k: Int, w: Int): String =
+    s"""wg AS (
+       |  SELECT $idExpr, ${Dedup.shinglesSql(textExpr, k)} AS grams
+       |  FROM $table WHERE len(string_split($textExpr, ' ')) >= ${k + w - 1}),
+       |wh AS (
+       |  SELECT $idExpr, list_transform(grams, s -> ${Dedup.shingleBaseHashSql("s")}) AS hs
+       |  FROM wg),
+       |wm AS (
+       |  SELECT $idExpr, list_transform(generate_series(1, len(hs) - ${w - 1}),
+       |                                 j -> list_min(hs[j : j + ${w - 1}])) AS wins
+       |  FROM wh),
+       |winnow_fp AS (
+       |  SELECT $idExpr, u.fp FROM wm, unnest(list_distinct(wins)) AS u(fp))""".stripMargin
 }

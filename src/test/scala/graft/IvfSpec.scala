@@ -65,4 +65,19 @@ class IvfSpec extends SparkSpec {
     val j3 = Similarity.inertia(emb, "embedding", r3)
     assert(j1 <= j0 + 1e-12 && j3 <= j1 + 1e-12, s"inertia rose: $j0 -> $j1 -> $j3")
   }
+
+  test("semanticNearDupPairs = brute-force pairs restricted to co-assigned clusters") {
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+    val got = Similarity.semanticNearDupPairs(emb, "vec_id", "embedding", cents, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val assign = emb.select(col("vec_id"),
+        graft.expr.VectorExprs.nearest_centroid(col("embedding"), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bf = Similarity.bruteForceNearDups(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = bf.filter { case (a, b, _) => assign(a) == assign(b) }
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+    // the cluster split must not erase the near-dup signal wholesale
+    assert(got.nonEmpty)
+  }
 }

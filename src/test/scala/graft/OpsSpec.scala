@@ -569,4 +569,67 @@ class OpsSpec extends SparkSpec {
     assert(got(3) == "v1.2.3.4000 no ip (4000 > 3 digits leaves boundary intact)")
     assert(got(4) == "clean text stays clean")
   }
+
+  test("text: winnowing — shared-run guarantee, short-doc cutoff, dup identity") {
+    val k = 4; val w = 4 // guarantee threshold t = k + w - 1 = 7 tokens
+    val run = "alpha beta gamma delta epsilon zeta eta theta" // 8-token shared run
+    val d = Seq(
+      (1L, s"intro words here $run trailing bits"),
+      (2L, s"completely other prefix tokens $run"),
+      (3L, s"intro words here $run trailing bits"), // exact dup of 1
+      (4L, "one two three four five six"),          // 6 < t: no full window
+      (5L, "unrelated content entirely different vocabulary paragraph talks about other things")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(d, "doc_id", col("text"), k, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // winnowing guarantee: a shared run of >= k+w-1 tokens yields at
+    // least one common selected fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    // identical docs select identical fingerprint sets
+    assert(fps(1L) == fps(3L))
+    // below one full window: nothing emitted
+    assert(!fps.contains(4L))
+    // unrelated docs share nothing
+    assert((fps(1L) & fps(5L)).isEmpty)
+    // selection actually compresses: fewer fps than grams
+    assert(fps(1L).size < 13 - k + 1)
+  }
+
+  test("dedup: removeDuplicatedSpans cuts cross-doc and in-doc repeats, exact counts") {
+    val span = "the quick brown fox jumps" // 5 tokens, k=3 → all 5 positions covered
+    val d = Seq(
+      (1L, s"unique alpha words $span more unique beta"),
+      (2L, s"other start tokens $span different ending"),
+      (3L, "self repeat one two three filler one two three again"), // in-doc dup 3-gram
+      (4L, "short doc"),                                            // < k tokens: untouched
+      (5L, "wholly original vocabulary nothing shared anywhere")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.removeDuplicatedSpans(d, "doc_id", col("text"), k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: 11 tokens, the 5-token span is cross-doc duplicated
+    assert(got(1L) == ((11L, 5L, "unique alpha words more unique beta")))
+    assert(got(2L) == ((10L, 5L, "other start tokens different ending")))
+    // doc 3: "one two three" occurs twice in-doc → both occurrences cut
+    assert(got(3L)._2 == 6L)
+    assert(got(3L)._3 == "self repeat filler again")
+    // doc 4 below gram size: nothing to dedup, row still present
+    assert(got(4L) == ((2L, 0L, "short doc")))
+    assert(got(5L)._2 == 0L)
+  }
+
+  test("dedup: removeDuplicatedSpans — fully-duplicated doc empties, count preserved") {
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "x y z")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.removeDuplicatedSpans(d, "doc_id", col("text"), k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((5L, 5L, "")))
+    assert(got(2L) == ((5L, 5L, "")))
+    assert(got(3L) == ((3L, 0L, "x y z")))
+  }
 }
