@@ -57,13 +57,24 @@ object ScaleProbe {
     // so these exercise the bounded-state claim — MG state stays at
     // `capacity` and the BM25 stats row stays 1 row while the corpus
     // grows 10×).
-    "q_heavy_hitters", "q_bm25")
+    "q_heavy_hitters", "q_bm25",
+    // continuation 2: winnow/span dedup ride the token-salted document
+    // replicas (disjoint grams across replicas → linear); label prop
+    // and outliers ride the disjoint orders replicas (linear);
+    // semantic dedup rides shifted embedding replicas with the 8 seed
+    // centroids HELD FIXED — within-cluster candidate pairs grow
+    // ~(10×)² by construction (Σ|cluster|² with k fixed), the same
+    // fixed-cardinality contract as q_block_equi's blocking keys:
+    // production scales the centroid count with the corpus (SemDeDup
+    // uses k ∝ n), the probe pins k to EXPOSE the term.
+    "q_winnow", "q_span_dedup", "q_label_prop", "q_outliers",
+    "q_semantic_dedup")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a
     // dir built by an earlier round silently lacks the new tables
     // (an unversioned _DONE skipped the events build entirely).
-    val done = new java.io.File(s"$FixtureDir/_DONE_v3_orders")
+    val done = new java.io.File(s"$FixtureDir/_DONE_v4_embeddings")
     if (done.exists) return
     val customer = spark.read.parquet(s"$BaseDir/customer.parquet")
     val documents = spark.read.parquet(s"$BaseDir/documents.parquet")
@@ -107,6 +118,24 @@ object ScaleProbe {
       .withColumn("o_custkey", col("o_custkey") + col("__r") * 1000000L)
       .drop("__r")
       .write.mode("overwrite").parquet(s"$FixtureDir/orders.parquet")
+    // embeddings: 10 replicas, replica r CIRCULARLY SHIFTED by r
+    // positions — a permutation preserves every within-replica inner
+    // product (the near-dup structure stays identical to the
+    // original) while cross-replica cosines decorrelate, so the
+    // near-dup RATE stays constant as the corpus grows 10× (the
+    // vector-space analogue of the token salting above).
+    val embeddings = spark.read.parquet(s"$BaseDir/embeddings.parquet")
+    val nVec = embeddings.count()
+    val dim = embeddings.select(size(col("embedding"))).head.getInt(0)
+    embeddings
+      .withColumn("__r", explode(sequence(lit(0), lit(Replicas - 1))))
+      .withColumn("vec_id", col("vec_id") + col("__r") * nVec)
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => element_at(col("embedding"),
+            (pmod(i + col("__r"), lit(dim)) + 1).cast("int"))))
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$FixtureDir/embeddings.parquet")
     done.createNewFile()
   }
 

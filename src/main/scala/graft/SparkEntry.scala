@@ -1553,8 +1553,14 @@ object SparkEntry {
   /** Rank-family window functions (dense_rank / percent_rank /
     * cume_dist / ntile) over a keyed window with a unique (acctbal,
     * custkey) order — ties impossible, so every function is
-    * deterministic; the two ratio functions are single divisions of
-    * exact ranks, rounded to 6 dp (q_scoring precedent).
+    * deterministic. The two ratio functions cross engines as
+    * FLOOR-ppm integers, not 6-dp rounds: rank/n is the same IEEE
+    * division on both engines, but when n = 2^a·5^b the true value
+    * sits exactly on a decimal midpoint and round() diverges (Spark
+    * HALF_UP on the double's full expansion vs DuckDB half-to-even
+    * on the shortest repr — bit at sf0.1, where 640 customers per
+    * nation put cume_dist on x.xxxxxx5). floor(x·1e6) depends only
+    * on the shared double, never on a rounding convention.
     */
   private def qRankFunctions(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -1562,8 +1568,8 @@ object SparkEntry {
     t(s, dir, "customer").select(
       col("c_nationkey"), col("c_custkey"),
       dense_rank().over(w).cast("long").as("drank"),
-      round(percent_rank().over(w), 6).as("prank"),
-      round(cume_dist().over(w), 6).as("cdist"),
+      floor(percent_rank().over(w) * 1000000).cast("long").as("prank_ppm"),
+      floor(cume_dist().over(w) * 1000000).cast("long").as("cdist_ppm"),
       ntile(4).over(w).cast("long").as("quartile"))
   }
 
@@ -1593,6 +1599,56 @@ object SparkEntry {
         min("c_desc").as("min_desc"),
         sum(round(col("c_acctbal") * 100).cast("long")).cast("long").as("sum_bal_cents"))
   }
+
+  /** Synchronous label propagation (4 fixed rounds) over the same
+    * customer→order graph as q_pagerank. Synchronous update + exact
+    * counts + min-label tie-break make the result a pure function of
+    * the graph — mirrored round-for-round as DuckDB chained CTEs
+    * (QUALIFY argmax ≡ the struct-min aggregate). The SEMANTIC
+    * community-recovery behavior is spec-tested on planted cliques;
+    * this row proves cross-engine exactness of the iteration.
+    */
+  private def qLabelProp(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.labelPropagation(
+      t(s, dir, "orders").select(
+        col("o_custkey").as("src"), (-col("o_orderkey")).as("dst")),
+      rounds = 4)
+
+  /** DuckDB mirror of [[qLabelProp]]: one (count → QUALIFY-argmax →
+    * carry-forward) CTE triple per round.
+    */
+  private def lpaOracle(rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS id, l.lbl, count(*) AS c
+         |  FROM edges e JOIN lab${i - 1} l ON e.src = l.id
+         |  GROUP BY 1, 2),
+         |b$i AS (
+         |  SELECT id, lbl FROM c$i
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) = 1),
+         |lab$i AS (
+         |  SELECT p.id, COALESCE(b.lbl, p.lbl) AS lbl
+         |  FROM lab${i - 1} p LEFT JOIN b$i b ON p.id = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey AS src, -o_orderkey AS dst FROM orders),
+       |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |lab0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+       |$rs
+       |SELECT id, lbl AS community FROM lab$rounds""".stripMargin
+  }
+
+  /** Exact integer-arithmetic 2σ outliers on order value per priority
+    * class ([[graft.ops.Profiling.sigmaOutliers]]): cents in, the
+    * division-free band test in decimal(38,0) ≡ DuckDB HUGEINT — the
+    * flag set is bit-identical across engines because no float mean /
+    * stddev is ever computed.
+    */
+  private def qOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.sigmaOutliers(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents")),
+      Seq("o_orderpriority"), col("price_cents"), sigmaNum = 2, sigmaDen = 1)
 
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
@@ -1697,6 +1753,8 @@ object SparkEntry {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_rank_functions" -> (qRankFunctions _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q_label_prop" -> (qLabelProp _),
+    "q_outliers" -> (qOutliers _),
     "q_semi_join" -> (qSemiJoin _),
   )
 
@@ -2463,8 +2521,8 @@ object SparkEntry {
     "q_rank_functions" ->
       """SELECT c_nationkey, c_custkey,
         |       dense_rank() OVER w AS drank,
-        |       round(percent_rank() OVER w, 6) AS prank,
-        |       round(cume_dist() OVER w, 6) AS cdist,
+        |       CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS prank_ppm,
+        |       CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cdist_ppm,
         |       ntile(4) OVER w AS quartile
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin,
@@ -2479,5 +2537,23 @@ object SparkEntry {
         |       min(c_desc) AS min_desc,
         |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents
         |FROM tricky""".stripMargin,
+    "q_label_prop" -> lpaOracle(4),
+    // HUGEINT throughout (sums of BIGINT promote; products stay int128,
+    // max ≈ 1.7e38 > the n·SS ≈ 3e24 ceiling here) ≡ Spark decimal(38,0).
+    "q_outliers" ->
+      """WITH v AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |st AS (
+        |  SELECT o_orderpriority, count(*) AS n, sum(price_cents) AS s,
+        |         sum(CAST(price_cents AS HUGEINT) * price_cents) AS ss
+        |  FROM v GROUP BY 1)
+        |SELECT v.o_orderkey, v.o_orderpriority, v.price_cents,
+        |       CAST(st.n AS BIGINT) AS n, CAST(st.s AS BIGINT) AS s
+        |FROM v JOIN st USING (o_orderpriority)
+        |WHERE (CAST(v.price_cents AS HUGEINT) * st.n - st.s) *
+        |      (CAST(v.price_cents AS HUGEINT) * st.n - st.s) * 1 >
+        |      4 * (st.n * st.ss - CAST(st.s AS HUGEINT) * st.s)""".stripMargin,
   )
 }

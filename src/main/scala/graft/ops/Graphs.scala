@@ -240,4 +240,56 @@ object Graphs {
     }
     ranks.select("id", "rank")
   }
+
+  /** SYNCHRONOUS label propagation (Raghavan et al. 2007) — community
+    * detection, the third graph primitive next to connected components
+    * (structural) and PageRank (authority): every node starts labeled
+    * with its own id; each round EVERY node simultaneously adopts the
+    * most frequent label among its neighbors, ties broken by the
+    * SMALLEST label. Edges are symmetrized and deduped, so "neighbor"
+    * is undirected-adjacent. Returns `(id, community)` after a FIXED
+    * number of rounds.
+    *
+    * Determinism is designed in, unlike textbook asynchronous LPA
+    * (random visit order, random tie-break): synchronous update +
+    * exact counts + total tie order make the result a pure function
+    * of the graph — the property that lets a DuckDB chained-CTE
+    * mirror hash-match bit-for-bit, and that makes reruns of a corpus
+    * job reproducible. The price is the known synchronous-LPA
+    * oscillation on bipartite-ish structure; a fixed small `rounds`
+    * (the common production choice) is also what bounds the plan.
+    *
+    * Scale shape: per round, ONE join labels⋈edges (hash-partitioned
+    * on the node id), one (node,label) count aggregate, one struct-min
+    * argmax aggregate on the node — no window over the corpus, no
+    * driver action inside the loop; lineage is cut every
+    * `checkpointEvery` rounds like [[pageRankExact]].
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      rounds: Int,
+      checkpointEvery: Int = 8): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val cols = edges.columns
+    val e0 = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+    val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    for (i <- 1 to rounds) {
+      val contribs = sym.join(labels.select(col("id").as("src"), col("lbl")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("lbl")).agg(count(lit(1)).as("__c"))
+      // argmax(count) with min-label tie-break as ONE struct-min agg —
+      // the resolveDuplicatesBy keeper pattern, no per-node window.
+      val best = contribs.groupBy("id")
+        .agg(min(struct((-col("__c")).as("nc"), col("lbl").as("l"))).as("__b"))
+        .select(col("id"), col("__b.l").as("__newl"))
+      val next = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__newl"), col("lbl")).as("lbl"))
+      labels =
+        if (checkpointEvery > 0 && i % checkpointEvery == 0) next.localCheckpoint(true)
+        else next
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
 }

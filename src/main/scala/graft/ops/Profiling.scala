@@ -39,4 +39,45 @@ object Profiling {
       .orderBy(col("cnt").desc, col("key").asc_nulls_last)
       .limit(topN)
   }
+
+  /** Per-group σ-band outliers in EXACT integer arithmetic — anomaly
+    * screening with zero float anywhere, so the flag set is identical
+    * on every engine, layout, and merge order (a float mean/stddev is
+    * an order-dependent reduction; this is why naive z-score jobs are
+    * unreproducible at scale). `value` must be integral (scale money
+    * to cents etc. upstream).
+    *
+    * The test `|x − μ| > (num/den)·σ` is cleared of divisions:
+    * {{{
+    *   (x·n − S)²·den²  >  num²·(n·SS − S²)
+    *   (μ = S/n, σ² = (n·SS − S²)/n²)
+    * }}}
+    * evaluated in decimal(38,0) — exact up to 10^38, which holds
+    * through n·SS for cent-scaled values across any realistic group
+    * (1e8-cent values, 1e9-row groups → n·SS ≈ 1e34 < 1e38). DuckDB
+    * mirrors in HUGEINT (int128 ≈ 1.7e38) with the same bound.
+    *
+    * Returns the flagged INPUT rows (all original columns) plus
+    * `(n, s)` — the group count and sum, so a reviewer can recompute
+    * the band. Plan shape: one hash agg per group + a same-key join
+    * back (group cardinality ≪ rows → AQE broadcasts the stats side);
+    * no window, no sort.
+    */
+  def sigmaOutliers(df: DataFrame, groupCols: Seq[String], value: Column,
+      sigmaNum: Long, sigmaDen: Long): DataFrame = {
+    require(groupCols.nonEmpty, "sigmaOutliers needs at least one group column")
+    require(sigmaNum > 0 && sigmaDen > 0, s"need positive sigma ratio, got $sigmaNum/$sigmaDen")
+    val dec = "decimal(38,0)"
+    val withV = df.withColumn("__value", value.cast("long"))
+    val stats = withV.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(col("__value")).cast(dec).as("__s"),
+        sum(col("__value").cast(dec) * col("__value").cast(dec)).as("__ss"))
+    val dev = col("__value").cast(dec) * col("__n") - col("__s")
+    withV.join(stats, groupCols)
+      .filter(dev * dev * lit(sigmaDen * sigmaDen) >
+        lit(sigmaNum * sigmaNum) * (col("__n") * col("__ss") - col("__s") * col("__s")))
+      .select(df.columns.map(col).toIndexedSeq :+
+        col("__n").cast("long").as("n") :+ col("__s").cast("long").as("s"): _*)
+  }
 }

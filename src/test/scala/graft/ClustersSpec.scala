@@ -268,4 +268,32 @@ class ClustersSpec extends SparkSpec {
     val perRound = (jobs4 - jobs2) / 2.0
     assert(perRound <= 10.0, s"PageRank round stage structure grew: $perRound jobs/round")
   }
+
+  test("labelPropagation: recovers planted cliques, bridge node joins the min-label side") {
+    import spark.implicits._
+    // two 4-cliques {1..4} and {10..13}, plus node 20 bridged to both
+    // cliques by ONE edge each — its neighbor labels tie 1 vs 1, so
+    // the min label (the {1..4} community) must win deterministically.
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((4L, 20L), (10L, 20L))).toDF("src", "dst")
+    val got = graft.ops.Graphs.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(got).distinct.size == 1, s"clique A split: $got")
+    assert(Seq(10L, 11L, 12L, 13L).map(got).distinct.size == 1, s"clique B split: $got")
+    assert(got(1L) != got(10L), "distinct cliques merged")
+    assert(got(20L) == got(1L), "tied bridge node must take the smaller label")
+  }
+
+  test("labelPropagation: deterministic under repartition and edge direction") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 5L)).toDF("src", "dst")
+    val a = graft.ops.Graphs.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val b = graft.ops.Graphs.labelPropagation(
+        edges.select(edges("dst").as("src"), edges("src").as("dst")).repartition(7), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(a == b)
+  }
 }

@@ -145,4 +145,36 @@ class HeavyHittersSpec extends SparkSpec {
       ("k2", 20L, 20L * 1000000L / total, 13L),
       ("k3", 20L, 20L * 1000000L / total, 13L)))
   }
+
+  test("sigmaOutliers: integer band test matches the float z-score on hand data") {
+    import spark.implicits._
+    // group g: values 10,10,10,10,60 — SS=4000, μ=20,
+    // σ²=(5·4000−100²)/25=400, σ=20; |60−20|=40 > 1.5σ=30 (flag),
+    // |10−20|=10 (keep). group h: constant → σ=0 → nothing flagged.
+    val rows = Seq(("g", 1L, 10L), ("g", 2L, 10L), ("g", 3L, 10L),
+      ("g", 4L, 10L), ("g", 5L, 60L),
+      ("h", 6L, 7L), ("h", 7L, 7L)).toDF("grp", "id", "v")
+    val got = Profiling.sigmaOutliers(rows, Seq("grp"), col("v"), 3, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("g", 5L, 60L, 5L, 100L)))
+    // float cross-check on every row of g: same verdicts
+    val (n, s, ss) = (5.0, 100.0, 4000.0)
+    val mu = s / n; val sigma = math.sqrt(ss / n - mu * mu)
+    Seq(10L, 60L).foreach { v =>
+      val wantFlag = math.abs(v - mu) > 1.5 * sigma
+      assert(wantFlag == (v == 60L))
+    }
+  }
+
+  test("sigmaOutliers: magnitudes at the decimal(38,0) ceiling stay exact") {
+    import spark.implicits._
+    // cent-scale values near 1e8: SS alone (~2e19) already overflows
+    // BIGINT, and the band products reach ~1e22 — far past long, well
+    // inside decimal(38,0). The planted point sits far outside the
+    // (itself-inflated) 3σ band; the flag set must be exactly {it}.
+    val big = (1L to 2000L).map(i => ("g", i, 100000000L + (i % 7))) :+ (("g", 9999L, 100004000L))
+    val got = Profiling.sigmaOutliers(big.toDF("grp", "id", "v"), Seq("grp"), col("v"), 3, 1)
+      .collect().map(_.getLong(1))
+    assert(got.toSeq == Seq(9999L))
+  }
 }
