@@ -46,6 +46,12 @@ object GraftFunctions {
         arity("jaro_winkler_similarity", args, 2)
         JaroWinklerSimilarity(args(0), args(1))
       }),
+    (FunctionIdentifier("damerau_levenshtein"),
+      info("damerau_levenshtein", classOf[DamerauLevenshteinExpr]),
+      (args: Seq[Expression]) => {
+        arity("damerau_levenshtein", args, 2)
+        DamerauLevenshteinExpr(args(0), args(1))
+      }),
     (FunctionIdentifier("dot_product"),
       info("dot_product", classOf[DotProduct]),
       (args: Seq[Expression]) => {
