@@ -786,10 +786,15 @@ object SparkEntry {
     s.sql(SqlFunctionsSql)
   }
 
+  // CAST on damerau_levenshtein: Spark's registered expression returns
+  // INT, DuckDB's built-in BIGINT — the cast is the same text on both
+  // (the q_unicode_norm length precedent).
   private val SqlFunctionsSql: String =
     """SELECT p_partkey,
       |       jaro_winkler_similarity(p_name, p_type) AS jw_name_type,
-      |       jaro_winkler_similarity(p_brand, p_type) AS jw_brand_type
+      |       jaro_winkler_similarity(p_brand, p_type) AS jw_brand_type,
+      |       CAST(damerau_levenshtein(p_brand, p_type) AS BIGINT) AS dl_brand_type,
+      |       CAST(damerau_levenshtein(p_name, p_brand) AS BIGINT) AS dl_name_brand
       |FROM part WHERE p_partkey <= 300""".stripMargin
 
   /** Unicode canonicalization, the q_sql_functions way: the IDENTICAL
@@ -1650,6 +1655,83 @@ object SparkEntry {
         round(col("o_totalprice") * 100).cast("long").as("price_cents")),
       Seq("o_orderpriority"), col("price_cents"), sigmaNum = 2, sigmaDen = 1)
 
+  /** Messy fetch-URL variants (case, default ports, `www.`, tracking
+    * params, param order, fragments, trailing slashes) synthesized
+    * deterministically from customer keys — both engines build the
+    * SAME raw strings with the SAME arithmetic.
+    */
+  private def urlVariant(ck: Column): Column = {
+    // moduli coprime to the 5-way variant split, so the SAME item is
+    // fetched through different messy spellings and the groups collapse
+    val item = (ck % 97).cast("string")
+    val post = (ck % 47).cast("string")
+    when(ck % 5 === 0, concat(lit("HTTPS://Shop.Example.COM:443/items/"), item,
+        lit("/?utm_source=x&b=2&a=1")))
+      .when(ck % 5 === 1, concat(lit("https://shop.example.com/items/"), item, lit("?a=1&b=2")))
+      .when(ck % 5 === 2, concat(lit("https://www.shop.example.com/items/"), item, lit("#frag")))
+      .when(ck % 5 === 3, concat(lit("http://Blog.example.com:80/posts/"), post,
+        lit("/?fbclid=zz&z=9&y=8")))
+      .otherwise(concat(lit("not a url "), ck.cast("string")))
+  }
+
+  /** URL-level exact dedup ([[graft.ops.Urls.canonicalizeUrl]]) — the
+    * refetch collapse that runs BEFORE content dedup in a web corpus:
+    * canonicalize, hash-groupBy, count. Variants 0 and 1 of the same
+    * item collapse (case/port/utm/order all erased); unparseable rows
+    * group under NULL. The canonicalizer is a map-only codegen Column
+    * program; the oracle runs the step-identical DuckDB regex/array
+    * program ([[graft.ops.Urls.canonicalizeUrlSql]]).
+    */
+  private def qUrlNormalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(graft.ops.Urls.canonicalizeUrl(urlVariant(col("c_custkey"))).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_fetches"))
+
+  /** Deterministic weighted sampling ([[graft.ops.Sampling
+    * .weightedSampleByGroup]], Duffield priority sampling in exact
+    * integer arithmetic): top-20 smallest `u div w` per market
+    * segment, weight = account balance in cents clamped to ≥ 1. The
+    * selected SET is engine/layout/rerun-stable — proven by the
+    * hash-match, since one different pick would flip the row hash.
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.weightedSampleByGroup(
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"),
+        greatest(lit(1L), round(col("c_acctbal") * 100).cast("long")).as("w_cents")),
+      Seq("c_mktsegment"), col("c_custkey"), col("w_cents"), k = 20)
+
+  /** Per-column ANALYZE profile ([[graft.ops.Profiling.tableProfile]]):
+    * one scan, one Expand-planned multi-distinct aggregate, long-form
+    * output (null counts / exact ndv / min-max as strings). Profiled
+    * over a projection both engines build identically, including a
+    * synthesized-null column so n_nulls is non-vacuous.
+    */
+  private def qColProfile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.tableProfile(
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate").cast("date").as("o_date"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("prio")),
+      Seq("o_custkey", "o_orderstatus", "o_date", "prio"))
+
+  /** Multi-source BFS hop distances ([[graft.ops.Graphs.bfsDistances]])
+    * over the order↔supplier bipartite graph from lineitem (suppliers
+    * as negated ids), seeded at nation-0 suppliers, 4 rounds — the
+    * k-hop lineage/contamination frontier (seeds: the first five
+    * supplier ids — present at every scale factor). All-integer dists; the
+    * oracle replays the identical frontier expansion as chained CTEs.
+    */
+  private def qBfs(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("a"), (-col("l_suppkey")).as("b")).distinct()
+    graft.ops.Graphs.bfsDistances(
+      e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"))),
+      t(s, dir, "supplier").filter(col("s_suppkey") <= 5)
+        .select((-col("s_suppkey")).as("id")),
+      rounds = 4)
+  }
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -1756,6 +1838,10 @@ object SparkEntry {
     "q_label_prop" -> (qLabelProp _),
     "q_outliers" -> (qOutliers _),
     "q_semi_join" -> (qSemiJoin _),
+    "q_url_normalize" -> (qUrlNormalize _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_col_profile" -> (qColProfile _),
+    "q_bfs" -> (qBfs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2555,5 +2641,57 @@ object SparkEntry {
         |WHERE (CAST(v.price_cents AS HUGEINT) * st.n - st.s) *
         |      (CAST(v.price_cents AS HUGEINT) * st.n - st.s) * 1 >
         |      4 * (st.n * st.ss - CAST(st.s AS HUGEINT) * st.s)""".stripMargin,
+    "q_url_normalize" ->
+      s"""WITH raw AS (
+         |  SELECT CASE c_custkey % 5
+         |    WHEN 0 THEN 'HTTPS://Shop.Example.COM:443/items/' || CAST(c_custkey % 97 AS VARCHAR) || '/?utm_source=x&b=2&a=1'
+         |    WHEN 1 THEN 'https://shop.example.com/items/' || CAST(c_custkey % 97 AS VARCHAR) || '?a=1&b=2'
+         |    WHEN 2 THEN 'https://www.shop.example.com/items/' || CAST(c_custkey % 97 AS VARCHAR) || '#frag'
+         |    WHEN 3 THEN 'http://Blog.example.com:80/posts/' || CAST(c_custkey % 47 AS VARCHAR) || '/?fbclid=zz&z=9&y=8'
+         |    ELSE 'not a url ' || CAST(c_custkey AS VARCHAR) END AS url
+         |  FROM customer)
+         |SELECT ${graft.ops.Urls.canonicalizeUrlSql("url")} AS canonical_url,
+         |       count(*) AS n_fetches
+         |FROM raw GROUP BY 1""".stripMargin,
+    "q_weighted_sample" ->
+      s"""WITH v AS (
+         |  SELECT c_custkey, c_mktsegment,
+         |         greatest(1, CAST(round(c_acctbal * 100) AS BIGINT)) AS w_cents
+         |  FROM customer),
+         |p AS (
+         |  SELECT c_custkey, c_mktsegment, w_cents,
+         |         ${graft.ops.Sampling.prioritySql("c_custkey", "w_cents")} AS priority
+         |  FROM v)
+         |SELECT c_custkey, c_mktsegment, w_cents, priority FROM p
+         |QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+         |  ORDER BY priority, c_custkey) <= 20""".stripMargin,
+    "q_col_profile" ->
+      s"""WITH v AS (
+         |  SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS o_date,
+         |         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS prio
+         |  FROM orders)
+         |${graft.ops.Profiling.tableProfileSql("v", Seq("o_custkey", "o_orderstatus", "o_date", "prio"))}""".stripMargin,
+    "q_bfs" -> bfsOracle(4),
   )
+
+  /** DuckDB mirror of [[qBfs]]: the identical frontier expansion —
+    * union the previous distance table with (edge-join, dist+1), take
+    * the per-node min — one CTE pair per round.
+    */
+  private def bfsOracle(rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT id, min(dist) AS dist FROM (
+         |    SELECT id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, d.dist + 1 AS dist
+         |    FROM d${i - 1} d JOIN edges e ON d.id = e.src) GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_orderkey AS a, -l_suppkey AS b FROM lineitem),
+       |edges AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+       |d0 AS (SELECT DISTINCT -s_suppkey AS id, CAST(0 AS BIGINT) AS dist
+       |       FROM supplier WHERE s_suppkey <= 5),
+       |$rs
+       |SELECT id, dist FROM d$rounds""".stripMargin
+  }
 }

@@ -292,4 +292,48 @@ object Graphs {
     }
     labels.select(col("id"), col("lbl").as("community"))
   }
+
+  /** Multi-source BFS over a DIRECTED edge list: hop distance from the
+    * nearest seed, explored for a FIXED number of rounds (the k-hop
+    * neighborhood — lineage tracing "everything derived within k steps
+    * of these documents", influence frontiers, contamination spread).
+    * Returns `(id, dist)` for REACHED nodes only; unreached nodes are
+    * absent rather than carrying a sentinel. Symmetrize edges upstream
+    * for undirected reach.
+    *
+    * All-integer arithmetic (dist = exact hop count, min is
+    * order-independent), so a DuckDB chained-CTE mirror hashes
+    * bit-identically — same determinism contract as [[pageRankExact]]
+    * and [[labelPropagation]].
+    *
+    * Scale shape: per round ONE frontier⋈edges hash join + one min
+    * aggregate, both partitioned on the node id; the frontier table is
+    * bounded by the reachable set, never the edge count. No driver
+    * action inside the loop; lineage cut every `checkpointEvery`
+    * rounds. Rounds are a fixed small constant — the caller picks the
+    * neighborhood radius, the driver never loops to convergence.
+    */
+  def bfsDistances(
+      edges: DataFrame,
+      seeds: DataFrame,
+      rounds: Int,
+      dedupEdges: Boolean = true,
+      checkpointEvery: Int = 8): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val cols = edges.columns
+    val e0 = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+    val e = (if (dedupEdges) e0.distinct() else e0).localCheckpoint(true)
+    var dist = seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .select(col("id"), lit(0L).as("dist"))
+    for (i <- 1 to rounds) {
+      val next = e.join(dist.select(col("id").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
+      val combined = dist.unionByName(next)
+        .groupBy("id").agg(min("dist").as("dist"))
+      dist =
+        if (checkpointEvery > 0 && i % checkpointEvery == 0) combined.localCheckpoint(true)
+        else combined
+    }
+    dist
+  }
 }

@@ -80,4 +80,54 @@ object Profiling {
       .select(df.columns.map(col).toIndexedSeq :+
         col("__n").cast("long").as("n") :+ col("__s").cast("long").as("s"): _*)
   }
+
+  /** Per-column table profile — the ANALYZE a pipeline runs on a new
+    * drop before trusting it: one output row per profiled column with
+    * row count, null count, EXACT distinct count, and min/max rendered
+    * as strings (one schema for every column type). Null rates catch
+    * broken upstream joins; ndv drift catches key-space explosions;
+    * min/max catch unit changes and epoch bugs.
+    *
+    * Plan shape: ONE scan. All columns' aggregates run in a single
+    * aggregate (the multi-distinct is planned through Spark's Expand —
+    * one pass over the data expanded ×(cols+1), the standard exact-ndv
+    * trade; use HLL sketches when approximate is acceptable), then the
+    * 1-row result is stacked to long form driver-side — no second
+    * scan, no union of per-column jobs.
+    *
+    * Profile float columns through an integral projection upstream
+    * (cents etc.) if the output must be engine-exact: float-to-string
+    * rendering differs across engines.
+    */
+  def tableProfile(df: DataFrame, colNames: Seq[String]): DataFrame = {
+    require(colNames.nonEmpty, "tableProfile needs at least one column")
+    colNames.foreach { c =>
+      require(c.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsafe column name: $c")
+    }
+    val aggs = colNames.flatMap { c =>
+      Seq(count(col(c)).as(s"__np_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = colNames
+      .map(c => s"'$c', __np_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ")
+    one.select(col("__n"),
+        expr(s"stack(${colNames.length}, $stackArgs) AS (col_name, __np, n_distinct, min_value, max_value)"))
+      .select(col("col_name"), col("__n").as("n_rows"),
+        (col("__n") - col("__np")).as("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
+
+  /** DuckDB mirror of [[tableProfile]]: one UNION ALL arm per column
+    * (the oracle may rescan; Spark must not).
+    */
+  def tableProfileSql(table: String, colNames: Seq[String]): String =
+    colNames.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value, CAST(max($c) AS VARCHAR) AS max_value
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
 }
