@@ -1732,6 +1732,56 @@ object SparkEntry {
       rounds = 4)
   }
 
+  /** Phonetic blocking codes ([[graft.ops.Phonetic.soundex]]) over the
+    * pooled word vocabulary of part names, nation/region names, and
+    * market segments — distinct words grouped by sound-alike code, the
+    * recall-oriented complement to exact-prefix blocking. Both engines
+    * run the step-identical translate/regex chain.
+    */
+  private def qSoundex(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "part").select(explode(split(col("p_name"), " ")).as("w"))
+      .unionByName(t(s, dir, "nation").select(col("n_name").as("w")))
+      .unionByName(t(s, dir, "region").select(col("r_name").as("w")))
+      .unionByName(t(s, dir, "customer").select(col("c_mktsegment").as("w")))
+      .distinct()
+    words.select(col("w"), graft.ops.Phonetic.soundex(col("w")).as("code"))
+      .groupBy("code").agg(count(lit(1)).as("n_words"),
+        min("w").as("example_min"), max("w").as("example_max"))
+  }
+
+  /** Exact per-group OLS trend ([[graft.ops.Profiling.groupTrend]]):
+    * order value in cents against order date in epoch days, per
+    * priority class — drift detection with zero float anywhere, the
+    * q_outliers exactness contract applied to the covariance form.
+    */
+  private def qTrend(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.groupTrend(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).as("x_days"),
+        round(col("o_totalprice") * 100).cast("long").as("y_cents")),
+      Seq("o_orderpriority"), col("x_days"), col("y_cents"))
+
+  /** Data-contract quarantine ([[graft.ops.Contracts.quarantine]]):
+    * named row rules over orders, violating rows grouped by their
+    * deterministic rule-order violation label. Exercises a naturally
+    * failing rule (price cap), a set-membership rule, an always-pass
+    * format rule, and the NULL-counts-as-violation semantics (the
+    * synthesized NULL custkey check).
+    */
+  private def qQuarantine(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Contracts.quarantine(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority")),
+        Seq(
+          "price_cap" -> (col("o_totalprice") < 300000.0),
+          "status_closed" -> col("o_orderstatus").isin("O", "F"),
+          "priority_format" -> col("o_orderpriority").rlike("^[1-5]-"),
+          "custkey_mod_check" ->
+            (when(col("o_custkey") % 10 === 0, lit(null).cast("long"))
+              .otherwise(col("o_custkey")) > 0)))
+      .groupBy("violated_rules").agg(count(lit(1)).as("n"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -1842,6 +1892,9 @@ object SparkEntry {
     "q_weighted_sample" -> (qWeightedSample _),
     "q_col_profile" -> (qColProfile _),
     "q_bfs" -> (qBfs _),
+    "q_soundex" -> (qSoundex _),
+    "q_trend" -> (qTrend _),
+    "q_quarantine" -> (qQuarantine _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2672,6 +2725,46 @@ object SparkEntry {
          |  FROM orders)
          |${graft.ops.Profiling.tableProfileSql("v", Seq("o_custkey", "o_orderstatus", "o_date", "prio"))}""".stripMargin,
     "q_bfs" -> bfsOracle(4),
+    "q_soundex" ->
+      s"""WITH w0 AS (
+         |  SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+         |  UNION ALL SELECT n_name FROM nation
+         |  UNION ALL SELECT r_name FROM region
+         |  UNION ALL SELECT c_mktsegment FROM customer),
+         |w AS (SELECT DISTINCT w FROM w0)
+         |SELECT ${graft.ops.Phonetic.soundexSql("w")} AS code,
+         |       count(*) AS n_words, min(w) AS example_min, max(w) AS example_max
+         |FROM w GROUP BY 1""".stripMargin,
+    // HUGEINT ≡ decimal(38,0); `//` and `div` both truncate toward zero
+    // (probed on negatives), and date-minus-date is exact integer days.
+    "q_trend" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders),
+        |st AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM v GROUP BY 1)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+        |       CAST((1000000 * (n * sxy - sx * sy)) // NULLIF(n * sxx - sx * sx, 0) AS BIGINT)
+        |         AS slope_ppm
+        |FROM st""".stripMargin,
+    "q_quarantine" ->
+      s"""WITH v AS (
+         |  SELECT o_orderkey,
+         |         ${graft.ops.Contracts.violationsSql(Seq(
+               "price_cap" -> "o_totalprice < 300000.0",
+               "status_closed" -> "o_orderstatus IN ('O', 'F')",
+               "priority_format" -> "regexp_matches(o_orderpriority, '^[1-5]-')",
+               "custkey_mod_check" -> "(CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE o_custkey END) > 0"))}
+         |           AS violated_rules
+         |  FROM orders)
+         |SELECT violated_rules, count(*) AS n,
+         |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM v WHERE violated_rules <> '' GROUP BY 1""".stripMargin,
   )
 
   /** DuckDB mirror of [[qBfs]]: the identical frontier expansion —

@@ -120,6 +120,41 @@ object Profiling {
         col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  /** Per-group least-squares trend in EXACT integer arithmetic — drift
+    * detection ("is this segment's value climbing?") with the same
+    * engine-exactness contract as [[sigmaOutliers]]: the OLS slope is
+    * the rational `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`, so with integral
+    * inputs the whole computation stays in decimal(38,0) (DuckDB:
+    * HUGEINT) and only the final parts-per-million quotient truncates —
+    * identically on both engines (`div` and `//` both truncate toward
+    * zero, probed on negatives). A float covariance reduction is
+    * order-dependent and unreproducible across layouts; this isn't.
+    *
+    * Returns one row per group: `n` and `slope_ppm` = slope ×1e6 in
+    * y-units per x-unit (NULL when all x in the group are equal).
+    * Magnitudes: |1e6·n·Σxy| must stay under 1e38 — holds through
+    * 1e9 rows × 1e4 x-range × 1e8 y-range. One hash aggregate, no
+    * window, no second pass.
+    */
+  def groupTrend(df: DataFrame, groupCols: Seq[String], x: Column, y: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupTrend needs at least one group column")
+    val dec = "decimal(38,0)"
+    val v = df.select(groupCols.map(col) :+ x.cast("long").as("__x") :+ y.cast("long").as("__y"): _*)
+    val st = v.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x")).cast(dec).as("__sx"),
+        sum(col("__y")).cast(dec).as("__sy"),
+        sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) * lit(1000000L).cast(dec)
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    // Truncating division on decimals: subtract the %-remainder (sign
+    // of the dividend, both engines), then the division is exact.
+    val slope = ((num - num % den) / den).cast("long")
+    st.select(groupCols.map(col) :+ col("__n").cast("long").as("n") :+
+      when(den === 0, lit(null).cast("long")).otherwise(slope).as("slope_ppm"): _*)
+  }
+
   /** DuckDB mirror of [[tableProfile]]: one UNION ALL arm per column
     * (the oracle may rescan; Spark must not).
     */

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Contracts, Phonetic, Profiling}
+
+/** Soundex blocking codes, exact OLS trend, and data-contract
+  * quarantine. Cross-engine exactness is proven by the q_soundex /
+  * q_trend / q_quarantine oracle rows; these pin semantics.
+  */
+class PhoneticContractsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("soundex: the standard published examples") {
+    val cases = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163",   // the classic sound-alike pair
+      "Tymczak" -> "T522",                       // vowel-separated repeats survive
+      "Pfister" -> "P236",                       // leading same-code pair collapses
+      "Honeyman" -> "H555",
+      "Smith" -> "S530", "Smyth" -> "S530",
+      "a" -> "A000",                             // short → zero-padded
+      "O'Brien" -> "O165",                       // punctuation stripped
+      "BUILDING" -> "B435")
+    val got = cases.map(_._1).toDF("w")
+      .select(Phonetic.soundex(col("w")).as("c")).collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"soundex($in): got $g want $want")
+    }
+  }
+
+  test("soundex: no letters -> NULL; case-insensitive") {
+    val rows = Seq("123", "  ", "robert", "ROBERT").toDF("w")
+      .select(Phonetic.soundex(col("w"))).collect()
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0))
+    assert(rows(2).getString(0) == "R163" && rows(3).getString(0) == "R163")
+  }
+
+  test("groupTrend: exact slopes incl. the truncation-toward-zero negative case") {
+    val df = Seq(
+      ("up", 0L, 0L), ("up", 1L, 2L), ("up", 2L, 4L),          // slope 2
+      ("frac", 0L, 0L), ("frac", 1L, 1L), ("frac", 3L, 1L),    // slope 2/7
+      ("neg", 0L, 0L), ("neg", 1L, -1L), ("neg", 3L, -1L),     // slope -2/7
+      ("flat_x", 5L, 1L), ("flat_x", 5L, 9L)                   // den = 0 -> NULL
+    ).toDF("g", "x", "y")
+    val got = Profiling.groupTrend(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(got("up") == ((3L, Some(2000000L))))
+    assert(got("frac") == ((3L, Some(285714L))))    // 2/7 e6 truncated
+    assert(got("neg") == ((3L, Some(-285714L))))    // toward zero, NOT floor(-285715)
+    assert(got("flat_x") == ((2L, None)))
+  }
+
+  test("contracts: labels in rule order, NULL counts as violation, clean+quarantine partition") {
+    val df = Seq(
+      (1L, Some(10L), "ok"),
+      (2L, Some(-5L), "ok"),      // fails positive
+      (3L, None, "ok"),           // NULL -> fails positive
+      (4L, Some(-1L), "bad")      // fails both
+    ).toDF("id", "v", "s")
+    val rules = Seq(
+      "positive" -> (col("v") > 0),
+      "status_ok" -> (col("s") === "ok"))
+    val labeled = Contracts.applyContract(df, rules)
+      .select("id", "violated_rules").as[(Long, String)].collect().toMap
+    assert(labeled == Map(1L -> "", 2L -> "positive", 3L -> "positive",
+      4L -> "positive,status_ok"))
+    val cleanIds = Contracts.clean(df, rules).select("id").as[Long].collect().toSet
+    val quarIds = Contracts.quarantine(df, rules).select("id").as[Long].collect().toSet
+    assert(cleanIds == Set(1L) && quarIds == Set(2L, 3L, 4L))
+    assert(!Contracts.clean(df, rules).columns.contains("violated_rules"))
+  }
+
+  test("contracts: comma in a rule name is rejected") {
+    val ex = intercept[IllegalArgumentException] {
+      Contracts.violations(Seq("a,b" -> lit(true)))
+    }
+    assert(ex.getMessage.contains("comma-free"))
+  }
+}
