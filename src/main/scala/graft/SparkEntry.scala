@@ -1782,6 +1782,36 @@ object SparkEntry {
       .groupBy("violated_rules").agg(count(lit(1)).as("n"),
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
 
+  /** Dense global row ids WITHOUT a single-partition window
+    * ([[graft.ops.Windows.denseIds]]): range-repartition + partition-
+    * local numbering + broadcast offsets — the scalable form of
+    * q_synthetic_id's driver-sized-only shape. Ids are a pure function
+    * of the unique order key, so the oracle is a plain global
+    * row_number.
+    */
+  private def qDenseIds(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.denseIds(
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+      "c_custkey")
+
+  /** SCD2 dimension build ([[graft.ops.Windows.scdHistory]]): orders
+    * collapsed to a per-(customer, day) change log (arg-max on the
+    * order key ≡ DuckDB arg_max), then versioned with
+    * `[valid_from, valid_to)` ranges — the table
+    * [[graft.ops.Joins.asofJoin]] queries point-in-time.
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val log = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        col("o_orderkey"), col("o_orderstatus"))
+      .groupBy("o_custkey", "day")
+      .agg(max(struct(col("o_orderkey"), col("o_orderstatus"))).as("__m"))
+      .select(col("o_custkey"), col("day"), col("__m.o_orderstatus").as("status"))
+    graft.ops.Windows.scdHistory(log, Seq("o_custkey"), "day")
+  }
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -1895,6 +1925,8 @@ object SparkEntry {
     "q_soundex" -> (qSoundex _),
     "q_trend" -> (qTrend _),
     "q_quarantine" -> (qQuarantine _),
+    "q_dense_ids" -> (qDenseIds _),
+    "q_scd2" -> (qScd2 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2765,6 +2797,24 @@ object SparkEntry {
          |SELECT violated_rules, count(*) AS n,
          |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          |FROM v WHERE violated_rules <> '' GROUP BY 1""".stripMargin,
+    "q_dense_ids" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       row_number() OVER (ORDER BY c_custkey) AS row_id
+        |FROM customer""".stripMargin,
+    // arg_max(status, orderkey) ≡ Spark's max(struct(orderkey, status))
+    // when the key is unique within the group.
+    "q_scd2" ->
+      """WITH v AS (
+        |  SELECT o_custkey,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |         o_orderkey, o_orderstatus
+        |  FROM orders),
+        |log AS (
+        |  SELECT o_custkey, day, arg_max(o_orderstatus, o_orderkey) AS status
+        |  FROM v GROUP BY 1, 2)
+        |SELECT o_custkey, day, status, day AS valid_from,
+        |       lead(day) OVER (PARTITION BY o_custkey ORDER BY day) AS valid_to
+        |FROM log""".stripMargin,
   )
 
   /** DuckDB mirror of [[qBfs]]: the identical frontier expansion —

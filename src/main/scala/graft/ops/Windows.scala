@@ -136,4 +136,53 @@ object Windows {
       .orderBy(order.desc +: tiebreak.map(_.asc): _*)
     df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  /** Dense 1-based global row ids in `orderCol` order WITHOUT the
+    * single-partition window (the q_synthetic_id shape is legitimate
+    * only for driver-sized inputs; an unpartitioned `row_number` over
+    * a corpus moves everything to one task). Standard two-phase
+    * assignment: range-repartition on the order key, number rows
+    * WITHIN each partition (partition-local window — sorts run in
+    * parallel), then add each partition's starting offset (one
+    * driver-sized count-per-partition action, ≤ #partitions rows).
+    *
+    * `orderCol` must be UNIQUE — ids are then a pure function of the
+    * data (equal to `row_number() OVER (ORDER BY orderCol)`), no
+    * matter how ranges were sampled or the input was laid out.
+    */
+  def denseIds(df: DataFrame, orderCol: String, idName: String = "row_id",
+      numPartitions: Int = 0): DataFrame = {
+    require(!df.columns.contains(idName), s"column $idName already exists")
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, col(orderCol))
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint(true) // pin range boundaries: the count pass and
+                             // the numbering pass must see ONE partitioning
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    val offExpr = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
+      when(col("__pid") === pid, lit(off)).otherwise(e)
+    }
+    val w = Window.partitionBy("__pid").orderBy(col(orderCol).asc)
+    ranged.withColumn(idName, row_number().over(w).cast("long") + offExpr)
+      .drop("__pid")
+  }
+
+  /** SCD2 history from a change log: each (key, change-time, attrs)
+    * row becomes a VERSION valid over `[valid_from, valid_to)`,
+    * `valid_to` NULL for the open current version — the
+    * slowly-changing-dimension build that [[graft.ops.Joins.asofJoin]]
+    * then queries point-in-time. `tsCol` must be unique per key (pass
+    * a tie-broken ordering column if change times can collide).
+    * One keyed window (lead), partitioned on the key — no global sort.
+    */
+  def scdHistory(df: DataFrame, keyCols: Seq[String], tsCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "scdHistory needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).asc)
+    df.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+  }
 }

@@ -272,4 +272,43 @@ object Streams {
             .map(k => FunnelUpdate(userId, k, stages(k), done(k)))
       }
   }
+
+  final case class HeavyUpdate(group: String, token: String, min_count: Long)
+
+  /** Streaming Misra-Gries maintenance: a bounded heavy-hitter sketch
+    * per GROUP, updated incrementally — "which domains dominate the
+    * crawl, live" with O(capacity) state per group forever, where a
+    * streaming groupBy(token) would grow state with the distinct-token
+    * space. Reuses the batch [[graft.expr.MisraGries]] kernel
+    * (identical reduce rule), so the stream state obeys the same
+    * guarantee: any token with true frequency > n/(capacity+1) over
+    * the whole stream so far is tracked, and each tracked count is a
+    * lower bound undercounting by at most n/(capacity+1).
+    *
+    * Emits the (group, token, min_count) entries whose counter CHANGED
+    * in the batch — the latest emission per (group, token) is the
+    * current lower bound; a token that stops being emitted may have
+    * been evicted (sketch semantics: eviction is not a claim of
+    * absence). Exact verification, when needed, is a batch
+    * [[graft.ops.HeavyHitters]] pass over the accumulated data.
+    */
+  def streamingHeavyHitters(
+      events: Dataset[(String, String)],
+      capacity: Int): Dataset[HeavyUpdate] = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    import events.sparkSession.implicits._
+    val mg = new graft.expr.MisraGries(capacity)
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], HeavyUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (group: String, batch: Iterator[(String, String)], state: GroupState[Map[String, Long]]) =>
+          val buf = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(_.foreach { case (k, v) => buf.update(k, v) })
+          val before = buf.toMap
+          batch.foreach { case (_, token) => mg.reduce(buf, token) }
+          state.update(buf.toMap)
+          buf.toSeq.filter { case (k, c) => !before.get(k).contains(c) }
+            .map { case (token, c) => HeavyUpdate(group, token, c) }.iterator
+      }
+  }
 }

@@ -176,4 +176,44 @@ class ExtensionsWindowsSpec extends SparkSpec {
     assert(expChunk == 9127382146439317L)
     assert(out(("A", 2L)) == ((expChunk, expOffset)))
   }
+
+  test("denseIds: equals global row_number, stable under layout, spans partitions") {
+    import org.apache.spark.sql.functions._
+    val keys = scala.util.Random.shuffle((1L to 500L).toList)
+    val df = keys.map(k => (k, s"v$k")).toDF("k", "v")
+    val a = graft.ops.Windows.denseIds(df, "k", numPartitions = 7)
+    val got = a.select("k", "row_id").as[(Long, Long)].collect().toMap
+    assert(got == (1L to 500L).map(k => k -> k).toMap) // keys are 1..500 → id == key
+    // multiple partitions actually used (no single-task collapse)
+    val nParts = a.select(spark_partition_id()).distinct().count()
+    assert(nParts > 1, s"expected multi-partition numbering, got $nParts")
+    val b = graft.ops.Windows.denseIds(df.repartition(13), "k", numPartitions = 3)
+    assert(b.select("k", "row_id").as[(Long, Long)].collect().toMap == got)
+  }
+
+  test("denseIds: more partitions than rows; id column collision rejected") {
+    import org.apache.spark.sql.functions._
+    val tiny = Seq(10L, 20L).toDF("k")
+    val got = graft.ops.Windows.denseIds(tiny, "k", numPartitions = 8)
+      .select("k", "row_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 1L, 20L -> 2L))
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Windows.denseIds(tiny.withColumn("row_id", lit(1)), "k")
+    }
+    assert(ex.getMessage.contains("already exists"))
+  }
+
+  test("scdHistory: versions chain per key, open tail, keys isolated") {
+    import org.apache.spark.sql.functions._
+    val log = Seq(
+      ("a", 1L, "new"), ("a", 5L, "active"), ("a", 9L, "churned"),
+      ("b", 3L, "new")).toDF("key", "ts", "status")
+    val got = graft.ops.Windows.scdHistory(log, Seq("key"), "ts")
+      .select("key", "ts", "valid_from", "valid_to")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got == Set(
+      ("a", 1L, 1L, Some(5L)), ("a", 5L, 5L, Some(9L)), ("a", 9L, 9L, None),
+      ("b", 3L, 3L, None)))
+  }
 }

@@ -303,4 +303,34 @@ class MultimodalStreamingSpec extends SparkSpec {
       assert(got.exists(u => u.user_id == 1 && u.n_events == 3))
     } finally q.stop()
   }
+
+  test("streaming: Misra-Gries heavy hitters — guarantee holds across batches, state bounded") {
+    val capacity = 5
+    val stream = MemoryStream[(String, String)](spark)
+    val q = Streams.streamingHeavyHitters(stream.toDS(), capacity)
+      .writeStream.format("memory").queryName("mg_out").outputMode("append").start()
+    try {
+      // group g: token 'hot' 30/75 total; 20 distinct cold tokens.
+      // Guarantee: freq > n/(cap+1) = 75/6 = 12.5 → 'hot' MUST be
+      // tracked at the end with min_count >= 30 - 12 = 18.
+      val batch1 = (1 to 15).map(_ => ("g", "hot")) ++
+        (1 to 20).map(i => ("g", s"cold$i"))
+      val batch2 = (1 to 15).map(_ => ("g", "hot")) ++
+        (1 to 20).map(i => ("g", s"cold$i"))
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+      // latest emission per token is the current lower bound
+      val latest = spark.table("mg_out").as[Streams.HeavyUpdate].collect()
+        .zipWithIndex.groupBy(_._1.token)
+        .map { case (t, rows) => t -> rows.maxBy(_._2)._1.min_count }
+      assert(latest.contains("hot"), s"hot not tracked: $latest")
+      assert(latest("hot") >= 18L && latest("hot") <= 30L, s"bound violated: ${latest("hot")}")
+      // hot's lower bound is nondecreasing across batch emissions
+      val hotSeq = spark.table("mg_out").as[Streams.HeavyUpdate].collect()
+        .zipWithIndex.filter(_._1.token == "hot").sortBy(_._2).map(_._1.min_count)
+      assert(hotSeq.nonEmpty && hotSeq.sameElements(hotSeq.sorted), s"not monotone: ${hotSeq.toSeq}")
+    } finally q.stop()
+  }
 }
