@@ -68,7 +68,16 @@ object ScaleProbe {
     // production scales the centroid count with the corpus (SemDeDup
     // uses k ∝ n), the probe pins k to EXPOSE the term.
     "q_winnow", "q_span_dedup", "q_label_prop", "q_outliers",
-    "q_semantic_dedup")
+    "q_semantic_dedup",
+    // continuation 3: URL canonicalization + weighted sampling ride
+    // customer replicas (map-only / top-k — linear); vocab + snapshot
+    // diff ride the token-salted documents (vocab ×10 by salting, the
+    // digest join linear); trend + SCD2 ride the orders replicas (one
+    // hash agg / one keyed window — linear); dense ids ride customer
+    // (range exchange + partition-local numbering — the claim under
+    // test is that NO stage degenerates to a single task at 10×).
+    "q_url_normalize", "q_vocab", "q_snapshot_diff", "q_dense_ids",
+    "q_trend", "q_scd2")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a

@@ -1812,6 +1812,38 @@ object SparkEntry {
     graft.ops.Windows.scdHistory(log, Seq("o_custkey"), "day")
   }
 
+  /** Corpus snapshot diff ([[graft.etl.Etl.snapshotDiff]]): v2 is a
+    * deterministic perturbation of documents (every 13th removed,
+    * every 17th edited, every 19th re-added under a new id), both
+    * engines build it identically; the diff classifies by 60-bit
+    * content digest through one full-outer join that moves two longs
+    * per row, never the text.
+    */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+    val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text", when(col("doc_id") % 17 === 0, concat(col("text"), lit(" EDIT")))
+        .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"), col("source")))
+    graft.etl.Etl.snapshotDiff(docs, v2, "doc_id", Seq("text", "source"))
+      .groupBy("status").agg(count(lit(1)).as("n"),
+        min("doc_id").as("min_key"), max("doc_id").as("max_key"))
+  }
+
+  /** Vocabulary build ([[graft.ops.Windows.denseIdsBy]] over token
+    * counts): tokens at/above a frequency floor get contiguous ids by
+    * descending count — the tokenizer-table shape, numbered WITHOUT a
+    * single-partition window via the composite-order denseIds path.
+    */
+  private def qVocab(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 5)
+    graft.ops.Windows.denseIdsBy(counts, Seq(col("cnt").desc, col("tok").asc), "token_id")
+  }
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -1927,6 +1959,8 @@ object SparkEntry {
     "q_quarantine" -> (qQuarantine _),
     "q_dense_ids" -> (qDenseIds _),
     "q_scd2" -> (qScd2 _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_vocab" -> (qVocab _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2815,6 +2849,31 @@ object SparkEntry {
         |SELECT o_custkey, day, status, day AS valid_from,
         |       lead(day) OVER (PARTITION BY o_custkey ORDER BY day) AS valid_to
         |FROM log""".stripMargin,
+    "q_snapshot_diff" -> {
+      val d = graft.etl.Etl.rowDigestSql(Seq("text", "source"))
+      s"""WITH v2 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 17 = 0 THEN text || ' EDIT' ELSE text END AS text,
+         |         source
+         |  FROM documents WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, text, source FROM documents WHERE doc_id % 19 = 0),
+         |o AS (SELECT doc_id, $d AS dg FROM documents),
+         |n AS (SELECT doc_id, $d AS dg FROM v2),
+         |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |             CASE WHEN o.dg IS NULL THEN 'added'
+         |                  WHEN n.dg IS NULL THEN 'removed'
+         |                  WHEN o.dg = n.dg THEN 'same' ELSE 'changed' END AS status
+         |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         |SELECT status, count(*) AS n, min(doc_id) AS min_key, max(doc_id) AS max_key
+         |FROM j GROUP BY 1""".stripMargin
+    },
+    "q_vocab" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM tk WHERE tok <> '' GROUP BY 1
+        |      HAVING count(*) >= 5)
+        |SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS token_id
+        |FROM c""".stripMargin,
   )
 
   /** DuckDB mirror of [[qBfs]]: the identical frontier expansion —

@@ -456,4 +456,32 @@ object Etl {
     */
   def readBucketed(spark: SparkSession, name: String): DataFrame =
     spark.table(name)
+
+  /** DuckDB mirror of [[rowDigest]] over SQL fragments. */
+  def rowDigestSql(cols: Seq[String]): String =
+    "CAST(('0x' || substr(md5(concat_ws(chr(1), " +
+      cols.map(c => s"coalesce(CAST($c AS VARCHAR), chr(2))").mkString(", ") +
+      ")), 1, 15)) AS BIGINT)"
+
+  /** Corpus snapshot diff — dataset versioning's core question ("what
+    * changed between yesterday's corpus and today's?") answered
+    * without comparing content bytes across the wire: each side
+    * reduces to (key, 60-bit [[rowDigest]] of the content columns),
+    * one full-outer hash join on the key classifies every row as
+    * added / removed / changed / same. Content columns never shuffle;
+    * the join moves two longs per row.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "snapshotDiff needs at least one content column")
+    val o = oldDf.select(col(keyCol).as(keyCol), rowDigest(contentCols.map(col)).as("__d_old"))
+    val n = newDf.select(col(keyCol).as(keyCol), rowDigest(contentCols.map(col)).as("__d_new"))
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("__d_old").isNull, lit("added"))
+          .when(col("__d_new").isNull, lit("removed"))
+          .when(col("__d_old") === col("__d_new"), lit("same"))
+          .otherwise(lit("changed")))
+      .select(col(keyCol), col("status"))
+  }
 }

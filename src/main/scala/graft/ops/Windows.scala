@@ -151,11 +151,21 @@ object Windows {
     * matter how ranges were sampled or the input was laid out.
     */
   def denseIds(df: DataFrame, orderCol: String, idName: String = "row_id",
+      numPartitions: Int = 0): DataFrame =
+    denseIdsBy(df, Seq(col(orderCol).asc), idName, numPartitions)
+
+  /** [[denseIds]] over a COMPOSITE sort order (direction-carrying sort
+    * expressions, e.g. `Seq(col("cnt").desc, col("tok").asc)`) — the
+    * vocabulary-builder shape: contiguous ids by descending frequency.
+    * The combination must be unique.
+    */
+  def denseIdsBy(df: DataFrame, orderExprs: Seq[Column], idName: String = "row_id",
       numPartitions: Int = 0): DataFrame = {
+    require(orderExprs.nonEmpty, "denseIdsBy needs at least one order expression")
     require(!df.columns.contains(idName), s"column $idName already exists")
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(parts, col(orderCol))
+    val ranged = df.repartitionByRange(parts, orderExprs: _*)
       .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
       .localCheckpoint(true) // pin range boundaries: the count pass and
                              // the numbering pass must see ONE partitioning
@@ -166,7 +176,7 @@ object Windows {
     val offExpr = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
       when(col("__pid") === pid, lit(off)).otherwise(e)
     }
-    val w = Window.partitionBy("__pid").orderBy(col(orderCol).asc)
+    val w = Window.partitionBy("__pid").orderBy(orderExprs: _*)
     ranged.withColumn(idName, row_number().over(w).cast("long") + offExpr)
       .drop("__pid")
   }

@@ -203,6 +203,25 @@ class ExtensionsWindowsSpec extends SparkSpec {
     assert(ex.getMessage.contains("already exists"))
   }
 
+  test("denseIdsBy: composite descending order — the vocabulary shape") {
+    import org.apache.spark.sql.functions._
+    val counts = Seq(("the", 50L), ("a", 50L), ("of", 30L), ("zz", 10L)).toDF("tok", "cnt")
+    val got = graft.ops.Windows.denseIdsBy(
+        counts, Seq(col("cnt").desc, col("tok").asc), "token_id", numPartitions = 3)
+      .select("tok", "token_id").as[(String, Long)].collect().toMap
+    // cnt desc, tok asc: ties on 50 break alphabetically
+    assert(got == Map("a" -> 1L, "the" -> 2L, "of" -> 3L, "zz" -> 4L))
+  }
+
+  test("snapshotDiff: added/removed/changed/same classification") {
+    import org.apache.spark.sql.functions._
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "body")
+    val v2 = Seq((2L, "beta"), (3L, "gamma EDIT"), (4L, "delta")).toDF("id", "body")
+    val got = graft.etl.Etl.snapshotDiff(v1, v2, "id", Seq("body"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
+  }
+
   test("scdHistory: versions chain per key, open tail, keys isolated") {
     import org.apache.spark.sql.functions._
     val log = Seq(
