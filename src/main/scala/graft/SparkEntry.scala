@@ -1844,6 +1844,74 @@ object SparkEntry {
     graft.ops.Windows.denseIdsBy(counts, Seq(col("cnt").desc, col("tok").asc), "token_id")
   }
 
+  /** Point-in-range lookup ([[graft.ops.Joins.rangeLookupJoin]]):
+    * orders (in exact cents) against OVERLAPPING price brackets — the
+    * CIDR/bracket enrichment shape. Only the 4-row bracket side
+    * explodes to bins; the fact side maps to one bin each. The oracle
+    * is the naive BETWEEN theta-join — equality proves the binned
+    * equi-join complete and duplicate-free.
+    */
+  private def qRangeLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brackets = Seq(
+      ("low", 0L, 10000000L),
+      ("mid", 5000000L, 30000000L),
+      ("high", 20000000L, 60000000L),
+      ("vip", 45000000L, 100000000L)).toDF("bracket", "lo", "hi")
+    val pts = t(s, dir, "orders").select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    graft.ops.Joins.rangeLookupJoin(pts, brackets, "cents", "lo", "hi",
+        binSize = 5000000L)
+      .groupBy("bracket")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+  }
+
+  /** Time-series resample + LOCF gap-fill
+    * ([[graft.ops.Windows.resampleLocf]]): per-user event values
+    * sampled onto a daily grid (epoch micros), last observation
+    * carried forward. The carried double is READ, never summed —
+    * exact across engines; ties at one (user, ts) collapse by max
+    * event_id on both sides.
+    */
+  private def qResample(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      expr("ts div 1000").as("t_us"), col("value"), col("event_id"))
+    graft.ops.Windows.resampleLocf(ev, Seq("user_id"), "t_us", "value",
+      "event_id", step = 86400000000L)
+  }
+
+  /** Audio through the multimodal binary column
+    * ([[graft.ops.Multimodal.AudioCodec]]): deterministic PCM per doc
+    * id ENCODED into real RIFF/WAV bytes in one typed stage, DECODED
+    * back by an independent chunk-walking parser in the next, integer
+    * signal stats (sum of squares, peak) aggregated relationally. The
+    * oracle recomputes the stats from the closed-form sample formula —
+    * equality proves the encode → decode roundtrip bit-exact.
+    */
+  private def qAudioStats(s: SparkSession, dir: String): DataFrame = {
+    val recs = graft.ops.Multimodal.synthAudioRecords(
+      t(s, dir, "documents").filter(col("doc_id") % 7 === 0), "doc_id")
+    graft.ops.Multimodal.decodeAudioFeatures(recs).toDF()
+      .select(col("id").as("doc_id"), col("byteLen").cast("long").as("byte_len"),
+        col("sampleRate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("nSamples").cast("long").as("n_samples"),
+        col("sumSq").as("sum_sq"), col("peak").cast("long").as("peak"))
+  }
+
+  /** Unigram LM quality scoring
+    * ([[graft.ops.TextAnalysis.lmUnigramScore]]): model trained on the
+    * 80% reference slice (doc_id % 10 < 8), ALL documents scored —
+    * held-out docs exercise the OOV smoothing path. Integer micro-nat
+    * logprobs sum exactly on both engines.
+    */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.TextAnalysis.lmUnigramScore(
+      docs, "doc_id", col("text"),
+      docs.filter(col("doc_id") % 10 < 8), col("text"))
+  }
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -1961,6 +2029,10 @@ object SparkEntry {
     "q_scd2" -> (qScd2 _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_vocab" -> (qVocab _),
+    "q_range_lookup" -> (qRangeLookup _),
+    "q_resample" -> (qResample _),
+    "q_audio_stats" -> (qAudioStats _),
+    "q_lm_score" -> (qLmScore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2874,6 +2946,64 @@ object SparkEntry {
         |      HAVING count(*) >= 5)
         |SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS token_id
         |FROM c""".stripMargin,
+    // the naive theta-join IS the spec; the Spark side must match it
+    // through the binned equi-join exactly
+    "q_range_lookup" ->
+      """WITH br(bracket, lo, hi) AS (VALUES
+        |  ('low', 0, 10000000), ('mid', 5000000, 30000000),
+        |  ('high', 20000000, 60000000), ('vip', 45000000, 100000000)),
+        |p AS (SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders)
+        |SELECT bracket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM p JOIN br ON p.cents BETWEEN br.lo AND br.hi
+        |GROUP BY 1""".stripMargin,
+    "q_resample" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_us(ts) AS t, arg_max(value, event_id) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(t) AS lo, max(t) AS hi FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, g * 86400000000 AS t, CAST(NULL AS DOUBLE) AS v, 0 AS is_obs
+        |  FROM (SELECT user_id,
+        |               unnest(generate_series((lo + 86400000000 - 1) // 86400000000,
+        |                                      hi // 86400000000)) AS g
+        |        FROM span)),
+        |u AS (SELECT user_id, t, v, 1 AS is_obs FROM obs UNION ALL SELECT * FROM grid),
+        |f AS (
+        |  SELECT user_id, t, is_obs,
+        |         last_value(v IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY t, is_obs DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |  FROM u)
+        |SELECT user_id, t AS sample_ts, v AS value FROM f WHERE is_obs = 0""".stripMargin,
+    // recomputes the decoded stats from the closed-form PCM formula:
+    // equality proves the WAV encode → decode roundtrip bit-exact
+    "q_audio_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id, ((doc_id * 2654435761 + i * 40503) % 65536 - 32768) AS v
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 39 + doc_id % 25)) AS i
+        |        FROM documents WHERE doc_id % 7 = 0))
+        |SELECT doc_id,
+        |       CAST(44 + 2 * (40 + doc_id % 25) AS BIGINT) AS byte_len,
+        |       CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+        |       count(*) AS n_samples,
+        |       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |       CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM s GROUP BY 1""".stripMargin,
+    "q_lm_score" ->
+      """WITH ref AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id % 10 < 8),
+        |vocab AS (SELECT tok, count(*) AS cnt FROM ref WHERE tok <> '' GROUP BY 1),
+        |st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS v FROM vocab),
+        |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |j AS (
+        |  SELECT t.doc_id,
+        |         CAST(floor(ln(CAST(coalesce(vb.cnt, 0) + 1 AS DOUBLE) /
+        |           CAST(st.total + st.v AS DOUBLE)) * 1000000) AS BIGINT) AS unat
+        |  FROM tk t LEFT JOIN vocab vb USING (tok), st WHERE t.tok <> '')
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(unat) AS BIGINT) AS logprob_unat
+        |FROM j GROUP BY 1""".stripMargin,
   )
 
   /** DuckDB mirror of [[qBfs]]: the identical frontier expansion —

@@ -264,4 +264,42 @@ object Joins {
     left.filter(probe)
       .join(right, col(leftKey) === col(rightKey), "left_semi")
   }
+
+  /** Point-in-range LOOKUP join: each `points` row matches every
+    * `ranges` row whose closed interval `[startCol, endCol]` contains
+    * `valueCol` (optionally under equi-`keys`) — the enrichment shape
+    * behind CIDR→geo, price→bracket, and time→validity-window lookups.
+    *
+    * Why not [[overlapJoin]] with zero-length left intervals: the
+    * asymmetry IS the scale story. Only the RANGES side explodes to
+    * the `binSize`-wide bins its interval covers; the big point side
+    * maps each row to exactly ONE bin — no fan-out on the 100 TB
+    * side, and because a point lives in a single bin, every matching
+    * (point, range) pair meets in exactly one bin: complete and
+    * duplicate-free with no `distinct` and no first-shared-bin
+    * bookkeeping. Bin ids use the [[bandJoin]] decimal floor-div (no
+    * double rounding past 2^53). Pick `binSize` near the typical
+    * range length: range fan-out is `len/binSize + 1` while bin
+    * population stays balanced. Column names must already be disjoint
+    * across the two sides.
+    */
+  def rangeLookupJoin(
+      points: DataFrame,
+      ranges: DataFrame,
+      valueCol: String,
+      startCol: String,
+      endCol: String,
+      binSize: Long,
+      keys: Seq[(String, String)] = Nil): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    def floorDiv(t: Column): Column =
+      ((t - pmod(t, lit(binSize))).cast("decimal(38,0)") / lit(binSize)).cast("long")
+    val p = points.withColumn("__bin", floorDiv(col(valueCol)))
+    val r = ranges.withColumn("__bin",
+      explode(sequence(floorDiv(col(startCol)), floorDiv(col(endCol)))))
+    val joinCond = keys.map { case (pk, rk) => p(pk) === r(rk) }
+      .foldLeft(p("__bin") === r("__bin"))(_ && _) &&
+      p(valueCol) >= r(startCol) && p(valueCol) <= r(endCol)
+    p.join(r, joinCond).drop("__bin")
+  }
 }

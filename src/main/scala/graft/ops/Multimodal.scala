@@ -140,4 +140,120 @@ object Multimodal {
       length(col(textCol).cast("binary")).cast("long").as("byte_len"),
       md5(col(textCol).cast("binary")).as("digest"),
       ascii(col(textCol).substr(1, 1)).cast("long").as("first_byte"))
+
+  /** Decoded audio features: header fields + exact integer signal
+    * stats (a float RMS would be merge-order-dependent; `sumSq` and
+    * `peak` are not).
+    */
+  final case class AudioFeatures(
+      id: Long, byteLen: Int, sampleRate: Int, channels: Int,
+      nSamples: Int, sumSq: Long, peak: Int)
+
+  /** Real RIFF/WAV codec in pure JVM (no added dependencies): `encode`
+    * writes canonical 44-byte-header 16-bit little-endian PCM;
+    * `decode` walks the chunk list (tolerating extra chunks such as
+    * LIST/INFO), returns None for anything that is not integral-PCM
+    * WAV — callers surface a sentinel row, never a silent drop.
+    */
+  object AudioCodec {
+    def encode(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2)            // block align
+        .putShort(16)           // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(s => bb.putShort(s))
+      bb.array()
+    }
+
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      if (payload.length < 12) return None
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag4(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      if (tag4() != "RIFF") return None
+      bb.getInt // declared riff size; trust actual buffer bounds instead
+      if (tag4() != "WAVE") return None
+      var rate, channels, bits = -1
+      var data: Array[Short] = null
+      while (bb.remaining >= 8) {
+        val id = tag4(); val len = bb.getInt
+        if (len < 0 || len > bb.remaining) return None
+        val next = bb.position() + len + (len & 1) // chunks are word-aligned
+        id match {
+          case "fmt " =>
+            if (len < 16 || bb.getShort != 1) return None // integral PCM only
+            channels = bb.getShort
+            rate = bb.getInt
+            bb.getInt; bb.getShort // byte rate, block align
+            bits = bb.getShort
+          case "data" =>
+            if (bits != 16) return None // fmt must precede data; 16-bit only
+            data = new Array[Short](len / 2)
+            var i = 0; while (i < data.length) { data(i) = bb.getShort; i += 1 }
+          case _ => // skip LIST/INFO/etc.
+        }
+        bb.position(math.min(next, bb.limit()))
+      }
+      if (rate <= 0 || channels <= 0 || data == null) None
+      else Some((rate, channels, data))
+    }
+  }
+
+  /** Fixture-path audio synthesis: a deterministic pseudo-random PCM
+    * signal per id — `s_i = (id·2654435761 + i·40503) mod 65536 −
+    * 32768`, `n = 40 + id mod 25` samples at 8 kHz — ENCODED INTO REAL
+    * WAV BYTES in the engine. Because the sample formula is pure
+    * integer arithmetic, an oracle can recompute the decoded stats
+    * from first principles: equality proves the encode → decode
+    * roundtrip bit-exact through the binary column.
+    */
+  def synthAudioRecords(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val n = (40 + id % 25).toInt
+      val samples = Array.tabulate(n) { i =>
+        ((id * 2654435761L + i * 40503L) % 65536L - 32768L).toShort
+      }
+      MediaRecord(id, AudioCodec.encode(samples, 8000), "audio/wav",
+        Map("codec" -> "pcm_s16le"))
+    }
+  }
+
+  /** Batched audio decode stage — same mapPartitions shape as
+    * [[decodeFeatures]]: per-partition iterator, typed output, corrupt
+    * payloads → visible `(-1, …)` sentinel.
+    */
+  def decodeAudioFeatures(records: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    records.mapPartitions { it =>
+      it.map { r =>
+        AudioCodec.decode(r.media) match {
+          case Some((rate, ch, samples)) =>
+            var sumSq = 0L; var peak = 0; var i = 0
+            while (i < samples.length) {
+              val s = samples(i).toInt
+              sumSq += s.toLong * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              i += 1
+            }
+            AudioFeatures(r.id, r.media.length, rate, ch, samples.length, sumSq, peak)
+          case None =>
+            AudioFeatures(r.id, r.media.length, -1, -1, 0, 0L, 0)
+        }
+      }
+    }
+  }
 }

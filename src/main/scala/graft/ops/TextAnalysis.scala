@@ -331,6 +331,44 @@ object TextAnalysis {
        |WHERE ${terms.indices.map(i => s"__tf$i > 0").mkString(" OR ")}""".stripMargin
   }
 
+  /** Unigram language-model scoring: score every `df` document by the
+    * add-one-smoothed unigram model of a REFERENCE corpus — the
+    * classic LM-based quality filter (CCNet scores documents under a
+    * clean-corpus KenLM; the unigram model is its first-order term,
+    * and the operator shape — train stats on ref, score the corpus —
+    * is identical for higher orders). Per token:
+    * `ln((cnt_ref + 1) / (total_ref + |V|))`, floored to integer
+    * MICRO-nats so the per-doc sum is an exact BIGINT aggregate
+    * (order-independent across engines/partitions; a double sum would
+    * not be). Returns `(id, n_tokens, logprob_unat)` for documents
+    * with ≥1 whitespace token; out-of-vocabulary tokens take the
+    * `cnt = 0` smoothing mass, so held-out text scores lower — the
+    * signal the filter thresholds on.
+    *
+    * Plan shape: ref vocabulary is one hash agg; its 1-row (total,|V|)
+    * stats broadcast; the corpus tokens LEFT-join the vocabulary on
+    * the token hash (shuffle hash join at corpus scale — the vocab is
+    * itself too big to broadcast at 100 TB); one final per-doc hash
+    * agg. No window, no pair blow-up; OOV handling is a coalesce, not
+    * a second pass.
+    */
+  def lmUnigramScore(df: DataFrame, idCol: String, text: Column,
+      ref: DataFrame, refText: Column): DataFrame = {
+    val vocab = ref.select(explode(tokensWs(refText)).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+    val stats = vocab.agg(sum("__cnt").as("__total"), count(lit(1)).as("__v"))
+    df.select(col(idCol), explode(tokensWs(text)).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .join(vocab, Seq("__tok"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        floor(log((coalesce(col("__cnt"), lit(0L)) + 1).cast("double") /
+          (col("__total") + col("__v")).cast("double")) * 1e6).cast("long").as("__unat"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("__unat").as("logprob_unat"))
+  }
+
   // ---- PII redaction ------------------------------------------------
 
   /** Conservative PII patterns, restricted to syntax that means the

@@ -195,4 +195,61 @@ object Windows {
     df.withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
   }
+
+  /** Resample an irregular per-key time series onto a regular
+    * `step`-spaced grid with LOCF (last observation carried forward):
+    * for every grid instant `t` (multiples of `step` inside the key's
+    * observed span) emit the value of the LATEST observation at or
+    * before `t` — the gap-filling step before any fixed-cadence
+    * model/feature join.
+    *
+    * Determinism: multiple observations at one (key, ts) collapse
+    * first via `max_by(value, tieCol)`, so the carried value never
+    * depends on row order. Times must be non-negative integral epochs
+    * (grid ids use the exact decimal floor/ceil-div — no double
+    * rounding past 2^53).
+    *
+    * Plan shape — the scale story: NO join and NO per-pair blow-up.
+    * One hash agg per key computes the span, grid instants explode
+    * map-side from `sequence()`, grid rows union with observations,
+    * and ONE keyed window (ordered by time with observations sorting
+    * before the grid instant they tie with) runs a
+    * `last(value, ignoreNulls)` carry-forward — the [[graft.ops.Joins.asofJoin]]
+    * union+window encoding, reused so the grid side never shuffles
+    * against the observation side. All three exchanges hash on the
+    * same key. Output rows are bounded by keys × span/step, never by
+    * observation pairs. Hot keys with giant spans fan out the
+    * sequence explode — cap `step` accordingly.
+    */
+  def resampleLocf(df: DataFrame, keys: Seq[String], tsCol: String,
+      valCol: String, tieCol: String, step: Long): DataFrame = {
+    require(keys.nonEmpty, "resampleLocf needs at least one key column")
+    require(step > 0, s"step must be positive, got $step")
+    val k = keys.map(col)
+    def floorDiv(t: Column): Column =
+      ((t - pmod(t, lit(step))).cast("decimal(38,0)") / lit(step)).cast("long")
+    // unique per (key, ts): deterministic value under ties
+    val obs = df.filter(col(valCol).isNotNull)
+      .groupBy(k :+ col(tsCol).as("__t"): _*)
+      .agg(max_by(col(valCol), col(tieCol)).as("__v"))
+    val grid = obs.groupBy(k: _*)
+      .agg(min("__t").as("__lo"), max("__t").as("__hi"))
+      // sequence(a, b) runs DESCENDING when a > b — a span holding no
+      // grid instant must yield zero rows, not phantom ones
+      .withColumn("__ga", floorDiv(col("__lo") + lit(step) - 1))
+      .withColumn("__gb", floorDiv(col("__hi")))
+      .filter(col("__ga") <= col("__gb"))
+      .withColumn("__g", explode(sequence(col("__ga"), col("__gb"))))
+      .select(k :+ (col("__g") * step).as("__t") :+
+        lit(null).cast(obs.schema("__v").dataType).as("__v") :+ lit(0).as("__is_obs"): _*)
+    val unioned = obs.withColumn("__is_obs", lit(1)).unionByName(grid)
+    // at equal time the observation sorts FIRST so the grid row carries it
+    val w = Window.partitionBy(k: _*)
+      .orderBy(col("__t").asc, col("__is_obs").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__locf", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__is_obs") === 0)
+      .select(k :+ col("__t").as("sample_ts") :+ col("__locf").as(valCol): _*)
+  }
 }

@@ -222,6 +222,27 @@ class ExtensionsWindowsSpec extends SparkSpec {
     assert(got == Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
   }
 
+  test("resampleLocf: grid carry-forward, on-grid obs, tie collapse, empty spans") {
+    import org.apache.spark.sql.functions._
+    val obs = Seq(
+      // key "a": obs at 5 (two rows — tie collapses to max event_id),
+      // 20 (on-grid), 37; span 5..37, step 10 → grid 10,20,30
+      ("a", 5L, 1.0, 1L), ("a", 5L, 9.0, 2L), ("a", 20L, 2.0, 3L), ("a", 37L, 3.0, 4L),
+      // key "b": span 5..7 holds NO grid instant → zero rows
+      ("b", 5L, 4.0, 5L), ("b", 7L, 5.0, 6L),
+      // key "c": null values are gaps, not observations
+      ("c", 8L, Double.NaN, 7L), ("c", 14L, 6.0, 8L), ("c", 27L, 7.0, 9L))
+      .toDF("k", "t", "v", "e")
+      .withColumn("v", when(isnan(col("v")), lit(null)).otherwise(col("v")))
+    val got = graft.ops.Windows.resampleLocf(obs, Seq("k"), "t", "v", "e", step = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      ("a", 10L, 9.0), // tie at t=5 carried the max-event_id value
+      ("a", 20L, 2.0), // on-grid observation carries itself
+      ("a", 30L, 2.0),
+      ("c", 20L, 6.0))) // grid starts at first NON-NULL obs (14 → ceil 20)
+  }
+
   test("scdHistory: versions chain per key, open tail, keys isolated") {
     import org.apache.spark.sql.functions._
     val log = Seq(

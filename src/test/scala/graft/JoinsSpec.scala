@@ -226,4 +226,32 @@ class JoinsSpec extends SparkSpec {
     }
     assert(thrown.getMessage.contains("integral or both string"))
   }
+
+  test("range lookup join matches the naive BETWEEN theta-join across bin sizes") {
+    val rnd = new scala.util.Random(37)
+    val points = (1 to 400).map(i => ((i % 3).toLong, i, rnd.nextInt(40000).toLong))
+      .toDF("pk", "pid", "v")
+    // overlapping variable-length ranges incl. zero-length and point-boundary
+    val ranges = (1 to 120).map { i =>
+      val s = rnd.nextInt(40000).toLong
+      ((i % 3).toLong, i, s, s + rnd.nextInt(6000).toLong)
+    }.toDF("rk", "rid", "lo", "hi")
+    val naive = points.join(ranges, points("pk") === ranges("rk") &&
+        points("v") >= ranges("lo") && points("v") <= ranges("hi"))
+      .select("pid", "rid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    for (bin <- Seq(800L, 6000L, 60000L)) {
+      val fast = Joins.rangeLookupJoin(points, ranges, "v", "lo", "hi", bin,
+          keys = Seq("pk" -> "rk"))
+        .select("pid", "rid").collect().map(r => (r.getInt(0), r.getInt(1)))
+      assert(fast.length == fast.toSet.size, s"bin=$bin emitted duplicates")
+      assert(fast.toSet == naive, s"bin=$bin mismatch")
+    }
+    assert(naive.nonEmpty)
+    // point side never fans out: output partitions' input row count ==
+    // points — proven structurally: no explode on the point plan
+    val plan = Joins.rangeLookupJoin(points, ranges, "v", "lo", "hi", 800L)
+      .queryExecution.optimizedPlan.toString
+    // exactly one Generate (the ranges explode), none feeding from points
+    assert(plan.split("Generate ", -1).length == 2, plan)
+  }
 }

@@ -70,6 +70,52 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(r.getAs[Long]("byte_len") == 3 && r.getAs[Long]("first_byte") == 97)
   }
 
+  test("multimodal: WAV codec — roundtrip, extra chunks, odd padding, corrupt → None") {
+    import Multimodal.AudioCodec
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 7)
+    val wav = AudioCodec.encode(samples, 8000)
+    assert(wav.length == 44 + samples.length * 2)
+    val Some((rate, ch, back)) = AudioCodec.decode(wav)
+    assert(rate == 8000 && ch == 1 && back.toSeq == samples.toSeq)
+
+    // tolerate an extra ODD-length chunk between fmt and data (word-
+    // aligned skip): splice a 3-byte "LIST" chunk in
+    val bb = java.nio.ByteBuffer.allocate(wav.length + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(wav, 0, 36)                       // RIFF..fmt chunk
+    bb.put("LIST".getBytes("US-ASCII")).putInt(3)
+    bb.put(Array[Byte](1, 2, 3, 0))          // 3 bytes + pad
+    bb.put(wav, 36, wav.length - 36)         // data chunk
+    val spliced = bb.array()
+    System.arraycopy( // fix the RIFF size field for the added bytes
+      java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(36 + 12 + samples.length * 2).array(), 0, spliced, 4, 4)
+    val Some((r2, c2, back2)) = AudioCodec.decode(spliced)
+    assert(r2 == 8000 && c2 == 1 && back2.toSeq == samples.toSeq)
+
+    // corrupt payloads → None, never a throw or a fake decode
+    assert(AudioCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(AudioCodec.decode("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(AudioCodec.decode(wav.take(50)).isEmpty)   // truncated data chunk
+    val nonPcm = wav.clone(); nonPcm(20) = 3          // audioFormat = IEEE float
+    assert(AudioCodec.decode(nonPcm).isEmpty)
+  }
+
+  test("multimodal: synthetic audio decodes to the closed-form stats") {
+    val docs = Seq((7L, "x"), (14L, "y")).toDF("doc_id", "text")
+    val feats = Multimodal.decodeAudioFeatures(
+      Multimodal.synthAudioRecords(docs, "doc_id")).collect().sortBy(_.id)
+    for (f <- feats) {
+      val n = (40 + f.id % 25).toInt
+      val expected = Array.tabulate(n)(i =>
+        ((f.id * 2654435761L + i * 40503L) % 65536L - 32768L).toInt)
+      assert(f.sampleRate == 8000 && f.channels == 1 && f.nSamples == n)
+      assert(f.byteLen == 44 + 2 * n)
+      assert(f.sumSq == expected.map(v => v.toLong * v).sum)
+      assert(f.peak == expected.map(math.abs).max)
+    }
+  }
+
   test("streaming: windowed counts — stream result equals batch result") {
     val batchDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val expected = Streams.windowedCounts(batchDf)

@@ -632,4 +632,18 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == ((5L, 5L, "")))
     assert(got(3L) == ((3L, 0L, "x y z")))
   }
+
+  test("text: lmUnigramScore — add-one model, OOV mass, exact micro-nat sums") {
+    val ref = Seq((100L, "a a b")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmUnigramScore(docs, "doc_id", col("text"), ref, col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // vocab: a→2, b→1; total=3, |V|=2 → denom 5
+    def unat(cnt: Long) = math.floor(math.log((cnt + 1).toDouble / 5.0) * 1e6).toLong
+    assert(got(1L) == ((2L, unat(2) + unat(1))))
+    assert(got(2L) == ((2L, unat(2) + unat(0)))) // c takes the OOV smoothing mass
+    assert(!got.contains(3L)) // zero-token docs are out of scope
+    // OOV scores strictly below any in-vocabulary token
+    assert(unat(0) < unat(1) && unat(1) < unat(2))
+  }
 }
