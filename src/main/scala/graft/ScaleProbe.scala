@@ -77,7 +77,14 @@ object ScaleProbe {
     // (range exchange + partition-local numbering — the claim under
     // test is that NO stage degenerates to a single task at 10×).
     "q_url_normalize", "q_vocab", "q_snapshot_diff", "q_dense_ids",
-    "q_trend", "q_scd2")
+    "q_trend", "q_scd2",
+    // continuation 4: range lookup rides orders (fixed 4-range fan-out
+    // → linear); resample rides events (users ×10, per-user span
+    // constant → linear grid); audio synth+decode is map-only over
+    // documents; LM scoring rides the token-salted documents (vocab
+    // AND tokens ×10 — the vocab hash join must stay shuffle-sized,
+    // the 1-row stats broadcast).
+    "q_range_lookup", "q_resample", "q_audio_stats", "q_lm_score")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a

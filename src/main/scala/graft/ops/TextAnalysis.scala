@@ -354,9 +354,14 @@ object TextAnalysis {
     */
   def lmUnigramScore(df: DataFrame, idCol: String, text: Column,
       ref: DataFrame, refText: Column): DataFrame = {
+    // eager checkpoint: both consumers (the token join and the 1-row
+    // stats agg) read the |V|-sized vocab once — without it Spark
+    // re-executes the full ref-corpus explode+agg subtree for each
+    // consumer (two corpus scans instead of one).
     val vocab = ref.select(explode(tokensWs(refText)).as("__tok"))
       .filter(col("__tok") =!= "")
       .groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true)
     val stats = vocab.agg(sum("__cnt").as("__total"), count(lit(1)).as("__v"))
     df.select(col(idCol), explode(tokensWs(text)).as("__tok"))
       .filter(col("__tok") =!= "")
