@@ -84,13 +84,21 @@ object ScaleProbe {
     // documents; LM scoring rides the token-salted documents (vocab
     // AND tokens ×10 — the vocab hash join must stay shuffle-sized,
     // the 1-row stats broadcast).
-    "q_range_lookup", "q_resample", "q_audio_stats", "q_lm_score")
+    "q_range_lookup", "q_resample", "q_audio_stats", "q_lm_score",
+    // continuation 5: strip_html is map-only over the token-salted
+    // documents (linear); quantize is one dim-row stats agg + a
+    // map-only encode over embeddings (linear); the semdedup keeper's
+    // window partitions are (bucket, pos) — buckets spread under the
+    // shifted replicas, so partitions stay small (linear); kcore rides
+    // the lineitem replicas (10 disjoint graphs, FIXED rounds — the
+    // same per-round join+agg linearity claim as pagerank).
+    "q_strip_html", "q_quantize_int8", "q_semdedup_keeper", "q_kcore")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a
     // dir built by an earlier round silently lacks the new tables
     // (an unversioned _DONE skipped the events build entirely).
-    val done = new java.io.File(s"$FixtureDir/_DONE_v4_embeddings")
+    val done = new java.io.File(s"$FixtureDir/_DONE_v5_lineitem")
     if (done.exists) return
     val customer = spark.read.parquet(s"$BaseDir/customer.parquet")
     val documents = spark.read.parquet(s"$BaseDir/documents.parquet")
@@ -152,6 +160,17 @@ object ScaleProbe {
             (pmod(i + col("__r"), lit(dim)) + 1).cast("int"))))
       .drop("__r")
       .write.mode("overwrite").parquet(s"$FixtureDir/embeddings.parquet")
+    // lineitem: 10 replicas with order and supplier keys offset — the
+    // kcore order–supplier graph becomes 10 disjoint components, so
+    // fixed-round peeling should scale linearly in edges.
+    val lineitem = spark.read.parquet(s"$BaseDir/lineitem.parquet")
+    val maxLiOrder = lineitem.agg(max("l_orderkey")).head.getLong(0) + 1
+    lineitem
+      .withColumn("__r", explode(sequence(lit(0), lit(Replicas - 1))))
+      .withColumn("l_orderkey", col("l_orderkey") + col("__r") * maxLiOrder)
+      .withColumn("l_suppkey", col("l_suppkey") + col("__r") * 1000000L)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$FixtureDir/lineitem.parquet")
     done.createNewFile()
   }
 

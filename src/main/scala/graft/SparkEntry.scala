@@ -1912,6 +1912,62 @@ object SparkEntry {
       docs.filter(col("doc_id") % 10 < 8), col("text"))
   }
 
+  // The synthetic page each document is wrapped into for
+  // q_strip_html: head noise (style/script bodies holding bare '<'),
+  // the text in a <p>, then a footer exercising every entity in the
+  // decode table plus a comment. Both engines build the IDENTICAL
+  // string, so digest equality proves the extraction chain char-exact.
+  private val HtmlPre = "<html><head><title>Doc</title>" +
+    "<style type=\"text/css\">body {color: #fff}</style>" +
+    "<script>if (1 < 2) alert(\"x\");</script></head><body><h1>Doc "
+  private val HtmlMid = "</h1><p>"
+  private val HtmlPost = "</p><br/><div class=\"foot\">&amp;copy; " +
+    "&lt;graft&gt;&nbsp;2026 &quot;it&#39;s&quot;</div><!-- hidden --></body></html>"
+
+  /** HTML boilerplate stripping
+    * ([[graft.ops.TextAnalysis.stripHtml]]): wrap → extract → digest.
+    */
+  private def qStripHtml(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(lit(HtmlPre), col("doc_id").cast("string"),
+      lit(HtmlMid), col("text"), lit(HtmlPost))
+    t(s, dir, "documents")
+      .select(col("doc_id"), graft.ops.TextAnalysis.stripHtml(html).as("clean"))
+      .select(col("doc_id"), md5(col("clean")).as("digest"),
+        length(col("clean")).cast("long").as("n_chars_clean"),
+        substring(col("clean"), 1, 40).as("head40"))
+  }
+
+  /** SemDeDup-style cluster representative
+    * ([[graft.ops.Similarity.clusterKeeper]]): clusters from the
+    * 4-plane LSH bucket (the oracle-expressible stand-in for k-means
+    * assignments), keeper = exact integer L1-farthest from centroid.
+    */
+  private def qSemdedupKeeper(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .withColumn("cluster", graft.ops.Similarity.lshBucket(col("embedding"), 4))
+    graft.ops.Similarity.clusterKeeper(e, "vec_id", "cluster", col("embedding"))
+  }
+
+  /** Scalar int8 embedding quantization
+    * ([[graft.ops.Similarity.quantizeInt8]]): global per-dim stats →
+    * map-only encode; the oracle recomputes the stats in SQL.
+    */
+  private def qQuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.quantizeInt8(
+      t(s, dir, "embeddings"), "vec_id", col("embedding"), EmbDim)
+      .select("vec_id", "code_str")
+
+  /** 3-core of the thinned order–supplier graph
+    * ([[graft.ops.Graphs.kCore]]): `l_quantity >= 45` keeps ~15% of
+    * edges so peeling cascades (fixpoint by round 6 at sf0.1; 8
+    * rounds gives slack and the spec asserts rounds−1 ≡ rounds).
+    */
+  private def qKcore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.kCore(
+      t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("src"), (-col("l_suppkey")).as("dst")),
+      k = 3, rounds = 8)
+
   def entry(spark: SparkSession): DataFrame =
     qPatternCounts(spark, "/root/testdata/sf0.001")
 
@@ -2033,6 +2089,10 @@ object SparkEntry {
     "q_resample" -> (qResample _),
     "q_audio_stats" -> (qAudioStats _),
     "q_lm_score" -> (qLmScore _),
+    "q_strip_html" -> (qStripHtml _),
+    "q_semdedup_keeper" -> (qSemdedupKeeper _),
+    "q_quantize_int8" -> (qQuantizeInt8 _),
+    "q_kcore" -> (qKcore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3004,6 +3064,31 @@ object SparkEntry {
         |  FROM tk t LEFT JOIN vocab vb USING (tok), st WHERE t.tok <> '')
         |SELECT doc_id, count(*) AS n_tokens, CAST(sum(unat) AS BIGINT) AS logprob_unat
         |FROM j GROUP BY 1""".stripMargin,
+    "q_strip_html" -> {
+      val html = s"concat('$HtmlPre', CAST(doc_id AS VARCHAR), " +
+        s"'$HtmlMid', text, '$HtmlPost')"
+      s"""WITH c AS (
+         |  SELECT doc_id, ${graft.ops.TextAnalysis.stripHtmlSql(html)} AS clean
+         |  FROM documents)
+         |SELECT doc_id, md5(clean) AS digest,
+         |  CAST(length(clean) AS BIGINT) AS n_chars_clean,
+         |  substr(clean, 1, 40) AS head40
+         |FROM c""".stripMargin
+    },
+    "q_semdedup_keeper" ->
+      s"""WITH base AS (
+         |  SELECT vec_id AS id,
+         |    ${graft.ops.Similarity.lshBucketSql("embedding", EmbDim, 4)} AS cl,
+         |    embedding AS v
+         |  FROM embeddings),
+         |${graft.ops.Similarity.clusterKeeperSql(EmbDim)}""".stripMargin,
+    "q_quantize_int8" ->
+      graft.ops.Similarity.quantizeInt8Sql("embeddings", "vec_id", "embedding", EmbDim),
+    "q_kcore" ->
+      s"""WITH e0 AS (SELECT DISTINCT l_orderkey AS a, -l_suppkey AS b
+         |            FROM lineitem WHERE l_quantity >= 45),
+         |sym AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+         |${graft.ops.Graphs.kCoreSql(3, 8)}""".stripMargin,
   )
 
   /** DuckDB mirror of [[qBfs]]: the identical frontier expansion —

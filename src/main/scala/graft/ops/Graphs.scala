@@ -336,4 +336,65 @@ object Graphs {
     }
     dist
   }
+
+  /** k-core of an UNDIRECTED graph (edges symmetrized + deduped):
+    * iteratively peel nodes of degree < k until only the core — the
+    * maximal subgraph where every node keeps ≥ k neighbors — remains.
+    * The standard link-graph cleanup (spam farms and orphan pages fall
+    * out of the 2-/3-core) and the densest-region seed for community
+    * mining. Returns `(id, deg)` for core members, `deg` the degree
+    * INSIDE the core.
+    *
+    * Peeling runs a FIXED `rounds` count with no per-round driver
+    * action or convergence check — peeling is monotone (the alive set
+    * only shrinks) and idempotent at the fixpoint, so extra rounds are
+    * no-ops and a fixed unroll is oracle-mirrorable as one chained CTE
+    * per round (the [[pageRankExact]] pattern). Callers size `rounds`
+    * to the graph (specs assert rounds−1 ≡ rounds on the fixture —
+    * fixpoint reached). Each round is two hash joins (edge endpoints ⋈
+    * alive set, both keyed on the node id) + one count agg; the alive
+    * set only ever shrinks, so round cost is non-increasing.
+    */
+  def kCore(
+      edges: DataFrame, k: Int, rounds: Int,
+      checkpointEvery: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val cols = edges.columns
+    val e0 = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    var alive = sym.select(col("src").as("id")).distinct()
+    var deg: DataFrame = null
+    for (i <- 1 to rounds) {
+      deg = sym
+        .join(alive.select(col("id").as("src")), Seq("src"))
+        .join(alive.select(col("id").as("dst")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val next = deg.filter(col("deg") >= k).select("id")
+      alive =
+        if (checkpointEvery > 0 && i % checkpointEvery == 0) next.localCheckpoint(true)
+        else next
+    }
+    deg.filter(col("deg") >= k)
+  }
+
+  /** DuckDB mirror of [[kCore]]: the same fixed-round peel as chained
+    * CTEs over a prior `sym(src, dst)` CTE (symmetrized, deduped,
+    * self-loops dropped).
+    */
+  def kCoreSql(k: Int, rounds: Int): String = {
+    val r = (1 to rounds).map { i =>
+      val prev = if (i == 1) "a0" else s"a${i - 1}"
+      s"""d$i AS (
+         |  SELECT e.src AS id, count(*) AS deg
+         |  FROM sym e JOIN $prev s ON e.src = s.id JOIN $prev t ON e.dst = t.id
+         |  GROUP BY e.src),
+         |a$i AS (SELECT id FROM d$i WHERE deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""a0 AS (SELECT DISTINCT src AS id FROM sym),
+       |$r
+       |SELECT id, deg FROM d$rounds WHERE deg >= $k""".stripMargin
+  }
 }

@@ -375,4 +375,129 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SemDeDup-style cluster representative (Abbas et al. 2023 keep the
+    * cluster member with the LOWEST similarity to its centroid — the
+    * most atypical survivor). Here the "farthest from centroid" rule
+    * runs in EXACT integer arithmetic so both engines agree bitwise:
+    * each component is floored to integer micro-units, the centroid is
+    * carried UNDIVIDED as (sum, count), and the distance is the L1 form
+    * `Σ_d |n·v_d − S_d|` — n·v−S is n times the signed deviation from
+    * the mean, so the argmax matches the L1-distance-to-centroid argmax
+    * without ever dividing. Ties break to the smaller id.
+    *
+    * Plan shape: ONE posexplode scan → window-sum over (cluster, pos)
+    * (small partitions, unbounded frame, no sort) → per-(cluster, id)
+    * hash agg → per-cluster struct-max. No join back to the corpus, no
+    * pair blow-up, nothing driver-sided; every stage is keyed by the
+    * cluster, so a 1000-executor run shuffles each embedding component
+    * exactly twice. Overflow headroom: |n·v| ≤ n·2²⁰ micro-units, so
+    * clusters up to ~2⁴² members stay inside BIGINT.
+    */
+  def clusterKeeper(
+      df: DataFrame, idCol: String, clusterCol: String, vec: Column,
+      scale: Double = 1e6): DataFrame = {
+    val w = Window.partitionBy("__cl", "pos")
+    df.select(col(idCol).as("__id"), col(clusterCol).as("__cl"),
+        posexplode(vec).as(Seq("pos", "__x")))
+      .withColumn("__m", floor(col("__x").cast("double") * scale).cast("long"))
+      .withColumn("__s", sum("__m").over(w))
+      .withColumn("__n", count(lit(1)).over(w))
+      .groupBy("__cl", "__id")
+      .agg(sum(abs(col("__n") * col("__m") - col("__s"))).as("__dist"),
+        first("__n").as("__nm"))
+      .groupBy(col("__cl").as("cluster_id"))
+      .agg(
+        max(struct(col("__dist"), (-col("__id")).as("__neg"))).as("__best"),
+        first("__nm").as("n_members"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("__best.__neg")).as("keep_id"),
+        col("__best.__dist").as("dist_unat"))
+  }
+
+  /** Scalar int8 quantization of an embedding column — the standard
+    * 4× storage/bandwidth cut before ANN serving (FAISS SQ8 shape):
+    * per-dimension global [min, max] over the corpus, then
+    * `code_d = min(255, ⌊(x_d − min_d)·255/(max_d − min_d)⌋)`
+    * (0 when the dimension is constant). All arithmetic is
+    * IEEE-deterministic — three double ops per component from
+    * identical stats — so codes match bit-for-bit across engines.
+    *
+    * Plan shape: the stats pass is one posexplode → `dim`-row hash agg
+    * (map-side partial, a `dim`-row shuffle); the stats then ride to
+    * every executor as LITERAL arrays, so the encode pass is MAP-ONLY
+    * — `transform` over the vector with `element_at` into the
+    * literals, fused into the scan, no join and no second shuffle. The
+    * `dim`-sized collect is driver-sized by construction (the IVF
+    * centroid precedent). Codes return both as `array<int>` and as the
+    * joined string the oracle hashes.
+    */
+  def quantizeInt8(
+      df: DataFrame, idCol: String, vec: Column, dim: Int): DataFrame = {
+    val stats = df.select(posexplode(vec).as(Seq("pos", "__x")))
+      .groupBy("pos")
+      .agg(min(col("__x").cast("double")).as("lo"),
+        max(col("__x").cast("double")).as("hi"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(stats.length == dim, s"expected $dim dims, saw ${stats.length}")
+    val los = lit(stats.map(_._2))
+    val his = lit(stats.map(_._3))
+    val codes = transform(vec, (x, i) => {
+      val lo = element_at(los, i + 1)
+      val hi = element_at(his, i + 1)
+      when(hi === lo, lit(0)).otherwise(
+        least(lit(255), floor((x.cast("double") - lo) * 255.0 / (hi - lo)))
+      ).cast("int")
+    })
+    df.select(col(idCol), codes.as("codes"),
+      concat_ws("-", codes).as("code_str"))
+  }
+
+  /** DuckDB mirror of [[quantizeInt8]] — the oracle RECOMPUTES the
+    * per-dim stats in SQL (no driver handoff to trust), then applies
+    * the identical clamp/floor formula.
+    */
+  def quantizeInt8Sql(table: String, idExpr: String, vecExpr: String,
+      dim: Int): String =
+    s"""WITH st AS (
+       |  SELECT gs.i AS pos,
+       |    min(CAST($vecExpr[gs.i] AS DOUBLE)) AS lo,
+       |    max(CAST($vecExpr[gs.i] AS DOUBLE)) AS hi
+       |  FROM $table, generate_series(1, $dim) gs(i) GROUP BY gs.i),
+       |sl AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM st),
+       |enc AS (
+       |  SELECT $idExpr AS vec_id,
+       |    list_transform(generate_series(1, $dim), i ->
+       |      CAST(CASE WHEN sl.his[i] = sl.los[i] THEN 0
+       |        ELSE least(255, floor((CAST($vecExpr[i] AS DOUBLE) - sl.los[i]) * 255.0
+       |          / (sl.his[i] - sl.los[i])))
+       |        END AS INTEGER)) AS codes
+       |  FROM $table, sl)
+       |SELECT vec_id, array_to_string(codes, '-') AS code_str FROM enc""".stripMargin
+
+  /** DuckDB mirror of [[clusterKeeper]] over a CTE `base(id, cl, v)`
+    * (v a float list): identical window sums; the struct-max argmax
+    * mirrors as a `QUALIFY row_number()` with the same
+    * (dist DESC, id ASC) order — both pick the unique farthest
+    * member, smaller id on ties.
+    */
+  def clusterKeeperSql(dim: Int, scale: String = "1000000"): String =
+    s"""comp AS (
+       |  SELECT id, cl, gs.i AS pos,
+       |    CAST(floor(CAST(v[gs.i] AS DOUBLE) * $scale) AS BIGINT) AS m
+       |  FROM base, generate_series(1, $dim) gs(i)),
+       |winsum AS (
+       |  SELECT id, cl, m,
+       |    sum(m) OVER (PARTITION BY cl, pos) AS s,
+       |    count(*) OVER (PARTITION BY cl, pos) AS n
+       |  FROM comp),
+       |perdoc AS (
+       |  SELECT cl, id, CAST(sum(abs(n * m - s)) AS BIGINT) AS dist,
+       |    CAST(min(n) AS BIGINT) AS nm
+       |  FROM winsum GROUP BY cl, id)
+       |SELECT cl AS cluster_id, nm AS n_members, id AS keep_id,
+       |  dist AS dist_unat
+       |FROM perdoc
+       |QUALIFY row_number() OVER (PARTITION BY cl ORDER BY dist DESC, id ASC) = 1""".stripMargin
 }

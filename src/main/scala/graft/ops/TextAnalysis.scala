@@ -404,6 +404,56 @@ object TextAnalysis {
       s"regexp_replace($e, '$pat', '$rep', 'g')"
     }
 
+  // ---- HTML boilerplate stripping ------------------------------------
+
+  // Tag-strip patterns, restricted to the Java∩RE2 dialect (inline
+  // (?is) flags, \b, non-greedy .*? — all identical in both engines).
+  // script/style bodies go FIRST (their content is code, and may hold
+  // bare '<'), then comments, then every remaining tag.
+  private val HtmlStripPatterns: Seq[String] = Seq(
+    "(?is)<script\\b[^>]*>.*?</script>",
+    "(?is)<style\\b[^>]*>.*?</style>",
+    "(?s)<!--.*?-->",
+    "<[^>]+>")
+
+  // Single-pass entity decode: the five XML entities plus &nbsp;.
+  // &amp; decodes LAST so '&amp;lt;' yields the literal '&lt;' (the
+  // author escaped it; a second pass would un-escape it) — fixed
+  // plain-string replaces, same order on both engines.
+  private val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Extract readable text from HTML — the first stage of every
+    * web-crawl training pipeline (cf. the public C4/CCNet extractors):
+    * drop script/style bodies and comments, strip remaining tags to a
+    * space, decode the core entities, collapse whitespace. A map-only
+    * `regexp_replace`/`replace` chain — stays inside whole-stage
+    * codegen and fuses into the scan; at 100 TB this is the
+    * bandwidth-bound pass it should be, with zero shuffle.
+    */
+  def stripHtml(html: Column): Column = {
+    val unTagged = HtmlStripPatterns.foldLeft(html)((c, p) => regexp_replace(c, p, " "))
+    val decoded = HtmlEntities.foldLeft(unTagged) { case (c, (ent, ch)) =>
+      replace(c, lit(ent), lit(ch))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** The identical extraction in DuckDB SQL ('g' + inline flags; plain
+    * `replace` for entities; standard-conforming literals need only
+    * the quote doubled).
+    */
+  def stripHtmlSql(htmlExpr: String): String = {
+    val unTagged = HtmlStripPatterns.foldLeft(htmlExpr)((e, p) =>
+      s"regexp_replace($e, '$p', ' ', 'g')")
+    val decoded = HtmlEntities.foldLeft(unTagged) { case (e, (ent, ch)) =>
+      val chLit = ch.replace("'", "''")
+      s"replace($e, '$ent', '$chLit')"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
   // ---- winnowing fingerprints ----------------------------------------
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —

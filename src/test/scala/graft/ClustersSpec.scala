@@ -296,4 +296,28 @@ class ClustersSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
     assert(a == b)
   }
+
+  test("kCore: cascading peel, fixpoint idempotence, direction invariance") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (a 3-core) + a triangle-ish tail 4-5, 5-6, 5-7,
+    // 6-7: node 5 starts at degree 3 and only falls below k AFTER
+    // round 1 peels 6 and 7 — a genuine two-round cascade.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L), (5L, 7L), (6L, 7L))).toDF("src", "dst")
+    val got = graft.ops.Graphs.kCore(edges, k = 3, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+    // fixpoint: one extra round changes nothing (the oracle's fixed
+    // unroll relies on idempotence past convergence)
+    val more = graft.ops.Graphs.kCore(edges, k = 3, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == got)
+    // undirected: reversing every edge yields the same core
+    val rev = graft.ops.Graphs.kCore(
+        edges.select(edges("dst").as("src"), edges("src").as("dst")), k = 3, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rev == got)
+    // k above the max degree empties the graph
+    assert(graft.ops.Graphs.kCore(edges, k = 7, rounds = 5).count() == 0L)
+  }
 }

@@ -80,4 +80,38 @@ class IvfSpec extends SparkSpec {
     // the cluster split must not erase the near-dup signal wholesale
     assert(got.nonEmpty)
   }
+
+  test("clusterKeeper: farthest-from-centroid argmax, min-id ties, exact dists") {
+    // cluster 10: mean (2,0); L1 dists n·|v−mean| scaled — id 3 farthest.
+    // cluster 20: two mirror points — tie, keep the smaller id.
+    val d = Seq(
+      (1L, 10L, Seq(1.0f, 0.0f)),
+      (2L, 10L, Seq(2.0f, 0.0f)),
+      (3L, 10L, Seq(3.0f, 0.5f)),
+      (4L, 20L, Seq(0.0f, 1.0f)),
+      (5L, 20L, Seq(1.0f, 0.0f))
+    ).toDF("id", "cl", "v")
+    val got = Similarity.clusterKeeper(d, "id", "cl", col("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // cluster 10: S=(6e6, 0.5e6), n=3; dist(3) = |3·3e6−6e6| + |3·0.5e6−0.5e6| = 4e6
+    assert(got(10L) == ((3L, 3L, 4000000L)))
+    // cluster 20: both dists = |2e6·1−1e6|·2 = 2e6 — tie → id 4
+    assert(got(20L) == ((2L, 4L, 2000000L)))
+  }
+
+  test("quantizeInt8: codes in [0,255], extremes hit 0/255, constant dim → 0") {
+    val d = Seq(
+      (1L, Seq(0.0f, 5.0f, -1.0f)),
+      (2L, Seq(1.0f, 5.0f, 0.0f)),
+      (3L, Seq(0.5f, 5.0f, 3.0f))
+    ).toDF("id", "v")
+    val got = Similarity.quantizeInt8(d, "id", col("v"), 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) == Seq(0, 0, 0)) // min of dims 1,3; constant dim 2 → 0
+    assert(got(2L) == Seq(255, 0, 63)) // max dim1; (0−(−1))·255/4 = 63.75 → 63
+    assert(got(3L) == Seq(127, 0, 255)) // 0.5·255/1 = 127.5 → 127
+    // order preserved within every dimension
+    val all = got.values.toSeq
+    assert(all.flatten.forall(c => c >= 0 && c <= 255))
+  }
 }

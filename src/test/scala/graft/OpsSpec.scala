@@ -646,4 +646,24 @@ class OpsSpec extends SparkSpec {
     // OOV scores strictly below any in-vocabulary token
     assert(unat(0) < unat(1) && unat(1) < unat(2))
   }
+
+  test("text: stripHtml — tags, script/style bodies, entities, whitespace") {
+    val cases = Seq(
+      // script body holds a bare '<' — must go with the script, not leak
+      (1L, """<p>keep</p><script>if (1 < 2) x();</script>""", "keep"),
+      (2L, """<style a="b">p {x: 1}</style>one  two""", "one two"),
+      (3L, "a<!-- not<b> -->b", "a b"),
+      // single-pass entity decode: &amp;lt; is the author writing '&lt;'
+      (4L, "&amp;lt; &lt;i&gt; &quot;q&quot; &#39;s&#39;&nbsp;end",
+        "&lt; <i> \"q\" 's' end"),
+      (5L, "<div\nclass='x'>multi\nline</div>", "multi line"),
+      (6L, "plain text", "plain text"))
+    val got = cases.toDF("id", "html", "want")
+      .select(col("id"), TextAnalysis.stripHtml(col("html")).as("clean"), col("want"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    cases.foreach { case (id, _, _) =>
+      val (clean, want) = got(id)
+      assert(clean == want, s"case $id: got '$clean', want '$want'")
+    }
+  }
 }
