@@ -92,7 +92,13 @@ object ScaleProbe {
     // shifted replicas, so partitions stay small (linear); kcore rides
     // the lineitem replicas (10 disjoint graphs, FIXED rounds — the
     // same per-round join+agg linearity claim as pagerank).
-    "q_strip_html", "q_quantize_int8", "q_semdedup_keeper", "q_kcore")
+    "q_strip_html", "q_quantize_int8", "q_semdedup_keeper", "q_kcore",
+    // entropy rides the token-salted documents (tokens AND types ×10,
+    // two hash aggs → linear); freq_weight rides customer replicas
+    // whose acctbal blocking key has FIXED ~110-value cardinality —
+    // pairs grow ×100 at ×10 rows BY CONSTRUCTION (the q_block_equi
+    // key-cardinality contract, pinned here to expose the term).
+    "q_entropy", "q_freq_weight")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a

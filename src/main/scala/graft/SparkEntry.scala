@@ -1957,6 +1957,36 @@ object SparkEntry {
       t(s, dir, "embeddings"), "vec_id", col("embedding"), EmbDim)
       .select("vec_id", "code_str")
 
+  /** Per-document unigram entropy pieces
+    * ([[graft.ops.TextAnalysis.tokenEntropy]]): all-BIGINT output,
+    * `H = ln(n) − clogc/(10⁶·n)` derivable from the exact pieces.
+    */
+  private def qEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.tokenEntropy(
+      t(s, dir, "documents"), "doc_id", col("text"))
+
+  /** Frequency-weighted agreement
+    * ([[graft.linkage.Comparators.frequencyWeightedAgreement]]):
+    * account-balance-blocked customer pairs, market segment weighted
+    * by value frequency over the full population — rare-segment
+    * agreement scores higher. Output is the (agreed value, weight)
+    * histogram.
+    */
+  private def qFreqWeight(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    def side(sfx: String) = c.select(
+      col("c_custkey").as(s"id$sfx"),
+      floor(col("c_acctbal") / 100).cast("long").as("blk"),
+      col("c_mktsegment").as(s"c_mktsegment$sfx"))
+    val pairs = side("_left").join(side("_right"), "blk")
+      .filter(col("id_left") < col("id_right"))
+    graft.linkage.Comparators
+      .frequencyWeightedAgreement(pairs, "c_mktsegment", c, "c_mktsegment")
+      .groupBy(col("c_mktsegment_agreed").as("segment"),
+        col("c_mktsegment_fw_unat").as("fw_unat"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** 3-core of the thinned order–supplier graph
     * ([[graft.ops.Graphs.kCore]]): `l_quantity >= 45` keeps ~15% of
     * edges so peeling cascades (fixpoint by round 6 at sf0.1; 8
@@ -2093,6 +2123,8 @@ object SparkEntry {
     "q_semdedup_keeper" -> (qSemdedupKeeper _),
     "q_quantize_int8" -> (qQuantizeInt8 _),
     "q_kcore" -> (qKcore _),
+    "q_entropy" -> (qEntropy _),
+    "q_freq_weight" -> (qFreqWeight _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3089,6 +3121,35 @@ object SparkEntry {
          |            FROM lineitem WHERE l_quantity >= 45),
          |sym AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
          |${graft.ops.Graphs.kCoreSql(3, 8)}""".stripMargin,
+    "q_entropy" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM tk WHERE tok <> '' GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |  CAST(sum(CAST(floor(ln(CAST(c AS DOUBLE)) * c * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS clogc_unat
+        |FROM tc GROUP BY 1""".stripMargin,
+    "q_freq_weight" ->
+      """WITH freq AS (
+        |  SELECT c_mktsegment AS val, count(*) AS cnt FROM customer GROUP BY 1),
+        |st AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM freq),
+        |c AS (
+        |  SELECT c_custkey, CAST(floor(c_acctbal / 100) AS BIGINT) AS blk,
+        |         c_mktsegment AS seg
+        |  FROM customer),
+        |p AS (
+        |  SELECT a.seg AS sl, b.seg AS sr
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey),
+        |w AS (
+        |  SELECT CASE WHEN sl = sr THEN sl END AS segment,
+        |    CASE WHEN sl IS NULL OR sr IS NULL THEN NULL
+        |         WHEN sl <> sr THEN 0
+        |         ELSE CAST(floor(ln(CAST(st.n AS DOUBLE) / f.cnt) * 1000000) AS BIGINT)
+        |         END AS fw_unat
+        |  FROM p CROSS JOIN st
+        |  LEFT JOIN freq f ON (CASE WHEN sl = sr THEN sl END) = f.val)
+        |SELECT segment, fw_unat, count(*) AS n_pairs FROM w GROUP BY 1, 2""".stripMargin,
   )
 
   /** DuckDB mirror of [[qBfs]]: the identical frontier expansion —

@@ -73,4 +73,43 @@ object Comparators {
     val cols = keep.map(col) ++ comparators.map(c => c.expr.as(c.name))
     pairs.select(cols: _*)
   }
+
+  /** Value-specific agreement weight (Winkler's frequency-based
+    * refinement of Fellegi–Sunter: agreeing on a RARE value is far
+    * stronger match evidence than agreeing on a common one — two
+    * "Zbigniew"s are probably the same person; two "Smith"s say
+    * little). For a pair agreeing on value x drawn from a population
+    * of N records, the weight is the surprisal `⌊ln(N/cnt_x)·10⁶⌋`
+    * micro-nats; disagreement → 0; a NULL on either side → NULL (the
+    * standard FS missing level). Appends `{varName}_fw_unat` (and the
+    * agreed value as `{varName}_agreed`) to the pair table.
+    *
+    * Plan shape: the frequency table is a hash agg over the
+    * population, then BROADCAST to the pair table (value domains —
+    * names, segments, cities — are dwarfed by the pair count at any
+    * scale where linkage is hard); the 1-row N rides the same
+    * broadcast. Map-only on the pairs side: no shuffle of the pair
+    * table at all.
+    */
+  def frequencyWeightedAgreement(
+      pairs: org.apache.spark.sql.DataFrame, varName: String,
+      pop: org.apache.spark.sql.DataFrame, popCol: String,
+      scale: Double = 1e6): org.apache.spark.sql.DataFrame = {
+    val l = col(Suffix.addSuffix(varName, "_left"))
+    val r = col(Suffix.addSuffix(varName, "_right"))
+    val freq = pop.groupBy(col(popCol).as("__fw_val"))
+      .agg(count(lit(1)).as("__fw_cnt"))
+    val stats = freq.agg(sum("__fw_cnt").as("__fw_n"))
+    val agreedName = Suffix.addSuffix(varName, "_agreed")
+    pairs
+      .withColumn(agreedName, when(l === r, l))
+      .join(broadcast(freq), col(agreedName) === col("__fw_val"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn(Suffix.addSuffix(varName, "_fw_unat"),
+        when(l.isNull || r.isNull, lit(null).cast("long"))
+          .when(l =!= r, 0L)
+          .otherwise(floor(
+            log(col("__fw_n").cast("double") / col("__fw_cnt")) * scale).cast("long")))
+      .drop("__fw_val", "__fw_cnt", "__fw_n")
+  }
 }

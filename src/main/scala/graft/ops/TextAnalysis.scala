@@ -374,6 +374,30 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum("__unat").as("logprob_unat"))
   }
 
+  /** Per-document unigram entropy pieces — the diversity signal
+    * (low-entropy docs are boilerplate/keyword-stuffing; Gopher-class
+    * filters threshold on it). Returns `(id, n_tokens, n_types,
+    * clogc_unat)` where `clogc_unat = Σ_types ⌊c·ln(c)·10⁶⌋`: the
+    * entropy is `H = ln(n) − clogc/(10⁶·n)` nats, but the OUTPUT stays
+    * all-BIGINT — each term floors BEFORE the sum, so the aggregate is
+    * order-independent and engine-exact (the [[lmUnigramScore]]
+    * discipline; a double Σ c·ln c would hash-diverge).
+    *
+    * Plan shape: explode → (id, token) hash agg → per-id hash agg,
+    * both map-side partial. No window, no join.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, text: Column): DataFrame =
+    df.select(col(idCol), explode(tokensWs(text)).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(idCol)
+      .agg(
+        sum("__c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(floor(log(col("__c").cast("double")) * col("__c") * 1e6).cast("long"))
+          .as("clogc_unat"))
+
   // ---- PII redaction ------------------------------------------------
 
   /** Conservative PII patterns, restricted to syntax that means the

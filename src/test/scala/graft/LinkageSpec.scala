@@ -113,4 +113,24 @@ class LinkageSpec extends SparkSpec {
       (Some("agree"), None, 2L),              // (1,5),(2,5): postcode NULL on 5
       (Some("disagree"), Some("agree"), 1L))) // (3,4)
   }
+
+  test("frequencyWeightedAgreement: surprisal on agree, 0 on disagree, NULL on missing") {
+    val pop = Seq("a", "a", "a", "b").toDF("seg") // N=4: cnt(a)=3, cnt(b)=1
+    val pairs = Seq(
+      (1L, 2L, Some("a"), Some("a")),
+      (3L, 4L, Some("b"), Some("b")),
+      (5L, 6L, Some("a"), Some("b")),
+      (7L, 8L, Some("a"), None)
+    ).toDF("id_left", "id_right", "seg_left", "seg_right")
+    val got = Comparators.frequencyWeightedAgreement(pairs, "seg", pop, "seg")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[String]("seg_agreed")),
+          Option(r.getAs[Any]("seg_fw_unat")).map(_.asInstanceOf[Long])))).toMap
+    def unat(n: Long, cnt: Long) = math.floor(math.log(n.toDouble / cnt) * 1e6).toLong
+    assert(got(1L) == ((Some("a"), Some(unat(4, 3)))))   // common value: small weight
+    assert(got(3L) == ((Some("b"), Some(unat(4, 1)))))   // rare value: ln(4) ≈ 1.386e6
+    assert(got(5L) == ((None, Some(0L))))                // disagreement
+    assert(got(7L) == ((None, None)))                    // missing → NULL level
+    assert(unat(4, 1) > unat(4, 3))
+  }
 }

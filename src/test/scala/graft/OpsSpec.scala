@@ -647,6 +647,19 @@ class OpsSpec extends SparkSpec {
     assert(unat(0) < unat(1) && unat(1) < unat(2))
   }
 
+  test("text: tokenEntropy — exact pieces, repeated vs distinct tokens") {
+    val d = Seq((1L, "a a b"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(d, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val clogc1 = math.floor(2 * math.log(2.0) * 1e6).toLong // a→2; b contributes ln(1)=0
+    assert(got(1L) == ((3L, 2L, clogc1)))
+    assert(got(2L) == ((1L, 1L, 0L)))
+    assert(!got.contains(3L)) // zero-token docs out of scope
+    // derived entropy: doc1 H = ln(3) − clogc/(1e6·3) ≈ 0.6365 nats (2/3,1/3 split)
+    val h1 = math.log(3.0) - clogc1 / 1e6 / 3
+    assert(math.abs(h1 - (math.log(3.0) - 2.0 / 3 * math.log(2.0))) < 1e-5)
+  }
+
   test("text: stripHtml — tags, script/style bodies, entities, whitespace") {
     val cases = Seq(
       // script body holds a bare '<' — must go with the script, not leak
