@@ -1732,6 +1732,23 @@ object SparkEntry {
       rounds = 4)
   }
 
+  /** Weighted shortest paths ([[graft.ops.Graphs.shortestPaths]]) on
+    * the same order–supplier graph as [[qBfs]], edge weight =
+    * l_quantity — a low-quantity 2-hop route beats a high-quantity
+    * direct edge, the cost-vs-hops distinction BFS cannot make. Seeds
+    * = suppliers 1–5 at distance 0, 4 relaxation rounds.
+    */
+  private def qSssp(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("a"), (-col("l_suppkey")).as("b"),
+        col("l_quantity").cast("long").as("w"))
+    graft.ops.Graphs.shortestPaths(
+      e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"), col("w"))),
+      t(s, dir, "supplier").filter(col("s_suppkey") <= 5)
+        .select((-col("s_suppkey")).as("id")),
+      rounds = 4)
+  }
+
   /** Phonetic blocking codes ([[graft.ops.Phonetic.soundex]]) over the
     * pooled word vocabulary of part names, nation/region names, and
     * market segments — distinct words grouped by sound-alike code, the
@@ -1987,6 +2004,40 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Training-mix token apportionment
+    * ([[graft.ops.Sampling.apportionTokens]]): 1M-token budget split
+    * across document sources by largest remainder — Σ quota = budget
+    * exactly on both engines.
+    */
+  private def qApportion(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.apportionTokens(
+      t(s, dir, "documents"), "source",
+      graft.ops.TextAnalysis.tokenCountWs(col("text")).cast("long"),
+      budget = 1000000L)
+
+  /** Blocking quality metrics
+    * ([[graft.linkage.Blocking.qualityMetrics]]): customer vs a
+    * deterministically perturbed snapshot (30% of rows get +150
+    * acctbal, which ALWAYS changes the /100 block) — pairs
+    * completeness lands near 0.7, reduction ratio near 0.99, all from
+    * exact counts.
+    */
+  private def qBlockingMetrics(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val shift = when(
+      graft.ops.Sampling.hashBucket(col("c_custkey")) < 300, 150.0).otherwise(0.0)
+    val a = c.select(col("c_custkey").as("id_left"),
+      floor(col("c_acctbal") / 100).cast("long").as("blk"))
+    val b = c.select(col("c_custkey").as("id_right"),
+      floor((col("c_acctbal") + shift) / 100).cast("long").as("blk"))
+    val cand = a.join(b, "blk").select("id_left", "id_right")
+    val truth = c.select(col("c_custkey").as("id_left"),
+      col("c_custkey").as("id_right"))
+    val na = c.count()
+    graft.linkage.Blocking.qualityMetrics(
+      cand, truth, "id_left", "id_right", na * na)
+  }
+
   /** 3-core of the thinned order–supplier graph
     * ([[graft.ops.Graphs.kCore]]): `l_quantity >= 45` keeps ~15% of
     * edges so peeling cascades (fixpoint by round 6 at sf0.1; 8
@@ -2125,6 +2176,9 @@ object SparkEntry {
     "q_kcore" -> (qKcore _),
     "q_entropy" -> (qEntropy _),
     "q_freq_weight" -> (qFreqWeight _),
+    "q_apportion" -> (qApportion _),
+    "q_blocking_metrics" -> (qBlockingMetrics _),
+    "q_sssp" -> (qSssp _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3150,6 +3204,29 @@ object SparkEntry {
         |  FROM p CROSS JOIN st
         |  LEFT JOIN freq f ON (CASE WHEN sl = sr THEN sl END) = f.val)
         |SELECT segment, fw_unat, count(*) AS n_pairs FROM w GROUP BY 1, 2""".stripMargin,
+    "q_apportion" ->
+      s"""WITH tok AS (
+         |  SELECT source, len(string_split(text, ' ')) AS tokens FROM documents),
+         |${graft.ops.Sampling.apportionTokensSql(1000000L)}""".stripMargin,
+    "q_blocking_metrics" ->
+      s"""WITH c AS (
+         |  SELECT c_custkey, c_acctbal,
+         |    ${graft.ops.Sampling.hashBucketSql("c_custkey")} AS hb
+         |  FROM customer),
+         |a AS (SELECT c_custkey AS id_left,
+         |        CAST(floor(c_acctbal / 100) AS BIGINT) AS blk FROM c),
+         |b AS (SELECT c_custkey AS id_right,
+         |        CAST(floor((c_acctbal + CASE WHEN hb < 300 THEN 150.0 ELSE 0.0 END) / 100)
+         |          AS BIGINT) AS blk FROM c),
+         |cand AS (SELECT id_left, id_right FROM a JOIN b USING (blk)),
+         |n AS (SELECT count(*) AS na FROM c),
+         |cc AS (SELECT count(*) AS n_cand FROM cand),
+         |hit AS (SELECT count(*) AS n_hits FROM cand WHERE id_left = id_right)
+         |SELECT cc.n_cand, n.na AS n_truth, hit.n_hits,
+         |  n.na * n.na AS pairs_total,
+         |  1.0 - CAST(cc.n_cand AS DOUBLE) / (n.na * n.na) AS reduction_ratio,
+         |  CAST(hit.n_hits AS DOUBLE) / n.na AS pairs_completeness
+         |FROM cc, n, hit""".stripMargin,
   )
 
   /** DuckDB mirror of [[qBfs]]: the identical frontier expansion —

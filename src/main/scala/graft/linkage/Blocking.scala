@@ -157,4 +157,36 @@ object Blocking {
     val unioned = passes.reduce(_ unionByName _)
     if (singlePassUnique) unioned else unioned.dropDuplicates(idL, idR)
   }
+
+  /** Blocking quality metrics — the two numbers every blocking scheme
+    * is judged by (Christen's record-linkage evaluation canon):
+    * REDUCTION RATIO `1 − |cand|/|A×B|` (how much of the comparison
+    * space the scheme avoids) and PAIRS COMPLETENESS
+    * `|cand ∩ truth|/|truth|` (how many true matches survive it).
+    * Tuning blocking = trading these against each other; a scheme
+    * change that silently drops completeness is how a linkage
+    * pipeline rots.
+    *
+    * `candidates` and `truth` are pair tables on (idL, idR);
+    * `totalPairs` is the caller's |A×B| (e.g. nA·nB, or n(n−1)/2 for
+    * self-linkage — computed from counts, never materialized). One
+    * job: three counting aggregates (candidates, truth, and their
+    * keyed inner join) cross-joined as 1-row broadcasts; the ratios
+    * are single divisions of exact counts.
+    */
+  def qualityMetrics(
+      candidates: DataFrame, truth: DataFrame,
+      idL: String, idR: String, totalPairs: Long): DataFrame = {
+    val nCand = candidates.agg(count(lit(1)).as("n_cand"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nHit = candidates.select(col(idL), col(idR))
+      .join(truth.select(col(idL), col(idR)), Seq(idL, idR))
+      .agg(count(lit(1)).as("n_hits"))
+    nCand.crossJoin(nTruth).crossJoin(nHit)
+      .withColumn("pairs_total", lit(totalPairs))
+      .withColumn("reduction_ratio",
+        lit(1.0) - col("n_cand").cast("double") / col("pairs_total"))
+      .withColumn("pairs_completeness",
+        col("n_hits").cast("double") / col("n_truth"))
+  }
 }

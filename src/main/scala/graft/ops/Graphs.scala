@@ -337,6 +337,72 @@ object Graphs {
     dist
   }
 
+  /** Multi-source WEIGHTED shortest paths — Bellman–Ford relaxation
+    * over non-negative integer edge weights, the cost-aware upgrade of
+    * [[bfsDistances]] (hop counts are the `w ≡ 1` special case):
+    * shortest latency through a dependency graph, cheapest routing
+    * hops, influence radius under edge costs. Returns `(id, dist)` for
+    * nodes reached within `rounds` relaxations; a path with more hops
+    * but less weight wins, which plain BFS cannot express.
+    *
+    * Parallel edges collapse to their min weight up front; negative
+    * weights are rejected loudly (fixed-round relaxation has no
+    * negative-cycle detection, so silence would mean wrong answers).
+    * `dist` stays an exact BIGINT and `min` is order-independent, so a
+    * DuckDB chained-CTE mirror ([[shortestPathsSql]]) hashes
+    * bit-identically — the [[pageRankExact]] determinism contract.
+    *
+    * Scale shape: per round ONE dist⋈edges hash join + one min agg,
+    * both keyed on the node id; no driver action in the loop; lineage
+    * cut every `checkpointEvery` rounds. `rounds` is the caller's hop
+    * radius — relaxation is monotone and idempotent past the fixpoint,
+    * so extra rounds are no-ops (the [[kCore]] fixed-unroll argument).
+    */
+  def shortestPaths(
+      edges: DataFrame,
+      seeds: DataFrame,
+      rounds: Int,
+      checkpointEvery: Int = 8): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val cols = edges.columns
+    val e = edges
+      .select(col(cols(0)).as("src"), col(cols(1)).as("dst"),
+        col(cols(2)).cast("long").as("w"))
+      .withColumn("w", when(col("w") >= 0L, col("w")).otherwise(raise_error(
+        concat(lit("shortestPaths: negative edge weight: "), col("w")))))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .localCheckpoint(true)
+    var dist = seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .select(col("id"), lit(0L).as("dist"))
+    for (i <- 1 to rounds) {
+      val relaxed = e.join(dist.select(col("id").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      val combined = dist.unionByName(relaxed)
+        .groupBy("id").agg(min("dist").as("dist"))
+      dist =
+        if (checkpointEvery > 0 && i % checkpointEvery == 0) combined.localCheckpoint(true)
+        else combined
+    }
+    dist
+  }
+
+  /** DuckDB mirror of [[shortestPaths]]: one relax CTE per round over
+    * prior CTEs `edges(src, dst, w)` (parallel edges ALREADY collapsed
+    * to min weight, as the operator does) and `d0(id, dist)` seeds.
+    */
+  def shortestPathsSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT id, min(dist) AS dist FROM (
+         |    SELECT id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, d.dist + e.w AS dist
+         |    FROM d${i - 1} d JOIN edges e ON d.id = e.src) GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""$rs
+       |SELECT id, dist FROM d$rounds""".stripMargin
+  }
+
   /** k-core of an UNDIRECTED graph (edges symmetrized + deduped):
     * iteratively peel nodes of degree < k until only the core — the
     * maximal subgraph where every node keeps ≥ k neighbors — remains.

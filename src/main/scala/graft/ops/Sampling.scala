@@ -149,4 +149,64 @@ object Sampling {
     */
   def prioritySql(keyExpr: String, weightExpr: String): String =
     s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 15)) AS BIGINT) // ($weightExpr)"
+
+  /** Largest-remainder (Hamilton) apportionment of a global token
+    * budget across sources — how a training mix is actually planned:
+    * each source's ideal share is `budget·T_s/ΣT`; every source gets
+    * the floor, and the leftover units go to the largest fractional
+    * remainders (ties to the lexicographically smaller source), so
+    * `Σ quota = budget` EXACTLY — no float shares that drift off the
+    * budget when rounded. A quota above `tokens_avail` means
+    * repetition epochs (feed `quota/T_s` into [[repeatByWeight]]).
+    *
+    * All arithmetic is integral: `budget·T_s` in decimal(38,0) (a
+    * 100 TB corpus at ~10¹⁴ tokens times a 10¹²-token budget overflows
+    * BIGINT but not 38 digits), floor-div/mod via the exact
+    * subtract-pmod pattern ([[graft.ops.Joins]] bandJoin). Plan shape:
+    * one hash agg to per-source totals, two 1-row broadcasts (ΣT and
+    * the leftover), one row_number over the SOURCE table — partition-
+    * less but source-cardinality-sized (tens to thousands), the
+    * documented driver-sized-window shape, never the corpus.
+    */
+  def apportionTokens(
+      df: DataFrame, sourceCol: String, tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(tokens).as("tokens_avail"))
+    val tot = per.agg(sum("tokens_avail").cast("decimal(38,0)").as("__tot"))
+    val scaled = per.crossJoin(broadcast(tot))
+      .withColumn("__num", col("tokens_avail").cast("decimal(38,0)") * lit(budget))
+      .withColumn("__rem", pmod(col("__num"), col("__tot")))
+      .withColumn("__base",
+        ((col("__num") - col("__rem")) / col("__tot")).cast("long"))
+    val left = scaled.agg((lit(budget) - sum("__base")).as("__left"))
+    scaled.crossJoin(broadcast(left))
+      .withColumn("__rk",
+        row_number().over(Window.orderBy(desc("__rem"), asc("source"))))
+      .withColumn("quota_tokens",
+        col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+      .select("source", "tokens_avail", "quota_tokens")
+  }
+
+  /** DuckDB mirror of [[apportionTokens]] over a CTE `tok(source,
+    * tokens)`: HUGEINT carries the product exactly; `//`/`%` are the
+    * same floor-div/mod on non-negative operands.
+    */
+  def apportionTokensSql(budget: Long): String =
+    s"""per AS (SELECT source, CAST(sum(tokens) AS BIGINT) AS tokens_avail
+       |        FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(sum(tokens_avail) AS HUGEINT) AS t FROM per),
+       |sc AS (
+       |  SELECT source, tokens_avail,
+       |    CAST((CAST(tokens_avail AS HUGEINT) * $budget) // tot.t AS BIGINT) AS base,
+       |    CAST((CAST(tokens_avail AS HUGEINT) * $budget) % tot.t AS BIGINT) AS rem
+       |  FROM per, tot),
+       |lf AS (SELECT $budget - sum(base) AS leftover FROM sc),
+       |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk FROM sc)
+       |SELECT source, tokens_avail,
+       |  CAST(base + CASE WHEN rk <= lf.leftover THEN 1 ELSE 0 END AS BIGINT)
+       |    AS quota_tokens
+       |FROM rk, lf""".stripMargin
 }

@@ -679,4 +679,57 @@ class OpsSpec extends SparkSpec {
       assert(clean == want, s"case $id: got '$clean', want '$want'")
     }
   }
+
+  test("apportionTokens: largest-remainder quotas sum to the budget exactly") {
+    // 3 sources with 7/2/1 tokens, budget 10: ideal shares 7.0/2.0/1.0
+    // divide evenly — every source gets its exact share, leftover 0.
+    val even = Seq((1L, "a", 7L), (2L, "b", 2L), (3L, "c", 1L))
+      .toDF("id", "source", "n")
+    val gotEven = graft.ops.Sampling
+      .apportionTokens(even, "source", col("n"), budget = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(gotEven == Map("a" -> 7L, "b" -> 2L, "c" -> 1L))
+
+    // 3/3/3 tokens, budget 10: bases 3/3/3, one leftover unit goes to
+    // the LEXICOGRAPHICALLY SMALLEST source on the remainder tie.
+    val tie = Seq((1L, "x", 3L), (2L, "y", 3L), (3L, "z", 3L))
+      .toDF("id", "source", "n")
+    val gotTie = graft.ops.Sampling
+      .apportionTokens(tie, "source", col("n"), budget = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(gotTie == Map("x" -> 4L, "y" -> 3L, "z" -> 3L))
+    assert(gotTie.values.sum == 10L)
+
+    // Uneven remainders: 5/3/2 tokens, budget 7 → ideal 3.5/2.1/1.4,
+    // bases 3/2/1 (sum 6), one unit to the largest remainder (a, .5).
+    val uneven = Seq((1L, "a", 5L), (2L, "b", 3L), (3L, "c", 2L))
+      .toDF("id", "source", "n")
+    val gotUneven = graft.ops.Sampling
+      .apportionTokens(uneven, "source", col("n"), budget = 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(gotUneven == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    // Sum-to-budget is the contract, including a budget above ΣT
+    // (repetition epochs) — quotas still apportion exactly.
+    val big = graft.ops.Sampling
+      .apportionTokens(uneven, "source", col("n"), budget = 103L)
+      .collect().map(_.getLong(2)).sum
+    assert(big == 103L)
+  }
+
+  test("blocking qualityMetrics: reduction ratio and pairs completeness from exact counts") {
+    val cand = Seq((1L, 1L), (1L, 2L), (2L, 2L), (3L, 4L), (5L, 6L))
+      .toDF("id_left", "id_right")
+    val truth = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+      .toDF("id_left", "id_right")
+    val r = graft.linkage.Blocking
+      .qualityMetrics(cand, truth, "id_left", "id_right", totalPairs = 100L)
+      .collect()(0)
+    assert(r.getLong(r.fieldIndex("n_cand")) == 5L)
+    assert(r.getLong(r.fieldIndex("n_truth")) == 4L)
+    // hits = cand ∩ truth = {(1,1),(2,2)}
+    assert(r.getLong(r.fieldIndex("n_hits")) == 2L)
+    assert(r.getLong(r.fieldIndex("pairs_total")) == 100L)
+    assert(math.abs(r.getDouble(r.fieldIndex("reduction_ratio")) - 0.95) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("pairs_completeness")) - 0.5) < 1e-12)
+  }
 }
