@@ -19,6 +19,27 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Epoch-microseconds of an event-time column whatever the fixture's
+    * physical type: NANOS-since-epoch BIGINT (parquet timestamp[ns]
+    * read with nanosAsLong) or a native parquet timestamp (µs,
+    * possibly NTZ — wall time is UTC by the session contract).
+    * DuckDB's `epoch_us(ts)` over the same file agrees exactly in both
+    * cases, so oracle SQL stays type-agnostic.
+    */
+  private def tsMicros(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$c div 1000")
+      case _ => unix_micros(col(c).cast("timestamp"))
+    }
+
+  /** Epoch-NANOS counterpart of [[tsMicros]] (µs → ns multiply is
+    * exact in BIGINT: ~1.7e18 « 2^63); mirrors DuckDB `epoch_ns`. */
+  private def tsNanos(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => col(c)
+      case _ => unix_micros(col(c).cast("timestamp")) * lit(1000L)
+    }
+
   /** Per-JVM scratch root for queries that exercise a filesystem
     * layout (partitioned / bucketed / z-order / jsonl writes). One
     * root, deleted recursively by a shutdown hook; each query gets a
@@ -738,16 +759,15 @@ object SparkEntry {
 
   /** Banded range join: pairs of events by the same user within one
     * hour of each other. Times compared in EPOCH MICROS on both
-    * engines (events carry nanos; DuckDB's TIMESTAMP truncates to
-    * micros, so comparing raw nanos to an INTERVAL predicate could
-    * flip sub-microsecond edge pairs).
+    * engines ([[tsMicros]] ≡ DuckDB `epoch_us` for either physical
+    * layout of the events fixture).
     */
   private def qBandJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val a = ev.select(col("user_id"), col("event_id").as("event_id_a"),
-      col("event_type").as("type_a"), expr("ts div 1000").as("t_a"))
+      col("event_type").as("type_a"), tsMicros(ev, "ts").as("t_a"))
     val b = ev.select(col("user_id").as("user_id_b"), col("event_id").as("event_id_b"),
-      col("event_type").as("type_b"), expr("ts div 1000").as("t_b"))
+      col("event_type").as("type_b"), tsMicros(ev, "ts").as("t_b"))
     graft.ops.Joins.bandJoin(a, b, Seq("user_id" -> "user_id_b"), "t_a", "t_b",
         band = 3600000000L)
       .filter(col("event_id_a") < col("event_id_b"))
@@ -868,8 +888,8 @@ object SparkEntry {
     * Times in integral epoch micros on both engines.
     */
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("t_us"))
+    val raw = t(s, dir, "events")
+    val ev = raw.select(col("user_id"), tsMicros(raw, "ts").as("t_us"))
     graft.ops.Windows.sessionSummary(ev, Seq("user_id"), "t_us",
       maxGap = 1800000000L)
   }
@@ -1189,9 +1209,11 @@ object SparkEntry {
     * the floor must be spelled out).
     */
   private def qOverlapJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
-        (col("ts") + floor(col("value") * 60000000000.0).cast("long")).as("t_end"))
+    val raw = t(s, dir, "events")
+    val ev = raw
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsNanos(raw, "ts").as("ts"),
+        (tsNanos(raw, "ts") + floor(col("value") * 60000000000.0).cast("long")).as("t_end"))
     val l = ev.filter(col("event_type") === "view")
       .select(col("user_id").as("lu"), col("event_id").as("l_event"),
         col("ts").as("ls"), col("t_end").as("le"))
@@ -1891,8 +1913,9 @@ object SparkEntry {
     * event_id on both sides.
     */
   private def qResample(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").select(col("user_id"),
-      expr("ts div 1000").as("t_us"), col("value"), col("event_id"))
+    val raw = t(s, dir, "events")
+    val ev = raw.select(col("user_id"),
+      tsMicros(raw, "ts").as("t_us"), col("value"), col("event_id"))
     graft.ops.Windows.resampleLocf(ev, Seq("user_id"), "t_us", "value",
       "event_id", step = 86400000000L)
   }
@@ -3227,6 +3250,18 @@ object SparkEntry {
          |  1.0 - CAST(cc.n_cand AS DOUBLE) / (n.na * n.na) AS reduction_ratio,
          |  CAST(hit.n_hits AS DOUBLE) / n.na AS pairs_completeness
          |FROM cc, n, hit""".stripMargin,
+    // l_quantity is a DOUBLE holding exact TPC-H integers (1..50), so the
+    // BIGINT cast agrees on both engines; parallel edges collapse to
+    // min(w) BEFORE relaxation, exactly as the operator does.
+    "q_sssp" ->
+      s"""WITH e0 AS (SELECT l_orderkey AS a, -l_suppkey AS b,
+         |              CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+         |eall AS (SELECT a AS src, b AS dst, w FROM e0
+         |         UNION ALL SELECT b, a, w FROM e0),
+         |edges AS (SELECT src, dst, min(w) AS w FROM eall GROUP BY src, dst),
+         |d0 AS (SELECT DISTINCT -s_suppkey AS id, CAST(0 AS BIGINT) AS dist
+         |       FROM supplier WHERE s_suppkey <= 5),
+         |${graft.ops.Graphs.shortestPathsSql(4)}""".stripMargin,
   )
 
   /** DuckDB mirror of [[qBfs]]: the identical frontier expansion —

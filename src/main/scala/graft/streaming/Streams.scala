@@ -12,13 +12,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
-  /** Events fixture carries ts as NANOS-since-epoch long (read with
-    * nanosAsLong); convert to a proper timestamp column.
+  /** Normalize the event-time column to a proper TIMESTAMP whatever
+    * the fixture's physical type: NANOS-since-epoch BIGINT (parquet
+    * timestamp[ns] read with nanosAsLong) or a native parquet
+    * timestamp (µs, possibly NTZ — wall time is UTC by the session
+    * contract, so the cast is the identity instant).
     */
   def withEventTime(events: DataFrame, tsCol: String = "ts"): DataFrame =
-    // `div`, not `/`: long/int goes through DOUBLE and nanos-since-epoch
-    // (~1.7e18) exceeds the 2^53 mantissa — silent microsecond drift.
-    events.withColumn("event_time", timestamp_micros(expr(s"$tsCol div 1000")))
+    events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // `div`, not `/`: long/int goes through DOUBLE and nanos-since-epoch
+        // (~1.7e18) exceeds the 2^53 mantissa — silent microsecond drift.
+        events.withColumn("event_time", timestamp_micros(expr(s"$tsCol div 1000")))
+      case _ =>
+        events.withColumn("event_time", col(tsCol).cast("timestamp"))
+    }
 
   /** Tumbling-window counts per event type. On a stream, the watermark
     * bounds state: windows older than the watermark are finalized and

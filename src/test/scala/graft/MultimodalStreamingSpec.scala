@@ -13,6 +13,21 @@ import graft.streaming.Streams
 class MultimodalStreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Events fixture with ts normalized to NANOS-since-epoch BIGINT
+    * whatever the parquet's physical type (timestamp[ns]-as-long or
+    * native timestamp[us]) — the streaming paths below feed ts through
+    * MemoryStream[Long] tuples, and [[Streams.withEventTime]]'s
+    * LongType branch converts back.
+    */
+  private def eventsNs = {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn(
+        "ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
+
   test("multimodal: records round-trip through the batched decode stage") {
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
     val records = Multimodal.asMediaRecords(docs, "doc_id", "text")
@@ -117,7 +132,7 @@ class MultimodalStreamingSpec extends SparkSpec {
   }
 
   test("streaming: windowed counts — stream result equals batch result") {
-    val batchDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batchDf = eventsNs
     val expected = Streams.windowedCounts(batchDf)
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
 
@@ -137,11 +152,11 @@ class MultimodalStreamingSpec extends SparkSpec {
   }
 
   test("streaming: session_window — batch result equals Windows.sessionize; stream equals batch") {
-    // events.parquet ts are NANOS; the gap threshold is 30 min. The
+    // eventsNs normalizes ts to NANOS; the gap threshold is 30 min. The
     // built-in session_window splits on gap >= g, the batch lag/cumsum
     // form on gap > g — they agree unless a fixture gap lands exactly
     // on the threshold (in which case this set compare would fail).
-    val batchDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batchDf = eventsNs
     val viaSessionize = graft.ops.Windows.sessionSummary(
         batchDf.select(org.apache.spark.sql.functions.col("user_id"),
           org.apache.spark.sql.functions.expr("ts div 1000").as("t_us")),
@@ -172,7 +187,7 @@ class MultimodalStreamingSpec extends SparkSpec {
 
   test("streaming: interval join — batch equals bandJoin; stream equals batch") {
     val bandUs = 300000000L // 5 minutes in micros
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = eventsNs
       .filter(col("user_id") % 17 === 0) // keep the self-join pair count sane
       .select("ts", "user_id", "event_id")
 
@@ -232,7 +247,7 @@ class MultimodalStreamingSpec extends SparkSpec {
 
   test("streaming: funnelProgress — stage counts equal the batch funnel; advances incrementally") {
     val stages = Seq("view", "click", "purchase")
-    val batchDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batchDf = eventsNs
       .select(col("user_id"), col("event_type"), col("ts"))
     val want = graft.ops.Windows.funnel(batchDf, "user_id", "event_type", "ts", stages)
       .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap

@@ -134,4 +134,38 @@ class UrlsProfilingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(2L -> 0L))
   }
+
+  test("shortestPaths: low-weight 2-hop route beats the direct edge; parallel edges take min") {
+    // 1 -(10)-> 3 direct, but 1 -(2)-> 2 -(3)-> 3 is cheaper; the
+    // parallel 1->2 edge of weight 7 must collapse to the min (2).
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 2L), (1L, 2L, 7L), (2L, 3L, 3L))
+      .toDF("src", "dst", "w")
+    val got = Graphs.shortestPaths(edges, Seq(1L).toDF("id"), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+  }
+
+  test("shortestPaths: rounds bound relaxation depth; fixpoint rounds are no-ops") {
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    // 1 round reaches only node 2; node 3/4 absent (not infinite).
+    val r1 = Graphs.shortestPaths(chain, seeds, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 1L))
+    // Past the fixpoint extra rounds change nothing (the fixed-unroll
+    // contract the oracle mirror depends on).
+    val r3 = Graphs.shortestPaths(chain, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val r6 = Graphs.shortestPaths(chain, seeds, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L) && r6 == r3)
+  }
+
+  test("shortestPaths: negative edge weight fails loudly") {
+    val edges = Seq((1L, 2L, -1L)).toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      Graphs.shortestPaths(edges, Seq(1L).toDF("id"), rounds = 2).collect()
+    }
+    assert(ex.getMessage.contains("negative edge weight"))
+  }
 }
