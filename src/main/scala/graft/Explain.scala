@@ -33,11 +33,14 @@ object Explain {
     // reproduce cross-query interactions); plan printed for the last.
     val names = name.split(",").toSeq
     names.foreach { n0 =>
-      val df = SparkEntry.queries(n0)(spark, sfDir)
-      if (n0 == names.last) df.explain("formatted")
+      // Time construction + action together, like Bench does: eager
+      // work (localCheckpoint rounds) happens at CONSTRUCTION time and
+      // would silently escape an action-only timer.
       val t0 = System.nanoTime()
+      val df = SparkEntry.queries(n0)(spark, sfDir)
       val n = df.count()
       println(f"[explain] $n0 rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      if (n0 == names.last) df.explain("formatted")
     }
     spark.stop()
   }

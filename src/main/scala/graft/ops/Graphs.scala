@@ -17,15 +17,28 @@ import org.apache.spark.sql.functions._
   * inside the rank table, so the dangling sum is a filter+agg over
   * the rank table, not a second evaluation of the join.
   *
-  * Rounds checkpoint PERIODICALLY (`checkpointEvery`, default 8): a
-  * `localCheckpoint` materialization is the EXPENSIVE part of a round
-  * (the .rdd conversion path bypasses AQE: measured at sf0.1/5
-  * rounds, fully lazy ≈ 2.1 s vs 3.8 s with per-round checkpoints),
-  * while a fully-lazy 50-round lineage blows up Catalyst planning.
-  * Every-8 keeps typical short runs (the 5-round oracle queries)
-  * fully lazy and bounds plan depth for long ones at 1/8 of the
-  * materializations. `checkpointEvery <= 0` never checkpoints (plan
-  * inspection, small iteration counts).
+  * Rounds checkpoint periodically (`checkpointEvery`); the right
+  * default depends on how many times the loop state is REFERENCED
+  * per round. PageRank's rank table is consumed once per round (the
+  * `round()` helper's three reads collapse into one reused exchange),
+  * so lazy lineage stays linear and every-8 wins: a `localCheckpoint`
+  * materialization is the EXPENSIVE part of a round (the .rdd
+  * conversion path bypasses AQE: measured at sf0.1/5 rounds, fully
+  * lazy ≈ 2.1 s vs 3.8 s with per-round checkpoints), while a
+  * fully-lazy 50-round lineage blows up Catalyst planning. But loops
+  * whose state feeds TWO differently-keyed operators per round (BFS /
+  * shortest paths / k-core / label propagation) double their lazy
+  * plan every round — exchange reuse can't merge subtrees partitioned
+  * on different keys — and default to `checkpointEvery = 4` (tower
+  * depth ≤ 2^4 between cuts; measured best-of-sweep on the sf0.1
+  * fixtures: 8-round k-core 12.2 s lazy → 2.5-3 s, while 4-round
+  * label propagation keeps its fully-lazy 1 s instead of 6 s with
+  * per-round cuts). No loop checkpoints its FINAL round — the result
+  * is consumed immediately, so a last-round materialization (which
+  * the .rdd path runs WITHOUT AQE) is pure waste: measured 57 s vs
+  * 2.5 s on 8-round k-core checkpointing at round 8 vs not.
+  * `checkpointEvery <= 0` never checkpoints (plan inspection, small
+  * iteration counts).
   */
 object Graphs {
 
@@ -95,7 +108,7 @@ object Graphs {
         lit(damping) * col("__dang") / lit(nNodes.toDouble)) +
         lit(damping) * coalesce(col("__in"), lit(0.0))
       ranks = round(e, ranks, col("rank") / col("__deg"), lit(0.0), update,
-        checkpointEvery > 0 && i % checkpointEvery == 0)
+        checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
     }
     ranks.select("id", "rank")
   }
@@ -145,7 +158,7 @@ object Graphs {
           s"(CASE WHEN __seed THEN __dang div ${nSeeds}L ELSE 0L END))) div ${dampDen}L" +
           s" + (CASE WHEN __seed THEN ${teleSeed}L ELSE 0L END)")
       ranks = round(e, ranks, expr("rank div __deg"), lit(0L), update,
-        checkpointEvery > 0 && i % checkpointEvery == 0,
+        checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations,
         static = Seq("__deg", "__seed"))
     }
     ranks.select("id", "rank")
@@ -236,7 +249,7 @@ object Graphs {
       val update = expr(
         s"${base}L + (${dampNum}L * (coalesce(__in, 0L) + __dang div ${nNodes}L)) div ${dampDen}L")
       ranks = round(e, ranks, expr("rank div __deg"), lit(0L), update,
-        checkpointEvery > 0 && i % checkpointEvery == 0)
+        checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
     }
     ranks.select("id", "rank")
   }
@@ -262,13 +275,18 @@ object Graphs {
     * Scale shape: per round, ONE join labels⋈edges (hash-partitioned
     * on the node id), one (node,label) count aggregate, one struct-min
     * argmax aggregate on the node — no window over the corpus, no
-    * driver action inside the loop; lineage is cut every
-    * `checkpointEvery` rounds like [[pageRankExact]].
+    * driver action inside the loop. `checkpointEvery` defaults to
+    * EVERY round: `labels` is referenced twice per round (contribs
+    * join + carry-forward left join), so the lazy plan doubles each
+    * round — `checkpointEvery` defaults to 4, which keeps the common
+    * 4-round call fully lazy (measured ~1 s vs 5-6 s with per-round
+    * cuts: the .rdd materialization path costs more than the 2^4
+    * tower); see [[bfsDistances]].
     */
   def labelPropagation(
       edges: DataFrame,
       rounds: Int,
-      checkpointEvery: Int = 8): DataFrame = {
+      checkpointEvery: Int = 4): DataFrame = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
     val cols = edges.columns
     val e0 = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
@@ -287,7 +305,8 @@ object Graphs {
       val next = labels.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("__newl"), col("lbl")).as("lbl"))
       labels =
-        if (checkpointEvery > 0 && i % checkpointEvery == 0) next.localCheckpoint(true)
+        if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < rounds)
+          next.localCheckpoint(true)
         else next
     }
     labels.select(col("id"), col("lbl").as("community"))
@@ -309,16 +328,18 @@ object Graphs {
     * Scale shape: per round ONE frontier⋈edges hash join + one min
     * aggregate, both partitioned on the node id; the frontier table is
     * bounded by the reachable set, never the edge count. No driver
-    * action inside the loop; lineage cut every `checkpointEvery`
-    * rounds. Rounds are a fixed small constant — the caller picks the
-    * neighborhood radius, the driver never loops to convergence.
+    * action inside the loop. Unlike [[pageRankExact]]'s rank table
+    * (referenced once per round, so lazy lineage stays linear and
+    * every-8 wins), `dist` is referenced TWICE per round (the relax
+    * join and the union), so the lazy plan doubles each round —
+    * `checkpointEvery` defaults to 4 (see the object doc's sweep).
     */
   def bfsDistances(
       edges: DataFrame,
       seeds: DataFrame,
       rounds: Int,
       dedupEdges: Boolean = true,
-      checkpointEvery: Int = 8): DataFrame = {
+      checkpointEvery: Int = 4): DataFrame = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
     val cols = edges.columns
     val e0 = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
@@ -331,7 +352,8 @@ object Graphs {
       val combined = dist.unionByName(next)
         .groupBy("id").agg(min("dist").as("dist"))
       dist =
-        if (checkpointEvery > 0 && i % checkpointEvery == 0) combined.localCheckpoint(true)
+        if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < rounds)
+          combined.localCheckpoint(true)
         else combined
     }
     dist
@@ -353,8 +375,10 @@ object Graphs {
     * bit-identically — the [[pageRankExact]] determinism contract.
     *
     * Scale shape: per round ONE dist⋈edges hash join + one min agg,
-    * both keyed on the node id; no driver action in the loop; lineage
-    * cut every `checkpointEvery` rounds. `rounds` is the caller's hop
+    * both keyed on the node id; no driver action in the loop.
+    * `dist` is referenced twice per round (relax join + union), so
+    * the lazy plan doubles per round — `checkpointEvery` defaults to
+    * 4; see [[bfsDistances]]. `rounds` is the caller's hop
     * radius — relaxation is monotone and idempotent past the fixpoint,
     * so extra rounds are no-ops (the [[kCore]] fixed-unroll argument).
     */
@@ -362,7 +386,7 @@ object Graphs {
       edges: DataFrame,
       seeds: DataFrame,
       rounds: Int,
-      checkpointEvery: Int = 8): DataFrame = {
+      checkpointEvery: Int = 4): DataFrame = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
     val cols = edges.columns
     val e = edges
@@ -380,7 +404,8 @@ object Graphs {
       val combined = dist.unionByName(relaxed)
         .groupBy("id").agg(min("dist").as("dist"))
       dist =
-        if (checkpointEvery > 0 && i % checkpointEvery == 0) combined.localCheckpoint(true)
+        if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < rounds)
+          combined.localCheckpoint(true)
         else combined
     }
     dist
@@ -420,10 +445,14 @@ object Graphs {
     * fixpoint reached). Each round is two hash joins (edge endpoints ⋈
     * alive set, both keyed on the node id) + one count agg; the alive
     * set only ever shrinks, so round cost is non-increasing.
+    * `alive` is referenced TWICE per round (src- and dst-side joins),
+    * so the lazy plan doubles each round — `checkpointEvery` defaults
+    * to 4: measured at sf0.1/8 rounds, fully lazy 12.2 s vs 2.5-3 s
+    * (same rows); see [[bfsDistances]] and the object doc's sweep.
     */
   def kCore(
       edges: DataFrame, k: Int, rounds: Int,
-      checkpointEvery: Int = 8): DataFrame = {
+      checkpointEvery: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds > 0, s"rounds must be positive, got $rounds")
     val cols = edges.columns
@@ -440,7 +469,8 @@ object Graphs {
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       val next = deg.filter(col("deg") >= k).select("id")
       alive =
-        if (checkpointEvery > 0 && i % checkpointEvery == 0) next.localCheckpoint(true)
+        if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < rounds)
+          next.localCheckpoint(true)
         else next
     }
     deg.filter(col("deg") >= k)
