@@ -1771,6 +1771,59 @@ object SparkEntry {
       rounds = 4)
   }
 
+  /** Cohort retention ([[graft.ops.Windows.cohortRetention]]) over the
+    * events stream table: users cohorted by first-activity DAY, one
+    * count per (cohort, offset) — the retention triangle. All-integer
+    * epoch-micro arithmetic on both engines.
+    */
+  private def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    graft.ops.Windows.cohortRetention(
+      raw.select(col("user_id"), tsMicros(raw, "ts").as("t_us")),
+      "user_id", "t_us", period = 86400000000L)
+  }
+
+  /** Trailing time-RANGE window: events per user in the hour ENDING at
+    * each event (peer-inclusive RANGE frame over integral epoch
+    * micros; q_window_frame covers the ROWS form). Value sum carried
+    * in exact floored micro-units, so both engines agree bitwise.
+    */
+  private def qRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val ev = raw.select(col("user_id"), col("event_id"),
+      tsMicros(raw, "ts").as("t_us"),
+      floor(col("value") * lit(1000000.0)).cast("long").as("v_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("t_us")
+      .rangeBetween(-3600000000L, 0L)
+    ev.select(col("user_id"), col("event_id"), col("t_us"),
+      count(lit(1)).over(w).as("n_trailing"),
+      sum("v_micro").over(w).as("sum_v_micro"))
+  }
+
+  /** Exact per-group percentiles
+    * ([[graft.ops.Profiling.exactPercentiles]]): order-value cents at
+    * p10/25/50/75/90/99 per order priority by type-1 rank selection —
+    * reproducible quality cutoffs, no interpolation, no sketch.
+    */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.exactPercentiles(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents")),
+      Seq("o_orderpriority"), col("cents"), Seq(10, 25, 50, 75, 90, 99))
+
+  /** Deterministic weighted interleave
+    * ([[graft.ops.Sampling.interleaveOrder]]): documents scheduled
+    * into a training-mix order with per-source weights derived from
+    * the source id (suffix mod 4 + 1) — the same stride formula and
+    * md5 rank order on both engines.
+    */
+  private def qInterleave(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.interleaveOrder(
+      t(s, dir, "documents").select(col("doc_id"), col("source")),
+      "source", col("doc_id"),
+      substring(col("source"), 4, 10).cast("long") % 4 + 1)
+
   /** Phonetic blocking codes ([[graft.ops.Phonetic.soundex]]) over the
     * pooled word vocabulary of part names, nation/region names, and
     * market segments — distinct words grouped by sound-alike code, the
@@ -2202,6 +2255,10 @@ object SparkEntry {
     "q_apportion" -> (qApportion _),
     "q_blocking_metrics" -> (qBlockingMetrics _),
     "q_sssp" -> (qSssp _),
+    "q_retention" -> (qRetention _),
+    "q_range_frame" -> (qRangeFrame _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_interleave" -> (qInterleave _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3262,6 +3319,37 @@ object SparkEntry {
          |d0 AS (SELECT DISTINCT -s_suppkey AS id, CAST(0 AS BIGINT) AS dist
          |       FROM supplier WHERE s_suppkey <= 5),
          |${graft.ops.Graphs.shortestPathsSql(4)}""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS p FROM events),
+        |f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY 1),
+        |d AS (SELECT DISTINCT e.user_id, f.cohort, e.p - f.cohort AS "offset"
+        |      FROM e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort, "offset", count(*) AS n_users
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    "q_range_frame" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |  count(*) OVER w AS n_trailing,
+        |  CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) OVER w AS BIGINT)
+        |    AS sum_v_micro
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_percentiles" ->
+      s"""WITH v AS (SELECT o_orderpriority,
+         |             CAST(floor(o_totalprice * 100) AS BIGINT) AS val
+         |           FROM orders),
+         |${graft.ops.Profiling.exactPercentilesSql(
+               Seq("o_orderpriority"), Seq(10, 25, 50, 75, 90, 99))}""".stripMargin,
+    "q_interleave" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rank_in_source
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(rank_in_source AS BIGINT) AS rank_in_source,
+         |  CAST(${graft.ops.Sampling.interleavePosSql(1000000L)} AS BIGINT) AS pos
+         |FROM d""".stripMargin,
   )
 
   /** DuckDB mirror of [[qBfs]]: the identical frontier expansion —

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pre-flight data profiling — the diagnostics a 100 TB job runs
@@ -165,4 +166,50 @@ object Profiling {
          |  CAST(min($c) AS VARCHAR) AS min_value, CAST(max($c) AS VARCHAR) AS max_value
          |FROM $table""".stripMargin
     }.mkString("\nUNION ALL\n")
+
+  /** EXACT per-group percentiles by rank selection — the complement of
+    * the approx-quantile sketch when the answer must be reproducible
+    * bit-for-bit (quality cutoffs baked into a dataset card, filter
+    * thresholds that must not drift between engine versions). For each
+    * percentile `p` (percent, 0–100) the result is the group's value
+    * at 1-based rank `((n − 1) · p) div 100 + 1` of the ascending sort
+    * — the "lower" (type-1) estimator: always an ACTUAL data value, no
+    * interpolation, so it is exact in any value type and engine ties
+    * cannot diverge (equal values permute only among themselves; the
+    * value at a fixed rank is well-defined). Returns
+    * `(group…, p, value)`.
+    *
+    * Shape: one keyed window (row_number + count over the group — one
+    * exchange, reused), an `explode` over the constant percentile
+    * list, and a rank-match filter. Groups are the partition key, so
+    * nothing concentrates; the corpus is scanned once.
+    */
+  def exactPercentiles(df: DataFrame, groupCols: Seq[String], value: Column,
+      ps: Seq[Int]): DataFrame = {
+    require(groupCols.nonEmpty, "exactPercentiles needs at least one group column")
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 100),
+      s"percentiles must be in [0,100], got $ps")
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    df.select(groupCols.map(col) :+ value.as("__v"): _*)
+      .withColumn("__rk", row_number().over(wAll.orderBy(col("__v"))))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .filter(col("__rk") === expr("((__n - 1) * p) div 100") + 1)
+      .select(groupCols.map(col) :+ col("p") :+ col("__v").as("value"): _*)
+  }
+
+  /** DuckDB mirror of [[exactPercentiles]] over a CTE `v(g…, val)`:
+    * the identical rank arithmetic (`//` ≡ `div` on non-negatives).
+    */
+  def exactPercentilesSql(groupCols: Seq[String], ps: Seq[Int]): String = {
+    val g = groupCols.mkString(", ")
+    s"""rk AS (
+       |  SELECT $g, val,
+       |    row_number() OVER (PARTITION BY $g ORDER BY val) AS rk,
+       |    count(*) OVER (PARTITION BY $g) AS n
+       |  FROM v),
+       |ps AS (SELECT unnest([${ps.mkString(", ")}]) AS p)
+       |SELECT $g, p, val AS value
+       |FROM rk, ps WHERE rk = ((n - 1) * p) // 100 + 1""".stripMargin
+  }
 }

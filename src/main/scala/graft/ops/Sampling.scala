@@ -190,6 +190,49 @@ object Sampling {
       .select("source", "tokens_avail", "quota_tokens")
   }
 
+  /** Deterministic weighted interleave order — the data-loader step
+    * after [[assignSplit]]/[[repeatByWeight]] decide WHAT goes into a
+    * training mix: in what ORDER the sources emit so the stream is
+    * well-mixed (no "all of source A, then all of B" — a curriculum
+    * accident that destabilizes training). Stride scheduling: the
+    * r-th row of source `s` (1-based, in stable-hash order) gets
+    * {{{ pos = ((2·r − 1) · scale) div (2·w_s) }}}
+    * so a source of weight `w` emits every `scale/w` positions,
+    * staggered to the interval midpoint (the smooth start WFQ uses —
+    * weight-1 and weight-2 sources don't all collide at pos 0).
+    * Sorting by `(pos, source, rank_in_source)` yields the mix order;
+    * the assignment is a pure function of (key, source, weight), so
+    * any engine, layout, or rerun produces the identical schedule.
+    * Returns the input row + `rank_in_source` + `pos`.
+    *
+    * `weightCol` must be a positive integral per-row weight, constant
+    * within a source (denormalized, the [[repeatByWeight]] shape).
+    * Bound: `2·r·scale` must stay under 2^63 — at the default
+    * `scale` = 1e6 that is ~4.6e12 rows per source.
+    *
+    * Shape: ONE keyed window per source (row_number over the stable
+    * hash) + a map-only position formula — no global sort, no driver
+    * action; the consumer's shuffle-on-read is the only global order.
+    */
+  def interleaveOrder(df: DataFrame, sourceCol: String, key: Column,
+      weightCol: Column, scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(md5(key.cast("string")))
+    df.withColumn("__w", weightCol.cast("long"))
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .withColumn("pos",
+        expr(s"((2L * rank_in_source - 1L) * ${scale}L) div (2L * __w)"))
+      .drop("__w")
+  }
+
+  /** DuckDB mirror of [[interleaveOrder]]'s position formula over a
+    * CTE providing `rank_in_source` (same md5 order) and weight `w`.
+    */
+  def interleavePosSql(scale: Long): String =
+    s"((2 * rank_in_source - 1) * $scale) // (2 * w)"
+
   /** DuckDB mirror of [[apportionTokens]] over a CTE `tok(source,
     * tokens)`: HUGEINT carries the product exactly; `//`/`%` are the
     * same floor-div/mod on non-negative operands.

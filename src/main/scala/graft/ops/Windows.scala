@@ -252,4 +252,39 @@ object Windows {
       .filter(col("__is_obs") === 0)
       .select(k :+ col("__t").as("sample_ts") :+ col("__locf").as(valCol): _*)
   }
+
+  /** Cohort retention triangle: users are bucketed by the period of
+    * their FIRST event (`cohort = first_t div period`), then counted
+    * once per `(cohort, offset)` where `offset` is how many periods
+    * after the cohort period the user was active — the standard
+    * product/retention analysis ("of the users who arrived in week W,
+    * how many came back in week W+k"), equally the freshness profile
+    * of a crawl corpus by first-seen date. Returns
+    * `(cohort, offset, n_users)`.
+    *
+    * `timeCol` must be a NON-NEGATIVE integral epoch (the callers use
+    * epoch micros): `div` truncates toward zero, which equals floor
+    * only for non-negative operands — the same contract as DuckDB's
+    * `//` mirror.
+    *
+    * Shape: one groupBy(user) min, one join back keyed on the user,
+    * one (cohort, offset, user) distinct, one count agg — every
+    * shuffle keyed by the user or the (small) cohort grid; no window
+    * over the corpus, no driver action.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, timeCol: String,
+      period: Long): DataFrame = {
+    require(period > 0, s"period must be positive, got $period")
+    val firsts = df.groupBy(col(userCol).as("__user"))
+      .agg(min(col(timeCol)).as("__t0"))
+      .select(col("__user"), expr(s"__t0 div ${period}L").as("__cohort"))
+    df.select(col(userCol).as("__user"),
+        expr(s"$timeCol div ${period}L").as("__p"))
+      .join(firsts, Seq("__user"))
+      .select(col("__user"), col("__cohort"),
+        (col("__p") - col("__cohort")).as("__offset"))
+      .distinct()
+      .groupBy(col("__cohort").as("cohort"), col("__offset").as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -732,4 +732,64 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(r.fieldIndex("reduction_ratio")) - 0.95) < 1e-12)
     assert(math.abs(r.getDouble(r.fieldIndex("pairs_completeness")) - 0.5) < 1e-12)
   }
+
+  test("cohortRetention: first-period cohorts, one count per (cohort, offset)") {
+    // period 10: user 1 first at t=5 (cohort 0), active periods 0,1,3;
+    // user 2 first at t=12 (cohort 1), active periods 1,2; user 3 only
+    // period 0. Duplicate activity in one period counts once.
+    val ev = Seq(
+      (1L, 5L), (1L, 7L), (1L, 15L), (1L, 31L),
+      (2L, 12L), (2L, 25L),
+      (3L, 1L), (3L, 2L)
+    ).toDF("user_id", "t")
+    val got = graft.ops.Windows.cohortRetention(ev, "user_id", "t", period = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, // users 1 and 3 in cohort 0 at offset 0
+      (0L, 1L) -> 1L, (0L, 3L) -> 1L, // user 1 returns
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L)) // user 2
+  }
+
+  test("exactPercentiles: type-1 rank selection, exact values, tie-stable") {
+    // group a: sorted values 10,20,30,40 (n=4): p50 rank = (3*50)div100+1
+    // = 2 -> 20; p100 rank 4 -> 40; p0 rank 1 -> 10. group b: all equal
+    // values — every percentile must return that value.
+    val df = Seq(
+      ("a", 40L), ("a", 10L), ("a", 30L), ("a", 20L),
+      ("b", 7L), ("b", 7L), ("b", 7L)
+    ).toDF("g", "v")
+    val got = graft.ops.Profiling
+      .exactPercentiles(df, Seq("g"), col("v"), Seq(0, 50, 100))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("a", 0) -> 10L, ("a", 50) -> 20L, ("a", 100) -> 40L,
+      ("b", 0) -> 7L, ("b", 50) -> 7L, ("b", 100) -> 7L))
+  }
+
+  test("interleaveOrder: stride positions follow weights; stable under repartition") {
+    // weight-2 source emits twice per weight-1 stride: positions
+    // (2r-1)*S/(2w) for S=1000000 — w=2: 250000, 750000, 1250000...;
+    // w=1: 500000, 1500000...
+    val df = Seq(
+      (1L, "hi"), (2L, "hi"), (3L, "hi"), (4L, "hi"),
+      (5L, "lo"), (6L, "lo")
+    ).toDF("id", "src")
+    val weights = when(col("src") === "hi", 2L).otherwise(1L)
+    val got = graft.ops.Sampling.interleaveOrder(df, "src", col("id"), weights)
+    val hi = got.filter(col("src") === "hi").orderBy("rank_in_source")
+      .select("pos").as[Long].collect().toSeq
+    val lo = got.filter(col("src") === "lo").orderBy("rank_in_source")
+      .select("pos").as[Long].collect().toSeq
+    assert(hi == Seq(250000L, 750000L, 1250000L, 1750000L))
+    assert(lo == Seq(500000L, 1500000L))
+    // layout-independence: the whole assignment is a pure function of
+    // (key, source, weight)
+    val again = graft.ops.Sampling
+      .interleaveOrder(df.repartition(7), "src", col("id"), weights)
+      .select("id", "rank_in_source", "pos")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val first = got.select("id", "rank_in_source", "pos")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(again == first)
+  }
 }
