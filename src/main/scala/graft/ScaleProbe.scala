@@ -98,13 +98,27 @@ object ScaleProbe {
     // whose acctbal blocking key has FIXED ~110-value cardinality —
     // pairs grow ×100 at ×10 rows BY CONSTRUCTION (the q_block_equi
     // key-cardinality contract, pinned here to expose the term).
-    "q_entropy", "q_freq_weight")
+    "q_entropy", "q_freq_weight",
+    // continuation 6: sssp rides the lineitem replicas (seeds match
+    // only the base replica, so the reached set is CONSTANT while
+    // edges grow ×10 — isolates the relax join's edge-side cost);
+    // retention + range_frame ride events (users
+    // ×10, per-user frames constant → linear); percentiles ride
+    // orders (keyed window, groups fixed, rows ×10 → linear);
+    // interleave rides the token-salted documents (per-source window,
+    // sources ×1, rows ×10 → linear with a bigger per-source rank
+    // space).
+    "q_sssp", "q_retention", "q_range_frame", "q_percentiles",
+    // encode rides the token-salted documents: vocabulary AND tokens
+    // ×10 — the vocab hash join must stay shuffle-sized (the lm_score
+    // contract) and the per-doc sort stays doc-bounded.
+    "q_interleave", "q_encode")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a
     // dir built by an earlier round silently lacks the new tables
     // (an unversioned _DONE skipped the events build entirely).
-    val done = new java.io.File(s"$FixtureDir/_DONE_v5_lineitem")
+    val done = new java.io.File(s"$FixtureDir/_DONE_v6_supplier")
     if (done.exists) return
     val customer = spark.read.parquet(s"$BaseDir/customer.parquet")
     val documents = spark.read.parquet(s"$BaseDir/documents.parquet")
@@ -177,6 +191,16 @@ object ScaleProbe {
       .withColumn("l_suppkey", col("l_suppkey") + col("__r") * 1000000L)
       .drop("__r")
       .write.mode("overwrite").parquet(s"$FixtureDir/lineitem.parquet")
+    // supplier: replicas with the SAME suppkey offsets as lineitem.
+    // q_sssp's seed filter (s_suppkey ≤ 5) matches only the base
+    // replica, so the reached set stays CONSTANT while the edge table
+    // grows ×10 — the probe isolates the relax join's edge-side cost.
+    val supplier = spark.read.parquet(s"$BaseDir/supplier.parquet")
+    supplier
+      .withColumn("__r", explode(sequence(lit(0), lit(Replicas - 1))))
+      .withColumn("s_suppkey", col("s_suppkey") + col("__r") * 1000000L)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$FixtureDir/supplier.parquet")
     done.createNewFile()
   }
 

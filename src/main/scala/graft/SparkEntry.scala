@@ -1824,6 +1824,27 @@ object SparkEntry {
       "source", col("doc_id"),
       substring(col("source"), 4, 10).cast("long") % 4 + 1)
 
+  /** Token-id encoding ([[graft.ops.TextAnalysis.encodeTokens]]): the
+    * corpus encoded through its own [[qVocab]] vocabulary (dense ids
+    * by descending frequency, min count 5) — OOV takes id 0. The row
+    * carries an order-sensitive digest of each id sequence, so a
+    * single transposition anywhere in any document fails the hash.
+    */
+  private def qEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+    val vocab = graft.ops.Windows.denseIdsBy(counts,
+      Seq(col("cnt").desc, col("tok").asc), "token_id")
+    graft.ops.TextAnalysis
+      .encodeTokens(docs, "doc_id", col("text"), vocab, "tok", "token_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        md5(array_join(transform(col("ids"), _.cast("string")), ","))
+          .as("ids_digest"))
+  }
+
   /** Phonetic blocking codes ([[graft.ops.Phonetic.soundex]]) over the
     * pooled word vocabulary of part names, nation/region names, and
     * market segments — distinct words grouped by sound-alike code, the
@@ -2259,6 +2280,7 @@ object SparkEntry {
     "q_range_frame" -> (qRangeFrame _),
     "q_percentiles" -> (qPercentiles _),
     "q_interleave" -> (qInterleave _),
+    "q_encode" -> (qEncode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3350,6 +3372,28 @@ object SparkEntry {
          |SELECT doc_id, source, CAST(rank_in_source AS BIGINT) AS rank_in_source,
          |  CAST(${graft.ops.Sampling.interleavePosSql(1000000L)} AS BIGINT) AS pos
          |FROM d""".stripMargin,
+    // OOV id 0; token order carried through the ORDER BY pos list, so
+    // the digest is transposition-sensitive like the Spark side's.
+    "q_encode" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM tk WHERE tok <> '' GROUP BY 1
+        |      HAVING count(*) >= 5),
+        |v AS (SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS token_id
+        |      FROM c),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             len(string_split(text, ' ')) AS n FROM documents),
+        |pos AS (
+        |  SELECT doc_id, k AS pos, toks[k + 1] AS tok
+        |  FROM d, UNNEST(range(0, n)) AS t(k)
+        |  WHERE toks[k + 1] <> ''),
+        |enc AS (
+        |  SELECT p.doc_id, p.pos, COALESCE(v.token_id, 0) AS tid
+        |  FROM pos p LEFT JOIN v ON p.tok = v.tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  md5(array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos), ','))
+        |    AS ids_digest
+        |FROM enc GROUP BY doc_id""".stripMargin,
   )
 
   /** DuckDB mirror of [[qBfs]]: the identical frontier expansion —

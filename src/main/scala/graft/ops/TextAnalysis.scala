@@ -537,4 +537,38 @@ object TextAnalysis {
        |  FROM wh),
        |winnow_fp AS (
        |  SELECT $idExpr, u.fp FROM wm, unnest(list_distinct(wins)) AS u(fp))""".stripMargin
+
+  /** Token-id encoding — the bridge from cleaned text to training
+    * tensors: each document's whitespace tokens are mapped through a
+    * `(token, id)` vocabulary (the [[graft.ops.Windows.denseIdsBy]]
+    * build) into an ordered id sequence; out-of-vocabulary tokens take
+    * `oovId`. Returns `(id, n_tokens, n_oov, ids)` with `ids` in
+    * original token order. Documents with zero (non-empty) tokens are
+    * ABSENT from the result — the join-side contract a mirror shares.
+    *
+    * Scale shape: one posexplode scan, one tokens⋈vocab hash join
+    * (vocabulary does NOT broadcast at corpus scale — same contract
+    * as [[lmUnigramScore]]), one per-doc hash agg whose
+    * `array_sort(struct(pos, id))` orders WITHIN the document only —
+    * no window, nothing driver-sided, state bounded by document
+    * length.
+    */
+  def encodeTokens(docs: DataFrame, idCol: String, text: Column,
+      vocab: DataFrame, tokCol: String, vocabIdCol: String,
+      oovId: Long = 0L): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("__doc"),
+        posexplode(split(text, " ")).as(Seq("__pos", "__tok")))
+      .filter(col("__tok") =!= "")
+    toks
+      .join(vocab.select(col(tokCol).as("__tok"), col(vocabIdCol).as("__tid")),
+        Seq("__tok"), "left")
+      .select(col("__doc"), col("__pos"),
+        coalesce(col("__tid").cast("long"), lit(oovId)).as("__tid"))
+      .groupBy(col("__doc").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__tid") === oovId, 1L).otherwise(0L)).as("n_oov"),
+        transform(array_sort(collect_list(struct(col("__pos"), col("__tid")))),
+          x => x.getField("__tid")).as("ids"))
+  }
 }

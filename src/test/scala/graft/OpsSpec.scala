@@ -733,6 +733,22 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(r.fieldIndex("pairs_completeness")) - 0.5) < 1e-12)
   }
 
+  test("encodeTokens: vocabulary ids in token order, OOV takes the sentinel") {
+    val vocab = Seq(("the", 1L), ("fox", 2L), ("dog", 3L)).toDF("tok", "token_id")
+    val d = Seq(
+      (1L, "the fox ate the dog"),   // "ate" is OOV
+      (2L, "dog  fox"),              // double space -> empty token dropped
+      (3L, "")                       // zero tokens -> absent
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .encodeTokens(d, "doc_id", col("text"), vocab, "tok", "token_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3).toList))).toMap
+    assert(got == Map(
+      1L -> ((5L, 1L, List(1L, 2L, 0L, 1L, 3L))),
+      2L -> ((2L, 0L, List(3L, 2L)))))
+  }
+
   test("cohortRetention: first-period cohorts, one count per (cohort, offset)") {
     // period 10: user 1 first at t=5 (cohort 0), active periods 0,1,3;
     // user 2 first at t=12 (cohort 1), active periods 1,2; user 3 only
