@@ -112,7 +112,11 @@ object ScaleProbe {
     // encode rides the token-salted documents: vocabulary AND tokens
     // ×10 — the vocab hash join must stay shuffle-sized (the lm_score
     // contract) and the per-doc sort stays doc-bounded.
-    "q_interleave", "q_encode")
+    "q_interleave", "q_encode",
+    // copurchase rides the lineitem replicas: baskets ×10 with
+    // constant per-basket degree → pairs ×10 (linear); the hub cap
+    // keeps the bound independent of scale.
+    "q_copurchase")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a

@@ -1824,6 +1824,43 @@ object SparkEntry {
       "source", col("doc_id"),
       substring(col("source"), 4, 10).cast("long") % 4 + 1)
 
+  /** Item co-occurrence ([[graft.ops.Graphs.bipartiteProject]]): parts
+    * sharing ≥ 2 orders, hub baskets (> 50 distinct parts) dropped by
+    * the cap — the market-basket projection that derives a link graph
+    * from membership data. The oracle mirrors the cap explicitly.
+    */
+  private def qCopurchase(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.bipartiteProject(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      maxDegree = 50, minShared = 2L)
+
+  /** File-layout quality report ([[graft.etl.Etl.fileStats]]): write a
+    * range-sorted layout, read the per-file key envelopes back, and
+    * reduce to one contract row — total rows + global key span match
+    * the source exactly, and the file envelopes are pairwise DISJOINT
+    * (`files_disjoint` = 1, computed from the real files; an
+    * overlapping layout emits 0 and fails the row). The tiny window
+    * runs over file-count rows (≤ 16), not data.
+    */
+  private def qFileStats(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("fstats")
+    graft.etl.Etl.writeRangeSorted(
+      t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+      tmp, "l_orderkey", nFiles = 16)
+    val st = graft.etl.Etl.fileStats(s, tmp, "l_orderkey")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("min_key")
+    st.select(col("n_rows"), col("min_key"), col("max_key"),
+        lag(col("max_key"), 1).over(w).as("__prev_max"))
+      .select(col("n_rows"), col("min_key"), col("max_key"),
+        when(col("__prev_max").isNull || col("__prev_max") < col("min_key"), 1)
+          .otherwise(0).as("__ok"))
+      .agg(sum("n_rows").as("n_rows"),
+        min("min_key").as("min_key"), max("max_key").as("max_key"),
+        min("__ok").as("files_disjoint"),
+        when(count(lit(1)) <= 16, 1).otherwise(0).as("files_le_requested"))
+  }
+
   /** Token-id encoding ([[graft.ops.TextAnalysis.encodeTokens]]): the
     * corpus encoded through its own [[qVocab]] vocabulary (dense ids
     * by descending frequency, min count 5) — OOV takes id 0. The row
@@ -2281,6 +2318,8 @@ object SparkEntry {
     "q_percentiles" -> (qPercentiles _),
     "q_interleave" -> (qInterleave _),
     "q_encode" -> (qEncode _),
+    "q_copurchase" -> (qCopurchase _),
+    "q_file_stats" -> (qFileStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3394,6 +3433,23 @@ object SparkEntry {
         |  md5(array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos), ','))
         |    AS ids_digest
         |FROM enc GROUP BY doc_id""".stripMargin,
+    "q_copurchase" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |           FROM lineitem),
+        |deg AS (SELECT basket, count(*) AS d FROM e GROUP BY 1),
+        |k AS (SELECT e.basket, e.item FROM e JOIN deg USING (basket)
+        |      WHERE deg.d <= 50)
+        |SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_shared
+        |FROM k a JOIN k b ON a.basket = b.basket AND a.item < b.item
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // files_disjoint / files_le_requested are computed from the REAL
+    // file envelopes on the Spark side; the oracle pins the expected
+    // healthy-layout constants plus the exact source totals.
+    "q_file_stats" ->
+      """SELECT count(*) AS n_rows, min(l_orderkey) AS min_key,
+        |  max(l_orderkey) AS max_key, 1 AS files_disjoint,
+        |  1 AS files_le_requested
+        |FROM lineitem""".stripMargin,
   )
 
   /** DuckDB mirror of [[qBfs]]: the identical frontier expansion —

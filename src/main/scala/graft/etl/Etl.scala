@@ -484,4 +484,25 @@ object Etl {
           .otherwise(lit("changed")))
       .select(col(keyCol), col("status"))
   }
+
+  /** Per-file min/max/count layout report — the clustering-quality
+    * diagnostic behind data skipping: range-sorted layouts prune
+    * because each file's `[min, max]` key envelope is NARROW and
+    * DISJOINT ([[writeRangeSorted]]); this reads the envelopes back
+    * from the actual files, so "is this table still well-clustered or
+    * does it need a re-sort/compaction?" is a query, not a guess.
+    * Returns one row per data file: `(n_rows, min_key, max_key)` —
+    * file identity is deliberately NOT in the output (part-file names
+    * carry run-specific ids; the stats multiset is the stable part).
+    *
+    * Map-side only: `input_file_name()` grouping aggregates each
+    * file's rows where they are scanned; one small shuffle of
+    * file-count rows.
+    */
+  def fileStats(spark: SparkSession, path: String, keyCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("__file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"))
+      .drop("__file")
 }

@@ -493,4 +493,41 @@ object Graphs {
        |$r
        |SELECT id, deg FROM d$rounds WHERE deg >= $k""".stripMargin
   }
+
+  /** Bipartite projection: from a `(basket, item)` incidence list to
+    * the item–item co-occurrence graph — `(item_a, item_b, n_shared)`
+    * for unordered pairs sharing at least `minShared` baskets. The
+    * market-basket / co-click / co-citation primitive, and the usual
+    * way a link graph is DERIVED from raw membership data before
+    * [[pageRank]] / [[Clusters]] run on it.
+    *
+    * Baskets with more than `maxDegree` distinct items are dropped
+    * BEFORE pairing — the standard co-occurrence hygiene: one hub
+    * basket of degree d contributes d²/2 pairs, so a single
+    * crawl-everything user would dominate the graph and the runtime
+    * (the same reason the LSH paths cap bucket sizes). The cap bounds
+    * per-basket fan-out at maxDegree²/2; the cutoff is a loud, tunable
+    * contract, not a silent truncation — mirror it in any oracle.
+    *
+    * Shape: one distinct, one degree agg + semi join (broadcast-sized
+    * when baskets are many and the cap is small), one basket-keyed
+    * self-join, one pair-keyed count agg. Every shuffle is keyed by
+    * the basket or the pair — nothing global, no window.
+    */
+  def bipartiteProject(edges: DataFrame, maxDegree: Int,
+      minShared: Long = 1L): DataFrame = {
+    require(maxDegree > 0, s"maxDegree must be positive, got $maxDegree")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val cols = edges.columns
+    val e = edges.select(col(cols(0)).as("basket"), col(cols(1)).as("item"))
+      .distinct().localCheckpoint(true)
+    val keep = e.groupBy("basket").agg(count(lit(1)).as("__d"))
+      .filter(col("__d") <= maxDegree).select("basket")
+    val k = e.join(keep, Seq("basket"))
+    k.select(col("basket"), col("item").as("item_a"))
+      .join(k.select(col("basket"), col("item").as("item_b")), Seq("basket"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

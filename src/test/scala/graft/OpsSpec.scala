@@ -733,6 +733,40 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(r.fieldIndex("pairs_completeness")) - 0.5) < 1e-12)
   }
 
+  test("bipartiteProject: shared-basket pairs, hub cap drops the blowup basket") {
+    // baskets: 10 holds {1,2,3}; 20 holds {2,3}; 30 holds {1,2,3,4}
+    // but exceeds maxDegree=3 and is dropped; duplicate rows collapse.
+    val e = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 2L),
+      (20L, 2L), (20L, 3L),
+      (30L, 1L), (30L, 2L), (30L, 3L), (30L, 4L)
+    ).toDF("basket", "item")
+    val got = graft.ops.Graphs.bipartiteProject(e, maxDegree = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 2L))
+    // minShared keeps only pairs sharing >= 2 baskets
+    val strong = graft.ops.Graphs.bipartiteProject(e, maxDegree = 3, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(strong == Map((2L, 3L) -> 2L))
+  }
+
+  test("fileStats: per-file envelopes of a range-sorted layout are disjoint and complete") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstats").toString
+    val df = (1L to 1000L).map(i => (i, i % 7)).toDF("k", "v")
+    graft.etl.Etl.writeRangeSorted(df, dir, "k", nFiles = 4)
+    val st = graft.etl.Etl.fileStats(spark, dir, "k").collect()
+    assert(st.map(_.getLong(0)).sum == 1000L)
+    assert(st.map(_.getLong(1)).min == 1L && st.map(_.getLong(2)).max == 1000L)
+    // envelopes pairwise disjoint: sorted by min, each file starts
+    // after the previous file's max
+    val sorted = st.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, prevMax), (lo, _)) => assert(prevMax < lo)
+      case _ =>
+    }
+  }
+
   test("encodeTokens: vocabulary ids in token order, OOV takes the sentinel") {
     val vocab = Seq(("the", 1L), ("fox", 2L), ("dog", 3L)).toDF("tok", "token_id")
     val d = Seq(
