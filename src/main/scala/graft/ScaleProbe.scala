@@ -116,7 +116,9 @@ object ScaleProbe {
     // copurchase rides the lineitem replicas: baskets ×10 with
     // constant per-basket degree → pairs ×10 (linear); the hub cap
     // keeps the bound independent of scale.
-    "q_copurchase")
+    // wau rides events: users ×10, constant day span → the deduped
+    // active-pair table ×10 and the ×7 explode constant (linear).
+    "q_copurchase", "q_wau")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a

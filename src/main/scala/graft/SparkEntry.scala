@@ -1824,6 +1824,31 @@ object SparkEntry {
       "source", col("doc_id"),
       substring(col("source"), 4, 10).cast("long") % 4 + 1)
 
+  /** Rolling 7-day distinct active users
+    * ([[graft.ops.Windows.rollingDistinct]]): exact WAU per window-end
+    * day — the explode-by-window-length encoding, both engines
+    * identical in integral day arithmetic.
+    */
+  private def qWau(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    graft.ops.Windows.rollingDistinct(
+      raw.select(col("user_id"), tsMicros(raw, "ts").as("t_us")),
+      "user_id", "t_us", period = 86400000000L, windowPeriods = 7)
+  }
+
+  /** Hopping (sliding) event-time windows: 1-hour windows every 15
+    * minutes via the built-in `window(slideDuration)` — each event
+    * lands in exactly w/h = 4 windows; the oracle generates the same
+    * four aligned starts arithmetically. Complements q_event_window's
+    * tumbling form.
+    */
+  private def qHoppingWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.Streams.withEventTime(t(s, dir, "events"))
+    ev.groupBy(window(col("event_time"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+  }
+
   /** Item co-occurrence ([[graft.ops.Graphs.bipartiteProject]]): parts
     * sharing ≥ 2 orders, hub baskets (> 50 distinct parts) dropped by
     * the cap — the market-basket projection that derives a link graph
@@ -2320,6 +2345,8 @@ object SparkEntry {
     "q_encode" -> (qEncode _),
     "q_copurchase" -> (qCopurchase _),
     "q_file_stats" -> (qFileStats _),
+    "q_wau" -> (qWau _),
+    "q_hopping_window" -> (qHoppingWindow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3450,6 +3477,20 @@ object SparkEntry {
         |  max(l_orderkey) AS max_key, 1 AS files_disjoint,
         |  1 AS files_le_requested
         |FROM lineitem""".stripMargin,
+    "q_wau" ->
+      """WITH act AS (SELECT DISTINCT user_id AS e,
+        |               epoch_us(ts) // 86400000000 AS p FROM events),
+        |w AS (SELECT e, p + k AS period FROM act, UNNEST(range(0, 7)) AS t(k))
+        |SELECT period, count(DISTINCT e) AS n_active
+        |FROM w GROUP BY 1""".stripMargin,
+    // every event lands in exactly w/h = 4 hop-aligned windows:
+    // s_k = (t div h - k)·h for k in 0..3 — s_k ≤ t < s_k + w always.
+    "q_hopping_window" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+        |w AS (SELECT event_type, ((t // 900000000) - k) * 900000000 AS ws
+        |      FROM e, UNNEST(range(0, 4)) AS u(k))
+        |SELECT make_timestamp(ws) AS window_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin,
   )
 
   /** DuckDB mirror of [[qBfs]]: the identical frontier expansion —

@@ -272,6 +272,35 @@ object Windows {
     * shuffle keyed by the user or the (small) cohort grid; no window
     * over the corpus, no driver action.
     */
+  /** Rolling distinct actives (DAU/WAU/MAU family): for every window
+    * END period, the number of distinct entities active in the
+    * trailing `windowPeriods` periods. Exact — no sketch — via the
+    * standard explode encoding: each active `(entity, period)` pair
+    * contributes to the `windowPeriods` window-ends it can be seen
+    * from, then a distinct count per end. Cost is `windowPeriods ×`
+    * the ACTIVE-PAIR table (already deduped), not the raw event
+    * stream — the explode factor is the window length, the usual
+    * exact-rolling-distinct trade (use HLL partials when approximate
+    * is acceptable). Window ends run to `max_period + windowPeriods −
+    * 1` (trailing windows that still see activity); callers slice.
+    *
+    * `timeCol`: non-negative integral epoch (the [[cohortRetention]]
+    * contract). Shuffles: one (entity, period) distinct, one
+    * window-end hash agg — both keyed, no window function at all.
+    */
+  def rollingDistinct(df: DataFrame, entityCol: String, timeCol: String,
+      period: Long, windowPeriods: Int): DataFrame = {
+    require(period > 0, s"period must be positive, got $period")
+    require(windowPeriods > 0, s"windowPeriods must be positive, got $windowPeriods")
+    df.select(col(entityCol).as("__e"),
+        expr(s"$timeCol div ${period}L").as("__p"))
+      .distinct()
+      .withColumn("__we",
+        explode(sequence(col("__p"), col("__p") + lit((windowPeriods - 1).toLong))))
+      .groupBy(col("__we").as("period"))
+      .agg(countDistinct(col("__e")).as("n_active"))
+  }
+
   def cohortRetention(df: DataFrame, userCol: String, timeCol: String,
       period: Long): DataFrame = {
     require(period > 0, s"period must be positive, got $period")

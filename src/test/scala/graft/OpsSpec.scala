@@ -733,6 +733,20 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(r.fieldIndex("pairs_completeness")) - 0.5) < 1e-12)
   }
 
+  test("rollingDistinct: trailing-window distinct actives, duplicates collapse") {
+    // period 10, window 2: user 1 active periods {0, 2}; user 2 {0};
+    // user 3 {2}. Window ending 0: {1,2}=2; 1: {1,2}=2 (trailing);
+    // 2: {1,3}=2; 3: {1,3}=2 (trailing).
+    val ev = Seq(
+      (1L, 3L), (1L, 5L), (1L, 21L),
+      (2L, 9L), (3L, 25L)
+    ).toDF("user_id", "t")
+    val got = graft.ops.Windows
+      .rollingDistinct(ev, "user_id", "t", period = 10L, windowPeriods = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("bipartiteProject: shared-basket pairs, hub cap drops the blowup basket") {
     // baskets: 10 holds {1,2,3}; 20 holds {2,3}; 30 holds {1,2,3,4}
     // but exceeds maxDegree=3 and is dropped; duplicate rows collapse.
