@@ -1824,6 +1824,60 @@ object SparkEntry {
       "source", col("doc_id"),
       substring(col("source"), 4, 10).cast("long") % 4 + 1)
 
+  /** Period-over-period change: monthly order revenue per market
+    * segment with the previous month's value and the delta in exact
+    * parts-per-million (`(cur−prev)·1e6 div prev` — decimal-carried,
+    * truncation identical on both engines). One segment-keyed window
+    * over the monthly aggregate — the time series is months × segments,
+    * never raw orders.
+    */
+  private def qPop(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .join(t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment")), Seq("o_custkey"))
+      .groupBy(col("c_mktsegment"), date_trunc("month", col("o_orderdate"))
+        .cast("date").as("month"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_mktsegment").orderBy("month")
+    monthly.withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .withColumn("delta_ppm",
+        when(col("prev_cents").isNotNull && col("prev_cents") =!= 0L,
+          expr("((rev_cents - prev_cents) * 1000000L) div prev_cents"))
+          .otherwise(lit(null).cast("long")))
+  }
+
+  /** Flagship multi-join analytics (TPC-H Q3 shape): building-segment
+    * customers ⋈ orders before a date ⋈ lineitem shipped after it,
+    * top revenue orders. Revenue carried as the exact BIGINT product
+    * cents×(1e6−disc_ppm) — ≤ 1e13 per line, ≤ ~1e14 per order, well
+    * inside BIGINT; a float sum would be order-dependent. The plan the
+    * optimizer should pick:
+    * customer filter broadcast into orders, date filters pushed to
+    * both scans, partial aggregation before the exchange.
+    */
+  private def qTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("o_custkey"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-03-15"))
+      .join(cust, Seq("o_custkey"))
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1995-03-15"))
+      .select(col("l_orderkey"),
+        (floor(col("l_extendedprice") * 100).cast("long") *
+          (lit(1000000L) - floor(col("l_discount") * 1000000).cast("long")))
+          .as("__rev"))
+      .join(ord, Seq("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum("__rev").as("revenue_micro_cents"))
+      .orderBy(col("revenue_micro_cents").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
   /** Rolling 7-day distinct active users
     * ([[graft.ops.Windows.rollingDistinct]]): exact WAU per window-end
     * day — the explode-by-window-length encoding, both engines
@@ -2347,6 +2401,8 @@ object SparkEntry {
     "q_file_stats" -> (qFileStats _),
     "q_wau" -> (qWau _),
     "q_hopping_window" -> (qHoppingWindow _),
+    "q_pop" -> (qPop _),
+    "q_tpch_q3" -> (qTpchQ3 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3491,6 +3547,37 @@ object SparkEntry {
         |      FROM e, UNNEST(range(0, 4)) AS u(k))
         |SELECT make_timestamp(ws) AS window_start, event_type, count(*) AS n
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "q_pop" ->
+      """WITH m AS (
+        |  SELECT c_mktsegment, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |lg AS (
+        |  SELECT c_mktsegment, month, rev_cents,
+        |    lag(rev_cents) OVER (PARTITION BY c_mktsegment ORDER BY month) AS prev_cents
+        |  FROM m)
+        |SELECT c_mktsegment, month, rev_cents, prev_cents,
+        |  CASE WHEN prev_cents IS NOT NULL AND prev_cents <> 0
+        |       THEN ((rev_cents - prev_cents) * 1000000) // prev_cents
+        |       ELSE NULL END AS delta_ppm
+        |FROM lg""".stripMargin,
+    "q_tpch_q3" ->
+      """WITH l AS (
+        |  SELECT l_orderkey,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |    (1000000 - CAST(floor(l_discount * 1000000) AS BIGINT)) AS rev
+        |  FROM lineitem WHERE l_shipdate > DATE '1995-03-15'),
+        |o AS (
+        |  SELECT o_orderkey, o_orderdate, o_orderpriority
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1995-03-15')
+        |SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        |       CAST(sum(l.rev) AS BIGINT) AS revenue_micro_cents
+        |FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_micro_cents DESC, l.l_orderkey ASC
+        |LIMIT 10""".stripMargin,
   )
 
   /** DuckDB mirror of [[qBfs]]: the identical frontier expansion —
