@@ -1824,6 +1824,32 @@ object SparkEntry {
       "source", col("doc_id"),
       substring(col("source"), 4, 10).cast("long") % 4 + 1)
 
+  /** Exact robust spread ([[graft.ops.Profiling.groupMad]]): median
+    * and median-absolute-deviation of order cents per priority —
+    * rank-selected actual data values, reproducible anywhere.
+    */
+  private def qMad(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.groupMad(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents")),
+      Seq("o_orderpriority"), col("cents"))
+
+  /** Date-function parity: ISO weekday, quarter, month, epoch-day
+    * difference from a fixed anchor, and last-day-of-month derived
+    * from o_orderdate — spelled so both engines compute the identical
+    * integers (Spark's dayofweek is Sun=1; ISO via (dow+5)%7+1).
+    */
+  private def qDateFunctions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        (((dayofweek(col("o_orderdate")) + 5) % 7) + 1).as("iso_dow"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).as("days_since"),
+        last_day(col("o_orderdate")).as("month_end"))
+      .agg(count(lit(1)).as("n"))
+
   /** Period-over-period change: monthly order revenue per market
     * segment with the previous month's value and the delta in exact
     * parts-per-million (`(cur−prev)·1e6 div prev` — decimal-carried,
@@ -2403,6 +2429,8 @@ object SparkEntry {
     "q_hopping_window" -> (qHoppingWindow _),
     "q_pop" -> (qPop _),
     "q_tpch_q3" -> (qTpchQ3 _),
+    "q_mad" -> (qMad _),
+    "q_date_functions" -> (qDateFunctions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3578,6 +3606,29 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue_micro_cents DESC, l.l_orderkey ASC
         |LIMIT 10""".stripMargin,
+    // p50 rank = (n-1)//2 + 1, twice: once on values, once on the
+    // absolute deviations from the group median.
+    "q_mad" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |             CAST(floor(o_totalprice * 100) AS BIGINT) AS val
+        |           FROM orders),
+        |rk1 AS (SELECT g, val,
+        |          row_number() OVER (PARTITION BY g ORDER BY val) AS rk,
+        |          count(*) OVER (PARTITION BY g) AS n FROM v),
+        |med AS (SELECT g, val AS med FROM rk1 WHERE rk = (n - 1) // 2 + 1),
+        |d AS (SELECT v.g, med.med, abs(v.val - med.med) AS dv
+        |      FROM v JOIN med USING (g)),
+        |rk2 AS (SELECT g, med, dv,
+        |          row_number() OVER (PARTITION BY g ORDER BY dv) AS rk,
+        |          count(*) OVER (PARTITION BY g) AS n FROM d)
+        |SELECT g AS o_orderpriority, med AS median, dv AS mad
+        |FROM rk2 WHERE rk = (n - 1) // 2 + 1""".stripMargin,
+    "q_date_functions" ->
+      """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |  month(o_orderdate) AS m, isodow(o_orderdate) AS iso_dow,
+        |  datediff('day', DATE '1992-01-01', o_orderdate) AS days_since,
+        |  last_day(o_orderdate) AS month_end, count(*) AS n
+        |FROM orders GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
   )
 
   /** DuckDB mirror of [[qBfs]]: the identical frontier expansion —

@@ -198,6 +198,33 @@ object Profiling {
       .select(groupCols.map(col) :+ col("p") :+ col("__v").as("value"): _*)
   }
 
+  /** Exact per-group median absolute deviation — the robust spread
+    * statistic ([[sigmaOutliers]]'s σ is mean-based and one wild value
+    * drags it; MAD is what quality-threshold pipelines use when the
+    * value distribution is heavy-tailed). Both the median and the MAD
+    * come from [[exactPercentiles]]' type-1 rank selection, so with
+    * integral values the result is an actual data value / deviation,
+    * bit-identical on every engine and layout. Returns
+    * `(group…, median, mad)`.
+    *
+    * Shape: two keyed windows (rank selection per group, twice) and a
+    * group-keyed join between — group cardinality ≪ rows, so AQE
+    * broadcasts the 1-row-per-group median side.
+    */
+  def groupMad(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupMad needs at least one group column")
+    val med = exactPercentiles(df, groupCols, value, Seq(50))
+      .select(groupCols.map(col) :+ col("value").as("__med"): _*)
+    val dev = df.select(groupCols.map(col) :+ value.as("__v"): _*)
+      .join(med, groupCols)
+      .select(groupCols.map(col) :+ col("__med") :+
+        abs(col("__v") - col("__med")).as("__d"): _*)
+    exactPercentiles(dev, groupCols, col("__d"), Seq(50))
+      .select(groupCols.map(col) :+ col("value").as("mad"): _*)
+      .join(med, groupCols)
+      .select(groupCols.map(col) :+ col("__med").as("median") :+ col("mad"): _*)
+  }
+
   /** DuckDB mirror of [[exactPercentiles]] over a CTE `v(g…, val)`:
     * the identical rank arithmetic (`//` ≡ `div` on non-negatives).
     */

@@ -733,6 +733,17 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(r.fieldIndex("pairs_completeness")) - 0.5) < 1e-12)
   }
 
+  test("groupMad: rank-selected median and MAD, robust to the wild value") {
+    // group a: values 1,2,3,4,100 -> median 3 (rank 3 of 5);
+    // deviations |v-3| = 2,1,0,1,97 sorted 0,1,1,2,97 -> mad 1.
+    // One wild value (100) moves a mean/stddev but not the MAD.
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L),
+      ("b", 10L), ("b", 10L)).toDF("g", "v")
+    val got = graft.ops.Profiling.groupMad(df, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("a" -> ((3L, 1L)), "b" -> ((10L, 0L))))
+  }
+
   test("rollingDistinct: trailing-window distinct actives, duplicates collapse") {
     // period 10, window 2: user 1 active periods {0, 2}; user 2 {0};
     // user 3 {2}. Window ending 0: {1,2}=2; 1: {1,2}=2 (trailing);
