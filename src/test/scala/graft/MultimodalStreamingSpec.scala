@@ -151,6 +151,33 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: hopping windows — stream result equals batch result") {
+    def hopping(df: org.apache.spark.sql.DataFrame) = {
+      val timed = Streams.withEventTime(df)
+      val w = if (timed.isStreaming) timed.withWatermark("event_time", "2 hours") else timed
+      w.groupBy(window(col("event_time"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    }
+    val batchDf = eventsNs
+    val expected = hopping(batchDf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // every event must appear in exactly 4 windows
+    assert(expected.toSeq.map(_._3).sum == batchDf.count() * 4)
+
+    val stream = MemoryStream[(Long, Long, String)](spark)
+    val q = hopping(stream.toDF().toDF("ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("hop_out").outputMode("complete").start()
+    try {
+      stream.addData(batchDf.select("ts", "user_id", "event_type")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("hop_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming: session_window — batch result equals Windows.sessionize; stream equals batch") {
     // eventsNs normalizes ts to NANOS; the gap threshold is 30 min. The
     // built-in session_window splits on gap >= g, the batch lag/cumsum

@@ -733,6 +733,56 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(r.fieldIndex("pairs_completeness")) - 0.5) < 1e-12)
   }
 
+  test("exactPercentiles: agrees with sorted-array indexing on generated data") {
+    // 3 groups x 101 deterministic pseudo-random values; every p in
+    // 0..100 must equal the sorted array's ((n-1)*p) div 100 element.
+    val rows = for (g <- 0 until 3; i <- 0 until 101)
+      yield (s"g$g", (g * 101L + i) * 2654435761L % 10007L)
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0, 7, 25, 50, 83, 99, 100)
+    val got = graft.ops.Profiling.exactPercentiles(df, Seq("g"), col("v"), ps)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (g <- 0 until 3) {
+      val sorted = rows.filter(_._1 == s"g$g").map(_._2).sorted
+      for (p <- ps)
+        assert(got((s"g$g", p)) == sorted(((sorted.size - 1) * p) / 100),
+          s"g$g p$p")
+    }
+  }
+
+  test("rollingDistinct: agrees with brute force on generated activity") {
+    val rows = for (u <- 1L to 40L; k <- 0 until 5)
+      yield (u, (u * 2654435761L + k * 40503L) % 300L) // t in [0, 300)
+    val df = rows.toDF("user_id", "t")
+    val got = graft.ops.Windows
+      .rollingDistinct(df, "user_id", "t", period = 10L, windowPeriods = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val act = rows.map { case (u, t) => (u, t / 10L) }.distinct
+    val ends = act.map(_._2).flatMap(p => p to p + 2).distinct
+    for (e <- ends) {
+      val expect = act.filter { case (_, p) => p <= e && p > e - 3 }
+        .map(_._1).distinct.size.toLong
+      assert(got(e) == expect, s"window end $e")
+    }
+    assert(got.keySet == ends.toSet)
+  }
+
+  test("interleaveOrder: prefix emission tracks weights within the WFQ bound") {
+    // 3 sources with weights 1/2/4 and 80 rows each: in any position
+    // prefix [0, P) a source of weight w emits floor(P*w/scale) ± 1.
+    val rows = for (s <- Seq(("a", 1L), ("b", 2L), ("c", 4L)); i <- 1 to 80)
+      yield (s._1, s._2, s._1 + "_" + i)
+    val df = rows.toDF("src", "w", "k")
+    val got = graft.ops.Sampling
+      .interleaveOrder(df, "src", col("k"), col("w"))
+      .select("src", "pos").as[(String, Long)].collect()
+    for (p <- Seq(1000000L, 5000000L, 20000000L); (s, w) <- Seq(("a", 1L), ("b", 2L), ("c", 4L))) {
+      val emitted = got.count { case (src, pos) => src == s && pos < p }
+      val ideal = p * w / 1000000L
+      assert(math.abs(emitted - ideal) <= 1, s"source $s at prefix $p: $emitted vs $ideal")
+    }
+  }
+
   test("groupMad: rank-selected median and MAD, robust to the wild value") {
     // group a: values 1,2,3,4,100 -> median 3 (rank 3 of 5);
     // deviations |v-3| = 2,1,0,1,97 sorted 0,1,1,2,97 -> mad 1.
