@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   *     → train/valid/test assignment  (Sampling.assignSplit)
   *     → weighted language mixing     (Sampling.repeatByWeight)
   *     → sequence packing             (Windows.packChunks)
+  *     → token-budget apportionment   (Sampling.apportionTokens)
+  *     → stride interleave order      (Sampling.interleaveOrder)
+  *     → token-id encoding            (TextAnalysis.encodeTokens)
   *     → vocabulary report            (HeavyHitters.heavyHitters)
   *     → JSONL export + AUDITED parquet export (Etl.writeJsonl,
   *       Etl.writeAudited → readAudited verification gate)
@@ -121,7 +124,37 @@ object CorpusDemo {
     val nChunks = packed.agg(countDistinct(col("lang"), col("chunk"))).head.getLong(0)
     val tMix = lap()
 
-    // 6. Vocabulary report: exact heavy tokens of the train mix (the
+    // 6. Mix scheduling + token-id encoding: apportion a global token
+    //    budget across languages (largest-remainder quotas sum to the
+    //    budget exactly), order the train stream by deterministic
+    //    stride interleave (no all-of-A-then-all-of-B curriculum
+    //    accident), and encode text through the corpus' own
+    //    min-count-5 vocabulary — ids in token order, OOV sentinel 0.
+    val quotas = graft.ops.Sampling.apportionTokens(
+        mixed.select(col("lang").as("source"),
+          col("n_tokens").cast("long").as("tokens")),
+        "source", col("tokens"), budget = 20000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val scheduled = graft.ops.Sampling.interleaveOrder(
+      mixed.withColumn("w", when(col("lang") === "en", 1L).otherwise(2L)),
+      "lang", concat_ws("_", col("doc_id"), col("rep")), col("w"))
+    val nScheduled = scheduled.count()
+    val encToks = mixed.select(
+        explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val encVocab = graft.ops.Windows.denseIdsBy(
+      encToks.groupBy("tok").agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 5),
+      Seq(col("cnt").desc, col("tok").asc), "token_id")
+    val encoded = graft.ops.TextAnalysis.encodeTokens(
+      mixed.select((col("doc_id") * 10 + col("rep")).as("uid"), col("text")),
+      "uid", col("text"), encVocab, "tok", "token_id")
+    val encStats = encoded.agg(count(lit(1)).as("n"),
+      sum("n_tokens").as("tok"), sum("n_oov").as("oov")).head
+    val (nEncoded, encTok, encOov) =
+      (encStats.getLong(0), encStats.getLong(1), encStats.getLong(2))
+    val tSched = lap()
+
+    // 7. Vocabulary report: exact heavy tokens of the train mix (the
     //    sanity check before a tokenizer run — a glued artifact or
     //    boilerplate blob shows up here first).
     val vocab = graft.expr.HeavyHitters.heavyHitters(
@@ -131,7 +164,7 @@ object CorpusDemo {
     val nVocab = vocab.count()
     val tVocab = lap()
 
-    // 7. Export: JSONL for interchange + AUDITED parquet (manifest
+    // 8. Export: JSONL for interchange + AUDITED parquet (manifest
     //    carries row count + order-independent checksum of the
     //    durable bytes); the read-back through the verifying reader
     //    IS the publish gate.
@@ -152,10 +185,16 @@ object CorpusDemo {
       .map(k => s"$k=${splitCounts.getOrElse(k, 0L)}").mkString(" "))
     println(f"[corpus] train mixed     $nMixed%6d rows after non-en x2 upsampling")
     println(f"[corpus] packed          $nChunks%6d training chunks of 2048 tokens")
+    println(s"[corpus] token quotas    " + quotas.map { case (l, avail, q) =>
+      s"$l=$q/$avail" }.mkString(" ") + " (budget 20000)")
+    println(f"[corpus] scheduled       $nScheduled%6d rows in stride-interleave order")
+    println(f"[corpus] encoded         $nEncoded%6d docs, $encTok%d token ids, " +
+      f"oov ${encOov * 10000 / math.max(encTok, 1L)}%d bp")
     println(f"[corpus] vocab report    $nVocab%6d heavy tokens (>1%% of train stream)")
     println(s"[corpus] exported to $out (jsonl + audited parquet, verified $verifiedRows rows)")
     println(f"[time] exact=$tExact%.1fs near=$tNear%.1fs quality=$tQuality%.1fs " +
-      f"decontam=$tClean%.1fs split+mix+pack=$tMix%.1fs vocab=$tVocab%.1fs export=$tExport%.1fs")
+      f"decontam=$tClean%.1fs split+mix+pack=$tMix%.1fs sched+encode=$tSched%.1fs " +
+      f"vocab=$tVocab%.1fs export=$tExport%.1fs")
     spark.stop()
   }
 }
