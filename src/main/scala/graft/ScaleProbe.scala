@@ -113,9 +113,13 @@ object ScaleProbe {
     // ×10 — the vocab hash join must stay shuffle-sized (the lm_score
     // contract) and the per-doc sort stays doc-bounded.
     "q_interleave", "q_encode",
-    // copurchase rides the lineitem replicas: baskets ×10 with
-    // constant per-basket degree → pairs ×10 (linear); the hub cap
-    // keeps the bound independent of scale.
+    // copurchase rides the lineitem replicas: baskets ×10 (orderkey
+    // offsets) but ITEMS are shared across replicas (partkey kept),
+    // so each item pair's shared-basket count stacks ×10 and pairs
+    // formerly under minShared cross the threshold — OUTPUT rows grow
+    // superlinearly by construction (like q_block_equi's fixed keys).
+    // The honest scale claim is the TIME ratio: per-basket fan-out is
+    // capped, so runtime tracks the ×10 input, not the output.
     // wau rides events: users ×10, constant day span → the deduped
     // active-pair table ×10 and the ×7 explode constant (linear).
     "q_copurchase", "q_wau")
