@@ -206,9 +206,12 @@ object Sampling {
     * Returns the input row + `rank_in_source` + `pos`.
     *
     * `weightCol` must be a positive integral per-row weight, constant
-    * within a source (denormalized, the [[repeatByWeight]] shape).
-    * Bound: `2·r·scale` must stay under 2^63 — at the default
-    * `scale` = 1e6 that is ~4.6e12 rows per source.
+    * within a source (denormalized, the [[repeatByWeight]] shape);
+    * `key` must be UNIQUE within a source (rows sharing a key value
+    * would tie in the md5 order and their per-ROW rank assignment —
+    * though not the emitted (source, pos) multiset — becomes
+    * arbitrary). Bound: `2·r·scale` must stay under 2^63 — at the
+    * default `scale` = 1e6 that is ~4.6e12 rows per source.
     *
     * Shape: ONE keyed window per source (row_number over the stable
     * hash) + a map-only position formula — no global sort, no driver
