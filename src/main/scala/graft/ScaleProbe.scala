@@ -122,7 +122,11 @@ object ScaleProbe {
     // capped, so runtime tracks the ×10 input, not the output.
     // wau rides events: users ×10, constant day span → the deduped
     // active-pair table ×10 and the ×7 explode constant (linear).
-    "q_copurchase", "q_wau")
+    "q_copurchase", "q_wau",
+    // pmi rides the token-salted documents: bigram TYPES ×10 (salted
+    // tokens make cross-replica bigrams disjoint), tokens ×10 — two
+    // hash aggs + token-keyed joins, linear.
+    "q_pmi")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a

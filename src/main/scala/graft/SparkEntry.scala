@@ -1824,6 +1824,15 @@ object SparkEntry {
       "source", col("doc_id"),
       substring(col("source"), 4, 10).cast("long") % 4 + 1)
 
+  /** PMI collocations ([[graft.ops.TextAnalysis.collocations]]):
+    * adjacent-token pairs of the documents corpus scored by pointwise
+    * mutual information in floored micro-nats — one fixed-order IEEE
+    * log over four integer counts, hash-exact cross-engine.
+    */
+  private def qPmi(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.collocations(
+      t(s, dir, "documents"), col("text"), minCount = 5L)
+
   /** Exact robust spread ([[graft.ops.Profiling.groupMad]]): median
     * and median-absolute-deviation of order cents per priority —
     * rank-selected actual data values, reproducible anywhere.
@@ -2431,6 +2440,7 @@ object SparkEntry {
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_mad" -> (qMad _),
     "q_date_functions" -> (qDateFunctions _),
+    "q_pmi" -> (qPmi _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3629,6 +3639,28 @@ object SparkEntry {
         |  datediff('day', DATE '1992-01-01', o_orderdate) AS days_since,
         |  last_day(o_orderdate) AS month_end, count(*) AS n
         |FROM orders GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    // Bigrams via aligned list slices; empty tokens dropped BEFORE
+    // pairing on both engines. PMI = ln(n_pair·N/(c_a·c_b)) floored
+    // to micro-nats — one fixed-order IEEE log, hash-exact.
+    "q_pmi" ->
+      """WITH d AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |uni AS (
+        |  SELECT u.tok, count(*) AS c
+        |  FROM d, unnest(ts) AS u(tok) GROUP BY 1),
+        |big AS (
+        |  SELECT ts[k] AS tok_a, ts[k + 1] AS tok_b, count(*) AS n_pair
+        |  FROM d, UNNEST(range(1, len(ts))) AS t(k)
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uni)
+        |SELECT b.tok_a, b.tok_b, b.n_pair,
+        |  CAST(floor(ln(CAST(b.n_pair * n.total AS DOUBLE) /
+        |                 CAST(ca.c * cb.c AS DOUBLE)) * 1000000) AS BIGINT)
+        |    AS pmi_unat
+        |FROM big b
+        |JOIN uni ca ON b.tok_a = ca.tok
+        |JOIN uni cb ON b.tok_b = cb.tok, n""".stripMargin,
   )
 
   /** DuckDB mirror of [[qBfs]]: the identical frontier expansion —

@@ -538,6 +538,49 @@ object TextAnalysis {
        |winnow_fp AS (
        |  SELECT $idExpr, u.fp FROM wm, unnest(list_distinct(wins)) AS u(fp))""".stripMargin
 
+  /** PMI collocations — corpus-level multiword-expression detection:
+    * adjacent token pairs scored by pointwise mutual information
+    * `ln(N·c_xy / (c_x·c_y))`, the standard collocation statistic
+    * ("new york" scores high because the pair count dwarfs what the
+    * unigram frequencies predict). Returns
+    * `(tok_a, tok_b, n_pair, pmi_unat)` for pairs with
+    * `n_pair ≥ minCount`, PMI floored to integer micro-nats — the
+    * [[lmUnigramScore]] exactness discipline: the log is ONE
+    * fixed-order IEEE expression over four integer-valued counts, so
+    * both engines compute the identical double and the floor makes
+    * the row hash-exact (never a data-ordered float sum).
+    *
+    * Scale shape: bigrams are built MAP-SIDE (a transform over the
+    * token array — no self-join on positions), then one hash agg per
+    * table (bigram, unigram) and two token-keyed joins; N broadcasts
+    * from one row. `minCount` prunes the pair table before the joins.
+    */
+  def collocations(df: DataFrame, text: Column, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = df.select(filter(tokensWs(text), t => t =!= "").as("__ts"))
+    val uni = toks.select(explode(col("__ts")).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    // zip adjacent tokens map-side: (ts[i], ts[i+1]) for i < n-1
+    val big = toks
+      .select(explode(zip_with(
+        slice(col("__ts"), lit(1), greatest(size(col("__ts")) - 1, lit(0))),
+        slice(col("__ts"), lit(2), greatest(size(col("__ts")) - 1, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("__p"))
+      .select(col("__p.a").as("tok_a"), col("__p.b").as("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val n = uni.agg(sum("__c").as("__n"))
+    big
+      .join(uni.select(col("__tok").as("tok_a"), col("__c").as("__ca")), Seq("tok_a"))
+      .join(uni.select(col("__tok").as("tok_b"), col("__c").as("__cb")), Seq("tok_b"))
+      .crossJoin(broadcast(n))
+      .select(col("tok_a"), col("tok_b"), col("n_pair"),
+        floor(log((col("n_pair") * col("__n")).cast("double") /
+          (col("__ca") * col("__cb")).cast("double")) * 1e6).cast("long")
+          .as("pmi_unat"))
+  }
+
   /** Token-id encoding — the bridge from cleaned text to training
     * tensors: each document's whitespace tokens are mapped through a
     * `(token, id)` vocabulary (the [[graft.ops.Windows.denseIdsBy]]

@@ -733,6 +733,29 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(r.fieldIndex("pairs_completeness")) - 0.5) < 1e-12)
   }
 
+  test("collocations: PMI favors the glued pair over the independent one") {
+    // "new york" always adjacent (c_xy=4, c_x=c_y=4); "the cat"
+    // co-occurs once while both words are common. N = 20 tokens.
+    val d = Seq(
+      (1L, "new york new york the cat"),
+      (2L, "new york the dog the bird"),
+      (3L, "new york the fish the ant")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.collocations(d, col("text"), minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val n = 18L // total tokens: 6 + 6 + 6
+    val (nyPair, nyPmi) = got(("new", "york"))
+    assert(nyPair == 4L)
+    assert(nyPmi == math.floor(math.log(4.0 * n / (4.0 * 4.0)) * 1e6).toLong)
+    val (tcPair, tcPmi) = got(("the", "cat"))
+    assert(tcPair == 1L)
+    assert(tcPmi == math.floor(math.log(1.0 * n / (5.0 * 1.0)) * 1e6).toLong)
+    assert(nyPmi > tcPmi)
+    // pairs never cross document boundaries
+    assert(!got.contains(("cat", "new")))
+  }
+
   test("exactPercentiles: agrees with sorted-array indexing on generated data") {
     // 3 groups x 101 deterministic pseudo-random values; every p in
     // 0..100 must equal the sorted array's ((n-1)*p) div 100 element.
