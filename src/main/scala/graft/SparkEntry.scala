@@ -1833,6 +1833,48 @@ object SparkEntry {
     graft.ops.TextAnalysis.collocations(
       t(s, dir, "documents"), col("text"), minCount = 5L)
 
+  /** HITS hubs/authorities ([[graft.ops.Graphs.hitsExact]]) over the
+    * same customer→order bipartite graph as q_pagerank — customers
+    * are pure hubs, orders pure authorities, the shape HITS was
+    * designed for. Exact scaled-integer L1-normalized rounds hash
+    * against the chained-CTE mirror bit-for-bit.
+    */
+  private def qHits(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.hitsExact(
+      t(s, dir, "orders").select(col("o_custkey").as("src"),
+        (-col("o_orderkey")).as("dst")),
+      rounds = 3)
+
+  /** Activity streaks ([[graft.ops.Windows.streaks]]): per user, runs
+    * of consecutive active DAYS — best-ever streak + when it ended.
+    * All-integer islands encoding, engine-exact.
+    */
+  private def qStreaks(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    graft.ops.Windows.streaks(
+      raw.select(col("user_id"), tsMicros(raw, "ts").as("t_us")),
+      Seq("user_id"), "t_us", 86400000000L)
+  }
+
+  /** Exact per-group correlation strength
+    * ([[graft.ops.Profiling.groupCorr]]): r²·1e6 + sign between order
+    * value (thousands — pre-scaled into the documented envelope) and
+    * the order's line-item count, per priority class. The two are
+    * strongly positively correlated by construction, so the row is
+    * non-vacuous at every scale.
+    */
+  private def qCorr(s: SparkSession, dir: String): DataFrame = {
+    val cnt = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"))
+    graft.ops.Profiling.groupCorr(
+      t(s, dir, "orders").join(cnt, Seq("o_orderkey"))
+        .select(col("o_orderpriority"),
+          floor(col("o_totalprice") / 1000).cast("long").as("x_k"),
+          col("n_items")),
+      Seq("o_orderpriority"), col("x_k"), col("n_items"))
+  }
+
   /** Exact robust spread ([[graft.ops.Profiling.groupMad]]): median
     * and median-absolute-deviation of order cents per priority —
     * rank-selected actual data values, reproducible anywhere.
@@ -2441,6 +2483,9 @@ object SparkEntry {
     "q_mad" -> (qMad _),
     "q_date_functions" -> (qDateFunctions _),
     "q_pmi" -> (qPmi _),
+    "q_hits" -> (qHits _),
+    "q_streaks" -> (qStreaks _),
+    "q_corr" -> (qCorr _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3661,6 +3706,72 @@ object SparkEntry {
         |FROM big b
         |JOIN uni ca ON b.tok_a = ca.tok
         |JOIN uni cb ON b.tok_b = cb.tok, n""".stripMargin,
+    // Same fixed-round integer update as the operator, one CTE chain
+    // per round (the pageRankOracle pattern); `//` ≡ `div` on these
+    // non-negative operands, HUGEINT ≡ decimal(38,0).
+    "q_hits" ->
+      s"""WITH edges AS (
+         |  SELECT DISTINCT o_custkey AS src, -o_orderkey AS dst FROM orders),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |tgt AS (SELECT count(*) * 1000000 AS target FROM nodes),
+         |s0 AS (SELECT id, CAST(1000000 AS BIGINT) AS auth,
+         |              CAST(1000000 AS BIGINT) AS hub FROM nodes),
+         |${graft.ops.Graphs.hitsSql(3)}""".stripMargin,
+    // Islands trick: period − row_number is constant exactly within a
+    // consecutive run. Spark's longest-streak struct-max ≡ the QUALIFY
+    // row_number argmax (len DESC, end DESC — max_by can't take
+    // composite ordering).
+    "q_streaks" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS p FROM events),
+        |i AS (
+        |  SELECT user_id, p,
+        |         p - row_number() OVER (PARTITION BY user_id ORDER BY p) AS isl
+        |  FROM a),
+        |g AS (SELECT user_id, isl, count(*) AS len, max(p) AS e
+        |      FROM i GROUP BY 1, 2),
+        |best AS (
+        |  SELECT user_id, len AS longest_streak, e AS longest_end,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY len DESC, e DESC) AS rn
+        |  FROM g),
+        |tot AS (
+        |  SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_periods,
+        |         count(*) AS n_streaks
+        |  FROM g GROUP BY 1)
+        |SELECT t.user_id, t.n_active_periods, t.n_streaks,
+        |       b.longest_streak, b.longest_end
+        |FROM tot t JOIN best b ON t.user_id = b.user_id AND b.rn = 1""".stripMargin,
+    // r² as an exact HUGEINT rational; only the final ppm quotient
+    // truncates (non-negative operands, so // ≡ div).
+    "q_corr" ->
+      """WITH cnt AS (
+        |  SELECT l_orderkey AS o_orderkey, count(*) AS n_items
+        |  FROM lineitem GROUP BY 1),
+        |v AS (
+        |  SELECT o_orderpriority,
+        |         CAST(floor(o_totalprice / 1000) AS BIGINT) AS x,
+        |         CAST(n_items AS BIGINT) AS y
+        |  FROM orders JOIN cnt USING (o_orderkey)),
+        |st AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM v GROUP BY 1),
+        |fin AS (
+        |  SELECT o_orderpriority, n,
+        |         n * sxy - sx * sy AS num,
+        |         n * sxx - sx * sx AS den1, n * syy - sy * sy AS den2
+        |  FROM st)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN den1 = 0 OR den2 = 0 THEN NULL
+        |       ELSE CAST((1000000 * num * num) // (den1 * den2) AS BIGINT) END
+        |    AS r2_ppm,
+        |  CASE WHEN den1 = 0 OR den2 = 0 THEN NULL
+        |       ELSE CAST(sign(num) AS INT) END AS corr_sign
+        |FROM fin""".stripMargin,
   )
 
   /** DuckDB mirror of [[qBfs]]: the identical frontier expansion —

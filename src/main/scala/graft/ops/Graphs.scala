@@ -494,6 +494,117 @@ object Graphs {
        |SELECT id, deg FROM d$rounds WHERE deg >= $k""".stripMargin
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) in EXACT scaled-integer
+    * arithmetic — the second link-analysis score next to
+    * [[pageRankExact]], and the natural one for BIPARTITE-ish corpus
+    * graphs (crawl seeds ↔ pages, queries ↔ documents, users ↔ items):
+    * a good hub points at good authorities, a good authority is pointed
+    * at by good hubs. Returns `(id, auth, hub)` for every node.
+    *
+    * Update rule per round, applied in this exact order (all `div`
+    * integral on non-negative operands, so truncation == floor):
+    * {{{
+    *   authRaw(i) = Σ_{j→i} hub(j)                 (0 if no in-edges)
+    *   auth(i)    = (authRaw(i) · N·scale) div max(Σ authRaw, 1)
+    *   hubRaw(i)  = Σ_{i→j} auth(j)                (NEW auths — standard HITS)
+    *   hub(i)     = (hubRaw(i) · N·scale) div max(Σ hubRaw, 1)
+    * }}}
+    * L1 normalization to a total of `N·scale` replaces the textbook L2
+    * norm: the ranking is identical (normalization is a positive
+    * scalar), per-node resolution stays at ~`scale`, and — unlike a
+    * square root — integer division is exactly mirrorable, so a DuckDB
+    * chained-CTE oracle ([[hitsSql]]) hashes bit-identically (the
+    * [[pageRankExact]] determinism contract). The `max(·,1)` guard
+    * makes the degenerate no-mass round yield all-zero scores instead
+    * of dividing by zero, identically on both engines.
+    *
+    * The raw·N·scale product runs through decimal(38,0) (DuckDB
+    * HUGEINT): raw ≤ N·scale, so the product is ≤ (N·scale)² — safe to
+    * N ≈ 3·10¹² nodes at the default micro-unit scale.
+    *
+    * Scale shape: per round two hash joins (edges ⋈ scores, keyed on
+    * the node id) + two keyed sum aggregates + two 1-row totals folded
+    * in via broadcast cross join. No driver action inside the loop; the
+    * node count is the one pre-loop action (shared with
+    * [[pageRankExact]]'s `prepare`). The score table feeds two
+    * differently-keyed consumers per round, so the lazy plan doubles —
+    * `checkpointEvery` defaults to 4 (see the object doc's sweep).
+    */
+  def hitsExact(
+      edges: DataFrame,
+      rounds: Int,
+      scale: Long = 1000000L,
+      dedupEdges: Boolean = true,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val cols = edges.columns
+    val e0 = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+    val e = (if (dedupEdges) e0.distinct() else e0).localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val target = nodes.count() * scale // Σ after each normalization
+    def normalize(raw: DataFrame, outName: String): DataFrame = {
+      val tot = raw.agg(sum("__raw").as("__tot"))
+      raw.crossJoin(broadcast(tot)) // 1 row
+        .select(col("id"), expr(
+          s"(cast(__raw as decimal(38,0)) * ${target}L) div greatest(__tot, 1L)")
+          .as(outName))
+    }
+    var scores = nodes.select(col("id"), lit(scale).as("auth"), lit(scale).as("hub"))
+    for (i <- 1 to rounds) {
+      val authRaw = nodes
+        .join(e.join(scores.select(col("id").as("src"), col("hub")), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(sum("hub").as("__s")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__s"), lit(0L)).as("__raw"))
+      val auth = normalize(authRaw, "auth")
+      val hubRaw = nodes
+        .join(e.join(auth.select(col("id").as("dst"), col("auth")), Seq("dst"))
+          .groupBy(col("src").as("id")).agg(sum("auth").as("__s")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__s"), lit(0L)).as("__raw"))
+      val hub = normalize(hubRaw, "hub")
+      val next = auth.join(hub, Seq("id"))
+      scores =
+        if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < rounds)
+          next.localCheckpoint(true)
+        else next
+    }
+    scores.select("id", "auth", "hub")
+  }
+
+  /** DuckDB mirror of [[hitsExact]]: the same fixed-round update as
+    * chained CTEs over prior CTEs `edges(src, dst)` (already deduped
+    * when the operator dedups) and `nodes(id)`. `target` must be the
+    * node count times the scale — the oracle computes it as a CTE so
+    * the SQL needs no driver-side count.
+    */
+  def hitsSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""ar$i AS (
+         |  SELECT n.id, COALESCE(x.v, 0) AS raw FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(h.hub) AS v
+         |    FROM edges e JOIN s${i - 1} h ON e.src = h.id GROUP BY e.dst) x
+         |  ON n.id = x.id),
+         |a$i AS (
+         |  SELECT r.id,
+         |    CAST((CAST(r.raw AS HUGEINT) * t.target) // greatest(tt.tot, 1) AS BIGINT) AS auth
+         |  FROM ar$i r CROSS JOIN (SELECT sum(raw) AS tot FROM ar$i) tt CROSS JOIN tgt t),
+         |hr$i AS (
+         |  SELECT n.id, COALESCE(x.v, 0) AS raw FROM nodes n LEFT JOIN (
+         |    SELECT e.src AS id, sum(a.auth) AS v
+         |    FROM edges e JOIN a$i a ON e.dst = a.id GROUP BY e.src) x
+         |  ON n.id = x.id),
+         |h$i AS (
+         |  SELECT r.id,
+         |    CAST((CAST(r.raw AS HUGEINT) * t.target) // greatest(tt.tot, 1) AS BIGINT) AS hub
+         |  FROM hr$i r CROSS JOIN (SELECT sum(raw) AS tot FROM hr$i) tt CROSS JOIN tgt t),
+         |s$i AS (SELECT a.id, a.auth, h.hub FROM a$i a JOIN h$i h ON a.id = h.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$rs
+       |SELECT id, auth, hub FROM s$rounds""".stripMargin
+  }
+
   /** Bipartite projection: from a `(basket, item)` incidence list to
     * the item–item co-occurrence graph — `(item_a, item_b, n_shared)`
     * for unordered pairs sharing at least `minShared` baskets. The

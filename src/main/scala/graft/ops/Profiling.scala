@@ -156,6 +156,62 @@ object Profiling {
       when(den === 0, lit(null).cast("long")).otherwise(slope).as("slope_ppm"): _*)
   }
 
+  /** Per-group Pearson correlation STRENGTH in exact integer
+    * arithmetic — the companion to [[groupTrend]]'s slope: `r²` as an
+    * exact parts-per-million rational plus the correlation's sign. `r`
+    * itself needs a square root (inherently inexact), but
+    * {{{
+    *   r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))
+    * }}}
+    * is a ratio of integers: with integral inputs everything stays in
+    * decimal(38,0) (DuckDB: HUGEINT) and only the final ppm quotient
+    * truncates — identically on both engines. A float `corr()` is
+    * order-dependent across partitions; this is bit-stable on any
+    * layout and any engine.
+    *
+    * Returns one row per group: `n`, `r2_ppm` ∈ [0, 1e6], and
+    * `corr_sign` ∈ {−1, 0, 1} (NULL for both when either variable is
+    * constant — correlation undefined). ENVELOPE (guarded loudly, not
+    * assumed): |n·Σxy − Σx·Σy| ≤ 3·10¹⁵ and each denominator term
+    * ≤ 3·10¹⁸, so the squared numerator ×1e6 and the denominator
+    * product both stay inside decimal(38,0). That holds through ~1e6
+    * rows per group at |x| ≤ 1e3, |y| ≤ 1e3 — pre-scale wider inputs
+    * (the caller knows the units; a silent overflow would not be
+    * exact, so out-of-envelope raises). One hash aggregate, no window,
+    * no second pass.
+    */
+  def groupCorr(df: DataFrame, groupCols: Seq[String], x: Column, y: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCorr needs at least one group column")
+    val dec = "decimal(38,0)"
+    val v = df.select(groupCols.map(col) :+ x.cast("long").as("__x") :+ y.cast("long").as("__y"): _*)
+    val st = v.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x")).cast(dec).as("__sx"),
+        sum(col("__y")).cast(dec).as("__sy"),
+        sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"),
+        sum(col("__y").cast(dec) * col("__y").cast(dec)).as("__syy"))
+    val num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val den1 = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val den2 = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    val numOk = abs(num) <= lit("3000000000000000").cast(dec)
+    val denOk = den1 <= lit("3000000000000000000").cast(dec) &&
+      den2 <= lit("3000000000000000000").cast(dec)
+    val num2 = num * num * lit(1000000L).cast(dec)
+    val den = den1 * den2
+    // num² ≥ 0 and den > 0 where evaluated, so the %-subtraction makes
+    // the division exact (the groupTrend truncation pattern).
+    val r2 = ((num2 - num2 % den) / den).cast("long")
+    st.select(groupCols.map(col) :+ col("__n").cast("long").as("n") :+
+      when(den1 === 0 || den2 === 0, lit(null).cast("long"))
+        .otherwise(when(numOk && denOk, r2)
+          .otherwise(raise_error(lit(
+            "groupCorr envelope exceeded (|num| <= 3e15, den terms <= 3e18): pre-scale x/y"))))
+        .as("r2_ppm") :+
+      when(den1 === 0 || den2 === 0, lit(null).cast("int"))
+        .otherwise(signum(num).cast("int")).as("corr_sign"): _*)
+  }
+
   /** DuckDB mirror of [[tableProfile]]: one UNION ALL arm per column
     * (the oracle may rescan; Spark must not).
     */

@@ -316,4 +316,48 @@ object Windows {
       .groupBy(col("__cohort").as("cohort"), col("__offset").as("offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Activity streaks — the gaps-and-islands analytic: per key, runs of
+    * CONSECUTIVE active periods (period = `timeCol div period`, the
+    * [[cohortRetention]] calendar-grid contract: non-negative integral
+    * epochs). Returns one row per key: `(n_active_periods, n_streaks,
+    * longest_streak, longest_end)` — engagement/retention's "current
+    * 7-day streak, best-ever streak" shape, and the freshness signal a
+    * crawl scheduler thresholds on.
+    *
+    * Distinct from [[sessionize]] on purpose: sessions split raw
+    * timestamps on a GAP threshold; streaks live on the calendar grid
+    * and ask about run LENGTHS of distinct active units. The encoding
+    * is the classic islands trick — after dedup to (key, period),
+    * `period − row_number(per key, period order)` is constant exactly
+    * within a consecutive run, so one keyed window + two hash aggs
+    * recover every run exactly. `longest_end` (the last period of the
+    * longest streak) breaks length ties by the LATEST streak — a total,
+    * engine-independent order, taken as one struct-max.
+    *
+    * Scale shape: one distinct on (key, period), one window partitioned
+    * by key (cardinality grows with the data — never a global sort),
+    * two keyed aggregates. All-integer arithmetic throughout, so any
+    * engine mirrors bit-exactly.
+    */
+  def streaks(df: DataFrame, keys: Seq[String], timeCol: String,
+      period: Long): DataFrame = {
+    require(keys.nonEmpty, "streaks needs at least one key column")
+    require(period > 0, s"period must be positive, got $period")
+    val active = df.select(keys.map(col) :+
+        expr(s"$timeCol div ${period}L").as("__p"): _*)
+      .distinct()
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__p"))
+    val islands = active
+      .withColumn("__isl", col("__p") - row_number().over(w))
+      .groupBy((keys :+ "__isl").map(col): _*)
+      .agg(count(lit(1)).as("__len"), max(col("__p")).as("__end"))
+    islands.groupBy(keys.map(col): _*)
+      .agg(sum("__len").as("n_active_periods"),
+        count(lit(1)).as("n_streaks"),
+        max(struct(col("__len"), col("__end"))).as("__best"))
+      .select(keys.map(col) :+ col("n_active_periods") :+ col("n_streaks") :+
+        col("__best.__len").as("longest_streak") :+
+        col("__best.__end").as("longest_end"): _*)
+  }
 }

@@ -320,4 +320,72 @@ class ClustersSpec extends SparkSpec {
     // k above the max degree empties the graph
     assert(graft.ops.Graphs.kCore(edges, k = 7, rounds = 5).count() == 0L)
   }
+
+  /** Driver-side fold of hitsExact's documented update rule in BigInt
+    * (non-negative, so BigInt `/` == floor-div == Spark `div`).
+    */
+  private def simulateHits(edgeList: Seq[(Long, Long)], rounds: Int,
+      scale: Long = 1000000L): Map[Long, (Long, Long)] = {
+    val edges = edgeList.distinct
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val target = BigInt(nodes.size) * scale
+    var hub = nodes.map(_ -> BigInt(scale)).toMap
+    var auth = hub
+    for (_ <- 1 to rounds) {
+      val aRaw = nodes.map(nd =>
+        nd -> edges.filter(_._2 == nd).map(e => hub(e._1)).sum).toMap
+      val totA = aRaw.values.sum.max(1)
+      auth = nodes.map(nd => nd -> aRaw(nd) * target / totA).toMap
+      val hRaw = nodes.map(nd =>
+        nd -> edges.filter(_._1 == nd).map(e => auth(e._2)).sum).toMap
+      val totH = hRaw.values.sum.max(1)
+      hub = nodes.map(nd => nd -> hRaw(nd) * target / totH).toMap
+    }
+    nodes.map(nd => nd -> ((auth(nd).toLong, hub(nd).toLong))).toMap
+  }
+
+  test("hitsExact: bipartite golden — matches the scalar fold; pure roles score zero") {
+    // 2 hubs, 3 sinks; hub 1 covers {10,11}, hub 2 covers {11,12}.
+    val edgeList = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L))
+    val exp = simulateHits(edgeList, rounds = 3)
+    val got = graft.ops.Graphs.hitsExact(edgeList.toDF("src", "dst"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp)
+    // pure sources have auth 0; pure sinks have hub 0
+    assert(got(1L)._1 == 0L && got(2L)._1 == 0L)
+    assert(Seq(10L, 11L, 12L).forall(got(_)._2 == 0L))
+    // the shared authority (11) outranks the exclusive ones
+    assert(got(11L)._1 > got(10L)._1 && got(11L)._1 > got(12L)._1)
+    // L1 normalization: auth mass sums to ~N·scale (within truncation)
+    val totAuth = got.values.map(_._1).sum
+    assert(totAuth <= 5000000L && totAuth > 5000000L - 10L)
+  }
+
+  test("hitsExact: random digraphs match the scalar fold bit-exactly") {
+    for (seed <- Seq(5, 11, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val edgeList = (for (_ <- 1 to 80) yield {
+        val a = rnd.nextInt(25).toLong; val b = rnd.nextInt(25).toLong
+        if (a == b) None else Some((a, b))
+      }).flatten.distinct
+      val exp = simulateHits(edgeList, rounds = 4)
+      val got = graft.ops.Graphs.hitsExact(edgeList.toDF("src", "dst"), rounds = 4)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == exp, s"seed $seed diverged")
+    }
+  }
+
+  test("hitsExact: zero-mass round yields zeros, not a divide-by-zero") {
+    // One edge into a sink: after round 1 all hub mass sits on node 1
+    // whose ONLY out-edge points at 2; auth collapses onto 2, hub onto
+    // 1 — rounds stay well-defined. Then a pathological graph where a
+    // round's total is zero: 1→2 plus 3→1 with 2 having no out-edges…
+    // the max(·,1) guard keeps every round total-safe; the scalar fold
+    // (same guard) must agree exactly either way.
+    val edgeList = Seq((1L, 2L), (3L, 1L))
+    val exp = simulateHits(edgeList, rounds = 5)
+    val got = graft.ops.Graphs.hitsExact(edgeList.toDF("src", "dst"), rounds = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp)
+  }
 }

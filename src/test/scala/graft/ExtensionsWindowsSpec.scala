@@ -256,4 +256,34 @@ class ExtensionsWindowsSpec extends SparkSpec {
       ("a", 1L, 1L, Some(5L)), ("a", 5L, 5L, Some(9L)), ("a", 9L, 9L, None),
       ("b", 3L, 3L, None)))
   }
+
+  test("streaks: islands, duplicates collapse, length ties break to the latest streak") {
+    // period = 10: key a active in periods {1,2,3, 5, 7,8} (multiple
+    // events inside a period count once), key b in {10} only.
+    val df = Seq(
+      ("a", 10L), ("a", 12L), ("a", 19L),  // period 1 (duplicates)
+      ("a", 20L), ("a", 30L),              // periods 2,3 -> run 1..3
+      ("a", 50L),                          // period 5
+      ("a", 70L), ("a", 80L),              // periods 7,8
+      ("b", 100L)).toDF("k", "t")
+    val got = graft.ops.Windows.streaks(df, Seq("k"), "t", 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((6L, 3L, 3L, 3L)))   // 6 active, 3 streaks, best 1..3
+    assert(got("b") == ((1L, 1L, 1L, 10L)))
+    // tie: two streaks of length 2 -> longest_end is the LATER one
+    val tie = Seq(("c", 10L), ("c", 20L), ("c", 50L), ("c", 60L)).toDF("k", "t")
+    val gt = graft.ops.Windows.streaks(tie, Seq("k"), "t", 10L).collect()(0)
+    assert((gt.getLong(1), gt.getLong(2), gt.getLong(3), gt.getLong(4)) ==
+      ((4L, 2L, 2L, 6L)))
+  }
+
+  test("streaks: deterministic under repartition") {
+    val rnd = new scala.util.Random(9)
+    val df = (1 to 400).map(_ => (rnd.nextInt(5).toString, rnd.nextInt(200).toLong))
+      .toDF("k", "t")
+    val a = graft.ops.Windows.streaks(df, Seq("k"), "t", 7L).collect().toSet
+    val b = graft.ops.Windows.streaks(df.repartition(13), Seq("k"), "t", 7L).collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
 }

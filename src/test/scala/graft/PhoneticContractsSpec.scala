@@ -76,4 +76,46 @@ class PhoneticContractsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("comma-free"))
   }
+
+  test("groupCorr: exact r² ppm — perfect, anti, partial, and undefined cases") {
+    val df = Seq(
+      ("pos", 0L, 0L), ("pos", 1L, 2L), ("pos", 2L, 4L),       // r = 1
+      ("neg", 0L, 4L), ("neg", 1L, 2L), ("neg", 2L, 0L),       // r = -1
+      ("mid", 0L, 0L), ("mid", 1L, 1L), ("mid", 2L, 0L),       // r = 0  (symmetric)
+      ("part", 0L, 0L), ("part", 1L, 1L), ("part", 2L, 1L),    // r² = 3/4
+      ("flat", 3L, 1L), ("flat", 3L, 9L)                       // x constant -> NULL
+    ).toDF("g", "x", "y")
+    val got = Profiling.groupCorr(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3))))).toMap
+    assert(got("pos") == ((3L, Some(1000000L), Some(1))))
+    assert(got("neg") == ((3L, Some(1000000L), Some(-1))))
+    assert(got("mid") == ((3L, Some(0L), Some(0))))
+    assert(got("part") == ((3L, Some(750000L), Some(1))))      // 3/4 exactly
+    assert(got("flat") == ((2L, None, None)))
+  }
+
+  test("groupCorr: matches float corr() to ppm resolution on random data") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 500).map { _ =>
+      val x = rnd.nextInt(1000).toLong
+      ("g", x, x / 3 + rnd.nextInt(200).toLong)   // correlated + noise
+    }
+    val df = rows.toDF("g", "x", "y")
+    val r2 = Profiling.groupCorr(df, Seq("g"), col("x"), col("y"))
+      .collect()(0).getLong(2)
+    val ref = df.agg(corr(col("x"), col("y"))).collect()(0).getDouble(0)
+    assert(math.abs(r2 / 1e6 - ref * ref) < 1e-5, s"r2_ppm=$r2 vs corr²=${ref * ref}")
+  }
+
+  test("groupCorr: envelope violation raises instead of silently overflowing") {
+    // x ~ 1e9 over 60 rows pushes den1 = n·Σx² − (Σx)² past 3e18.
+    val big = (1 to 60).map(i => ("g", i * 100000000L, i.toLong)).toDF("g", "x", "y")
+    val ex = intercept[Exception] {
+      Profiling.groupCorr(big, Seq("g"), col("x"), col("y")).collect()
+    }
+    assert(ex.getMessage.contains("envelope") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("envelope"))
+  }
 }
