@@ -1833,6 +1833,61 @@ object SparkEntry {
     graft.ops.TextAnalysis.collocations(
       t(s, dir, "documents"), col("text"), minCount = 5L)
 
+  /** Bigram LM with stupid backoff
+    * ([[graft.ops.TextAnalysis.lmBigramScore]]): model trained on the
+    * q_lm_score reference slice (doc_id % 10 < 8), ALL documents
+    * scored — held-out docs exercise both the unseen-bigram backoff
+    * and the OOV smoothing mass; n_bigram_hits separates the two.
+    */
+  private def qLmBigram(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.TextAnalysis.lmBigramScore(
+      docs, "doc_id", col("text"),
+      docs.filter(col("doc_id") % 10 < 8), col("text"))
+  }
+
+  /** Distribution drift ([[graft.ops.TextAnalysis.distributionDrift]]):
+    * Jensen–Shannon divergence between the train slice's and the
+    * held-out slice's token distributions — the mix-skew monitor, as
+    * one exactly-reproducible row.
+    */
+  private def qJsDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.TextAnalysis.distributionDrift(
+      docs.filter(col("doc_id") % 10 < 8), col("text"),
+      docs.filter(col("doc_id") % 10 >= 8), col("text"))
+  }
+
+  /** File-ledger incremental ingest ([[graft.etl.Etl.readIncremental]]):
+    * batch 1 lands and is committed to the ledger; batch 2 lands; the
+    * incremental read must see EXACTLY batch 2 — proven through the
+    * filesystem by aggregating what came back and matching the
+    * oracle's direct batch-2 aggregation. Also exercises
+    * commit-idempotence: the final read-after-commit returns the
+    * empty projection, contributing the n=0-safe arm.
+    */
+  private def qIncrRead(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("incr")
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    // fresh dir each run: delete any prior pass's files + ledger
+    val hPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hPath.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(hPath, true)
+    orders.filter(col("o_orderkey") % 4 < 2).write.mode("append").parquet(tmp)
+    val (b1, names1) = graft.etl.Etl.readIncremental(s, tmp)
+    graft.etl.Etl.commitProcessed(s, tmp, names1)
+    orders.filter(col("o_orderkey") % 4 >= 2).write.mode("append").parquet(tmp)
+    val (b2, names2) = graft.etl.Etl.readIncremental(s, tmp)
+    graft.etl.Etl.commitProcessed(s, tmp, names2)
+    val (b3, _) = graft.etl.Etl.readIncremental(s, tmp)
+    b2.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(floor(col("o_totalprice")).cast("long")).as("sum_floor_price"))
+      .withColumn("n_after_commit", lit(b3.count()))
+  }
+
   /** HITS hubs/authorities ([[graft.ops.Graphs.hitsExact]]) over the
     * same customer→order bipartite graph as q_pagerank — customers
     * are pure hubs, orders pure authorities, the shape HITS was
@@ -2486,6 +2541,9 @@ object SparkEntry {
     "q_hits" -> (qHits _),
     "q_streaks" -> (qStreaks _),
     "q_corr" -> (qCorr _),
+    "q_lm_bigram" -> (qLmBigram _),
+    "q_js_drift" -> (qJsDrift _),
+    "q_incr_read" -> (qIncrRead _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3742,6 +3800,92 @@ object SparkEntry {
         |SELECT t.user_id, t.n_active_periods, t.n_streaks,
         |       b.longest_streak, b.longest_end
         |FROM tot t JOIN best b ON t.user_id = b.user_id AND b.rn = 1""".stripMargin,
+    // Stupid backoff: seen bigram → ln(c2/c1); else α=2/5 carried as a
+    // rational so every score is ln of ONE integer-over-integer double
+    // division — identical IEEE chain on both engines, micro-nat
+    // floors before the BIGINT sum (the q_lm_score discipline).
+    "q_lm_bigram" ->
+      """WITH reft AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents WHERE doc_id % 10 < 8),
+        |uni AS (SELECT u.tok, count(*) AS c FROM reft, unnest(ts) AS u(tok) GROUP BY 1),
+        |big AS (
+        |  SELECT ts[k] AS a, ts[k + 1] AS b, count(*) AS c2
+        |  FROM reft, UNNEST(range(1, len(ts))) AS t(k) GROUP BY 1, 2),
+        |st AS (SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS v FROM uni),
+        |d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |firsts AS (SELECT doc_id, ts[1] AS w FROM d WHERE len(ts) >= 1),
+        |pairs AS (
+        |  SELECT doc_id, ts[k] AS a, ts[k + 1] AS b
+        |  FROM d, UNNEST(range(1, len(ts))) AS t(k)),
+        |fsc AS (
+        |  SELECT f.doc_id,
+        |    CAST(floor(ln(CAST(coalesce(u.c, 0) + 1 AS DOUBLE) /
+        |                  CAST(st.total + st.v AS DOUBLE)) * 1000000) AS BIGINT) AS unat,
+        |    0 AS hit
+        |  FROM firsts f LEFT JOIN uni u ON f.w = u.tok, st),
+        |psc AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN bg.c2 IS NOT NULL
+        |         THEN CAST(floor(ln(CAST(bg.c2 AS DOUBLE) /
+        |                            CAST(ua.c AS DOUBLE)) * 1000000) AS BIGINT)
+        |         ELSE CAST(floor(ln(CAST(2 * (coalesce(ub.c, 0) + 1) AS DOUBLE) /
+        |                            CAST(5 * (st.total + st.v) AS DOUBLE)) * 1000000) AS BIGINT)
+        |    END AS unat,
+        |    CASE WHEN bg.c2 IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM pairs p
+        |  LEFT JOIN big bg ON p.a = bg.a AND p.b = bg.b
+        |  LEFT JOIN uni ua ON p.a = ua.tok
+        |  LEFT JOIN uni ub ON p.b = ub.tok, st)
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(hit) AS BIGINT) AS n_bigram_hits,
+        |       CAST(sum(unat) AS BIGINT) AS logprob_unat
+        |FROM (SELECT * FROM fsc UNION ALL SELECT * FROM psc) GROUP BY 1""".stripMargin,
+    // Per-token JSD terms floored to pico-nats before the BIGINT sum;
+    // x/y are each ONE double division from exact integers, and the
+    // (x+x)/(x+y) spelling is shared verbatim with the Spark side.
+    "q_js_drift" ->
+      """WITH ta0 AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id % 10 < 8),
+        |ca AS (SELECT tok, count(*) AS c FROM ta0 WHERE tok <> '' GROUP BY 1),
+        |tb0 AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id % 10 >= 8),
+        |cb AS (SELECT tok, count(*) AS c FROM tb0 WHERE tok <> '' GROUP BY 1),
+        |sa AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ca),
+        |sb AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cb),
+        |j AS (SELECT ca.c AS a, cb.c AS b FROM ca FULL OUTER JOIN cb USING (tok)),
+        |vals AS (
+        |  SELECT a, b,
+        |    CAST(coalesce(a, 0) AS DOUBLE) / CAST(sa.t AS DOUBLE) AS x,
+        |    CAST(coalesce(b, 0) AS DOUBLE) / CAST(sb.t AS DOUBLE) AS y
+        |  FROM j, sa, sb),
+        |terms AS (
+        |  SELECT a, b,
+        |    CASE WHEN coalesce(a, 0) > 0
+        |         THEN CAST(floor(x * ln((x + x) / (x + y)) * 1e12) AS BIGINT)
+        |         ELSE 0 END AS t1,
+        |    CASE WHEN coalesce(b, 0) > 0
+        |         THEN CAST(floor(y * ln((y + y) / (x + y)) * 1e12) AS BIGINT)
+        |         ELSE 0 END AS t2
+        |  FROM vals)
+        |SELECT CAST(sum(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_types_a,
+        |       CAST(sum(CASE WHEN b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_types_b,
+        |       CAST(sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_common,
+        |       CAST(sum(t1 + t2) AS BIGINT) AS jsd2_pnat
+        |FROM terms""".stripMargin,
+    // The incremental read must return EXACTLY batch 2 (and nothing
+    // after the commit), so the oracle aggregates the batch-2 predicate
+    // directly against the base table.
+    "q_incr_read" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_floor_price,
+        |       CAST(0 AS BIGINT) AS n_after_commit
+        |FROM orders WHERE o_orderkey % 4 >= 2 GROUP BY 1""".stripMargin,
     // r² as an exact HUGEINT rational; only the final ppm quotient
     // truncates (non-negative operands, so // ≡ div).
     "q_corr" ->

@@ -419,6 +419,85 @@ object Etl {
     df
   }
 
+  /** Names of data files already processed according to the
+    * `_LEDGER.json` manifest at `path` (empty when no ledger exists
+    * yet). Underscore-prefixed like `_SUCCESS`/`_AUDIT.json`, so
+    * parquet scans never see it; IO goes through the data path's
+    * Hadoop filesystem (the [[writeAudited]] URI contract).
+    */
+  def processedFiles(spark: SparkSession, path: String): Seq[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(path, "_LEDGER.json")
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath)) Seq.empty
+    else {
+      val in = fs.open(hPath)
+      val raw =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in: java.io.InputStream),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      """"files":\[([^\]]*)\]""".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse(
+          throw new IllegalArgumentException(
+            s"malformed _LEDGER.json at $path: missing files list in: $raw"))
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    }
+  }
+
+  /** Incremental ingest over a grow-only directory — the
+    * each-run-processes-only-new-files pattern every recurring corpus
+    * job needs (daily crawl drops, CDC dumps, log shippers) without a
+    * table format: returns `(frame over UNPROCESSED data files, their
+    * file names)`. Call [[commitProcessed]] with those names AFTER the
+    * downstream write succeeds — commit-after-success makes a crashed
+    * run reprocess its batch instead of silently dropping it
+    * (at-least-once, the recoverable direction).
+    *
+    * Files are identified by NAME within the directory (writers never
+    * reuse part-file names — Spark appends fresh UUIDs per task), and
+    * only plain data files count: `_`/`.`-prefixed members (ledger,
+    * audit, `_SUCCESS`, hidden temporaries) are invisible, and
+    * subdirectories are refused loudly — a hive-partitioned layout
+    * needs per-partition ledgers, not a silent flat listing. When
+    * nothing is new the frame is the table's own empty projection, so
+    * downstream code needs no special case. The listing is one
+    * filesystem call on the driver — O(files), never O(rows).
+    */
+  def readIncremental(spark: SparkSession, path: String): (DataFrame, Seq[String]) = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = fs.listStatus(dir).toSeq
+    val subdirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    require(subdirs.isEmpty,
+      s"readIncremental expects a flat file directory; found subdirectories $subdirs " +
+        s"under $path — run per partition (cf. compactPartition) with one ledger each")
+    val dataFiles = entries.filter(_.isFile).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    val done = processedFiles(spark, path).toSet
+    val fresh = dataFiles.filterNot(done).sorted
+    val df =
+      if (fresh.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(fresh.map(n => new org.apache.hadoop.fs.Path(dir, n).toString): _*)
+    (df, fresh)
+  }
+
+  /** Mark `files` as processed in `path`'s `_LEDGER.json` (union with
+    * the existing ledger; idempotent under replay). The flat encoder
+    * refuses names it cannot round-trip — same contract as the audit
+    * manifest's column list.
+    */
+  def commitProcessed(spark: SparkSession, path: String, files: Seq[String]): Unit = {
+    require(files.forall(f => !f.contains(",") && !f.contains("\"") && !f.contains("\\")),
+      s"ledger file names must not contain ',', '\"', or '\\': $files")
+    val all = (processedFiles(spark, path) ++ files).distinct.sorted
+    val json = s"""{"files":[${all.map(f => "\"" + f + "\"").mkString(",")}]}"""
+    val hPath = new org.apache.hadoop.fs.Path(path, "_LEDGER.json")
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(hPath, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** JSON-lines write — the lingua franca of training-data corpora. */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

@@ -374,6 +374,129 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum("__unat").as("logprob_unat"))
   }
 
+  /** Bigram language-model scoring with STUPID BACKOFF (Brants et al.
+    * 2007) — the second-order upgrade of [[lmUnigramScore]], and the
+    * backoff the web-scale MT work showed needs no discounting: score
+    * position i by `S(wᵢ|wᵢ₋₁) = c(wᵢ₋₁wᵢ)/c(wᵢ₋₁)` when the bigram
+    * was seen in the REFERENCE corpus, else back off to
+    * `α·(c(wᵢ)+1)/(N+|V|)` (add-one unigram, α = alphaNum/alphaDen);
+    * the document's first token scores by the unigram model alone.
+    * Returns `(id, n_tokens, n_bigram_hits, logprob_unat)` — the hit
+    * count separates "fluent but novel" from "out-of-domain", the two
+    * signals an LM quality filter thresholds jointly.
+    *
+    * Exactness discipline: α is carried as a RATIONAL, so every score
+    * is `ln` of a single integer-over-integer double division —
+    * `ln(c₂/c₁)` or `ln(αNum·(c+1) / (αDen·(N+|V|)))` — one
+    * fixed-order IEEE chain from identical BIGINTs on both engines,
+    * floored to micro-nats BEFORE the per-doc sum (the
+    * [[lmUnigramScore]] contract: integer sums are order-independent,
+    * double sums are not).
+    *
+    * Scale shape: bigram AND unigram tables are one hash agg each over
+    * the reference slice (bigrams built MAP-SIDE by the
+    * [[collocations]] zip trick — never a position self-join); the
+    * corpus pair stream left-joins bigrams on (w₁,w₂) and unigrams on
+    * each side (shuffle hash joins — LM tables don't broadcast at
+    * corpus scale); (N,|V|) broadcasts from one row; one per-doc agg.
+    */
+  def lmBigramScore(df: DataFrame, idCol: String, text: Column,
+      ref: DataFrame, refText: Column,
+      alphaNum: Long = 2L, alphaDen: Long = 5L): DataFrame = {
+    require(alphaNum > 0 && alphaDen > 0 && alphaNum < alphaDen,
+      s"need 0 < alphaNum < alphaDen, got $alphaNum/$alphaDen")
+    val refToks = ref.select(filter(tokensWs(refText), t => t =!= "").as("__ts"))
+      .localCheckpoint(true) // one materialized tokenization feeds both aggs
+    val uni = refToks.select(explode(col("__ts")).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val big = refToks
+      .select(explode(zip_with(
+        slice(col("__ts"), lit(1), greatest(size(col("__ts")) - 1, lit(0))),
+        slice(col("__ts"), lit(2), greatest(size(col("__ts")) - 1, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("__p"))
+      .groupBy(col("__p.a").as("__a"), col("__p.b").as("__b"))
+      .agg(count(lit(1)).as("__c2"))
+    val stats = uni.agg(sum("__c").as("__total"), count(lit(1)).as("__v"))
+    val docToks = df.select(col(idCol).as("__id"),
+        filter(tokensWs(text), t => t =!= "").as("__ts"))
+      .filter(size(col("__ts")) >= 1)
+    // add-one unigram term, shared by the first token and the backoff
+    def uniUnat(cnt: Column, num: Long, den: Long): Column =
+      floor(log((lit(num) * (coalesce(cnt, lit(0L)) + 1)).cast("double") /
+        (lit(den) * (col("__total") + col("__v"))).cast("double")) * 1e6).cast("long")
+    val firsts = docToks.select(col("__id"), element_at(col("__ts"), 1).as("__w"))
+      .join(uni.select(col("__tok").as("__w"), col("__c")), Seq("__w"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("__id"), uniUnat(col("__c"), 1L, 1L).as("__unat"), lit(0L).as("__hit"))
+    val pairs = docToks
+      .select(col("__id"), explode(zip_with(
+        slice(col("__ts"), lit(1), greatest(size(col("__ts")) - 1, lit(0))),
+        slice(col("__ts"), lit(2), greatest(size(col("__ts")) - 1, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("__p"))
+      .select(col("__id"), col("__p.a").as("__a"), col("__p.b").as("__b"))
+      .join(big, Seq("__a", "__b"), "left")
+      .join(uni.select(col("__tok").as("__a"), col("__c").as("__ca")), Seq("__a"), "left")
+      .join(uni.select(col("__tok").as("__b"), col("__c").as("__cb")), Seq("__b"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("__id"),
+        when(col("__c2").isNotNull,
+          floor(log(col("__c2").cast("double") / col("__ca").cast("double")) * 1e6)
+            .cast("long"))
+          .otherwise(uniUnat(col("__cb"), alphaNum, alphaDen)).as("__unat"),
+        when(col("__c2").isNotNull, 1L).otherwise(0L).as("__hit"))
+    firsts.unionByName(pairs)
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("__hit").as("n_bigram_hits"),
+        sum("__unat").as("logprob_unat"))
+  }
+
+  /** Jensen–Shannon divergence between the token distributions of two
+    * corpus slices — the drift monitor of a training-data pipeline:
+    * train-vs-validation mix skew, yesterday-vs-today crawl drift,
+    * source-vs-source imbalance. Returns ONE row `(n_types_a,
+    * n_types_b, n_common, jsd2_pnat)` where `jsd2_pnat = Σ_tokens
+    * ⌊pₐ·ln(2pₐ/(pₐ+p_b))·10¹²⌋ + ⌊p_b·ln(2p_b/(pₐ+p_b))·10¹²⌋` —
+    * exactly 2·JSD in pico-nats, so `JSD = jsd2_pnat / 2e12` nats
+    * (0 for identical distributions, ln 2 max). Per-token terms are
+    * floored to integer pico-nats BEFORE the sum — order-independent
+    * BIGINT aggregation, bit-identical on any engine evaluating the
+    * same fixed-order chain (the [[lmUnigramScore]] discipline;
+    * pico resolution keeps the total truncation under 10⁻⁶ nats per
+    * million types).
+    *
+    * Scale shape: one hash agg per slice, one full-outer token join,
+    * the two 1-row totals broadcast, one 1-row final agg. Nothing is
+    * driver-sided and no state exceeds the vocabulary.
+    */
+  def distributionDrift(a: DataFrame, aText: Column,
+      b: DataFrame, bText: Column): DataFrame = {
+    def counts(df: DataFrame, text: Column) =
+      df.select(explode(tokensWs(text)).as("__tok"))
+        .filter(col("__tok") =!= "")
+        .groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val ca = counts(a, aText).localCheckpoint(true)
+    val cb = counts(b, bText).localCheckpoint(true)
+    val ta = ca.agg(sum("__c").as("__ta"))
+    val tb = cb.agg(sum("__c").as("__tb"))
+    val joined = ca.select(col("__tok"), col("__c").as("__a"))
+      .join(cb.select(col("__tok"), col("__c").as("__b")), Seq("__tok"), "full_outer")
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+    val x = coalesce(col("__a"), lit(0L)).cast("double") / col("__ta").cast("double")
+    val y = coalesce(col("__b"), lit(0L)).cast("double") / col("__tb").cast("double")
+    val t1 = when(coalesce(col("__a"), lit(0L)) > 0,
+      floor(x * log((x + x) / (x + y)) * 1e12).cast("long")).otherwise(0L)
+    val t2 = when(coalesce(col("__b"), lit(0L)) > 0,
+      floor(y * log((y + y) / (x + y)) * 1e12).cast("long")).otherwise(0L)
+    joined.agg(
+      sum(when(col("__a").isNotNull, 1L).otherwise(0L)).as("n_types_a"),
+      sum(when(col("__b").isNotNull, 1L).otherwise(0L)).as("n_types_b"),
+      sum(when(col("__a").isNotNull && col("__b").isNotNull, 1L).otherwise(0L))
+        .as("n_common"),
+      sum(t1 + t2).as("jsd2_pnat"))
+  }
+
   /** Per-document unigram entropy pieces — the diversity signal
     * (low-entropy docs are boilerplate/keyword-stuffing; Gopher-class
     * filters threshold on it). Returns `(id, n_tokens, n_types,

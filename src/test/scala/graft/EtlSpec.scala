@@ -306,4 +306,37 @@ class EtlSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Etl.readAudited(spark, tmp))
     assert(e.getMessage.contains("audit mismatch"))
   }
+
+  test("readIncremental: only-new-files semantics, commit idempotence, guards") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incr_spec").toString
+    (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.mode("append").parquet(tmp)
+    // no ledger yet: everything is new
+    val (b1, n1) = Etl.readIncremental(spark, tmp)
+    assert(b1.count() == 10L && n1.nonEmpty)
+    Etl.commitProcessed(spark, tmp, n1)
+    // after commit: nothing new, schema preserved for downstream code
+    val (empty, nEmpty) = Etl.readIncremental(spark, tmp)
+    assert(empty.count() == 0L && nEmpty.isEmpty)
+    assert(empty.columns.toSeq == Seq("id", "v"))
+    // batch 2 appends fresh part files: exactly those come back
+    (11L to 14L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.mode("append").parquet(tmp)
+    val (b2, n2) = Etl.readIncremental(spark, tmp)
+    assert(b2.select("id").as[Long].collect().sorted.toSeq == (11L to 14L))
+    assert(n2.toSet.intersect(n1.toSet).isEmpty)
+    // replaying an old commit is a no-op on what's new
+    Etl.commitProcessed(spark, tmp, n2)
+    Etl.commitProcessed(spark, tmp, n1) // replay
+    assert(Etl.readIncremental(spark, tmp)._2.isEmpty)
+    // guards: partitioned layouts refused; unescapable names refused
+    val part = java.nio.file.Files.createTempDirectory("graft_incr_part").toString
+    (1L to 4L).map(i => (i, i % 2)).toDF("id", "p")
+      .write.partitionBy("p").mode("overwrite").parquet(part)
+    val e1 = intercept[IllegalArgumentException](Etl.readIncremental(spark, part))
+    assert(e1.getMessage.contains("flat file directory"))
+    val e2 = intercept[IllegalArgumentException](
+      Etl.commitProcessed(spark, tmp, Seq("a\"b.parquet")))
+    assert(e2.getMessage.contains("must not contain"))
+  }
 }

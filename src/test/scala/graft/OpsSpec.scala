@@ -647,6 +647,51 @@ class OpsSpec extends SparkSpec {
     assert(unat(0) < unat(1) && unat(1) < unat(2))
   }
 
+  test("text: lmBigramScore — seen bigrams, stupid backoff, first-token unigram") {
+    // ref: "a b a b c" → uni a:2 b:2 c:1 (N=5, V=3 → denom 8);
+    // bigrams (a,b):2 (b,a):1 (b,c):1
+    val ref = Seq((100L, "a b a b c")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c"), (2L, "c z"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmBigramScore(docs, "doc_id", col("text"), ref, col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def unat(x: Double) = math.floor(math.log(x) * 1e6).toLong
+    def uni1(cnt: Long) = unat((cnt + 1).toDouble / 8.0)          // first token
+    def back(cnt: Long) = unat((2 * (cnt + 1)).toDouble / 40.0)   // α=2/5 backoff
+    // doc 1: first 'a' → uni1(2); (a,b) seen ln(2/2)=0; (b,c) seen ln(1/2)
+    assert(got(1L) == ((3L, 2L, uni1(2) + 0L + unat(1.0 / 2.0))))
+    // doc 2: first 'c' → uni1(1); (c,z) unseen → backoff on z (OOV, cnt 0)
+    assert(got(2L) == ((2L, 0L, uni1(1) + back(0))))
+    assert(!got.contains(3L)) // zero-token docs out of scope
+    // fluency signal: the in-domain bigram path scores above its own backoff
+    assert(0L > back(1), "seen (a,b) outscores backing off through b")
+  }
+
+  test("text: distributionDrift — zero on identical, 2·ln2 on disjoint, hand middle case") {
+    val a = Seq((1L, "a a b")).toDF("doc_id", "text")
+    def drift(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.distributionDrift(x, col("text"), y, col("text"))
+        .collect()(0) match {
+        case r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    // identical slices: every term is ln(1)=0 exactly
+    assert(drift(a, a) == ((2L, 2L, 2L, 0L)))
+    // disjoint vocabularies: JSD = ln 2; both halves contribute x·ln2 each
+    val b = Seq((2L, "c d c")).toDF("doc_id", "text")
+    val (na, nb, nc, j2) = drift(a, b)
+    assert((na, nb, nc) == ((2L, 2L, 0L)))
+    val full = 2 * math.log(2.0) * 1e12
+    assert(j2 <= full && j2 > full - 8, s"got $j2 vs $full") // ≤4 floors per side
+    // hand case: A = {a:1}, B = {a:1, b:1} → classic ½,1 mix
+    val c = Seq((3L, "a")).toDF("doc_id", "text")
+    val d = Seq((4L, "a b")).toDF("doc_id", "text")
+    val (_, _, common, got) = drift(c, d)
+    val t1 = math.floor(1.0 * math.log((1.0 + 1.0) / (1.0 + 0.5)) * 1e12)
+    val ta = math.floor(0.5 * math.log((0.5 + 0.5) / (1.0 + 0.5)) * 1e12)
+    val tb = math.floor(0.5 * math.log((0.5 + 0.5) / (0.0 + 0.5)) * 1e12)
+    assert(common == 1L && got == (t1 + ta + tb).toLong)
+  }
+
   test("text: tokenEntropy — exact pieces, repeated vs distinct tokens") {
     val d = Seq((1L, "a a b"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
     val got = TextAnalysis.tokenEntropy(d, "doc_id", col("text"))
