@@ -1833,6 +1833,46 @@ object SparkEntry {
     graft.ops.TextAnalysis.collocations(
       t(s, dir, "documents"), col("text"), minCount = 5L)
 
+  /** Asymmetric containment pairs
+    * ([[graft.ops.Dedup.containmentPairs]]): the quoted-inside
+    * duplication mode, same trigram machinery and doc-frequency cap as
+    * q_jaccard_exact but with exact integer-ppm containments and an
+    * either-direction threshold.
+    */
+  private def qContainment(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.containmentPairs(
+      t(s, dir, "documents"), "doc_id", col("text"), n = 3,
+      minContainmentPpm = 500000L, maxDocFreq = Some(50L))
+
+  /** Skip-gram co-occurrence counts
+    * ([[graft.ops.TextAnalysis.skipgramCounts]]): window-3 ordered
+    * pairs over the document corpus — the word2vec training-pair
+    * table, built map-side.
+    */
+  private def qSkipgram(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.skipgramCounts(
+      t(s, dir, "documents"), col("text"), window = 3, minCount = 20L)
+
+  /** Quantized ANN search ([[graft.ops.Similarity.searchInt8]]): the
+    * same 5 query vectors as q_ann_topk, scored by exact BIGINT code
+    * dot products — the one ANN path whose oracle is hash-exact
+    * rather than a recall report.
+    */
+  private def qAnnInt8(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.searchInt8(
+      t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
+      "vec_id", "embedding", EmbDim, k = 5)
+
+  /** Per-group z-score standardization
+    * ([[graft.ops.Profiling.groupZscore]]): customer balances in tens
+    * of dollars (pre-scaled into the 2⁵³ exact-double envelope),
+    * standardized within market segment — engine-exact ppm values.
+    */
+  private def qZscore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.groupZscore(
+      t(s, dir, "customer"), Seq("c_mktsegment"), "c_custkey",
+      floor(col("c_acctbal") / 10))
+
   /** Bigram LM with stupid backoff
     * ([[graft.ops.TextAnalysis.lmBigramScore]]): model trained on the
     * q_lm_score reference slice (doc_id % 10 < 8), ALL documents
@@ -2544,6 +2584,10 @@ object SparkEntry {
     "q_lm_bigram" -> (qLmBigram _),
     "q_js_drift" -> (qJsDrift _),
     "q_incr_read" -> (qIncrRead _),
+    "q_containment" -> (qContainment _),
+    "q_skipgram" -> (qSkipgram _),
+    "q_ann_int8" -> (qAnnInt8 _),
+    "q_zscore" -> (qZscore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3800,6 +3844,91 @@ object SparkEntry {
         |SELECT t.user_id, t.n_active_periods, t.n_streaks,
         |       b.longest_streak, b.longest_end
         |FROM tot t JOIN best b ON t.user_id = b.user_id AND b.rn = 1""".stripMargin,
+    // Same shingle/index/co-occurrence mirror as q_jaccard_exact, with
+    // exact integer-ppm containments (// ≡ div, non-negative).
+    "q_containment" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(${graft.ops.Dedup.shinglesSql("text", 3)}) AS shl
+         |  FROM documents),
+         |shf AS (SELECT * FROM sh WHERE len(shl) > 0),
+         |idx AS (
+         |  SELECT doc_id, u.s AS shingle FROM shf, unnest(shf.shl) AS u(s)
+         |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 50),
+         |co AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM idx a JOIN idx b ON a.shingle = b.shingle
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |v AS (
+         |  SELECT co.id_a, co.id_b, co.inter,
+         |    CAST(len(sa.shl) AS BIGINT) AS size_a, CAST(len(sb.shl) AS BIGINT) AS size_b
+         |  FROM co
+         |  JOIN shf sa ON co.id_a = sa.doc_id
+         |  JOIN shf sb ON co.id_b = sb.doc_id)
+         |SELECT id_a, id_b, inter, size_a, size_b,
+         |  CAST((inter * 1000000) // size_a AS BIGINT) AS cont_a_ppm,
+         |  CAST((inter * 1000000) // size_b AS BIGINT) AS cont_b_ppm
+         |FROM v
+         |WHERE greatest((inter * 1000000) // size_a,
+         |               (inter * 1000000) // size_b) >= 500000""".stripMargin,
+    // Window-3 ordered pairs: k runs over start positions, dd over
+    // offsets; the WHERE bound is the slice-length clamp.
+    "q_skipgram" ->
+      """WITH d AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |p AS (
+        |  SELECT ts[k] AS tok_a, ts[k + dd] AS tok_b
+        |  FROM d, UNNEST(range(1, len(ts))) AS t(k), UNNEST(range(1, 4)) AS u(dd)
+        |  WHERE k + dd <= len(ts))
+        |SELECT tok_a, tok_b, count(*) AS n_cooc
+        |FROM p GROUP BY 1, 2 HAVING count(*) >= 20""".stripMargin,
+    // The oracle recomputes the int8 codebook in SQL (the
+    // q_quantize_int8 contract) and scores with an explicit integer
+    // dot — order-free, so the rank order is total on both engines.
+    "q_ann_int8" -> {
+      val dot = (1 to EmbDim).map(i => s"q.qc[$i] * e.codes[$i]").mkString(" + ")
+      s"""WITH st AS (
+         |  SELECT gs.i AS pos,
+         |    min(CAST(embedding[gs.i] AS DOUBLE)) AS lo,
+         |    max(CAST(embedding[gs.i] AS DOUBLE)) AS hi
+         |  FROM embeddings, generate_series(1, $EmbDim) gs(i) GROUP BY gs.i),
+         |sl AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM st),
+         |enc AS (
+         |  SELECT vec_id,
+         |    list_transform(generate_series(1, $EmbDim), i ->
+         |      CAST(CASE WHEN sl.his[i] = sl.los[i] THEN 0
+         |        ELSE least(255, floor((CAST(embedding[i] AS DOUBLE) - sl.los[i]) * 255.0
+         |          / (sl.his[i] - sl.los[i])))
+         |        END AS INTEGER)) AS codes
+         |  FROM embeddings, sl),
+         |q AS (SELECT vec_id AS query_id, codes AS qc FROM enc WHERE vec_id < 5),
+         |sc AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    CAST($dot AS BIGINT) AS dot_q
+         |  FROM q CROSS JOIN enc e WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dot_q DESC, neighbor_id) AS rank FROM sc)
+         |SELECT query_id, neighbor_id, dot_q, rank FROM r WHERE rank <= 5""".stripMargin
+    },
+    // num and radicand are exact shift-invariant HUGEINTs ≤ 2^53, so
+    // the double conversions are exact and the z chain is ONE
+    // fixed-order IEEE computation on both engines.
+    "q_zscore" ->
+      """WITH v AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |         CAST(floor(c_acctbal / 10) AS BIGINT) AS x
+        |  FROM customer),
+        |st AS (
+        |  SELECT c_mktsegment, count(*) AS n,
+        |         sum(CAST(x AS HUGEINT)) AS s,
+        |         sum(CAST(x AS HUGEINT) * x) AS ss
+        |  FROM v GROUP BY 1)
+        |SELECT v.c_mktsegment, v.c_custkey, v.x,
+        |  CASE WHEN st.n * st.ss - st.s * st.s = 0 THEN NULL
+        |       ELSE CAST(floor(CAST(v.x * st.n - st.s AS DOUBLE) /
+        |                       sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE))
+        |                       * 1000000) AS BIGINT) END AS z_ppm
+        |FROM v JOIN st USING (c_mktsegment)""".stripMargin,
     // Stupid backoff: seen bigram → ln(c2/c1); else α=2/5 carried as a
     // rational so every score is ln of ONE integer-over-integer double
     // division — identical IEEE chain on both engines, micro-nat

@@ -264,6 +264,49 @@ object Dedup {
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
   }
 
+  /** ASYMMETRIC containment pairs — `C(A,B) = |A∩B| / |A|`, the
+    * one-doc-inside-another detector Jaccard structurally misses: a
+    * paragraph quoted whole inside a 100× larger page has tiny Jaccard
+    * (union is huge) but containment ≈ 1 on the smaller side. That is
+    * the dominant duplication mode in web corpora (boilerplate quoting,
+    * aggregation sites, READMEs pasted into monorepos), and the reason
+    * dedup pipelines check containment next to symmetric similarity
+    * (Broder's resemblance/containment pair, SRC'97).
+    *
+    * Returns `(id_a, id_b, inter, size_a, size_b, cont_a_ppm,
+    * cont_b_ppm)` with `id_a < id_b`, keeping pairs where EITHER
+    * direction reaches `minContainmentPpm`. Containments are exact
+    * integer ppm (`inter·10⁶ div size` — no float anywhere), so any
+    * engine mirrors bit-for-bit.
+    *
+    * Same candidate machinery and `maxDocFreq` trade as
+    * [[ngramJaccardPairsExact]]: the inverted-index co-occurrence join
+    * pays f² per shared shingle — cap stop-shingles for corpus scale
+    * (undercount documented there), or run the prefix path first when
+    * symmetric similarity is also wanted.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, text: Column, n: Int,
+      minContainmentPpm: Long, maxDocFreq: Option[Long] = None): DataFrame = {
+    require(minContainmentPpm >= 1 && minContainmentPpm <= 1000000L,
+      s"minContainmentPpm must be in [1, 1e6], got $minContainmentPpm")
+    val sh = shingleSets(df, idCol, text, n)
+    val idx = invertedIndex(sh, "id", col("sh"), maxDocFreq)
+    val co = idx.toDF("id_a", "shingle")
+      .join(idx.toDF("id_b", "shingle"), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"))
+    val sizes = sh.select(col("id"), size(col("sh")).cast("long").as("sz"))
+    co
+      .join(sizes.toDF("id_a", "size_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "size_b"), Seq("id_b"))
+      .withColumn("cont_a_ppm", expr("(inter * 1000000L) div size_a"))
+      .withColumn("cont_b_ppm", expr("(inter * 1000000L) div size_b"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= minContainmentPpm)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "cont_a_ppm", "cont_b_ppm")
+  }
+
   /** EXACT n-gram Jaccard pairs via PREFIX FILTERING (Chaudhuri/
     * Ganti/Kaushik ICDE'06; Bayardo WWW'07 — public literature,
     * implemented fresh as a DataFrame program): identical output to

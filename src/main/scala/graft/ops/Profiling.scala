@@ -212,6 +212,52 @@ object Profiling {
         .otherwise(signum(num).cast("int")).as("corr_sign"): _*)
   }
 
+  /** Per-row z-score standardization against PER-GROUP population
+    * stats — the feature-scaling pass of a training pipeline, emitted
+    * as engine-exact integer ppm. The trick is the identity
+    * {{{
+    *   z = (x − μ)/σ  =  (x·n − S) / sqrt(n·SS − S²)
+    * }}}
+    * (population σ): numerator and radicand are EXACT integers
+    * (decimal(38,0) ≡ HUGEINT), both shift-invariant — they depend on
+    * the group's spread, not its magnitude — and IEEE-754 `sqrt` and
+    * `/` are correctly rounded, so `z_ppm = ⌊(num/√var)·10⁶⌋` is ONE
+    * fixed-order float chain from identical integers: bit-identical on
+    * any engine. A float mean/stddev job is partition-order-dependent;
+    * this is reproducible anywhere (the [[sigmaOutliers]] contract,
+    * upgraded from a boolean flag to the standardized value itself).
+    *
+    * ENVELOPE (guarded with raise_error, not assumed): |x·n − S| and
+    * n·SS − S² must stay ≤ 9·10¹⁵ (< 2⁵³), so their double conversions
+    * are EXACT — no cross-engine rounding question at all. Both scale
+    * with n²·σ², so pre-scale wide-unit inputs (the [[groupCorr]]
+    * contract). Groups with zero variance yield NULL.
+    *
+    * Shape: one hash-agg stats pass, one group-keyed join back (stats
+    * are one row per group), map-only scoring. No window.
+    */
+  def groupZscore(df: DataFrame, groupCols: Seq[String], idCol: String,
+      value: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupZscore needs at least one group column")
+    val dec = "decimal(38,0)"
+    val v = df.select((groupCols :+ idCol).map(col) :+ value.cast("long").as("x"): _*)
+    val st = v.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(col("x")).cast(dec).as("__s"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("__ss"))
+    val j = v.join(st, groupCols)
+    val num = col("x").cast(dec) * col("__n") - col("__s")
+    val varr = col("__n") * col("__ss") - col("__s") * col("__s")
+    val bound = lit("9000000000000000").cast(dec)
+    val z = floor(num.cast("double") / sqrt(varr.cast("double")) * 1e6).cast("long")
+    j.select((groupCols :+ idCol).map(col) :+ col("x") :+
+      when(varr === 0, lit(null).cast("long"))
+        .otherwise(when(abs(num) <= bound && varr <= bound, z)
+          .otherwise(raise_error(lit(
+            "groupZscore envelope exceeded (|x·n−S|, n·SS−S² <= 9e15): pre-scale the value"))))
+        .as("z_ppm"): _*)
+  }
+
   /** DuckDB mirror of [[tableProfile]]: one UNION ALL arm per column
     * (the oracle may rescan; Spark must not).
     */

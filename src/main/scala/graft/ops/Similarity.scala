@@ -454,6 +454,47 @@ object Similarity {
       concat_ws("-", codes).as("code_str"))
   }
 
+  /** Top-k search in the INT8-QUANTIZED space — the memory-bound
+    * production shape ([[quantizeInt8]]'s codes are 4× smaller than
+    * float32 and the scoring loop is integer MACs): for each query id,
+    * the k corpus vectors with the highest integer code dot product.
+    * Queries are corpus members named by id, so both sides share the
+    * one codebook by construction. Returns `(query_id, neighbor_id,
+    * dot_q, rank)` — `dot_q` is an exact BIGINT (codes ≤ 255, so a
+    * 64-dim dot is ≤ 4.2e6; order-independent integer sum), which
+    * makes quantized search the rare ANN variant an oracle can check
+    * HASH-exactly rather than by recall: rank order (dot DESC, id ASC)
+    * is total and engine-independent.
+    *
+    * Scale shape: one quantize pass (map-only after the dim-stats
+    * agg), broadcast query codes, corpus scanned once, per-query
+    * top-k via a query-keyed window. Brute force over codes is the
+    * correctness baseline exactly like [[bruteForceTopK]] — bucket
+    * with [[lshBuckets]] or [[ivfAssign]] first at corpus scale and
+    * rescore the shortlist with these integer dots.
+    */
+  def searchInt8(
+      corpus: DataFrame, queryIds: Seq[Long], idCol: String, vecCol: String,
+      dim: Int, k: Int): DataFrame = {
+    require(queryIds.nonEmpty, "searchInt8 needs at least one query id")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val codes = quantizeInt8(corpus, idCol, col(vecCol), dim)
+      .select(col(idCol), col("codes"))
+    val q = codes.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col("codes").as("__qc"))
+    val c = graft.util.Parallelism.ensure(codes)
+      .select(col(idCol).as("neighbor_id"), col("codes").as("__cc"))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot_q",
+        aggregate(zip_with(col("__qc"), col("__cc"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("dot_q"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dot_q", "rank")
+  }
+
   /** DuckDB mirror of [[quantizeInt8]] — the oracle RECOMPUTES the
     * per-dim stats in SQL (no driver handoff to trust), then applies
     * the identical clamp/floor formula.

@@ -704,6 +704,38 @@ object TextAnalysis {
           .as("pmi_unat"))
   }
 
+  /** Skip-gram co-occurrence counts — the word2vec/GloVe training-pair
+    * primitive and the windowed generalization of [[collocations]]'
+    * adjacent bigrams: every ordered token pair `(tᵢ, tᵢ₊d)` with
+    * `1 ≤ d ≤ window` counts once. Returns `(tok_a, tok_b, n_cooc)`
+    * for pairs with `n_cooc ≥ minCount` (tok_a is the earlier token —
+    * symmetrize downstream if the model wants unordered context).
+    *
+    * Scale shape: pairs are built MAP-SIDE — one `transform` over the
+    * offsets 1..window, each offset a zip of two slices of the SAME
+    * token array, flattened and exploded (never a position self-join,
+    * which would shuffle the corpus by position); then ONE hash
+    * aggregate with map-side partials. Output grows with the distinct
+    * pair vocabulary, not the corpus; `minCount` prunes it in the
+    * aggregate. All counting — bit-exact on any engine.
+    */
+  def skipgramCounts(df: DataFrame, text: Column, window: Int,
+      minCount: Long): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = df.select(filter(tokensWs(text), t => t =!= "").as("__ts"))
+    toks
+      .select(explode(flatten(transform(
+        sequence(lit(1), lit(window)),
+        d => zip_with(
+          slice(col("__ts"), lit(1), greatest(size(col("__ts")) - d, lit(0))),
+          slice(col("__ts"), d + lit(1), greatest(size(col("__ts")) - d, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))))).as("__p"))
+      .groupBy(col("__p.a").as("tok_a"), col("__p.b").as("tok_b"))
+      .agg(count(lit(1)).as("n_cooc"))
+      .filter(col("n_cooc") >= minCount)
+  }
+
   /** Token-id encoding — the bridge from cleaned text to training
     * tensors: each document's whitespace tokens are mapped through a
     * `(token, id)` vocabulary (the [[graft.ops.Windows.denseIdsBy]]

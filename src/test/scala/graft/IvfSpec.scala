@@ -114,4 +114,31 @@ class IvfSpec extends SparkSpec {
     val all = got.values.toSeq
     assert(all.flatten.forall(c => c >= 0 && c <= 255))
   }
+
+  test("searchInt8: matches an independent Scala quantize+dot computation") {
+    val rnd = new scala.util.Random(31)
+    val dim = 4
+    val vecs = (0L until 12L).map(i => i -> Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val df = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("id", "v")
+    // independent reimplementation of the documented formulas
+    val lo = (0 until dim).map(d => vecs.map(_._2(d).toDouble).min)
+    val hi = (0 until dim).map(d => vecs.map(_._2(d).toDouble).max)
+    def code(v: Array[Float]): Array[Long] = (0 until dim).map { d =>
+      if (hi(d) == lo(d)) 0L
+      else math.min(255L, math.floor((v(d).toDouble - lo(d)) * 255.0 / (hi(d) - lo(d))).toLong)
+    }.toArray
+    val codes = vecs.map { case (i, v) => i -> code(v) }.toMap
+    val queryIds = Seq(0L, 3L)
+    val expected = (for {
+      q <- queryIds
+      (n, c) <- codes if n != q
+    } yield (q, n, codes(q).zip(c).map { case (a, b) => a * b }.sum))
+      .groupBy(_._1).flatMap { case (q, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+          .map { case ((_, n, d), i) => (q, n, d, i + 1) }
+      }.toSet
+    val got = Similarity.searchInt8(df, queryIds, "id", "v", dim, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == expected && got.size == 6)
+  }
 }

@@ -167,6 +167,47 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("dedup: containmentPairs flags the quoted-inside pair Jaccard misses") {
+    // doc 2 contains doc 1 verbatim plus 2× more text: containment on
+    // the small side is 1.0 while Jaccard is only |A|/|B| ≈ 0.33.
+    val small = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, small),
+      (2L, small + " zeta eta theta iota kappa lambda mu nu xi omicron"),
+      (3L, "pi rho sigma tau upsilon")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", col("text"), n = 3,
+        minContainmentPpm = 900000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // doc1: 3 trigrams, all inside doc2 (15 tokens → 13 trigrams)
+    assert(got.keySet == Set((1L, 2L)))
+    val (inter, sa, sb, ca, cb) = got((1L, 2L))
+    assert((inter, sa, sb) == ((3L, 3L, 13L)))
+    assert(ca == 1000000L && cb == (3L * 1000000L) / 13L)
+    // the symmetric threshold would reject the same pair: J = 3/17
+    val sym = Dedup.ngramJaccardPairsExact(docs, "doc_id", col("text"), n = 3,
+      minJaccard = 0.9)
+    assert(sym.count() == 0L)
+  }
+
+  test("text: skipgramCounts — window offsets, clamped tails, minCount") {
+    val d = Seq((1L, "a b c d"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.skipgramCounts(d, col("text"), window = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // d=1: (a,b)×2 [docs 1,2], (b,c), (c,d); d=2: (a,c), (b,d)
+    assert(got == Map(
+      ("a", "b") -> 2L, ("b", "c") -> 1L, ("c", "d") -> 1L,
+      ("a", "c") -> 1L, ("b", "d") -> 1L))
+    // window larger than any document: only realizable offsets emit
+    val wide = TextAnalysis.skipgramCounts(d, col("text"), window = 9, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(wide(("a", "d")) == 1L && wide.size == 6)
+    // minCount prunes in the aggregate
+    val pruned = TextAnalysis.skipgramCounts(d, col("text"), window = 2, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pruned == Set(("a", "b")))
+  }
+
   test("dedup: prefix-filtered jaccard equals brute force on adversarial thresholds") {
     // randomized docs over a TINY vocabulary: heavy boilerplate
     // shingles (the prefix filter's hard case) + near-dup structure;

@@ -109,6 +109,36 @@ class PhoneticContractsSpec extends SparkSpec {
     assert(math.abs(r2 / 1e6 - ref * ref) < 1e-5, s"r2_ppm=$r2 vs corr²=${ref * ref}")
   }
 
+  test("groupZscore: exact ppm values, zero-variance NULL, envelope guard") {
+    val df = Seq(
+      ("two", 1L, 0L), ("two", 2L, 2L),                 // z = ∓1 exactly
+      ("thr", 3L, 0L), ("thr", 4L, 1L), ("thr", 5L, 2L),
+      ("flat", 6L, 7L), ("flat", 7L, 7L)                // σ = 0 -> NULL
+    ).toDF("g", "id", "v")
+    val got = Profiling.groupZscore(df, Seq("g"), "id", col("v"))
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(1L) == Some(-1000000L) && got(2L) == Some(1000000L))
+    // {0,1,2}: z(2) = (2·3−3)/sqrt(3·5−9) = 3/sqrt(6)
+    val z2 = math.floor(3.0 / math.sqrt(6.0) * 1e6).toLong
+    assert(got(5L) == Some(z2) && got(3L) == Some(math.floor(-3.0 / math.sqrt(6.0) * 1e6).toLong))
+    assert(got(4L) == Some(0L) && got(6L).isEmpty && got(7L).isEmpty)
+    // mean-centered: z of the exact mean is 0; standardization is
+    // shift-invariant — adding a huge offset changes nothing
+    val shifted = Profiling.groupZscore(
+        df.withColumn("v", col("v") + 1000000L), Seq("g"), "id", col("v"))
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(shifted == got)
+    // envelope: wide values × many rows exceed 2^53 and must raise
+    val big = (1 to 80).map(i => ("g", i.toLong, i * 60000000L)).toDF("g", "id", "v")
+    val ex = intercept[Exception] {
+      Profiling.groupZscore(big, Seq("g"), "id", col("v")).collect()
+    }
+    assert(ex.getMessage.contains("envelope") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("envelope"))
+  }
+
   test("groupCorr: envelope violation raises instead of silently overflowing") {
     // x ~ 1e9 over 60 rows pushes den1 = n·Σx² − (Σx)² past 3e18.
     val big = (1 to 60).map(i => ("g", i * 100000000L, i.toLong)).toDF("g", "x", "y")
