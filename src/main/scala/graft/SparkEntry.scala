@@ -1833,6 +1833,84 @@ object SparkEntry {
     graft.ops.TextAnalysis.collocations(
       t(s, dir, "documents"), col("text"), minCount = 5L)
 
+  /** Rendezvous shard assignment ([[graft.ops.Sampling
+    * .rendezvousShard]]): every customer key assigned under 10 AND 11
+    * shards; the per-shard report carries `n_stay` — the count that
+    * did NOT move on resize, which the HRW property says is ~n·10/11
+    * overall (each old shard keeps its keys unless shard 10 wins the
+    * rendezvous). Both balance and stability in one mirrorable row
+    * set.
+    */
+  private def qShards(s: SparkSession, dir: String): DataFrame = {
+    val k = t(s, dir, "customer").select(col("c_custkey").as("key"))
+    k.select(col("key"),
+        graft.ops.Sampling.rendezvousShard(col("key"), 10).as("shard"),
+        graft.ops.Sampling.rendezvousShard(col("key"), 11).as("__s11"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("shard") === col("__s11"), 1L).otherwise(0L)).as("n_stay"))
+  }
+
+  /** Golden-record survivorship ([[graft.ops.Clusters.goldenRecord]]):
+    * synthetic duplicate clusters (`c_custkey div 3`), each output
+    * field surviving under its own rule — name by highest balance,
+    * address by longest string, phone by newest key. One hash
+    * aggregate; the oracle mirrors each argmax as a composite
+    * struct max.
+    */
+  private def qGolden(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Clusters.goldenRecord(
+      t(s, dir, "customer")
+        .select(expr("c_custkey div 3").as("cluster_id"),
+          col("c_name"), col("c_mktsegment"),
+          col("c_acctbal"), col("c_custkey")),
+      "cluster_id",
+      Seq("c_name" -> col("c_acctbal"),      // richest record's name
+        "c_mktsegment" -> col("c_custkey"),  // newest record's segment
+        "c_acctbal" -> col("c_custkey")))    // newest balance
+
+  /** Last-touch attribution: each purchase joined to the user's most
+    * recent click at-or-before it — the marketing shape of
+    * [[graft.ops.Joins.asofJoin]], exercising the operator on a
+    * SELF-source (same event stream, two type slices) with a matched-
+    * time passthrough.
+    */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), tsMicros(ev, "ts").as("t_conv"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), tsMicros(ev, "ts").as("t_click"))
+    graft.ops.Joins.asofJoin(purchases, clicks, Seq(("user_id", "u")),
+        "t_conv", "t_click", matchedTimeCol = Some("t_touch"))
+      .select(col("event_id"), col("user_id"), col("t_conv"), col("t_touch"),
+        (col("t_conv") - col("t_touch")).as("delta_us"))
+  }
+
+  /** MinHash LSH recall, MEASURED against the uncapped exact pairs at
+    * the S-curve's own target threshold (k=8, bands=4 ⇒ r=2, s-curve
+    * midpoint (1/4)^(1/2) = 0.5 = JacMinJaccard): candidates ∩ exact
+    * over exact, in exact integer ppm. The quantified version of the
+    * "recall ≥ 90% at the caller's threshold" design claim — and both
+    * sides are SQL-expressible, so the report itself is hash-checked.
+    */
+  private def qMinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val exact = graft.ops.Dedup.ngramJaccardPairsPrefix(
+        docs, "doc_id", col("text"), n = 3, minJaccard = JacMinJaccard)
+      .select("id_a", "id_b")
+    val cand = graft.ops.Dedup.minhashLshCandidates(
+        docs, "doc_id", col("text"), n = 3, k = 8, bands = 4,
+        maxBucketSize = Some(LshCap))
+      .select("id_a", "id_b")
+    val hit = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_cand"), col("n_hit"),
+        expr("(n_hit * 1000000L) div n_exact").as("recall_ppm"))
+  }
+
   /** Asymmetric containment pairs
     * ([[graft.ops.Dedup.containmentPairs]]): the quoted-inside
     * duplication mode, same trigram machinery and doc-frequency cap as
@@ -2588,6 +2666,10 @@ object SparkEntry {
     "q_skipgram" -> (qSkipgram _),
     "q_ann_int8" -> (qAnnInt8 _),
     "q_zscore" -> (qZscore _),
+    "q_shards" -> (qShards _),
+    "q_golden" -> (qGolden _),
+    "q_attribution" -> (qAttribution _),
+    "q_minhash_recall" -> (qMinhashRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3844,6 +3926,77 @@ object SparkEntry {
         |SELECT t.user_id, t.n_active_periods, t.n_streaks,
         |       b.longest_streak, b.longest_end
         |FROM tot t JOIN best b ON t.user_id = b.user_id AND b.rn = 1""".stripMargin,
+    // HRW weights recomputed per (key, shard); arg_max is unique
+    // because md5 weights never tie on real keys.
+    "q_shards" ->
+      """WITH k AS (SELECT c_custkey AS key FROM customer),
+        |w AS (
+        |  SELECT key, s,
+        |    CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':' ||
+        |      CAST(s AS VARCHAR)), 1, 15)) AS BIGINT) AS w
+        |  FROM k, UNNEST(range(0, 11)) AS u(s)),
+        |a10 AS (SELECT key, arg_max(s, w) AS shard FROM w WHERE s < 10 GROUP BY key),
+        |a11 AS (SELECT key, arg_max(s, w) AS shard FROM w GROUP BY key)
+        |SELECT a10.shard AS shard, count(*) AS n_keys,
+        |       CAST(sum(CASE WHEN a10.shard = a11.shard THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_stay
+        |FROM a10 JOIN a11 USING (key) GROUP BY 1""".stripMargin,
+    // Per-field survivorship argmax as a composite struct max — the
+    // tie-safe mirror of goldenRecord's max(struct(has, rank, value)).
+    "q_golden" ->
+      """WITH b AS (
+        |  SELECT c_custkey // 3 AS cluster_id, c_name, c_mktsegment,
+        |         c_acctbal, c_custkey
+        |  FROM customer)
+        |SELECT cluster_id, count(*) AS n_members,
+        |  (max(struct_pack(h := CASE WHEN c_name IS NULL THEN 0 ELSE 1 END,
+        |                   r := c_acctbal, v := c_name))).v AS c_name,
+        |  (max(struct_pack(h := CASE WHEN c_mktsegment IS NULL THEN 0 ELSE 1 END,
+        |                   r := c_custkey, v := c_mktsegment))).v AS c_mktsegment,
+        |  (max(struct_pack(h := CASE WHEN c_acctbal IS NULL THEN 0 ELSE 1 END,
+        |                   r := c_custkey, v := c_acctbal))).v AS c_acctbal
+        |FROM b GROUP BY 1""".stripMargin,
+    // Last click at-or-before each purchase: LEFT JOIN + max ≡ the
+    // backward-inclusive asof; payload is the matched time itself, so
+    // equal-time click duplicates cannot diverge.
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t_conv
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS t_click
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.t_conv, max(c.t_click) AS t_touch
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.t_click <= p.t_conv
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_id, user_id, t_conv, t_touch, t_conv - t_touch AS delta_us
+        |FROM j""".stripMargin,
+    // Candidates from the minhash CTEs, exact pairs from the uncapped
+    // co-occurrence join (the q_jaccard_prefix oracle), recall as an
+    // exact integer ppm.
+    "q_minhash_recall" ->
+      s"""WITH ${minhashCandCtes(8, 4, Some(LshCap))},
+         |idx AS (SELECT doc_id, u.s AS shingle FROM shf, unnest(shf.shl) AS u(s)),
+         |co AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM idx a JOIN idx b ON a.shingle = b.shingle
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |v AS (
+         |  SELECT co.id_a, co.id_b, co.inter,
+         |    len(sa.shl) AS size_a, len(sb.shl) AS size_b
+         |  FROM co
+         |  JOIN shf sa ON co.id_a = sa.doc_id
+         |  JOIN shf sb ON co.id_b = sb.doc_id),
+         |ex AS (
+         |  SELECT id_a, id_b FROM v
+         |  WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= $JacMinJaccard),
+         |hit AS (SELECT ex.id_a FROM ex JOIN cand USING (id_a, id_b))
+         |SELECT (SELECT count(*) FROM ex) AS n_exact,
+         |       (SELECT count(*) FROM cand) AS n_cand,
+         |       (SELECT count(*) FROM hit) AS n_hit,
+         |       CAST(((SELECT count(*) FROM hit) * 1000000) //
+         |            (SELECT count(*) FROM ex) AS BIGINT) AS recall_ppm""".stripMargin,
     // Same shingle/index/co-occurrence mirror as q_jaccard_exact, with
     // exact integer-ppm containments (// ≡ div, non-negative).
     "q_containment" ->

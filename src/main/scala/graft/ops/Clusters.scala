@@ -161,4 +161,41 @@ object Clusters {
       .select(col(idCol), col("cluster_id"),
         (col(idCol) === col("__keep_id")).as("keep"))
   }
+
+  /** GOLDEN-RECORD construction (survivorship): per cluster, each
+    * field independently takes the value of the member ranking highest
+    * under that field's own rule — the master-data-management merge
+    * that follows duplicate resolution: "name from the newest record,
+    * address from the most complete one, id = the cluster label". A
+    * whole-row keeper ([[resolveDuplicatesBy]]) can't express this —
+    * survivorship is per FIELD.
+    *
+    * `labeled` carries `clusterCol` plus every referenced column;
+    * `rules` maps each output field to its ordering column (higher
+    * wins, ties to the lexicographically LARGER field value so the
+    * argmax is total; NULL field values rank lowest — a null never
+    * beats data, matching the resolveDuplicatesBy null-quality rule).
+    * Output: one row per cluster, `(clusterCol, n_members,
+    * <field> for each rule)`.
+    *
+    * Shape: ONE hash aggregate — every field's argmax is a
+    * `max(struct(rank, field))` in the same groupBy, so the corpus is
+    * scanned once and nothing windows. Mirror per field with
+    * `max_by(field, rank)` only when ranks are unique; the general
+    * tie-safe mirror is `max(struct)` ≡ `max((rank, field))` (DuckDB
+    * composite max) — see q_golden's oracle.
+    */
+  def goldenRecord(labeled: DataFrame, clusterCol: String,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "goldenRecord needs at least one field rule")
+    val aggs = rules.map { case (field, rank) =>
+      max(struct(
+        // nulls-last: a present value always beats an absent one at
+        // equal rank, and a null field sorts below every string/value
+        when(col(field).isNull, lit(0)).otherwise(lit(1)).as("__has"),
+        rank.as("__rk"), col(field).as("__v"))).getField("__v").as(field)
+    }
+    labeled.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"), aggs: _*)
+  }
 }

@@ -236,6 +236,45 @@ object Sampling {
   def interleavePosSql(scale: Long): String =
     s"((2 * rank_in_source - 1) * $scale) // (2 * w)"
 
+  /** Rendezvous (highest-random-weight) shard assignment — Thaler &
+    * Ravishankar 1996, the consistent-placement primitive: each key
+    * goes to the shard with the highest `md5(key ":" shard)` weight.
+    * Unlike `hash(key) mod n`, resizing n → n+1 moves only ~1/(n+1)
+    * of the keys (a key moves ONLY if the new shard wins its
+    * rendezvous — every surviving shard's weight is unchanged), which
+    * is what makes incremental re-sharding of a 100 TB corpus an
+    * incremental copy instead of a full reshuffle. Deterministic,
+    * layout/engine-stable (the [[hashBucket]] md5 trick per (key,
+    * shard)), map-only: the candidate list is a literal `transform`
+    * over `sequence(0, n−1)`, the argmax one `array_max` over
+    * (weight, shard) structs — no join, no shuffle, codegen-friendly.
+    * Cost is O(n) per row; rendezvous is the right tool at shard
+    * counts (10s–1000s), not per-row buckets (use [[hashBucket]]).
+    */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    array_max(transform(sequence(lit(0), lit(nShards - 1)), s =>
+      struct(
+        conv(substring(md5(concat(key.cast("string"), lit(":"), s.cast("string"))), 1, 15),
+          16, 10).cast("long").as("w"),
+        s.cast("long").as("s")))).getField("s")
+  }
+
+  /** DuckDB mirror of [[rendezvousShard]]: `arg_max` over the unnested
+    * shard range (md5 weights are distinct in practice, so the argmax
+    * is unique and tie order never fires). Emits a correlated-ready
+    * scalar expression pattern — use as
+    * `SELECT key, (SELECT arg_max(...) ...)`, or the unnest+group
+    * form this helper returns for a whole-relation assignment over a
+    * CTE `k(key)`.
+    */
+  def rendezvousShardSql(nShards: Int): String =
+    s"""SELECT key,
+       |  arg_max(s, CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':' ||
+       |    CAST(s AS VARCHAR)), 1, 15)) AS BIGINT)) AS shard
+       |FROM k, UNNEST(range(0, $nShards)) AS u(s)
+       |GROUP BY key""".stripMargin
+
   /** DuckDB mirror of [[apportionTokens]] over a CTE `tok(source,
     * tokens)`: HUGEINT carries the product exactly; `//`/`%` are the
     * same floor-div/mod on non-negative operands.

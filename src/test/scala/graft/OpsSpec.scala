@@ -167,6 +167,49 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("sampling: rendezvousShard — independent md5 check, resize moves ~1/(n+1)") {
+    val keys = (1L to 600L).toSeq
+    val df = keys.toDF("key")
+    def assign(n: Int): Map[Long, Long] =
+      df.select(col("key"), graft.ops.Sampling.rendezvousShard(col("key"), n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a5 = assign(5)
+    // independent Scala reimplementation of the documented weight
+    def weight(k: Long, s: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k:$s".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val expected = keys.map(k => k -> (0 until 5).maxBy(s => weight(k, s)).toLong).toMap
+    assert(a5 == expected)
+    // resize 5 -> 6: every key either keeps its shard or moves to the
+    // NEW shard (an old shard can never win a rendezvous it lost)
+    val a6 = assign(6)
+    val moved = keys.count(k => a5(k) != a6(k))
+    assert(keys.forall(k => a6(k) == a5(k) || a6(k) == 5L))
+    // ~1/6 of keys move (binomial around 100 of 600; generous band)
+    assert(moved > 55 && moved < 155, s"moved $moved of 600")
+    // balance: every shard populated
+    assert(a5.values.toSet == (0L until 5L).toSet)
+  }
+
+  test("clusters: goldenRecord — per-field survivorship, nulls never beat data") {
+    val df = Seq(
+      (1L, Some("alice"), Some(10.0), 100L),
+      (1L, Some("bob"), Some(99.0), 200L),   // richest -> name survives
+      (1L, None, Some(500.0), 300L),         // null name loses despite rank
+      (2L, None, None, 400L),
+      (2L, Some("carol"), None, 500L)
+    ).toDF("cl", "name", "bal", "k")
+    val got = graft.ops.Clusters.goldenRecord(df, "cl",
+        Seq("name" -> col("bal"), "k" -> col("k")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.getString(2)), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, Some("bob"), 300L)))
+    // all-null rank: present value still wins over the null one
+    assert(got(2L) == ((2L, Some("carol"), 500L)))
+  }
+
   test("dedup: containmentPairs flags the quoted-inside pair Jaccard misses") {
     // doc 2 contains doc 1 verbatim plus 2× more text: containment on
     // the small side is 1.0 while Jaccard is only |A|/|B| ≈ 0.33.
