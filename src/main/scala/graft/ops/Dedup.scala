@@ -342,10 +342,19 @@ object Dedup {
     */
   def ngramJaccardPairsPrefix(
       df: DataFrame, idCol: String, text: Column, n: Int,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double): DataFrame =
+    ngramJaccardPairsPrefixFromShingles(shingleSets(df, idCol, text, n), minJaccard)
+
+  /** [[ngramJaccardPairsPrefix]] over pre-built `(id, sh)` shingle
+    * sets — share ONE tokenization scan when several dedup paths run
+    * on the same corpus (the [[minhashLshCandidatesFromShingles]]
+    * split; q_minhash_recall feeds both sides from one checkpointed
+    * shingle table).
+    */
+  def ngramJaccardPairsPrefixFromShingles(
+      sh: DataFrame, minJaccard: Double): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1,
       s"minJaccard must be in (0, 1], got $minJaccard")
-    val sh = shingleSets(df, idCol, text, n)
     val posts = sh.select(col("id"), explode(col("sh")).as("shingle"))
     val freq = posts.groupBy("shingle").agg(count(lit(1)).as("__df"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
