@@ -126,7 +126,17 @@ object ScaleProbe {
     // pmi rides the token-salted documents: bigram TYPES ×10 (salted
     // tokens make cross-replica bigrams disjoint), tokens ×10 — two
     // hash aggs + token-keyed joins, linear.
-    "q_pmi")
+    "q_pmi",
+    // continuation 7: hits rides the orders replicas (same
+    // customer→order graph as q_pagerank — nodes+edges ×10, fixed
+    // rounds → linear); streaks rides events (users ×10, per-user
+    // windows constant); lm_bigram + skipgram + js_drift ride the
+    // token-salted documents (token types ×10, all hash aggs +
+    // token-keyed joins → linear); shards is map-only O(n·nShards);
+    // zscore rides customer replicas (stats agg + keyed join-back,
+    // groups fixed → linear).
+    "q_hits", "q_streaks", "q_lm_bigram", "q_skipgram", "q_js_drift",
+    "q_shards", "q_zscore")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a

@@ -1833,6 +1833,36 @@ object SparkEntry {
     graft.ops.TextAnalysis.collocations(
       t(s, dir, "documents"), col("text"), minCount = 5L)
 
+  /** Half-life-decayed engagement scores
+    * ([[graft.ops.Windows.decayedSum]]): per-user event value in
+    * cents, halving every 7 days from the stream's max time — exact
+    * power-of-2 weights, order-independent BIGINT sum.
+    */
+  private def qDecayed(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.ops.Windows.decayedSum(
+      ev.select(col("user_id"), tsMicros(ev, "ts").as("t_us"),
+        floor(col("value") * 100).cast("long").as("v_cents")),
+      Seq("user_id"), "t_us", col("v_cents"), halfLife = 604800000000L)
+  }
+
+  /** Chi-square association ([[graft.ops.Profiling.chiSquare]])
+    * between document source and language — the is-my-stratification-
+    * independent test, one exactly-reproducible row.
+    */
+  private def qChiSquare(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.chiSquare(
+      t(s, dir, "documents"), col("source"), col("lang"))
+
+  /** TF-IDF document keywords
+    * ([[graft.ops.TextAnalysis.topTfidfTerms]]): top-3 terms per
+    * document by tf·⌊ln(N/df)·10⁶⌋ — total (score, term) order, so
+    * the full ranking hash-matches.
+    */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.topTfidfTerms(
+      t(s, dir, "documents"), "doc_id", col("text"), k = 3)
+
   /** Rendezvous shard assignment ([[graft.ops.Sampling
     * .rendezvousShard]]): every customer key assigned under 10 AND 11
     * shards; the per-shard report carries `n_stay` — the count that
@@ -2677,6 +2707,9 @@ object SparkEntry {
     "q_golden" -> (qGolden _),
     "q_attribution" -> (qAttribution _),
     "q_minhash_recall" -> (qMinhashRecall _),
+    "q_decayed" -> (qDecayed _),
+    "q_chi_square" -> (qChiSquare _),
+    "q_tfidf" -> (qTfidf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3933,6 +3966,75 @@ object SparkEntry {
         |SELECT t.user_id, t.n_active_periods, t.n_streaks,
         |       b.longest_streak, b.longest_end
         |FROM tot t JOIN best b ON t.user_id = b.user_id AND b.rn = 1""".stripMargin,
+    // Exact power-of-2 half-life weights: 1e6 // 2^Δ, zero beyond 19
+    // half-lives — all-integer, order-free.
+    "q_decayed" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |         CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |mx AS (SELECT max(t) AS now FROM e),
+        |wts AS (
+        |  SELECT user_id, v, greatest((mx.now - t) // 604800000000, 0) AS d
+        |  FROM e, mx),
+        |sc AS (
+        |  SELECT user_id, v,
+        |    CASE WHEN d >= 20 THEN 0
+        |         ELSE 1000000 // (CAST(1 AS BIGINT) << d) END AS w
+        |  FROM wts)
+        |SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(v * w) AS BIGINT) AS decayed_micro
+        |FROM sc GROUP BY 1""".stripMargin,
+    // Observed cells carry per-cell floored terms; the o=0 mass is the
+    // closed-form T² − Σ_obs r·c, floored once — the operator's
+    // documented contract.
+    "q_chi_square" ->
+      """WITH cells AS (
+        |  SELECT source AS a, lang AS b, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(o) AS HUGEINT) AS t,
+        |         count(DISTINCT a) AS na, count(DISTINCT b) AS nb
+        |  FROM cells),
+        |j AS (
+        |  SELECT cells.o, tot.t, tot.na, tot.nb,
+        |         CAST(ra.r AS HUGEINT) * cb.c AS rc
+        |  FROM cells JOIN ra USING (a) JOIN cb USING (b), tot),
+        |terms AS (
+        |  SELECT o, rc, t, na, nb,
+        |    CAST(((CAST(o AS HUGEINT) * t - rc) * (CAST(o AS HUGEINT) * t - rc)
+        |          * 1000000) // (t * rc) AS BIGINT) AS term
+        |  FROM j),
+        |agg AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n_rows, max(na) AS n_a, max(nb) AS n_b,
+        |         max(t) AS t, CAST(sum(term) AS BIGINT) AS obs_terms,
+        |         sum(rc) AS obs_rc
+        |  FROM terms)
+        |SELECT n_rows, n_a, n_b,
+        |       CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+        |       obs_terms + CAST(((t * t - obs_rc) * 1000000) // t AS BIGINT)
+        |         AS chi2_micro
+        |FROM agg""".stripMargin,
+    // idf = one ln of an integer ratio floored to micro-nats; the
+    // (score DESC, term) order is total, so the ranking hash-matches.
+    "q_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf
+        |  FROM tk WHERE tok <> '' GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    tf.tf * CAST(floor(ln(CAST(n.n AS DOUBLE) / CAST(dfq.dfc AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS score_unat
+        |  FROM tf JOIN dfq USING (term), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score_unat DESC, term) AS rank FROM sc)
+        |SELECT doc_id, term, tf, score_unat, rank FROM r WHERE rank <= 3""".stripMargin,
     // HRW weights recomputed per (key, shard); arg_max is unique
     // because md5 weights never tie on real keys.
     "q_shards" ->

@@ -258,6 +258,65 @@ object Profiling {
         .as("z_ppm"): _*)
   }
 
+  /** Pearson chi-square statistic of association between two
+    * categorical columns — the drift/independence test a pipeline runs
+    * before trusting a stratification ("is `source` independent of
+    * `lang`?"). Returns ONE row `(n_rows, n_a, n_b, dof, chi2_micro)`
+    * with `chi2_micro = Σ_observed ⌊(o·T − r·c)²·10⁶ / (T·r·c)⌋ +
+    * ⌊(T² − Σ_observed r·c)·10⁶ / T⌋`: each OBSERVED cell's χ² term is
+    * the exact rational `(o − rc/T)²/(rc/T)`, floored to micro-units
+    * BEFORE the order-independent BIGINT sum (the [[groupCorr]]
+    * discipline — never a float reduction). Cells with `o = 0`
+    * contribute `rc/T` each; they are NEVER materialized (|A|·|B| can
+    * dwarf the observed set at corpus scale) — their total expected
+    * mass is exact in closed form, `Σ_all r·c = (Σr)(Σc) = T²`, so one
+    * extra aggregate of the observed `r·c` recovers it, floored once
+    * as a single term (part of this operator's output contract, which
+    * the oracle mirrors).
+    *
+    * ENVELOPE: `(o·T − r·c)²·10⁶` must fit decimal(38,0) ⇒
+    * `o·T ≲ 3·10¹⁵` — holds through ~5·10⁷ rows; raise_error beyond
+    * (the [[groupCorr]] guard).
+    *
+    * Shape: one (a,b) cell count, two marginal aggs (broadcast-sized),
+    * the 1-row total broadcast; joins keyed by the category values.
+    */
+  def chiSquare(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(aCol.as("__a"), bCol.as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+      .localCheckpoint(true) // feeds marginals AND the term sum
+    val ra = cells.groupBy("__a").agg(sum("__o").as("__r"))
+    val cb = cells.groupBy("__b").agg(sum("__o").as("__c"))
+    val tot = cells.agg(sum("__o").cast(dec).as("__t"),
+      countDistinct("__a").as("__na"), countDistinct("__b").as("__nb"))
+    val joined = cells.join(ra, Seq("__a")).join(cb, Seq("__b"))
+      .crossJoin(broadcast(tot))
+    val o = col("__o").cast(dec)
+    val rc = col("__r").cast(dec) * col("__c").cast(dec)
+    val num = (o * col("__t") - rc) * (o * col("__t") - rc) * lit(1000000L).cast(dec)
+    val den = col("__t") * rc
+    val bound = lit("3000000000000000").cast(dec)
+    val term = ((num - num % den) / den).cast("long")
+    val obs = joined.select(
+      when(abs(o * col("__t")) <= bound, term)
+        .otherwise(raise_error(lit(
+          "chiSquare envelope exceeded (o·T <= 3e15)"))).as("__term"),
+      rc.as("__rc"), col("__r"), col("__c"), col("__t"),
+      col("__na"), col("__nb"), col("__o"))
+    val obsAgg = obs.agg(sum("__o").cast("long").as("n_rows"),
+      max("__na").as("n_a"), max("__nb").as("n_b"),
+      max("__t").as("__t"),
+      sum("__term").as("__obs_terms"), sum("__rc").as("__obs_rc"))
+    // missing cells (o = 0): each contributes r·c·1e6/T; their Σ r·c
+    // = (Σ_all r)·(Σ_all c) − Σ_observed r·c = T² − Σ_observed r·c.
+    val missNum = (col("__t") * col("__t") - col("__obs_rc")) * lit(1000000L).cast(dec)
+    val missTerm = ((missNum - missNum % col("__t")) / col("__t")).cast("long")
+    obsAgg.select(col("n_rows"), col("n_a"), col("n_b"),
+      ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+      (col("__obs_terms") + missTerm).as("chi2_micro"))
+  }
+
   /** DuckDB mirror of [[tableProfile]]: one UNION ALL arm per column
     * (the oracle may rescan; Spark must not).
     */

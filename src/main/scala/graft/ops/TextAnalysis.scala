@@ -704,6 +704,43 @@ object TextAnalysis {
           .as("pmi_unat"))
   }
 
+  /** Per-document TF-IDF keywords: the top-k terms of each document by
+    * `tf · ⌊ln(N/df)·10⁶⌋` — the classic document-keyword extractor
+    * (cf. [[rareTokens]], which ranks by GLOBAL rarity alone; TF-IDF
+    * additionally weighs the document's own term frequency, so a term
+    * a doc uses heavily beats an equally-rare term it mentions once).
+    * Returns `(id, term, tf, score_unat, rank)`, rank 1..k by
+    * (score DESC, term ASC) — a total order, so the result is
+    * engine-exact: the idf is ONE fixed-order `ln` of an
+    * integer-over-integer division floored to micro-nats, and the
+    * tf multiplier stays integral (the [[lmUnigramScore]] discipline).
+    *
+    * Shape: one (id, token) hash agg, one token-keyed join to the
+    * document-frequency table (shuffle — df tables don't broadcast at
+    * corpus scale), the 1-row N broadcast, one doc-keyed window for
+    * the top-k. Nothing global, no driver action.
+    */
+  def topTfidfTerms(df: DataFrame, idCol: String, text: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = df.select(col(idCol).as("__id"), explode(tokensWs(text)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("__id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds docfreq AND the scoring join
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val n = tf.agg(countDistinct("__id").as("__n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__id")
+      .orderBy(desc("score_unat"), asc("term"))
+    tf.join(docFreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_unat",
+        col("tf") * floor(log(col("__n").cast("double") / col("__df").cast("double"))
+          * 1e6).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__id").as(idCol), col("term"), col("tf"),
+        col("score_unat"), col("rank"))
+  }
+
   /** Skip-gram co-occurrence counts — the word2vec/GloVe training-pair
     * primitive and the windowed generalization of [[collocations]]'
     * adjacent bigrams: every ordered token pair `(tᵢ, tᵢ₊d)` with

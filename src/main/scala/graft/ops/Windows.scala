@@ -317,6 +317,46 @@ object Windows {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Half-life-decayed sums — freshness-weighted scoring ("recent
+    * activity counts more, halving every H"): per key,
+    * `Σ value · 2^(−age/H)` with the age measured in WHOLE half-lives
+    * from the table's max time (the deterministic "now" — wall clocks
+    * are not reproducible; pin an explicit asOf for incremental runs).
+    * Returns `(keys…, n_events, decayed_micro)` where `decayed_micro =
+    * Σ v·(10⁶ div 2^Δ)`: the weight is an EXACT integer (a power-of-2
+    * divisor, 0 beyond 19 half-lives where 10⁶ div 2²⁰ = 0), so the
+    * whole aggregation is order-independent BIGINT arithmetic —
+    * bit-identical on any engine, where a float `v·exp(−λt)` sum is
+    * neither (order-dependent, and libm `exp` is not exactly specified
+    * cross-engine the way `ln`-of-ratio chains used here are probed to
+    * be). Exponential decay with a non-1/2 base is the same operator
+    * after rescaling H — half-life is the standard parameterization.
+    *
+    * Step-decay semantics (whole periods, not continuous) is the price
+    * of exactness and matches the common daily/weekly scoring jobs.
+    *
+    * Shape: one 1-row max-time agg broadcast in, one keyed hash agg.
+    * No window, no join growing with the data.
+    */
+  def decayedSum(df: DataFrame, keys: Seq[String], timeCol: String,
+      value: Column, halfLife: Long, asOf: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "decayedSum needs at least one key column")
+    require(halfLife > 0, s"halfLife must be positive, got $halfLife")
+    val base = df.select(keys.map(col) :+ col(timeCol).cast("long").as("__t") :+
+      value.cast("long").as("__v"): _*)
+    val now = asOf.fold(base.agg(max("__t").as("__now")))(n =>
+      base.sparkSession.range(1).select(lit(n).as("__now")))
+    base.crossJoin(broadcast(now))
+      .withColumn("__d",
+        greatest(expr(s"(__now - __t) div ${halfLife}L"), lit(0L)))
+      .withColumn("__w",
+        when(col("__d") >= 20, 0L)
+          .otherwise(expr("1000000L div shiftleft(1L, cast(__d as int))")))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__v") * col("__w")).as("decayed_micro"))
+  }
+
   /** Activity streaks — the gaps-and-islands analytic: per key, runs of
     * CONSECUTIVE active periods (period = `timeCol div period`, the
     * [[cohortRetention]] calendar-grid contract: non-negative integral

@@ -278,6 +278,24 @@ class ExtensionsWindowsSpec extends SparkSpec {
       ((4L, 2L, 2L, 6L)))
   }
 
+  test("decayedSum: power-of-2 weights, 19-half-life cutoff, asOf pinning") {
+    val df = Seq(
+      ("u", 30L, 100L), ("u", 20L, 100L), ("u", 10L, 100L), ("u", 0L, 100L),
+      ("v", 30L, 7L), ("v", -170L, 7L) // Δ = 20 → weight 0
+    ).toDF("k", "t", "v")
+    val got = graft.ops.Windows.decayedSum(df, Seq("k"), "t", col("v"), halfLife = 10L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // now = 30: weights 1e6, 5e5, 2.5e5, 1.25e5
+    assert(got("u") == ((4L, 100L * 1875000L)))
+    assert(got("v") == ((2L, 7L * 1000000L))) // old event contributes 0
+    // explicit asOf: ages shift, future events clamp to weight 1e6
+    val pinned = graft.ops.Windows.decayedSum(df, Seq("k"), "t", col("v"),
+        halfLife = 10L, asOf = Some(20L))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // u ages: -10(→0 clamp), 0, 1, 2 → 1e6 + 1e6 + 5e5 + 2.5e5
+    assert(pinned("u") == 100L * 2750000L)
+  }
+
   test("streaks: deterministic under repartition") {
     val rnd = new scala.util.Random(9)
     val df = (1 to 400).map(_ => (rnd.nextInt(5).toString, rnd.nextInt(200).toLong))

@@ -233,6 +233,17 @@ class OpsSpec extends SparkSpec {
     assert(sym.count() == 0L)
   }
 
+  test("text: topTfidfTerms — tf weighting beats rarity-only ranking") {
+    val d = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.topTfidfTerms(d, "doc_id", col("text"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) -> ((r.getString(1), r.getLong(3))))
+      .toMap
+    val ln2 = math.floor(math.log(2.0) * 1e6).toLong
+    // doc1: x (tf=2, idf=ln2) > y (idf=0); doc2: z (ln2) > y
+    assert(got((1L, 1)) == (("x", 2 * ln2)) && got((1L, 2)) == (("y", 0L)))
+    assert(got((2L, 1)) == (("z", ln2)) && got((2L, 2)) == (("y", 0L)))
+  }
+
   test("text: skipgramCounts — window offsets, clamped tails, minCount") {
     val d = Seq((1L, "a b c d"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
     val got = TextAnalysis.skipgramCounts(d, col("text"), window = 2, minCount = 1L)

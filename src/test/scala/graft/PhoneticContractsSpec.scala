@@ -109,6 +109,26 @@ class PhoneticContractsSpec extends SparkSpec {
     assert(math.abs(r2 / 1e6 - ref * ref) < 1e-5, s"r2_ppm=$r2 vs corr²=${ref * ref}")
   }
 
+  test("chiSquare: exact zero on independence, χ²=n on perfect association") {
+    // perfect independence: every (a,b) cell at its expected count
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val gi = Profiling.chiSquare(ind, col("a"), col("b")).collect()(0)
+    assert((gi.getLong(0), gi.getLong(1), gi.getLong(2), gi.getLong(3), gi.getLong(4)) ==
+      ((20L, 2L, 2L, 1L, 0L)))
+    // perfect association on the diagonal: χ² = n exactly
+    val assoc = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q"))).toDF("a", "b")
+    val ga = Profiling.chiSquare(assoc, col("a"), col("b")).collect()(0)
+    assert(ga.getLong(3) == 1L && ga.getLong(4) == 10L * 1000000L)
+    // hand 2×2 vs the float formula, to micro resolution
+    val mixed = (Seq.fill(6)(("x", "p")) ++ Seq.fill(2)(("x", "q")) ++
+      Seq.fill(3)(("y", "p")) ++ Seq.fill(9)(("y", "q"))).toDF("a", "b")
+    val gm = Profiling.chiSquare(mixed, col("a"), col("b")).collect()(0).getLong(4)
+    val exp = Seq((6.0, 8.0, 9.0), (2.0, 8.0, 11.0), (3.0, 12.0, 9.0), (9.0, 12.0, 11.0))
+      .map { case (o, r, c) => { val e = r * c / 20.0; (o - e) * (o - e) / e } }.sum
+    assert(math.abs(gm / 1e6 - exp) < 1e-4, s"got ${gm / 1e6} vs $exp")
+  }
+
   test("groupZscore: exact ppm values, zero-variance NULL, envelope guard") {
     val df = Seq(
       ("two", 1L, 0L), ("two", 2L, 2L),                 // z = ∓1 exactly
