@@ -1833,6 +1833,26 @@ object SparkEntry {
     graft.ops.TextAnalysis.collocations(
       t(s, dir, "documents"), col("text"), minCount = 5L)
 
+  /** Robust per-row z-scores ([[graft.ops.Profiling.robustZ]]): order
+    * cents against the priority class's median/MAD — the q_mad stats
+    * applied row-wise, exact ppm with NO float and no envelope.
+    */
+  private def qRobustZ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.robustZ(
+      t(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents")),
+      Seq("o_orderpriority"), "o_orderkey", col("cents"))
+
+  /** Association rules ([[graft.ops.Graphs.associationRules]]) over
+    * the q_copurchase basket fixture: directional confidence + lift in
+    * exact ppm on the same censored (hub-capped) universe.
+    */
+  private def qAssocRules(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.associationRules(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      maxDegree = 50, minShared = 2L)
+
   /** Half-life-decayed engagement scores
     * ([[graft.ops.Windows.decayedSum]]): per-user event value in
     * cents, halving every 7 days from the stream's max time — exact
@@ -2710,6 +2730,8 @@ object SparkEntry {
     "q_decayed" -> (qDecayed _),
     "q_chi_square" -> (qChiSquare _),
     "q_tfidf" -> (qTfidf _),
+    "q_robust_z" -> (qRobustZ _),
+    "q_assoc_rules" -> (qAssocRules _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3966,6 +3988,47 @@ object SparkEntry {
         |SELECT t.user_id, t.n_active_periods, t.n_streaks,
         |       b.longest_streak, b.longest_end
         |FROM tot t JOIN best b ON t.user_id = b.user_id AND b.rn = 1""".stripMargin,
+    // The q_mad rank selections joined back row-wise; `//` and `div`
+    // both truncate toward zero on the negative deviations (probed —
+    // the q_trend precedent).
+    "q_robust_z" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS g, o_orderkey,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS val
+        |  FROM orders),
+        |rk1 AS (SELECT g, val,
+        |          row_number() OVER (PARTITION BY g ORDER BY val) AS rk,
+        |          count(*) OVER (PARTITION BY g) AS n FROM v),
+        |med AS (SELECT g, val AS med FROM rk1 WHERE rk = (n - 1) // 2 + 1),
+        |d AS (SELECT v.g, med.med, abs(v.val - med.med) AS dv
+        |      FROM v JOIN med USING (g)),
+        |rk2 AS (SELECT g, med, dv,
+        |          row_number() OVER (PARTITION BY g ORDER BY dv) AS rk,
+        |          count(*) OVER (PARTITION BY g) AS n FROM d),
+        |st AS (SELECT g, med, dv AS mad FROM rk2 WHERE rk = (n - 1) // 2 + 1)
+        |SELECT v.g AS o_orderpriority, v.o_orderkey, v.val AS x,
+        |  CASE WHEN st.mad = 0 THEN NULL
+        |       ELSE ((v.val - st.med) * 1000000) // st.mad END AS robust_z_ppm
+        |FROM v JOIN st USING (g)""".stripMargin,
+    // Confidence/lift from counts on the SAME hub-capped universe as
+    // q_copurchase; lift numerator through HUGEINT ≡ decimal(38,0).
+    "q_assoc_rules" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |           FROM lineitem),
+        |deg AS (SELECT basket, count(*) AS d FROM e GROUP BY 1),
+        |kept AS (SELECT basket FROM deg WHERE d <= 50),
+        |k AS (SELECT e.basket, e.item FROM e JOIN kept USING (basket)),
+        |ic AS (SELECT item, count(*) AS n FROM k GROUP BY 1),
+        |tot AS (SELECT count(*) AS t FROM kept),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+        |      FROM k a JOIN k b ON a.basket = b.basket AND a.item <> b.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.item_a, p.item_b, ia.n AS n_a, ib.n AS n_b, p.n_ab,
+        |  CAST((p.n_ab * 1000000) // ia.n AS BIGINT) AS confidence_ppm,
+        |  CAST((CAST(p.n_ab AS HUGEINT) * tot.t * 1000000) //
+        |       (CAST(ia.n AS HUGEINT) * ib.n) AS BIGINT) AS lift_ppm
+        |FROM p JOIN ic ia ON p.item_a = ia.item
+        |       JOIN ic ib ON p.item_b = ib.item, tot""".stripMargin,
     // Exact power-of-2 half-life weights: 1e6 // 2^Δ, zero beyond 19
     // half-lives — all-integer, order-free.
     "q_decayed" ->

@@ -625,6 +625,54 @@ object Graphs {
     * self-join, one pair-keyed count agg. Every shuffle is keyed by
     * the basket or the pair — nothing global, no window.
     */
+  /** Pairwise ASSOCIATION RULES over a `(basket, item)` incidence list
+    * — the recommendation/affinity layer on top of
+    * [[bipartiteProject]]'s raw co-occurrence counts: for each ordered
+    * pair A→B with `support ≥ minShared` baskets,
+    * {{{
+    *   confidence = n_ab / n_a          (P(B | A))
+    *   lift·1e6   = n_ab·T·1e6 / (n_a·n_b)   (>1e6 ⇔ positive assoc.)
+    * }}}
+    * both as EXACT integer ppm (counts in, integral divisions out —
+    * bit-identical on any engine; T = distinct baskets after the same
+    * `maxDegree` hub cap as the projection, so support/confidence/lift
+    * are all measured on the SAME censored universe — mixing capped
+    * pair counts with uncapped totals would overstate lift).
+    *
+    * Returns `(item_a, item_b, n_a, n_b, n_ab, confidence_ppm,
+    * lift_ppm)` — BOTH directions of every co-occurring pair
+    * (confidence is asymmetric). Shape: the bipartiteProject joins
+    * plus one broadcast item-count table and a 1-row total; nothing
+    * new shuffles.
+    */
+  def associationRules(edges: DataFrame, maxDegree: Int,
+      minShared: Long = 1L): DataFrame = {
+    val cols = edges.columns
+    val e = edges.select(col(cols(0)).as("basket"), col(cols(1)).as("item"))
+      .distinct().localCheckpoint(true)
+    val keep = e.groupBy("basket").agg(count(lit(1)).as("__d"))
+      .filter(col("__d") <= maxDegree).select("basket")
+      .localCheckpoint(true) // feeds the pair join, item counts, and T
+    val k = e.join(keep, Seq("basket"))
+    val itemCnt = k.groupBy(col("item")).agg(count(lit(1)).as("__n"))
+    val tot = keep.agg(count(lit(1)).as("__t"))
+    val pairs = k.select(col("basket"), col("item").as("item_a"))
+      .join(k.select(col("basket"), col("item").as("item_b")), Seq("basket"))
+      .filter(col("item_a") =!= col("item_b")) // ordered: both directions
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minShared)
+    pairs
+      .join(itemCnt.select(col("item").as("item_a"), col("__n").as("n_a")), Seq("item_a"))
+      .join(itemCnt.select(col("item").as("item_b"), col("__n").as("n_b")), Seq("item_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"), col("n_ab"),
+        expr("(n_ab * 1000000L) div n_a").as("confidence_ppm"),
+        // decimal(38,0): n_ab·T·1e6 passes 2^63 beyond ~1e9-basket
+        // corpora; HUGEINT mirrors exactly
+        expr("(cast(n_ab as decimal(38,0)) * __t * 1000000L) div (cast(n_a as decimal(38,0)) * n_b)")
+          .as("lift_ppm"))
+  }
+
   def bipartiteProject(edges: DataFrame, maxDegree: Int,
       minShared: Long = 1L): DataFrame = {
     require(maxDegree > 0, s"maxDegree must be positive, got $maxDegree")

@@ -386,6 +386,33 @@ object Profiling {
       .select(groupCols.map(col) :+ col("__med").as("median") :+ col("mad"): _*)
   }
 
+  /** Per-row ROBUST z-scores — `(x − median)·10⁶ div MAD`, the
+    * heavy-tail-proof counterpart of [[groupZscore]]: a single wild
+    * value drags a mean/σ z-score arbitrarily (the outlier masks
+    * itself); median and MAD are 50%-breakdown estimators, so the
+    * flagging stays calibrated. With integral inputs the whole
+    * computation is integer rank selection + one integral division —
+    * no envelope, no float, bit-exact anywhere. Rows in zero-MAD
+    * groups (more than half the group at the median) get NULL —
+    * deviation is unmeasurable there, the conventional contract.
+    *
+    * Returns `(groups…, idCol, x, robust_z_ppm)` where ±1e6 ≈ one MAD
+    * from the median (divide by 1.4826·10⁶ for a σ-equivalent scale
+    * under normality — a presentation constant, deliberately NOT baked
+    * into the exact output). Shape: the two [[groupMad]] rank
+    * selections + one group-keyed join-back, map-only scoring.
+    */
+  def robustZ(df: DataFrame, groupCols: Seq[String], idCol: String,
+      value: Column): DataFrame = {
+    require(groupCols.nonEmpty, "robustZ needs at least one group column")
+    val stats = groupMad(df, groupCols, value.cast("long"))
+    df.select((groupCols :+ idCol).map(col) :+ value.cast("long").as("x"): _*)
+      .join(stats, groupCols)
+      .select((groupCols :+ idCol).map(col) :+ col("x") :+
+        when(col("mad") === 0, lit(null).cast("long"))
+          .otherwise(expr("((x - median) * 1000000L) div mad")).as("robust_z_ppm"): _*)
+  }
+
   /** DuckDB mirror of [[exactPercentiles]] over a CTE `v(g…, val)`:
     * the identical rank arithmetic (`//` ≡ `div` on non-negatives).
     */

@@ -167,6 +167,22 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("graphs: associationRules — exact confidence/lift, direction asymmetry, capped universe") {
+    // baskets: {a,b} ×3, {a} ×1, {b} ×0 extra, {a,b,c} hub over cap
+    val edges = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"), (3L, "b"),
+      (4L, "a"),
+      (5L, "a"), (5L, "b"), (5L, "c")).toDF("basket", "item")
+    val got = graft.ops.Graphs.associationRules(edges, maxDegree = 2, minShared = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // basket 5 (degree 3) is dropped: T=4, n_a=4, n_b=3, n_ab=3
+    // conf(a→b) = 3/4; conf(b→a) = 3/3; lift = 3·4/(4·3) = 1 exactly
+    assert(got(("a", "b")) == ((4L, 3L, 3L, 750000L, 1000000L)))
+    assert(got(("b", "a")) == ((3L, 4L, 3L, 1000000L, 1000000L)))
+    assert(!got.keySet.exists(p => p._1 == "c" || p._2 == "c"))
+  }
+
   test("sampling: rendezvousShard — independent md5 check, resize moves ~1/(n+1)") {
     val keys = (1L to 600L).toSeq
     val df = keys.toDF("key")

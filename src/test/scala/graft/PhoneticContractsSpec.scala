@@ -109,6 +109,22 @@ class PhoneticContractsSpec extends SparkSpec {
     assert(math.abs(r2 / 1e6 - ref * ref) < 1e-5, s"r2_ppm=$r2 vs corr²=${ref * ref}")
   }
 
+  test("robustZ: outlier flagged where mean/σ z-score would be dragged; zero-MAD NULL") {
+    // group g: median 10, MAD 1; the wild 1000 gets z = 990e6 while a
+    // mean/σ score of the same row would be ~sqrt(n)≈2.4 "σ" only.
+    val df = Seq(
+      ("g", 1L, 9L), ("g", 2L, 10L), ("g", 3L, 10L), ("g", 4L, 11L), ("g", 5L, 1000L),
+      ("z", 6L, 5L), ("z", 7L, 5L), ("z", 8L, 5L)                     // MAD 0
+    ).toDF("grp", "id", "v")
+    val got = Profiling.robustZ(df, Seq("grp"), "id", col("v"))
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(5L) == Some(990000000L))
+    assert(got(2L) == Some(0L) && got(3L) == Some(0L))
+    assert(got(1L) == Some(-1000000L) && got(4L) == Some(1000000L))
+    assert(got(6L).isEmpty && got(7L).isEmpty && got(8L).isEmpty)
+  }
+
   test("chiSquare: exact zero on independence, χ²=n on perfect association") {
     // perfect independence: every (a,b) cell at its expected count
     val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5 }
