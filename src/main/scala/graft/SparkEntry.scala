@@ -1892,7 +1892,11 @@ object SparkEntry {
     * set.
     */
   private def qShards(s: SparkSession, dir: String): DataFrame = {
-    val k = t(s, dir, "customer").select(col("c_custkey").as("key"))
+    // 21 md5s per row of narrow compute — without the repartition the
+    // whole scan's 1-2 input partitions serialize it (probe read 25×
+    // for 10× rows; ensure() restores map-side parallelism)
+    val k = graft.util.Parallelism.ensure(
+      t(s, dir, "customer").select(col("c_custkey").as("key")))
     k.select(col("key"),
         graft.ops.Sampling.rendezvousShard(col("key"), 10).as("shard"),
         graft.ops.Sampling.rendezvousShard(col("key"), 11).as("__s11"))
@@ -1986,7 +1990,8 @@ object SparkEntry {
     */
   private def qSkipgram(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.skipgramCounts(
-      t(s, dir, "documents"), col("text"), window = 3, minCount = 20L)
+      graft.util.Parallelism.ensure(t(s, dir, "documents")),
+      col("text"), window = 3, minCount = 20L)
 
   /** Quantized ANN search ([[graft.ops.Similarity.searchInt8]]): the
     * same 5 query vectors as q_ann_topk, scored by exact BIGINT code
