@@ -112,10 +112,31 @@ object CorpusDemo {
       Seq("train" -> 900, "valid" -> 50, "test" -> 50))
     val splitCounts = split.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 5b. Split QA gates — the checks that catch a broken split BEFORE
+    //     training: (a) JS divergence between the train and valid
+    //     token distributions (a hash split should leave them nearly
+    //     identical; a skewed split shows up as a large JSD), and
+    //     (b) chi-square association between split and language (the
+    //     md5 bucket must be independent of any data column). Both are
+    //     exactly-reproducible integers — a regression in either is a
+    //     hard diff, not a judgement call.
+    val jsd = graft.ops.TextAnalysis.distributionDrift(
+        split.filter(col("split") === "train"), col("text"),
+        split.filter(col("split") === "valid"), col("text"))
+      .head
+    val jsdNats = jsd.getLong(3) / 2e12
+    val chi = graft.ops.Profiling.chiSquare(split, col("split"), col("lang")).head
+    val chiPerDof = chi.getLong(4) / 1e6 / math.max(chi.getLong(3), 1L)
+    val tGates = lap()
+
     val mixed = graft.ops.Sampling.repeatByWeight(
       split.filter(col("split") === "train")
         .withColumn("w", when(col("lang") === "en", 1).otherwise(2)),
       col("w"))
+    require(jsdNats < 0.35,
+      f"train/valid token JSD $jsdNats%.3f nats — split is distribution-skewed")
+    require(chiPerDof < 3.0,
+      f"split×lang chi2/dof $chiPerDof%.2f — split correlates with language")
     val nMixed = mixed.count()
     val packed = graft.ops.Windows.packChunks(
       mixed.select(col("lang"), (col("doc_id") * 10 + col("rep")).as("seq_id"),
@@ -183,6 +204,8 @@ object CorpusDemo {
     println(f"[corpus] decontaminated  $nClean%6d  (-${nQuality - nClean}%d benchmark-tainted)")
     println(s"[corpus] split           " + Seq("train", "valid", "test")
       .map(k => s"$k=${splitCounts.getOrElse(k, 0L)}").mkString(" "))
+    println(f"[corpus] split QA        train/valid JSD $jsdNats%.4f nats; " +
+      f"split×lang chi2/dof $chiPerDof%.2f (both gated)")
     println(f"[corpus] train mixed     $nMixed%6d rows after non-en x2 upsampling")
     println(f"[corpus] packed          $nChunks%6d training chunks of 2048 tokens")
     println(s"[corpus] token quotas    " + quotas.map { case (l, avail, q) =>
@@ -193,7 +216,7 @@ object CorpusDemo {
     println(f"[corpus] vocab report    $nVocab%6d heavy tokens (>1%% of train stream)")
     println(s"[corpus] exported to $out (jsonl + audited parquet, verified $verifiedRows rows)")
     println(f"[time] exact=$tExact%.1fs near=$tNear%.1fs quality=$tQuality%.1fs " +
-      f"decontam=$tClean%.1fs split+mix+pack=$tMix%.1fs sched+encode=$tSched%.1fs " +
+      f"decontam=$tClean%.1fs gates=$tGates%.1fs split+mix+pack=$tMix%.1fs sched+encode=$tSched%.1fs " +
       f"vocab=$tVocab%.1fs export=$tExport%.1fs")
     spark.stop()
   }

@@ -136,7 +136,13 @@ object ScaleProbe {
     // zscore rides customer replicas (stats agg + keyed join-back,
     // groups fixed → linear).
     "q_hits", "q_streaks", "q_lm_bigram", "q_skipgram", "q_js_drift",
-    "q_shards", "q_zscore")
+    "q_shards", "q_zscore",
+    // assoc_rules shares q_copurchase's superlinear-OUTPUT contract
+    // (shared-basket counts stack across replicas; runtime tracks the
+    // ×10 input); decayed/tfidf/robust_z/chi_square ride events /
+    // documents / orders with keyed aggs+windows only → linear.
+    "q_assoc_rules", "q_decayed", "q_tfidf", "q_robust_z",
+    "q_chi_square")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a
