@@ -1833,6 +1833,60 @@ object SparkEntry {
     graft.ops.TextAnalysis.collocations(
       t(s, dir, "documents"), col("text"), minCount = 5L)
 
+  /** Exact weighted median ([[graft.ops.Profiling.weightedMedian]]):
+    * order dollars per priority, weighted by the order's line-item
+    * count — the robust center where each order counts as many times
+    * as it has lines.
+    */
+  private def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val cnt = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("w"))
+    graft.ops.Profiling.weightedMedian(
+      t(s, dir, "orders").join(cnt, Seq("o_orderkey"))
+        .select(col("o_orderpriority"),
+          floor(col("o_totalprice")).cast("long").as("v"), col("w")),
+      Seq("o_orderpriority"), col("v"), col("w"))
+  }
+
+  /** Reciprocal rank fusion ([[graft.ops.Similarity.rrfFuse]]): the
+    * float-cosine shortlist (q_ann_topk) ensembled with the
+    * int8-code shortlist (q_ann_int8) for the same 5 queries — the
+    * hybrid-retrieval shape, scored in exact integer micro-units so
+    * the fused ranking hash-matches.
+    */
+  private def qRrf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cos = graft.ops.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+    val i8 = graft.ops.Similarity.searchInt8(
+        emb, Seq(0L, 1L, 2L, 3L, 4L), "vec_id", "embedding", EmbDim, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+    graft.ops.Similarity.rrfFuse(cos.unionByName(i8), k = 5)
+  }
+
+  /** Waterfall enrichment ([[graft.ops.Joins.waterfallJoin]]): orders
+    * enriched from customer through two key levels — the exact id
+    * (synthetically missing for every third key) falling back to an
+    * alternate id (missing for every seventh) — grouped by which
+    * level matched; the %21 overlap lands in the NULL (unmatched)
+    * bucket, proving pass-through.
+    */
+  private def qWaterfall(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      when(col("o_custkey") % 3 === 0, lit(null).cast("long"))
+        .otherwise(col("o_custkey")).as("k1"),
+      when(col("o_custkey") % 7 === 0, lit(null).cast("long"))
+        .otherwise(-col("o_custkey")).as("k2"))
+    val r = t(s, dir, "customer").select(col("c_custkey").as("rk1"),
+      (-col("c_custkey")).as("rk2"), col("c_acctbal"))
+    graft.ops.Joins.waterfallJoin(l, r, Seq("k1" -> "rk1", "k2" -> "rk2"))
+      .groupBy("matched_level")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("c_acctbal")).cast("long")).as("sum_floor_bal"))
+  }
+
   /** Robust per-row z-scores ([[graft.ops.Profiling.robustZ]]): order
     * cents against the priority class's median/MAD — the q_mad stats
     * applied row-wise, exact ppm with NO float and no envelope.
@@ -2737,6 +2791,9 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_robust_z" -> (qRobustZ _),
     "q_assoc_rules" -> (qAssocRules _),
+    "q_weighted_median" -> (qWeightedMedian _),
+    "q_rrf" -> (qRrf _),
+    "q_waterfall" -> (qWaterfall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3993,6 +4050,88 @@ object SparkEntry {
         |SELECT t.user_id, t.n_active_periods, t.n_streaks,
         |       b.longest_streak, b.longest_end
         |FROM tot t JOIN best b ON t.user_id = b.user_id AND b.rn = 1""".stripMargin,
+    // Duplicate values collapse BEFORE the cumsum (input order can
+    // never matter); threshold rank (W+1)//2 on exact BIGINT weights.
+    "q_weighted_median" ->
+      """WITH cnt AS (SELECT l_orderkey, count(*) AS w FROM lineitem GROUP BY 1),
+        |v0 AS (
+        |  SELECT o_orderpriority AS g, CAST(floor(o_totalprice) AS BIGINT) AS v,
+        |         cnt.w
+        |  FROM orders JOIN cnt ON o_orderkey = l_orderkey),
+        |v AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS w FROM v0 GROUP BY 1, 2),
+        |c AS (
+        |  SELECT g, v,
+        |    sum(w) OVER (PARTITION BY g ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY g) AS tot
+        |  FROM v)
+        |SELECT g AS o_orderpriority, CAST(min(v) AS BIGINT) AS weighted_median,
+        |       CAST(max(tot) AS BIGINT) AS total_weight
+        |FROM c WHERE cw >= (tot + 1) // 2 GROUP BY 1""".stripMargin,
+    // Both shortlists rebuilt by their own oracles' pipelines (CTE
+    // names disambiguated), fused with the identical integer formula.
+    "q_rrf" -> {
+      val dot = (1 to EmbDim).map(i => s"q2.qc[$i] * e.codes[$i]").mkString(" + ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |sim AS (
+         |  SELECT query_id, neighbor_id,
+         |    round(${graft.ops.Similarity.cosineSql("qv", "cv", EmbDim)}, 6) AS cosine
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sim),
+         |ann AS (SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5),
+         |st AS (
+         |  SELECT gs.i AS pos,
+         |    min(CAST(embedding[gs.i] AS DOUBLE)) AS lo,
+         |    max(CAST(embedding[gs.i] AS DOUBLE)) AS hi
+         |  FROM embeddings, generate_series(1, $EmbDim) gs(i) GROUP BY gs.i),
+         |sl AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM st),
+         |enc AS (
+         |  SELECT vec_id,
+         |    list_transform(generate_series(1, $EmbDim), i ->
+         |      CAST(CASE WHEN sl.his[i] = sl.los[i] THEN 0
+         |        ELSE least(255, floor((CAST(embedding[i] AS DOUBLE) - sl.los[i]) * 255.0
+         |          / (sl.his[i] - sl.los[i])))
+         |        END AS INTEGER)) AS codes
+         |  FROM embeddings, sl),
+         |q2 AS (SELECT vec_id AS query_id, codes AS qc FROM enc WHERE vec_id < 5),
+         |sc AS (
+         |  SELECT q2.query_id, e.vec_id AS neighbor_id,
+         |    CAST($dot AS BIGINT) AS dot_q
+         |  FROM q2 CROSS JOIN enc e WHERE e.vec_id <> q2.query_id),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY dot_q DESC, neighbor_id) AS rank FROM sc),
+         |i8 AS (SELECT query_id, neighbor_id, rank FROM r2 WHERE rank <= 5),
+         |u AS (SELECT * FROM ann UNION ALL SELECT * FROM i8),
+         |f AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro,
+         |    count(*) AS n_sources
+         |  FROM u GROUP BY 1, 2),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY rrf_micro DESC, neighbor_id) AS rank FROM f)
+         |SELECT query_id, neighbor_id, rrf_micro, n_sources, rank
+         |FROM rr WHERE rank <= 5""".stripMargin
+    },
+    // Level priority via CASE order; each level's right key is unique,
+    // so the two LEFT JOINs + coalesce reproduce first-match-wins.
+    "q_waterfall" ->
+      """WITH l AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_custkey % 3 = 0 THEN NULL ELSE o_custkey END AS k1,
+        |    CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE -o_custkey END AS k2
+        |  FROM orders),
+        |res AS (
+        |  SELECT l.o_orderkey,
+        |    CASE WHEN c1.c_custkey IS NOT NULL THEN 1
+        |         WHEN c2.c_custkey IS NOT NULL THEN 2 END AS matched_level,
+        |    coalesce(c1.c_acctbal, c2.c_acctbal) AS bal
+        |  FROM l
+        |  LEFT JOIN customer c1 ON l.k1 = c1.c_custkey
+        |  LEFT JOIN customer c2 ON l.k2 = -c2.c_custkey)
+        |SELECT matched_level, count(*) AS n,
+        |       CAST(sum(floor(bal)) AS BIGINT) AS sum_floor_bal
+        |FROM res GROUP BY 1""".stripMargin,
     // The q_mad rank selections joined back row-wise; `//` and `div`
     // both truncate toward zero on the negative deviations (probed —
     // the q_trend precedent).

@@ -302,4 +302,57 @@ object Joins {
       p(valueCol) >= r(startCol) && p(valueCol) <= r(endCol)
     p.join(r, joinCond).drop("__bin")
   }
+
+  /** WATERFALL enrichment join — match on the strongest key first,
+    * fall back level by level: the identity-resolution shape ("join on
+    * tax id; else on normalized email; else on phone") every CRM/KYC
+    * enrichment runs. `levels` maps (left key, right key) in priority
+    * order; each left row takes the FIRST level with a right match and
+    * reports it in `matched_level` (1-based; NULL when nothing
+    * matched — rows pass through, never dropped).
+    *
+    * Right payload is everything but the key columns; a right key
+    * duplicated within a level would fan the row out, so key
+    * uniqueness per level is REQUIRED and enforced with a loud
+    * one-pass check (the silent alternative double-counts downstream
+    * aggregates — the classic enrichment bug).
+    *
+    * Shape: one equi-join per level, each keyed on its own column —
+    * but only UNMATCHED rows from level i reach level i+1, so the join
+    * input shrinks monotonically (at 100 TB the first level typically
+    * resolves the bulk). NULL left keys skip a level by SQL equality
+    * semantics, which is exactly the fallback behavior wanted.
+    */
+  def waterfallJoin(
+      left: DataFrame,
+      right: DataFrame,
+      levels: Seq[(String, String)]): DataFrame = {
+    require(levels.nonEmpty, "waterfallJoin needs at least one key level")
+    val rightKeyNames = levels.map(_._2).distinct
+    val payload = right.columns.filterNot(rightKeyNames.contains)
+    require(payload.nonEmpty, "right side needs at least one payload column")
+    for ((_, rk) <- levels) {
+      val dup = right.filter(col(rk).isNotNull)
+        .groupBy(rk).agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      require(dup.isEmpty,
+        s"waterfallJoin: right key '$rk' is not unique — a duplicate would fan out left rows")
+    }
+    var pending = left
+    var resolved: DataFrame = null
+    for (((lk, rk), i) <- levels.zipWithIndex) {
+      val r = right.filter(col(rk).isNotNull)
+        .select(col(rk).as("__rk") +: payload.map(col): _*)
+      val joined = pending.join(r, pending(lk) === col("__rk"), "left")
+      val hit = joined.filter(col("__rk").isNotNull)
+        .drop("__rk").withColumn("matched_level", lit(i + 1))
+      resolved = if (resolved == null) hit else resolved.unionByName(hit)
+      pending = joined.filter(col("__rk").isNull)
+        .select(pending.columns.map(pending(_)): _*)
+    }
+    val unmatched = pending
+      .select(pending.columns.map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+        lit(null).cast("int").as("matched_level"): _*)
+    resolved.unionByName(unmatched)
+  }
 }

@@ -413,6 +413,41 @@ object Profiling {
           .otherwise(expr("((x - median) * 1000000L) div mad")).as("robust_z_ppm"): _*)
   }
 
+  /** Exact WEIGHTED median per group — the robust center under
+    * importance weights (duplicate-collapsed corpora where a row
+    * stands for `w` originals, priority-weighted quality rollups):
+    * the smallest value whose running weight reaches half the total,
+    * `min{ v : cumw(v) ≥ (W + 1) div 2 }` with ties on equal values
+    * collapsed first (so input row order can never matter). Reduces to
+    * [[exactPercentiles]]' p50 when every weight is 1 — asserted in
+    * spec. All-integer: rank arithmetic + BIGINT weight sums, no
+    * float, engine-exact.
+    *
+    * Shape: one (group, value) pre-agg (collapses duplicates and
+    * bounds the window input by the DISTINCT value count), one keyed
+    * window cumsum, one keyed min-struct agg. Weights must be
+    * positive — raise_error otherwise (a zero/negative weight silently
+    * shifts the threshold).
+    */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String], value: Column,
+      weight: Column): DataFrame = {
+    require(groupCols.nonEmpty, "weightedMedian needs at least one group column")
+    val v = df.select(groupCols.map(col) :+ value.cast("long").as("__v") :+
+        when(weight.cast("long") > 0, weight.cast("long"))
+          .otherwise(raise_error(concat(lit("weightedMedian: non-positive weight: "),
+            weight.cast("string")))).as("__w"): _*)
+      .groupBy((groupCols :+ "__v").map(col): _*)
+      .agg(sum("__w").as("__w"))
+    val byG = Window.partitionBy(groupCols.map(col): _*)
+    val cum = v
+      .withColumn("__cw", sum("__w").over(byG.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum("__w").over(byG))
+    cum.filter(col("__cw") >= expr("(__tot + 1L) div 2L"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min("__v").as("weighted_median"), max("__tot").as("total_weight"))
+  }
+
   /** DuckDB mirror of [[exactPercentiles]] over a CTE `v(g…, val)`:
     * the identical rank arithmetic (`//` ≡ `div` on non-negatives).
     */

@@ -495,6 +495,40 @@ object Similarity {
       .select("query_id", "neighbor_id", "dot_q", "rank")
   }
 
+  /** RECIPROCAL RANK FUSION (Cormack/Clarke/Büttcher SIGIR'09) — the
+    * standard way to ensemble retrievers with incommensurable scores
+    * (dense ANN + BM25, or float cosine + int8 codes): each source
+    * contributes `1/(k0 + rank)` per candidate and the fused order is
+    * by the summed contribution. Input: `(query_id, neighbor_id,
+    * rank, source)` rows from any number of rankers; output the fused
+    * top-`k` per query as `(query_id, neighbor_id, rrf_micro,
+    * n_sources, rank)`.
+    *
+    * Scored in exact integer micro-units — `Σ 10⁶ div (k0 + rank)` —
+    * so the fusion is order-independent BIGINT arithmetic and the
+    * (score DESC, neighbor ASC) output order is total and
+    * engine-exact (float RRF sums are association-ordered). The
+    * integer truncation changes scores by < 1 micro-unit per source —
+    * rank-semantics, not calibrated probabilities, is RRF's contract.
+    *
+    * Shape: one union of ranker outputs (each already per-query
+    * bounded), one (query, neighbor) hash agg, one query-keyed
+    * window. Nothing scans the corpus — fusion touches only the
+    * shortlists.
+    */
+  def rrfFuse(rankings: DataFrame, k: Int, k0: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k0 >= 0, s"k0 must be >= 0, got $k0")
+    val scored = rankings.select(col("query_id"), col("neighbor_id"),
+      expr(s"1000000L div (${k0}L + rank)").as("__c"))
+    scored.groupBy("query_id", "neighbor_id")
+      .agg(sum("__c").as("rrf_micro"), count(lit(1)).as("n_sources"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc("rrf_micro"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** DuckDB mirror of [[quantizeInt8]] — the oracle RECOMPUTES the
     * per-dim stats in SQL (no driver handoff to trust), then applies
     * the identical clamp/floor formula.

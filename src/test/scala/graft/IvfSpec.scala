@@ -115,6 +115,23 @@ class IvfSpec extends SparkSpec {
     assert(all.flatten.forall(c => c >= 0 && c <= 255))
   }
 
+  test("rrfFuse: hand fusion — consensus beats a single #1, exact micro scores") {
+    // source A ranks: n1=1, n2=2, n3=3; source B: n2=1, n3=2, n9=3.
+    // n2 (2nd+1st) must outrank n1 (1st only): 1e6/62+1e6/61 > 1e6/61.
+    val rk = Seq(
+      (1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (1L, 20L, 1), (1L, 30L, 2), (1L, 90L, 3)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.rrfFuse(rk, k = 4)
+      .collect().map(r => r.getInt(4) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def c(r: Int) = 1000000L / (60 + r)
+    assert(got(1) == ((20L, c(2) + c(1), 2L)))
+    assert(got(2) == ((30L, c(3) + c(2), 2L)))
+    assert(got(3) == ((10L, c(1), 1L)))
+    assert(got(4) == ((90L, c(3), 1L)))
+  }
+
   test("searchInt8: matches an independent Scala quantize+dot computation") {
     val rnd = new scala.util.Random(31)
     val dim = 4

@@ -254,4 +254,33 @@ class JoinsSpec extends SparkSpec {
     // exactly one Generate (the ranges explode), none feeding from points
     assert(plan.split("Generate ", -1).length == 2, plan)
   }
+
+  test("waterfallJoin: first-match-wins, pass-through, duplicate-key rejection") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Some(10L), Some(200L)),  // level 1 hits; its k2 would ALSO hit
+      (2L, Some(99L), Some(200L)),  // level 1 misses (99 absent) -> level 2
+      (3L, None, Some(300L)),       // null level-1 key -> level 2
+      (4L, None, None)              // matches nothing -> passes through
+    ).toDF("id", "k1", "k2")
+    val right = Seq(
+      (10L, 999L, "gold"), (11L, 200L, "silver"), (12L, 300L, "bronze")
+    ).toDF("rk1", "rk2", "grade")
+    val got = graft.ops.Joins.waterfallJoin(left, right, Seq("k1" -> "rk1", "k2" -> "rk2"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[String]("grade")),
+          if (r.isNullAt(r.fieldIndex("matched_level"))) None
+          else Some(r.getInt(r.fieldIndex("matched_level")))))).toMap
+    // id 1 resolves at level 1 even though its k2 (100) matches nothing
+    assert(got(1L) == ((Some("gold"), Some(1))))
+    assert(got(2L) == ((Some("silver"), Some(2))))
+    assert(got(3L) == ((Some("bronze"), Some(2))))
+    assert(got(4L) == ((None, None)))
+    // a right key that would fan out left rows is rejected loudly
+    val dup = Seq((10L, 1L, "a"), (10L, 2L, "b")).toDF("rk1", "rk2", "grade")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Joins.waterfallJoin(left, dup, Seq("k1" -> "rk1"))
+    }
+    assert(ex.getMessage.contains("not unique"))
+  }
 }

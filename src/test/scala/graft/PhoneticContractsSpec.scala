@@ -109,6 +109,32 @@ class PhoneticContractsSpec extends SparkSpec {
     assert(math.abs(r2 / 1e6 - ref * ref) < 1e-5, s"r2_ppm=$r2 vs corr²=${ref * ref}")
   }
 
+  test("weightedMedian: threshold rank, duplicate collapse, unit-weight ≡ p50, guards") {
+    val df = Seq(
+      ("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 10L),     // weight mass at 3
+      ("h", 5L, 2L), ("h", 5L, 2L), ("h", 9L, 3L),      // dup 5s collapse to w=4
+      ("i", 7L, 1L)
+    ).toDF("grp", "v", "w")
+    val got = Profiling.weightedMedian(df, Seq("grp"), col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("g") == ((3L, 12L)))  // cum 1,2,12 vs (12+1)/2=6 → v=3
+    assert(got("h") == ((5L, 7L)))   // cum 4,7 vs 4 → v=5
+    assert(got("i") == ((7L, 1L)))
+    // unit weights reduce to the exactPercentiles p50 contract
+    val vals = Seq(("u", 1L), ("u", 2L), ("u", 3L), ("u", 4L)).toDF("grp", "v")
+    val wm = Profiling.weightedMedian(vals, Seq("grp"), col("v"), lit(1L))
+      .collect()(0).getLong(1)
+    val p50 = Profiling.exactPercentiles(vals, Seq("grp"), col("v"), Seq(50))
+      .collect()(0).getLong(2)
+    assert(wm == p50 && wm == 2L)
+    val ex = intercept[Exception] {
+      Profiling.weightedMedian(Seq(("g", 1L, 0L)).toDF("grp", "v", "w"),
+        Seq("grp"), col("v"), col("w")).collect()
+    }
+    assert(ex.getMessage.contains("non-positive") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("non-positive"))
+  }
+
   test("robustZ: outlier flagged where mean/σ z-score would be dragged; zero-MAD NULL") {
     // group g: median 10, MAD 1; the wild 1000 gets z = 990e6 while a
     // mean/σ score of the same row would be ~sqrt(n)≈2.4 "σ" only.
