@@ -1833,6 +1833,20 @@ object SparkEntry {
     graft.ops.TextAnalysis.collocations(
       t(s, dir, "documents"), col("text"), minCount = 5L)
 
+  /** Incremental LSH dedup
+    * ([[graft.ops.Dedup.minhashLshCandidatesCross]]): the 5% "new
+    * batch" (doc_id % 20 = 0) against the standing 95% corpus —
+    * corpus×corpus pairs never form; both sides bucketed together so
+    * the cap censors exactly like a full-corpus run.
+    */
+  private def qIncrLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = graft.ops.Dedup.shingleSets(docs, "doc_id", col("text"), 3)
+    graft.ops.Dedup.minhashLshCandidatesCross(
+      sh.filter(col("id") % 20 === 0), sh.filter(col("id") % 20 =!= 0),
+      k = 8, bands = 4, maxBucketSize = Some(LshCap))
+  }
+
   /** Exact weighted median ([[graft.ops.Profiling.weightedMedian]]):
     * order dollars per priority, weighted by the order's line-item
     * count — the robust center where each order counts as many times
@@ -2794,6 +2808,7 @@ object SparkEntry {
     "q_weighted_median" -> (qWeightedMedian _),
     "q_rrf" -> (qRrf _),
     "q_waterfall" -> (qWaterfall _),
+    "q_incr_lsh" -> (qIncrLsh _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4050,6 +4065,17 @@ object SparkEntry {
         |SELECT t.user_id, t.n_active_periods, t.n_streaks,
         |       b.longest_streak, b.longest_end
         |FROM tot t JOIN best b ON t.user_id = b.user_id AND b.rn = 1""".stripMargin,
+    // Same banded signatures as q_minhash_lsh (one-table CTE chain —
+    // the operator buckets the union identically); the cross pair set
+    // is just a side predicate on the bucket self-join.
+    "q_incr_lsh" ->
+      s"""WITH ${minhashCandCtes(8, 4, Some(LshCap))},
+         |cand2 AS (
+         |  SELECT a.doc_id AS id_new, b.doc_id AS id_corpus
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.digest = b.digest
+         |  WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0)
+         |SELECT DISTINCT id_new, id_corpus FROM cand2""".stripMargin,
     // Duplicate values collapse BEFORE the cumsum (input order can
     // never matter); threshold rank (W+1)//2 on exact BIGINT weights.
     "q_weighted_median" ->

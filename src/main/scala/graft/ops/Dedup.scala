@@ -567,16 +567,21 @@ object Dedup {
     * hot-bucket list — identical shape to the inverted-index
     * doc-frequency cap.
     */
-  def minhashLshCandidatesFromShingles(sh: DataFrame, k: Int, bands: Int,
-      maxBucketSize: Option[Long] = None): DataFrame = {
+  /** Capped long-form band buckets `(id, [extras…], band, digest)` for
+    * `(id, sh)` shingle sets — the shared middle of the self-join and
+    * cross-join LSH candidate paths. Codegen'd map side: per-shingle
+    * MD5 base hashes and all k signature minima in fused single-pass
+    * kernels (the HOF forms — an interpreted md5 lambda per shingle
+    * plus k interpreted array walks — are kept for the parity tests).
+    * Band digests then read sig elements directly; values are
+    * identical either way (exact integer math), as is the DuckDB
+    * mirror.
+    */
+  private def bandBuckets(sh: DataFrame, k: Int, bands: Int,
+      maxBucketSize: Option[Long], extras: Seq[String]): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rpb = k / bands
-    // Codegen'd map side: per-shingle MD5 base hashes and all k
-    // signature minima in fused single-pass kernels (the HOF forms —
-    // an interpreted md5 lambda per shingle plus k interpreted array
-    // walks — are kept for the parity tests). Band digests then read
-    // sig elements directly; values are identical either way (exact
-    // integer math), as is the DuckDB mirror.
+    val keep = "id" +: extras
     val withSig = sh.withColumn("__sig",
       graft.expr.TextExprs.minhash_signature(
         graft.expr.TextExprs.shingle_hashes(col("sh")), k))
@@ -584,22 +589,54 @@ object Dedup {
       d.withColumn(s"band_$j", md5(concat_ws("|",
         (j * rpb until (j + 1) * rpb).map(i => element_at(col("__sig"), i + 1).cast("string")): _*)))
     }
-    val long = withBands.select(col("id"),
-      explode(array((0 until bands).map(j =>
-        struct(lit(j).as("band"), col(s"band_$j").as("digest"))): _*)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.digest").as("digest"))
-    val capped = maxBucketSize.fold(long) { cap =>
+    val long = withBands.select(keep.map(col) :+
+        explode(array((0 until bands).map(j =>
+          struct(lit(j).as("band"), col(s"band_$j").as("digest"))): _*)).as("b"): _*)
+      .select(keep.map(col) :+ col("b.band").as("band") :+ col("b.digest").as("digest"): _*)
+    maxBucketSize.fold(long) { cap =>
       val hot = long.groupBy("band", "digest").agg(count(lit(1)).as("__n"))
         .filter(col("__n") > cap).select("band", "digest")
       // using-column joins move the keys first — re-pin column order.
       long.join(broadcast(hot), Seq("band", "digest"), "left_anti")
-        .select("id", "band", "digest")
+        .select(keep.map(col) :+ col("band") :+ col("digest"): _*)
     }
+  }
+
+  def minhashLshCandidatesFromShingles(sh: DataFrame, k: Int, bands: Int,
+      maxBucketSize: Option[Long] = None): DataFrame = {
+    val capped = bandBuckets(sh, k, bands, maxBucketSize, Nil)
     val l = capped.toDF("id_a", "band", "digest")
     val r = capped.toDF("id_b", "band", "digest")
     l.join(r, Seq("band", "digest"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** INCREMENTAL MinHash-LSH candidates — new batch × standing corpus,
+    * the daily-ingest complement of [[crossJaccardPairsExact]] at LSH
+    * fidelity: corpus×corpus pairs never form (yesterday's corpus was
+    * already deduped against itself), so a day's work is
+    * |batch|·fanout, not |corpus|². Both sides are bucketed TOGETHER
+    * (one signature pass over the union) and the bucket cap applies to
+    * the combined bucket — the same censoring a one-table run of the
+    * union would apply, which is what makes the result consistent with
+    * periodic full-corpus runs AND keeps the mirror a one-table CTE
+    * chain with a side predicate. Returns `(id_new, id_corpus)`
+    * distinct; ids are per-side namespaces (an id on both sides can
+    * pair with itself — callers with shared id spaces filter).
+    */
+  def minhashLshCandidatesCross(
+      shNew: DataFrame, shCorpus: DataFrame, k: Int, bands: Int,
+      maxBucketSize: Option[Long] = None): DataFrame = {
+    val tagged = shNew.select(col("id"), col("sh"), lit(true).as("__new"))
+      .unionByName(shCorpus.select(col("id"), col("sh"), lit(false).as("__new")))
+    val capped = bandBuckets(tagged, k, bands, maxBucketSize, Seq("__new"))
+    val l = capped.filter(col("__new")).select(col("id").as("id_new"),
+      col("band"), col("digest"))
+    val r = capped.filter(!col("__new")).select(col("id").as("id_corpus"),
+      col("band"), col("digest"))
+    l.join(r, Seq("band", "digest"))
+      .select("id_new", "id_corpus").distinct()
   }
 
   /** MinHash-LSH candidate pairs straight from a text column. */

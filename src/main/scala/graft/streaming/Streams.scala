@@ -300,6 +300,60 @@ object Streams {
     * absence). Exact verification, when needed, is a batch
     * [[graft.ops.HeavyHitters]] pass over the accumulated data.
     */
+  final case class DecayedScore(key: Long, period: Long,
+    decayed_micro: Long, n_events: Long)
+
+  /** Streaming half-life-decayed scores — the incremental face of
+    * [[graft.ops.Windows.decayedSum]], with PERIOD-ALIGNED ages
+    * (Δ = latest-period − event-period, both `floorDiv(t, halfLife)`):
+    * per key, the state is the last period plus a FIXED 20-slot array
+    * of raw per-period value sums (weights are `10⁶ div 2^Δ`, zero
+    * from Δ = 20, so older mass needs no storage — bounded state
+    * forever, the [[streamingHeavyHitters]] discipline). Each batch
+    * emits the key's refreshed `(period, decayed_micro, n_events)`.
+    *
+    * Exactness: the score is `Σ_slots sum_Δ · (10⁶ div 2^Δ)` — the
+    * identical integer arithmetic whatever the batch boundaries, so a
+    * replay in ANY batching yields bit-identical scores (spec: two
+    * different splits vs a one-shot fold). Late events older than the
+    * key's latest period land in their true slot; beyond 19 periods
+    * they only tick `n_events`. Event times must be non-negative
+    * epochs (the [[graft.ops.Windows.cohortRetention]] contract).
+    */
+  def decayedScores(
+      events: Dataset[(Long, Long, Long)],
+      halfLife: Long): Dataset[DecayedScore] = {
+    require(halfLife > 0, s"halfLife must be positive, got $halfLife")
+    import events.sparkSession.implicits._
+    val W = 20
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Array[Long]), DecayedScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[(Long, Long, Long)],
+            state: GroupState[(Long, Long, Array[Long])]) =>
+          var (p0, n, sums) = state.getOption
+            .getOrElse((Long.MinValue, 0L, Array.fill(W)(0L)))
+          batch.foreach { case (_, t, v) =>
+            val p = Math.floorDiv(t, halfLife)
+            if (p0 == Long.MinValue) p0 = p
+            if (p > p0) {
+              val shift = math.min(p - p0, W.toLong).toInt
+              val ns = Array.fill(W)(0L)
+              var i = 0
+              while (i + shift < W) { ns(i + shift) = sums(i); i += 1 }
+              sums = ns
+              p0 = p
+            }
+            val d = p0 - p // >= 0 after the shift
+            if (d < W) sums(d.toInt) += v
+            n += 1
+          }
+          state.update((p0, n, sums))
+          val score = (0 until W).map(i => sums(i) * (1000000L / (1L << i))).sum
+          Iterator(DecayedScore(key, p0, score, n))
+      }
+  }
+
   def streamingHeavyHitters(
       events: Dataset[(String, String)],
       capacity: Int): Dataset[HeavyUpdate] = {

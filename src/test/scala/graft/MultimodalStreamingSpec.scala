@@ -421,4 +421,36 @@ class MultimodalStreamingSpec extends SparkSpec {
       assert(hotSeq.nonEmpty && hotSeq.sameElements(hotSeq.sorted), s"not monotone: ${hotSeq.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming: decayedScores — batching-invariant, late events, period shifts") {
+    import spark.implicits._
+    val hl = 10L
+    // (key, t, v): key 1 spans three periods with a late event; key 2
+    // collects in one period then goes idle across a shift.
+    val all = Seq(
+      (1L, 5L, 100L), (1L, 15L, 40L), (1L, 25L, 7L),   // periods 0,1,2
+      (1L, 3L, 11L),                                    // late into period 0
+      (2L, 50L, 9L), (2L, 51L, 1L))
+    def run(batches: Seq[Seq[(Long, Long, Long)]], name: String): Map[Long, (Long, Long, Long)] = {
+      val stream = MemoryStream[(Long, Long, Long)](spark)
+      val q = Streams.decayedScores(stream.toDS(), hl)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+        spark.table(name).as[Streams.DecayedScore].collect()
+          .zipWithIndex.groupBy(_._1.key)
+          .map { case (k, rows) =>
+            val last = rows.maxBy(_._2)._1
+            k -> ((last.period, last.decayed_micro, last.n_events))
+          }
+      } finally q.stop()
+    }
+    val oneShot = run(Seq(all), "dec_a")
+    val split = run(Seq(all.take(2), all.slice(2, 4), all.drop(4)), "dec_b")
+    assert(oneShot == split, s"batching changed the result: $oneShot vs $split")
+    // hand expectation (period-aligned weights 1e6 div 2^Δ from p=2):
+    // key 1: Δ2:(100+11)→÷4, Δ1:40→÷2, Δ0:7 → 111·250000+40·500000+7·1000000
+    assert(oneShot(1L) == ((2L, 111L * 250000L + 40L * 500000L + 7L * 1000000L, 4L)))
+    assert(oneShot(2L) == ((5L, 10L * 1000000L, 2L)))
+  }
 }

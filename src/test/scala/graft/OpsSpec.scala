@@ -167,6 +167,29 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("dedup: minhashLshCandidatesCross ≡ one-table candidates restricted to cross pairs") {
+    val docs = (1L to 60L).map { i =>
+      val base = if (i % 3 == 0) s"shared near duplicate text body number ${i % 5} with tail"
+      else s"unique document $i content ${i * 7} about topic ${i % 11} and more words here"
+      (i, base)
+    }.toDF("doc_id", "text")
+    val sh = graft.ops.Dedup.shingleSets(docs, "doc_id", col("text"), 3)
+    val isNew = (id: Long) => id % 4 == 0
+    val cross = graft.ops.Dedup.minhashLshCandidatesCross(
+        sh.filter(col("id") % 4 === 0), sh.filter(col("id") % 4 =!= 0),
+        k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.ops.Dedup.minhashLshCandidatesFromShingles(sh, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.collect {
+      case (a, b) if isNew(a) && !isNew(b) => (a, b)
+      case (a, b) if isNew(b) && !isNew(a) => (b, a)
+    }
+    assert(cross == expected && cross.nonEmpty, s"cross=$cross expected=$expected")
+    // corpus-side pairs never appear
+    assert(cross.forall { case (a, b) => isNew(a) && !isNew(b) })
+  }
+
   test("graphs: associationRules — exact confidence/lift, direction asymmetry, capped universe") {
     // baskets: {a,b} ×3, {a} ×1, {b} ×0 extra, {a,b,c} hub over cap
     val edges = Seq(
