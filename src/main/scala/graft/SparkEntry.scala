@@ -1833,6 +1833,57 @@ object SparkEntry {
     graft.ops.TextAnalysis.collocations(
       t(s, dir, "documents"), col("text"), minCount = 5L)
 
+  /** Time-respecting reachability ([[graft.ops.Graphs.temporalBfs]])
+    * over the customer↔supplier interaction graph (edges at the
+    * line item's ship day, both directions): earliest arrival from the
+    * first three customers — the contamination-spread/influence shape
+    * where plain BFS overstates reach.
+    */
+  private def qTemporalBfs(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (-col("l_suppkey")).as("sp"),
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("tt"))
+      .distinct()
+    val edges = e0.select(col("c").as("src"), col("sp").as("dst"), col("tt"))
+      .unionByName(e0.select(col("sp").as("src"), col("c").as("dst"), col("tt")))
+    graft.ops.Graphs.temporalBfs(edges,
+      t(s, dir, "customer").filter(col("c_custkey") <= 3).select("c_custkey"),
+      rounds = 4, startTime = 0L)
+  }
+
+  /** Duplicate-pair EVIDENCE: for every q_minhash_lsh candidate pair,
+    * the shared-shingle count plus the lexicographic first/last shared
+    * shingle — the explainability row a reviewer of a dedup decision
+    * actually reads. Pure compose of the LSH candidates with the
+    * uncapped inverted index.
+    */
+  private def qDupEvidence(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = graft.ops.Dedup.shingleSets(docs, "doc_id", col("text"), 3)
+    val cand = graft.ops.Dedup.minhashLshCandidatesFromShingles(
+      sh, k = 8, bands = 4, maxBucketSize = Some(LshCap))
+    val idx = graft.ops.Dedup.invertedIndex(sh, "id", col("sh"), None)
+    cand
+      .join(idx.toDF("id_a", "shingle"), Seq("id_a"))
+      .join(idx.toDF("id_b", "shingle"), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"),
+        min("shingle").as("first_shingle"), max("shingle").as("last_shingle"))
+  }
+
+  /** Dedup threshold-sensitivity curve: exact-pair counts per Jaccard
+    * decile from 0.3 up (prefix filtering guarantees full recall at
+    * its own floor) — the how-many-pairs-would-each-threshold-remove
+    * decision row.
+    */
+  private def qDedupCurve(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.ngramJaccardPairsPrefix(
+        t(s, dir, "documents"), "doc_id", col("text"), n = 3, minJaccard = 0.2)
+      .select(floor(col("jaccard") * 10).cast("long").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_pairs"))
+
   /** Incremental LSH dedup
     * ([[graft.ops.Dedup.minhashLshCandidatesCross]]): the 5% "new
     * batch" (doc_id % 20 = 0) against the standing 95% corpus —
@@ -2809,6 +2860,9 @@ object SparkEntry {
     "q_rrf" -> (qRrf _),
     "q_waterfall" -> (qWaterfall _),
     "q_incr_lsh" -> (qIncrLsh _),
+    "q_temporal_bfs" -> (qTemporalBfs _),
+    "q_dup_evidence" -> (qDupEvidence _),
+    "q_dedup_curve" -> (qDedupCurve _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4065,6 +4119,53 @@ object SparkEntry {
         |SELECT t.user_id, t.n_active_periods, t.n_streaks,
         |       b.longest_streak, b.longest_end
         |FROM tot t JOIN best b ON t.user_id = b.user_id AND b.rn = 1""".stripMargin,
+    // Edge-time guard INSIDE the relax join; min-arrival is
+    // order-independent, the pageRankExact determinism contract.
+    "q_temporal_bfs" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey AS c, -l_suppkey AS sp,
+         |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT c AS src, sp AS dst, t FROM e0
+         |  UNION SELECT sp, c, t FROM e0),
+         |a0 AS (SELECT c_custkey AS id, CAST(0 AS BIGINT) AS arrival
+         |       FROM customer WHERE c_custkey <= 3),
+         |${graft.ops.Graphs.temporalBfsSql(4)}""".stripMargin,
+    // LSH candidates joined back to the uncapped inverted index; the
+    // min/max shared shingle is a total, engine-free order.
+    "q_dup_evidence" ->
+      s"""WITH ${minhashCandCtes(8, 4, Some(LshCap))},
+         |idx AS (SELECT doc_id, u.s AS shingle FROM shf, unnest(shf.shl) AS u(s))
+         |SELECT c.id_a, c.id_b, count(*) AS n_shared,
+         |       min(a.shingle) AS first_shingle, max(a.shingle) AS last_shingle
+         |FROM cand c
+         |JOIN idx a ON c.id_a = a.doc_id
+         |JOIN idx b ON c.id_b = b.doc_id AND a.shingle = b.shingle
+         |GROUP BY 1, 2""".stripMargin,
+    // Exact pairs at the 0.3 floor (uncapped co-occurrence = the
+    // prefix path's recall proof), bucketed by Jaccard decile — the
+    // single double division is identical IEEE on both engines.
+    "q_dedup_curve" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(${graft.ops.Dedup.shinglesSql("text", 3)}) AS shl
+         |  FROM documents),
+         |shf AS (SELECT * FROM sh WHERE len(shl) > 0),
+         |idx AS (SELECT doc_id, u.s AS shingle FROM shf, unnest(shf.shl) AS u(s)),
+         |co AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM idx a JOIN idx b ON a.shingle = b.shingle
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |v AS (
+         |  SELECT co.inter,
+         |    CAST(len(sa.shl) AS BIGINT) AS size_a, CAST(len(sb.shl) AS BIGINT) AS size_b
+         |  FROM co
+         |  JOIN shf sa ON co.id_a = sa.doc_id
+         |  JOIN shf sb ON co.id_b = sb.doc_id),
+         |j AS (
+         |  SELECT CAST(inter AS DOUBLE) / (size_a + size_b - inter) AS jac FROM v)
+         |SELECT CAST(floor(jac * 10) AS BIGINT) AS decile, count(*) AS n_pairs
+         |FROM j WHERE jac >= 0.2 GROUP BY 1""".stripMargin,
     // Same banded signatures as q_minhash_lsh (one-table CTE chain —
     // the operator buckets the union identically); the cross pair set
     // is just a side predicate on the bucket self-join.

@@ -428,6 +428,74 @@ object Graphs {
        |SELECT id, dist FROM d$rounds""".stripMargin
   }
 
+  /** TIME-RESPECTING reachability over a temporal edge list
+    * `(src, dst, t)` — information can only flow FORWARD in time, so a
+    * path is valid only if its edge times are non-decreasing from the
+    * hop before (Kempe/Kleinberg/Kumar 2000's temporal paths): "what
+    * could this document have influenced", contact tracing, cascade
+    * radius. Plain [[bfsDistances]] over the same edges OVERSTATES
+    * reach — it happily routes through an edge that fired before the
+    * node was itself reached; specs pin a case where the static BFS
+    * reaches a node the temporal one provably cannot.
+    *
+    * Returns `(id, arrival)` — the EARLIEST time each reachable node
+    * can be reached, seeds at `startTime`. Relaxation: along edge
+    * `(u→v, t)`, v's candidate arrival is `t` when `t ≥ arrival(u)`;
+    * min over candidates. Monotone + idempotent past the fixpoint, so
+    * the FIXED `rounds` unroll is sound and mirrorable as chained CTEs
+    * (the [[pageRankExact]] contract — all-integer, min is
+    * order-independent, bit-exact).
+    *
+    * Shape: per round one arrival⋈edges hash join (filtered by the
+    * time guard BEFORE the aggregate) + one min agg, keyed on the node
+    * id. `arrival` feeds the relax join and the union —
+    * `checkpointEvery` defaults to 4 (see [[bfsDistances]]).
+    */
+  def temporalBfs(
+      edges: DataFrame,
+      seeds: DataFrame,
+      rounds: Int,
+      startTime: Long = Long.MinValue,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val cols = edges.columns
+    val e = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"),
+        col(cols(2)).cast("long").as("t"))
+      .distinct().localCheckpoint(true)
+    var arrival = seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .select(col("id"), lit(startTime).as("arrival"))
+    for (i <- 1 to rounds) {
+      val relaxed = e
+        .join(arrival.select(col("id").as("src"), col("arrival")), Seq("src"))
+        .filter(col("t") >= col("arrival"))
+        .select(col("dst").as("id"), col("t").as("arrival"))
+      val combined = arrival.unionByName(relaxed)
+        .groupBy("id").agg(min("arrival").as("arrival"))
+      arrival =
+        if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < rounds)
+          combined.localCheckpoint(true)
+        else combined
+    }
+    arrival
+  }
+
+  /** DuckDB mirror of [[temporalBfs]]: one relax CTE per round over
+    * prior CTEs `edges(src, dst, t)` (deduped) and `a0(id, arrival)`.
+    */
+  def temporalBfsSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""a$i AS (
+         |  SELECT id, min(arrival) AS arrival FROM (
+         |    SELECT id, arrival FROM a${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, e.t AS arrival
+         |    FROM a${i - 1} a JOIN edges e ON a.id = e.src AND e.t >= a.arrival)
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""$rs
+       |SELECT id, arrival FROM a$rounds""".stripMargin
+  }
+
   /** k-core of an UNDIRECTED graph (edges symmetrized + deduped):
     * iteratively peel nodes of degree < k until only the core — the
     * maximal subgraph where every node keeps ≥ k neighbors — remains.

@@ -135,6 +135,34 @@ class UrlsProfilingSpec extends SparkSpec {
     assert(got == Map(2L -> 0L))
   }
 
+  test("temporalBfs: time-respecting reach — static BFS overstates; earliest arrival wins") {
+    import spark.implicits._
+    // 1 -(t5)-> 2 -(t3)-> 3: the 2→3 edge fired BEFORE 2 was reached,
+    // so 3 is temporally unreachable though statically 2 hops away.
+    // 1 -(t7)-> 4 and 1 -(t9)-> 4: earliest arrival 7 wins.
+    // 4 -(t8)-> 5: invalid from the t9 copy, valid from t7's arrival.
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 3L, 3L),
+      (1L, 4L, 7L), (1L, 4L, 9L), (4L, 5L, 8L)).toDF("src", "dst", "t")
+    val seeds = Seq(1L).toDF("id")
+    val got = graft.ops.Graphs.temporalBfs(edges, seeds, rounds = 3, startTime = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 4L -> 7L, 5L -> 8L), s"got $got")
+    // static BFS DOES claim node 3 — the overstatement temporalBfs fixes
+    val static3 = graft.ops.Graphs.bfsDistances(
+      edges.select("src", "dst"), seeds, rounds = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(static3.contains(3L))
+    // fixpoint: extra rounds change nothing
+    val more = graft.ops.Graphs.temporalBfs(edges, seeds, rounds = 5, startTime = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == got)
+    // a seed's own start time gates its first hop
+    val late = graft.ops.Graphs.temporalBfs(edges, seeds, rounds = 3, startTime = 6L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(late == Map(1L -> 6L, 4L -> 7L, 5L -> 8L), s"late start: $late")
+  }
+
   test("shortestPaths: low-weight 2-hop route beats the direct edge; parallel edges take min") {
     // 1 -(10)-> 3 direct, but 1 -(2)-> 2 -(3)-> 3 is cheaper; the
     // parallel 1->2 edge of weight 7 must collapse to the min (2).
