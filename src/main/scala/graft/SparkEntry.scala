@@ -1833,6 +1833,43 @@ object SparkEntry {
     graft.ops.TextAnalysis.collocations(
       t(s, dir, "documents"), col("text"), minCount = 5L)
 
+  /** Sorted-neighborhood blocking
+    * ([[graft.linkage.Blocking.sortedNeighborhood]]): customers paired
+    * with their 3 nearest name-order neighbors — the typo-tolerant,
+    * linear-budget alternative to equi-key blocking.
+    */
+  private def qSortedBlocking(s: SparkSession, dir: String): DataFrame =
+    graft.linkage.Blocking.sortedNeighborhood(
+      t(s, dir, "customer"), "c_custkey", col("c_name"), w = 3)
+
+  /** Rand index ([[graft.ops.Clusters.randIndex]]) between two
+    * clusterings of the corpus — exact content identity (md5) vs the
+    * normalized rolling-hash fingerprint: quantifies exactly how much
+    * the normalization merges, as closed-form pair counts (no pair
+    * table ever materializes).
+    */
+  private def qRandIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.Clusters.randIndex(
+      docs.select(col("doc_id"), md5(col("text")).as("cl")), "doc_id", "cl",
+      docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.fingerprint(col("text")).as("cl")), "doc_id", "cl")
+  }
+
+  /** A/B independence check: users split by the parity of their id,
+    * "converted" = has a purchase event; [[graft.ops.Profiling
+    * .chiSquare]] on (variant, converted) — a hash-based variant must
+    * read independent, and the exact χ² row IS that certificate.
+    */
+  private def qAbTest(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .select((col("user_id") % 2).as("variant"), col("converted"))
+    graft.ops.Profiling.chiSquare(users, col("variant"), col("converted"))
+  }
+
   /** Time-respecting reachability ([[graft.ops.Graphs.temporalBfs]])
     * over the customer↔supplier interaction graph (edges at the
     * line item's ship day, both directions): earliest arrival from the
@@ -2863,6 +2900,9 @@ object SparkEntry {
     "q_temporal_bfs" -> (qTemporalBfs _),
     "q_dup_evidence" -> (qDupEvidence _),
     "q_dedup_curve" -> (qDedupCurve _),
+    "q_sorted_blocking" -> (qSortedBlocking _),
+    "q_rand_index" -> (qRandIndex _),
+    "q_ab_test" -> (qAbTest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4119,6 +4159,72 @@ object SparkEntry {
         |SELECT t.user_id, t.n_active_periods, t.n_streaks,
         |       b.longest_streak, b.longest_end
         |FROM tot t JOIN best b ON t.user_id = b.user_id AND b.rn = 1""".stripMargin,
+    // The (sortKey, id) total order makes the neighbor pair set a pure
+    // function of the data; the operator's distributed numbering ≡ one
+    // global row_number.
+    "q_sorted_blocking" ->
+      """WITH r AS (
+        |  SELECT c_custkey AS id, c_name AS k,
+        |         row_number() OVER (ORDER BY c_name, c_custkey) AS rk
+        |  FROM customer),
+        |p AS (
+        |  SELECT a.id AS id_left, b.id AS id_right, b.rk - a.rk AS rank_gap
+        |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3)
+        |SELECT id_left, id_right, CAST(rank_gap AS BIGINT) AS rank_gap
+        |FROM p""".stripMargin,
+    // Closed-form Rand components from the contingency cells —
+    // C(n,2) terms through HUGEINT, final ppm by integral division.
+    "q_rand_index" -> {
+      val fp = graft.ops.TextAnalysis.fingerprintSql("text")
+      s"""WITH j AS (SELECT md5(text) AS ca, $fp AS cb FROM documents),
+         |cells AS (SELECT ca, cb, count(*) AS n FROM j GROUP BY 1, 2),
+         |s AS (
+         |  SELECT sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS s2,
+         |         CAST(sum(n) AS HUGEINT) AS tot, count(*) AS n_cells
+         |  FROM cells),
+         |ma AS (SELECT sum(CAST(an AS HUGEINT) * (an - 1) // 2) AS sa
+         |       FROM (SELECT sum(n) AS an FROM cells GROUP BY ca)),
+         |mb AS (SELECT sum(CAST(bn AS HUGEINT) * (bn - 1) // 2) AS sb
+         |       FROM (SELECT sum(n) AS bn FROM cells GROUP BY cb))
+         |SELECT CAST(tot AS BIGINT) AS n_ids, n_cells,
+         |  CAST(s2 AS BIGINT) AS pairs_both_same,
+         |  CAST(tot * (tot - 1) // 2 - sa - sb + s2 AS BIGINT) AS pairs_both_diff,
+         |  CAST(((s2 + (tot * (tot - 1) // 2 - sa - sb + s2)) * 1000000) //
+         |       greatest(tot * (tot - 1) // 2, 1) AS BIGINT) AS rand_ppm
+         |FROM s, ma, mb""".stripMargin
+    },
+    // The q_chi_square pipeline over per-user (variant, converted).
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 AS a,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        |  FROM events GROUP BY user_id),
+        |cells AS (SELECT a, b, count(*) AS o FROM u GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(o) AS HUGEINT) AS t,
+        |         count(DISTINCT a) AS na, count(DISTINCT b) AS nb
+        |  FROM cells),
+        |j AS (
+        |  SELECT cells.o, tot.t, tot.na, tot.nb,
+        |         CAST(ra.r AS HUGEINT) * cb.c AS rc
+        |  FROM cells JOIN ra USING (a) JOIN cb USING (b), tot),
+        |terms AS (
+        |  SELECT o, rc, t, na, nb,
+        |    CAST(((CAST(o AS HUGEINT) * t - rc) * (CAST(o AS HUGEINT) * t - rc)
+        |          * 1000000) // (t * rc) AS BIGINT) AS term
+        |  FROM j),
+        |agg AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n_rows, max(na) AS n_a, max(nb) AS n_b,
+        |         max(t) AS t, CAST(sum(term) AS BIGINT) AS obs_terms,
+        |         sum(rc) AS obs_rc
+        |  FROM terms)
+        |SELECT n_rows, n_a, n_b,
+        |       CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+        |       obs_terms + CAST(((t * t - obs_rc) * 1000000) // t AS BIGINT)
+        |         AS chi2_micro
+        |FROM agg""".stripMargin,
     // Edge-time guard INSIDE the relax join; min-arrival is
     // order-independent, the pageRankExact determinism contract.
     "q_temporal_bfs" ->

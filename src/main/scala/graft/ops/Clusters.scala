@@ -162,6 +162,51 @@ object Clusters {
         (col(idCol) === col("__keep_id")).as("keep"))
   }
 
+  /** RAND INDEX between two clusterings of the same ids — the
+    * agreement metric for validating one dedup pass against another
+    * (minhash-derived clusters vs simhash-derived, yesterday's run vs
+    * today's): of all C(n,2) id pairs, the fraction on which the two
+    * clusterings AGREE (both co-cluster, or both separate). Returns
+    * one row `(n_ids, n_cells, pairs_both_same, pairs_both_diff,
+    * rand_ppm)`.
+    *
+    * Closed-form pair counting — no pair table ever materializes
+    * (C(n,2) at corpus scale is the thing we're avoiding):
+    * {{{
+    *   S   = Σ_cells C(n_ij, 2)            (both co-cluster)
+    *   D   = C(n,2) − Σ_i C(a_i,2) − Σ_j C(b_j,2) + S   (both separate)
+    *   Rand = (S + D) / C(n,2)
+    * }}}
+    * with a_i/b_j the per-clustering cluster sizes and n_ij the
+    * contingency cells. All BIGINT (products through decimal(38,0) ≡
+    * HUGEINT — safe to ~10¹⁸ ids), final ppm by integral division —
+    * engine-exact. Shape: one inner join on the id, one cell count,
+    * two marginal aggs, a 1-row reduce.
+    */
+  def randIndex(a: DataFrame, idColA: String, clusterColA: String,
+      b: DataFrame, idColB: String, clusterColB: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val j = a.select(col(idColA).as("__id"), col(clusterColA).as("__ca"))
+      .join(b.select(col(idColB).as("__id"), col(clusterColB).as("__cb")), Seq("__id"))
+    val cells = j.groupBy("__ca", "__cb").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // feeds S, both marginals, and n
+    def c2(x: Column): Column = (x.cast(dec) * (x - 1).cast(dec)) / lit(2).cast(dec)
+    val s = cells.agg(sum(c2(col("__n"))).as("__s"),
+      sum("__n").cast(dec).as("__tot"), count(lit(1)).as("n_cells"))
+    val ma = cells.groupBy("__ca").agg(sum("__n").as("__an"))
+      .agg(sum(c2(col("__an"))).as("__sa"))
+    val mb = cells.groupBy("__cb").agg(sum("__n").as("__bn"))
+      .agg(sum(c2(col("__bn"))).as("__sb"))
+    s.crossJoin(ma).crossJoin(mb)
+      .select(col("__tot").cast("long").as("n_ids"), col("n_cells"),
+        col("__s").cast("long").as("pairs_both_same"),
+        (c2(col("__tot")) - col("__sa") - col("__sb") + col("__s"))
+          .cast("long").as("pairs_both_diff"),
+        expr("""cast(((__s + ((__tot * (__tot - 1)) / 2 - __sa - __sb + __s))
+                * 1000000) div greatest((__tot * (__tot - 1)) / 2, 1) as bigint)""")
+          .as("rand_ppm"))
+  }
+
   /** GOLDEN-RECORD construction (survivorship): per cluster, each
     * field independently takes the value of the member ranking highest
     * under that field's own rule — the master-data-management merge

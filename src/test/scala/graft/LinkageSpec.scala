@@ -133,4 +133,37 @@ class LinkageSpec extends SparkSpec {
     assert(got(7L) == ((None, None)))                    // missing → NULL level
     assert(unat(4, 1) > unat(4, 3))
   }
+
+  test("sortedNeighborhood: typo neighbors pair, budget is exactly w·n − tail, ties total") {
+    val df = Seq(
+      (1L, "smith"), (2L, "smyth"), (3L, "smithe"),  // sort-adjacent typos
+      (4L, "jones"), (5L, "zzz")).toDF("id", "name")
+    val got = graft.linkage.Blocking.sortedNeighborhood(df, "id", col("name"), w = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // name order: jones(4) smith(1) smithe(3) smyth(2) zzz(5)
+    assert(got == Set(
+      (4L, 1L, 1L), (4L, 3L, 2L),
+      (1L, 3L, 1L), (1L, 2L, 2L),
+      (3L, 2L, 1L), (3L, 5L, 2L),
+      (2L, 5L, 1L)), s"got $got")
+    // smith–smyth (a distance-2 typo) pairs — equi-blocking on the
+    // exact name would have missed it
+    assert(got.exists(p => Set(p._1, p._2) == Set(1L, 2L)))
+    // linear pair budget: w·n − (1+2+…+w) tail = 10 − 3 = 7
+    assert(got.size == 7)
+  }
+
+  test("randIndex: hand clusterings with a known Rand value; identity = 1e6") {
+    // A: {1,2},{3}; B: {1},{2,3} — of 3 pairs: (1,2) split by B,
+    // (2,3) split by A, (1,3) separate in both → S=0, D=1, Rand=1/3.
+    val a = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "cl")
+    val b = Seq((1L, "p"), (2L, "q"), (3L, "q")).toDF("id", "cl")
+    val r = graft.ops.Clusters.randIndex(a, "id", "cl", b, "id", "cl").collect()(0)
+    assert((r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((3L, 0L, 1L, 333333L)))
+    // a clustering against itself is perfect agreement
+    val self = graft.ops.Clusters.randIndex(a, "id", "cl", a, "id", "cl").collect()(0)
+    assert(self.getLong(4) == 1000000L &&
+      self.getLong(2) == 1L && self.getLong(3) == 2L)
+  }
 }
