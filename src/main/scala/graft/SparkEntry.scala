@@ -1833,6 +1833,48 @@ object SparkEntry {
     graft.ops.TextAnalysis.collocations(
       t(s, dir, "documents"), col("text"), minCount = 5L)
 
+  /** Functional-dependency discovery
+    * ([[graft.ops.Profiling.functionalDependency]]) on orders: the
+    * primary key determines the customer (holds, 0 violations) while
+    * customer→priority and priority→status are genuinely violated —
+    * one exact row each.
+    */
+  private def qFd(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.functionalDependency(
+      t(s, dir, "orders"),
+      Seq("o_orderkey" -> "o_custkey",
+        "o_custkey" -> "o_orderpriority",
+        "o_orderpriority" -> "o_orderstatus"))
+
+  /** Kaplan–Meier survival ([[graft.ops.Windows.kaplanMeier]]): per
+    * user, duration = active span in days, event = the user purchased
+    * (non-purchasers are censored at their span) — the churn-study
+    * shape; the log-space curve is exact BIGINT arithmetic.
+    */
+  private def qSurvival(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val per = ev
+      .select(col("user_id"), tsMicros(ev, "ts").as("t"), col("event_type"))
+      .groupBy("user_id")
+      .agg(max("t").as("mx"), min("t").as("mn"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ev"))
+      .select(expr("(mx - mn) div 86400000000L").as("dur"),
+        (col("ev") === 1L).as("event"))
+    graft.ops.Windows.kaplanMeier(per, "dur", col("event"))
+  }
+
+  /** One UNION-ALL arm of the q_fd oracle for the pair a → b. */
+  private def fdArm(a: String, b: String): String =
+    s"""SELECT '$a' AS det, '$b' AS dep, count(*) AS n_keys,
+       |  CAST(sum(CASE WHEN imgs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+       |  CAST(max(imgs) AS BIGINT) AS max_images,
+       |  CAST(sum(CASE WHEN imgs > 1 THEN rws ELSE 0 END) AS BIGINT) AS n_violating_rows
+       |FROM (
+       |  SELECT $a, count(DISTINCT $b) +
+       |    CASE WHEN sum(CASE WHEN $b IS NULL THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END AS imgs,
+       |    count(*) AS rws
+       |  FROM orders WHERE $a IS NOT NULL GROUP BY 1)""".stripMargin
+
   /** Sorted-neighborhood blocking
     * ([[graft.linkage.Blocking.sortedNeighborhood]]): customers paired
     * with their 3 nearest name-order neighbors — the typo-tolerant,
@@ -2903,6 +2945,8 @@ object SparkEntry {
     "q_sorted_blocking" -> (qSortedBlocking _),
     "q_rand_index" -> (qRandIndex _),
     "q_ab_test" -> (qAbTest _),
+    "q_fd" -> (qFd _),
+    "q_survival" -> (qSurvival _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4159,6 +4203,39 @@ object SparkEntry {
         |SELECT t.user_id, t.n_active_periods, t.n_streaks,
         |       b.longest_streak, b.longest_end
         |FROM tot t JOIN best b ON t.user_id = b.user_id AND b.rn = 1""".stripMargin,
+    // One arm per tested pair; NULL dependents count as an extra
+    // distinct image (conservative), NULL determinants are excluded.
+    "q_fd" -> Seq(
+      fdArm("o_orderkey", "o_custkey"),
+      fdArm("o_custkey", "o_orderpriority"),
+      fdArm("o_orderpriority", "o_orderstatus")).mkString("\nUNION ALL\n"),
+    // Risk sets and the log-survival cumsum over DISTINCT durations;
+    // each factor floored to micro-nats pre-sum, terminal-0 sentinel.
+    "q_survival" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS dur,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+        |  FROM events GROUP BY 1),
+        |byt AS (SELECT dur AS t, CAST(sum(ev) AS BIGINT) AS d, count(*) AS n
+        |        FROM per GROUP BY 1),
+        |r AS (
+        |  SELECT t, d,
+        |    CAST(n + coalesce(sum(n) OVER (ORDER BY t
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS BIGINT)
+        |      AS n_risk
+        |  FROM byt),
+        |e AS (
+        |  SELECT t, n_risk, d AS n_events,
+        |    CASE WHEN n_risk = d THEN -1000000000
+        |         ELSE CAST(floor(ln(CAST(n_risk - d AS DOUBLE) /
+        |                CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT) END AS term
+        |  FROM r WHERE d > 0)
+        |SELECT t, n_risk, n_events,
+        |  CAST(sum(term) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS log_surv_unat
+        |FROM e""".stripMargin,
     // The (sortKey, id) total order makes the neighbor pair set a pure
     // function of the data; the operator's distributed numbering ≡ one
     // global row_number.

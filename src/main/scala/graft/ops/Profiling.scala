@@ -448,6 +448,49 @@ object Profiling {
       .agg(min("__v").as("weighted_median"), max("__tot").as("total_weight"))
   }
 
+  /** Functional-dependency check `a → b` for a list of column pairs —
+    * the schema-discovery/contract question ("does order key determine
+    * customer? does zip determine city?") as exact counts: one row per
+    * tested pair with the distinct `a`-value count, how many `a`
+    * values map to MORE than one `b` (violations), the worst fan-out,
+    * and the violating ROW count (rows whose `a` is ambiguous — the
+    * blast radius a cleanup job would touch). `n_violating_keys = 0`
+    * means the dependency HOLDS exactly.
+    *
+    * NULLs: rows with NULL `a` are excluded (no key to determine by);
+    * NULL `b` counts as a distinct image (a missing value conflicting
+    * with a present one IS a violation — the [[graft.ops.Contracts]]
+    * conservative default).
+    *
+    * Shape: per pair one (a, b)-distinct + per-a aggregate + a 1-row
+    * reduce, unioned — scans are per-pair (the oracle's UNION-ALL
+    * shape; callers with many pairs over one huge table can pivot to
+    * a single-scan variant, the [[tableProfile]] trade documented
+    * there).
+    */
+  def functionalDependency(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "functionalDependency needs at least one (a, b) pair")
+    pairs.map { case (a, b) =>
+      val perKey = df.filter(col(a).isNotNull)
+        .groupBy(col(a).as("__a"))
+        .agg(countDistinct(col(b)).as("__nb"),
+          sum(when(col(b).isNull, 1L).otherwise(0L)).as("__nulls"),
+          count(lit(1)).as("__rows"))
+        // NULL b is one extra distinct image when present
+        .withColumn("__imgs",
+          col("__nb") + when(col("__nulls") > 0, 1L).otherwise(0L))
+      perKey.agg(count(lit(1)).as("n_keys"),
+          sum(when(col("__imgs") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+          max("__imgs").as("max_images"),
+          sum(when(col("__imgs") > 1, col("__rows")).otherwise(0L))
+            .as("n_violating_rows"))
+        .select(lit(a).as("det"), lit(b).as("dep"),
+          col("n_keys"), col("n_violating_keys"), col("max_images"),
+          col("n_violating_rows"))
+    }.reduce(_ unionByName _)
+  }
+
   /** DuckDB mirror of [[exactPercentiles]] over a CTE `v(g…, val)`:
     * the identical rank arithmetic (`//` ≡ `div` on non-negatives).
     */

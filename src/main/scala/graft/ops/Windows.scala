@@ -317,6 +317,59 @@ object Windows {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** KAPLAN–MEIER survival curve (product-limit estimator) — the
+    * time-to-event analytic behind churn/retention-duration studies:
+    * given per-subject `(duration, event)` rows (`event` true =
+    * the thing happened at `duration`; false = censored — still alive
+    * when observation ended), one row per distinct EVENT time with
+    * {{{
+    *   n_risk       subjects with duration ≥ t
+    *   n_events     events exactly at t
+    *   log_surv_unat  Σ_{t' ≤ t} ⌊ln((n_riskₜ' − n_eventsₜ')/n_riskₜ')·10⁶⌋
+    * }}}
+    * `S(t) = exp(log_surv_unat/10⁶)` — the survival product is carried
+    * in LOG space with each factor floored to integer micro-nats
+    * BEFORE the running sum, so the curve is exact BIGINT arithmetic
+    * (the lmUnigramScore discipline; the textbook float product is
+    * order-dependent). Each log is ONE ln of an integer-over-integer
+    * division — engine-exact.
+    *
+    * Censored subjects leave the risk set without contributing a
+    * factor (the estimator's whole point — dropping them instead
+    * would bias survival downward). Shape: one per-duration hash agg
+    * (distinct durations, not subjects), a global-ordered cumsum +
+    * risk-set window over that SMALL table. The window is global but
+    * runs over distinct durations only — bounded by the time
+    * resolution, not the cohort.
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+      eventCol: Column): DataFrame = {
+    val byT = df.select(col(durationCol).cast("long").as("__t"),
+        eventCol.cast("boolean").as("__e"))
+      .groupBy("__t")
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
+        count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__t"))
+    val risky = byT
+      .withColumn("__later",
+        coalesce(sum("__n").over(w.rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
+      .withColumn("n_risk", col("__n") + col("__later"))
+      .filter(col("__d") > 0)
+    risky
+      // everyone at risk dying at t sends S to exactly 0 — ln(0) is
+      // engine-divergent (−Inf casts differ), so the terminal factor
+      // is the documented −1000-nat sentinel (S < 1e-434, i.e. 0).
+      .withColumn("__term",
+        when(col("n_risk") === col("__d"), lit(-1000000000L))
+          .otherwise(floor(log((col("n_risk") - col("__d")).cast("double") /
+            col("n_risk").cast("double")) * 1e6).cast("long")))
+      .withColumn("log_surv_unat",
+        sum("__term").over(Window.orderBy(col("__t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("__t").as("t"), col("n_risk"), col("__d").as("n_events"),
+        col("log_surv_unat"))
+  }
+
   /** Half-life-decayed sums — freshness-weighted scoring ("recent
     * activity counts more, halving every H"): per key,
     * `Σ value · 2^(−age/H)` with the age measured in WHOLE half-lives

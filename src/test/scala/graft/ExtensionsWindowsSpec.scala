@@ -278,6 +278,33 @@ class ExtensionsWindowsSpec extends SparkSpec {
       ((4L, 2L, 2L, 6L)))
   }
 
+  test("kaplanMeier: textbook curve, censoring raises survival, terminal sentinel") {
+    // classic toy: durations 1,2,2,3 with the 3 censored at t=2… use:
+    // events at t=1 (1 of 4 at risk), t=3 (1 of 2 at risk); censored
+    // at t=2 leaves the risk set without a factor.
+    val df = Seq((1L, true), (2L, false), (3L, true), (3L, false))
+      .toDF("dur", "event")
+    val got = graft.ops.Windows.kaplanMeier(df, "dur", col("event"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def unat(x: Double) = math.floor(math.log(x) * 1e6).toLong
+    assert(got(1L) == ((4L, 1L, unat(3.0 / 4.0))))
+    assert(got(3L) == ((2L, 1L, unat(3.0 / 4.0) + unat(1.0 / 2.0))))
+    assert(!got.contains(2L)) // censor-only times emit no row
+    // a censored subject still in the risk set at t=1 RAISES S(1):
+    // {1✝,3✝} gives S(1)=1/2; adding a censor at 2 gives S(1)=2/3
+    val a = Seq((1L, true), (3L, true)).toDF("dur", "event")
+    val b = Seq((1L, true), (3L, true), (2L, false)).toDF("dur", "event")
+    def s1(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Windows.kaplanMeier(df, "dur", col("event"))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap.apply(1L)
+    assert(s1(b) == unat(2.0 / 3.0) && s1(a) == unat(1.0 / 2.0) && s1(b) > s1(a))
+    // terminal: everyone at risk dies -> sentinel, not an engine error
+    val term = graft.ops.Windows.kaplanMeier(a, "dur", col("event"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(term(3L) <= -1000000000L)
+  }
+
   test("decayedSum: power-of-2 weights, 19-half-life cutoff, asOf pinning") {
     val df = Seq(
       ("u", 30L, 100L), ("u", 20L, 100L), ("u", 10L, 100L), ("u", 0L, 100L),

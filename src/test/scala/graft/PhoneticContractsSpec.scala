@@ -109,6 +109,26 @@ class PhoneticContractsSpec extends SparkSpec {
     assert(math.abs(r2 / 1e6 - ref * ref) < 1e-5, s"r2_ppm=$r2 vs corr²=${ref * ref}")
   }
 
+  test("functionalDependency: holds/violated/NULL semantics, violating-row blast radius") {
+    val df = Seq(
+      (1L, Some("a"), "x"), (2L, Some("a"), "x"),       // key 'a' consistent
+      (3L, Some("b"), "x"), (4L, Some("b"), "y"),       // key 'b' violates
+      (5L, None, "z"),                                  // NULL det: excluded
+      (6L, Some("c"), "x")
+    ).toDF("id", "det", "dep")
+    val got = Profiling.functionalDependency(df, Seq("det" -> "dep"))
+      .collect()(0)
+    assert((got.getLong(2), got.getLong(3), got.getLong(4), got.getLong(5)) ==
+      ((3L, 1L, 2L, 2L)))  // keys a,b,c; b violates with 2 images over 2 rows
+    // NULL dependent conflicts with a present value
+    val nulls = Seq((1L, "k", Some("x")), (2L, "k", None)).toDF("id", "det", "dep")
+    val g2 = Profiling.functionalDependency(nulls, Seq("det" -> "dep")).collect()(0)
+    assert(g2.getLong(3) == 1L && g2.getLong(4) == 2L)
+    // the primary-key direction holds exactly
+    val g3 = Profiling.functionalDependency(df, Seq("id" -> "dep")).collect()(0)
+    assert(g3.getLong(3) == 0L && g3.getLong(4) == 1L)
+  }
+
   test("weightedMedian: threshold rank, duplicate collapse, unit-weight ≡ p50, guards") {
     val df = Seq(
       ("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 10L),     // weight mass at 3
