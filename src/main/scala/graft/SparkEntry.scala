@@ -1833,6 +1833,37 @@ object SparkEntry {
     graft.ops.TextAnalysis.collocations(
       t(s, dir, "documents"), col("text"), minCount = 5L)
 
+  /** Linear-interpolation resampling
+    * ([[graft.ops.Windows.resampleLinear]]): the q_resample series in
+    * integral cents interpolated between neighbors on the daily grid,
+    * LOCF past the last observation — one truncating division per
+    * sample, exact on both engines.
+    */
+  private def qResampleLinear(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val ev = raw.select(col("user_id"), tsMicros(raw, "ts").as("t_us"),
+      floor(col("value") * 100).cast("long").as("cents"), col("event_id"))
+    graft.ops.Windows.resampleLinear(ev, Seq("user_id"), "t_us", "cents",
+      "event_id", step = 86400000000L)
+  }
+
+  /** Min-max scaling ([[graft.ops.Profiling.minMaxScale]]): customer
+    * balance cents scaled to exact ppm of the segment's range — the
+    * bounded-interval companion of q_zscore, no envelope needed.
+    */
+  private def qMinmax(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.minMaxScale(
+      t(s, dir, "customer"), Seq("c_mktsegment"), "c_custkey",
+      floor(col("c_acctbal") * 100))
+
+  /** 2-D skyline ([[graft.ops.Profiling.skyline2d]]): parts Pareto-
+    * optimal in (price, size) — no other part is cheaper AND smaller.
+    */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.skyline2d(
+      t(s, dir, "part"), "p_partkey",
+      floor(col("p_retailprice")), col("p_size"))
+
   /** Functional-dependency discovery
     * ([[graft.ops.Profiling.functionalDependency]]) on orders: the
     * primary key determines the customer (holds, 0 violations) while
@@ -2947,6 +2978,9 @@ object SparkEntry {
     "q_ab_test" -> (qAbTest _),
     "q_fd" -> (qFd _),
     "q_survival" -> (qSurvival _),
+    "q_resample_linear" -> (qResampleLinear _),
+    "q_minmax" -> (qMinmax _),
+    "q_skyline" -> (qSkyline _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4203,6 +4237,60 @@ object SparkEntry {
         |SELECT t.user_id, t.n_active_periods, t.n_streaks,
         |       b.longest_streak, b.longest_end
         |FROM tot t JOIN best b ON t.user_id = b.user_id AND b.rn = 1""".stripMargin,
+    // The union+window encoding with struct-carried neighbors; the
+    // interp is one truncating division from exact integers.
+    "q_resample_linear" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |         arg_max(CAST(floor(value * 100) AS BIGINT), event_id) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(t) AS lo, max(t) AS hi FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, g * 86400000000 AS t, CAST(NULL AS BIGINT) AS v, 0 AS is_obs
+        |  FROM (SELECT user_id,
+        |               unnest(generate_series((lo + 86400000000 - 1) // 86400000000,
+        |                                      hi // 86400000000)) AS g
+        |        FROM span)),
+        |u AS (SELECT user_id, t, v, 1 AS is_obs FROM obs UNION ALL SELECT * FROM grid),
+        |f AS (
+        |  SELECT user_id, t, is_obs,
+        |    last_value(CASE WHEN is_obs = 1 THEN struct_pack(pt := t, pv := v) END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, is_obs DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+        |    first_value(CASE WHEN is_obs = 1 THEN struct_pack(nt := t, nv := v) END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, is_obs DESC
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+        |  FROM u)
+        |SELECT user_id, t AS sample_ts,
+        |  CASE WHEN nxt IS NULL THEN prev.pv
+        |       ELSE (prev.pv * (nxt.nt - t) + nxt.nv * (t - prev.pt))
+        |            // (nxt.nt - prev.pt) END AS cents
+        |FROM f WHERE is_obs = 0""".stripMargin,
+    // (x−min)·1e6 // (max−min), constant groups NULL.
+    "q_minmax" ->
+      """WITH v AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |         CAST(floor(c_acctbal * 100) AS BIGINT) AS x
+        |  FROM customer),
+        |st AS (SELECT c_mktsegment, min(x) AS lo, max(x) AS hi FROM v GROUP BY 1)
+        |SELECT v.c_mktsegment, v.c_custkey, v.x,
+        |  CASE WHEN st.hi = st.lo THEN NULL
+        |       ELSE ((v.x - st.lo) * 1000000) // (st.hi - st.lo) END AS scaled_ppm
+        |FROM v JOIN st USING (c_mktsegment)""".stripMargin,
+    // Per-x min first, running-min over DISTINCT x, join back for ties.
+    "q_skyline" ->
+      """WITH v AS (
+        |  SELECT p_partkey, CAST(floor(p_retailprice) AS BIGINT) AS x,
+        |         CAST(p_size AS BIGINT) AS y
+        |  FROM part),
+        |px AS (SELECT x, min(y) AS my FROM v GROUP BY 1),
+        |fr AS (
+        |  SELECT x, my AS y FROM (
+        |    SELECT x, my, min(my) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
+        |    FROM px)
+        |  WHERE best IS NULL OR my < best)
+        |SELECT v.p_partkey, v.x, v.y FROM v JOIN fr USING (x, y)""".stripMargin,
     // One arm per tested pair; NULL dependents count as an extra
     // distinct image (conservative), NULL determinants are excluded.
     "q_fd" -> Seq(

@@ -491,6 +491,55 @@ object Profiling {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-row min-max scaling to exact ppm of the group's range —
+    * `(x − min)·10⁶ div (max − min)` ∈ [0, 10⁶] — the bounded-range
+    * companion of [[groupZscore]] (features that must land in a fixed
+    * interval; no distributional assumption, no envelope: the
+    * numerator is range-bounded by construction). Constant groups
+    * (max = min) yield NULL. One stats agg + group-keyed join-back,
+    * map-only scoring; all-integer.
+    */
+  def minMaxScale(df: DataFrame, groupCols: Seq[String], idCol: String,
+      value: Column): DataFrame = {
+    require(groupCols.nonEmpty, "minMaxScale needs at least one group column")
+    val v = df.select((groupCols :+ idCol).map(col) :+ value.cast("long").as("x"): _*)
+    val st = v.groupBy(groupCols.map(col): _*)
+      .agg(min("x").as("__lo"), max("x").as("__hi"))
+    v.join(st, groupCols)
+      .select((groupCols :+ idCol).map(col) :+ col("x") :+
+        when(col("__hi") === col("__lo"), lit(null).cast("long"))
+          .otherwise(expr("((x - __lo) * 1000000L) div (__hi - __lo)"))
+          .as("scaled_ppm"): _*)
+  }
+
+  /** 2-D SKYLINE (Pareto front, both dimensions MINIMIZED) — the
+    * multi-objective selection a corpus-pruning pass runs ("keep
+    * documents not dominated in (perplexity, repetition)"; here:
+    * parts no other part beats on both price and size). A row is
+    * dominated when some row is ≤ in both dimensions and < in at
+    * least one; ties on the exact same (x, y) point all survive
+    * (neither dominates).
+    *
+    * Scale shape — the window never sees the corpus: a per-x hash agg
+    * keeps each x's minimum y first (distributed), the running-min
+    * scan runs over DISTINCT x only (the [[kaplanMeier]]
+    * bounded-by-resolution contract: x is integral and its distinct
+    * count is the bound), and survivors join back by (x, y) to
+    * recover id ties. All-integer comparisons — engine-exact.
+    */
+  def skyline2d(df: DataFrame, idCol: String, xCol: Column,
+      yCol: Column): DataFrame = {
+    val v = df.select(col(idCol), xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+    val perX = v.groupBy("x").agg(min("y").as("__my"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = perX
+      .withColumn("__best", min("__my").over(w))
+      .filter(col("__best").isNull || col("__my") < col("__best"))
+      .select(col("x"), col("__my").as("y"))
+    v.join(front, Seq("x", "y")).select(col(idCol), col("x"), col("y"))
+  }
+
   /** DuckDB mirror of [[exactPercentiles]] over a CTE `v(g…, val)`:
     * the identical rank arithmetic (`//` ≡ `div` on non-negatives).
     */

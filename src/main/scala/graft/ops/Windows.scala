@@ -253,6 +253,60 @@ object Windows {
       .select(k :+ col("__t").as("sample_ts") :+ col("__locf").as(valCol): _*)
   }
 
+  /** Linear-interpolation resampling — the between-neighbors upgrade
+    * of [[resampleLocf]] for continuous signals (prices, gauges,
+    * sensor series) where carrying the last value flat misrepresents
+    * the trend: each grid instant takes
+    * `(v₀·(t₁−t) + v₁·(t−t₀)) div (t₁−t₀)` between its surrounding
+    * observations (exact integral arithmetic — one truncating division
+    * per sample, identical on both engines), and falls back to LOCF
+    * past the last observation. Values must be integral (cast
+    * upstream; sub-unit resolution = scale first — the exactness
+    * contract).
+    *
+    * Same scale shape as [[resampleLocf]]: the union+window encoding —
+    * observations and map-side-exploded grid instants share one keyed
+    * sort; the previous observation arrives by a backward
+    * last(ignoreNulls), the next by a forward first(ignoreNulls); no
+    * join, no pair blow-up, per-key windows only.
+    */
+  def resampleLinear(df: DataFrame, keys: Seq[String], tsCol: String,
+      valCol: String, tieCol: String, step: Long): DataFrame = {
+    require(keys.nonEmpty, "resampleLinear needs at least one key column")
+    require(step > 0, s"step must be positive, got $step")
+    val k = keys.map(col)
+    def floorDiv(t: Column): Column =
+      ((t - pmod(t, lit(step))).cast("decimal(38,0)") / lit(step)).cast("long")
+    val obs = df.filter(col(valCol).isNotNull)
+      .groupBy(k :+ col(tsCol).as("__t"): _*)
+      .agg(max_by(col(valCol).cast("long"), col(tieCol)).as("__v"))
+    val grid = obs.groupBy(k: _*)
+      .agg(min("__t").as("__lo"), max("__t").as("__hi"))
+      .withColumn("__ga", floorDiv(col("__lo") + lit(step) - 1))
+      .withColumn("__gb", floorDiv(col("__hi")))
+      .filter(col("__ga") <= col("__gb"))
+      .withColumn("__g", explode(sequence(col("__ga"), col("__gb"))))
+      .select(k :+ (col("__g") * step).as("__t") :+
+        lit(null).cast("long").as("__v") :+ lit(0).as("__is_obs"): _*)
+    val unioned = obs.withColumn("__is_obs", lit(1)).unionByName(grid)
+      .withColumn("__ov", when(col("__is_obs") === 1,
+        struct(col("__t").as("t"), col("__v").as("v"))))
+    val order = Seq(col("__t").asc, col("__is_obs").desc)
+    val back = Window.partitionBy(k: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(k: _*).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("__prev", last(col("__ov"), ignoreNulls = true).over(back))
+      .withColumn("__next", first(col("__ov"), ignoreNulls = true).over(fwd))
+      .filter(col("__is_obs") === 0)
+      .select(k :+ col("__t").as("sample_ts") :+
+        when(col("__next").isNull, col("__prev.v"))
+          .otherwise(expr("""(__prev.v * (__next.t - __t) + __next.v * (__t - __prev.t))
+                             div (__next.t - __prev.t)"""))
+          .as(valCol): _*)
+  }
+
   /** Cohort retention triangle: users are bucketed by the period of
     * their FIRST event (`cohort = first_t div period`), then counted
     * once per `(cohort, offset)` where `offset` is how many periods

@@ -278,6 +278,31 @@ class ExtensionsWindowsSpec extends SparkSpec {
       ((4L, 2L, 2L, 6L)))
   }
 
+  test("resampleLinear: interpolation, on-grid observations, tail LOCF, truncation") {
+    // key a: obs (0, 100), (30, 160) with grid step 10: samples at
+    // 0, 10, 20, 30 → 100, 120, 140, 160 exactly.
+    val df = Seq(
+      ("a", 0L, 100L, 1L), ("a", 30L, 160L, 2L),
+      ("b", 5L, 10L, 3L), ("b", 12L, 17L, 4L), ("b", 26L, 1L, 5L)
+    ).toDF("k", "t", "v", "tie")
+    val got = graft.ops.Windows.resampleLinear(df, Seq("k"), "t", "v", "tie", 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got(("a", 0L)) == 100L && got(("a", 10L)) == 120L &&
+      got(("a", 20L)) == 140L && got(("a", 30L)) == 160L)
+    // key b: grid 10, 20; t=10 between (5,10) and (12,17): (10·2+17·5)/7
+    assert(got(("b", 10L)) == (10L * 2 + 17L * 5) / 7)
+    // t=20 between (12,17) and (26,1): (17·6 + 1·8)/14 = 110/14 = 7 (trunc)
+    assert(got(("b", 20L)) == 7L)
+    // tail LOCF: append an obs past the last grid instant — the grid
+    // instant AT the last obs reads it exactly
+    val tail = Seq(("c", 0L, 5L, 1L), ("c", 10L, 9L, 2L), ("c", 14L, 99L, 3L))
+      .toDF("k", "t", "v", "tie")
+    val gt = graft.ops.Windows.resampleLinear(tail, Seq("k"), "t", "v", "tie", 10L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(gt(0L) == 5L && gt(10L) == (9L * 4 + 99L * 0) / 4 + 0)
+    assert(gt(10L) == 9L) // on-grid obs value carried exactly
+  }
+
   test("kaplanMeier: textbook curve, censoring raises survival, terminal sentinel") {
     // classic toy: durations 1,2,2,3 with the 3 censored at t=2… use:
     // events at t=1 (1 of 4 at risk), t=3 (1 of 2 at risk); censored

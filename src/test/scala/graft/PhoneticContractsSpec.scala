@@ -109,6 +109,32 @@ class PhoneticContractsSpec extends SparkSpec {
     assert(math.abs(r2 / 1e6 - ref * ref) < 1e-5, s"r2_ppm=$r2 vs corr²=${ref * ref}")
   }
 
+  test("minMaxScale: exact bounds, interior ppm, constant group NULL") {
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 14L), ("g", 3L, 30L),
+      ("c", 4L, 7L), ("c", 5L, 7L)).toDF("grp", "id", "v")
+    val got = Profiling.minMaxScale(df, Seq("grp"), "id", col("v"))
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(1L) == Some(0L) && got(3L) == Some(1000000L))
+    assert(got(2L) == Some(4L * 1000000L / 20L)) // 200000 exactly
+    assert(got(4L).isEmpty && got(5L).isEmpty)
+  }
+
+  test("skyline2d: hand Pareto front — dominated dropped, (x,y) ties survive") {
+    val df = Seq(
+      (1L, 1L, 9L),   // front (cheapest)
+      (2L, 3L, 5L),   // front
+      (3L, 3L, 7L),   // dominated by 2 (same x, bigger y)
+      (4L, 5L, 5L),   // dominated by 2 (same y, bigger x)
+      (5L, 6L, 2L),   // front
+      (6L, 6L, 2L),   // exact tie of 5 — both survive
+      (7L, 8L, 3L)    // dominated by 5
+    ).toDF("id", "x", "y")
+    val got = Profiling.skyline2d(df, "id", col("x"), col("y"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 5L, 6L), s"got $got")
+  }
+
   test("functionalDependency: holds/violated/NULL semantics, violating-row blast radius") {
     val df = Seq(
       (1L, Some("a"), "x"), (2L, Some("a"), "x"),       // key 'a' consistent
