@@ -142,7 +142,17 @@ object ScaleProbe {
     // ×10 input); decayed/tfidf/robust_z/chi_square ride events /
     // documents / orders with keyed aggs+windows only → linear.
     "q_assoc_rules", "q_decayed", "q_tfidf", "q_robust_z",
-    "q_chi_square")
+    "q_chi_square",
+    // continuation-7 later batches: weighted_median/rrf/waterfall ride
+    // orders/embeddings/orders (keyed aggs + shortlists → linear);
+    // incr_lsh and dup_evidence ride the token-salted documents (band
+    // joins, capped buckets); temporal_bfs rides the order-supplier
+    // ship-day graph (fixed rounds); sorted_blocking is w·n by
+    // construction; survival/resample_linear/minmax ride events /
+    // customer (distinct-duration windows, keyed joins → linear).
+    "q_weighted_median", "q_rrf", "q_waterfall", "q_incr_lsh",
+    "q_temporal_bfs", "q_sorted_blocking", "q_survival",
+    "q_resample_linear", "q_minmax", "q_fd")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a

@@ -1833,6 +1833,32 @@ object SparkEntry {
     graft.ops.TextAnalysis.collocations(
       t(s, dir, "documents"), col("text"), minCount = 5L)
 
+  /** State-duration runs ([[graft.ops.Windows.stateDurations]]): each
+    * user's event stream collapsed into consecutive same-type
+    * episodes — run-length telemetry, all-integer.
+    */
+  private def qStateRuns(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    graft.ops.Windows.stateDurations(
+      raw.select(col("user_id"), tsMicros(raw, "ts").as("t_us"),
+        col("event_type")),
+      Seq("user_id"), "t_us", "event_type")
+  }
+
+  /** Per-item recommendations: the q_assoc_rules table cut to each
+    * antecedent's top-3 consequents by (lift, confidence, item) via
+    * [[graft.ops.Windows.groupedTopK]] — the serving-table compose.
+    */
+  private def qRecs(s: SparkSession, dir: String): DataFrame = {
+    val rules = graft.ops.Graphs.associationRules(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      maxDegree = 50, minShared = 2L)
+    graft.ops.Windows.groupedTopK(rules, Seq("item_a"), col("lift_ppm"),
+        Seq(negate(col("confidence_ppm")), col("item_b")), k = 3)
+      .select("item_a", "item_b", "lift_ppm", "confidence_ppm", "rnk")
+  }
+
   /** Linear-interpolation resampling
     * ([[graft.ops.Windows.resampleLinear]]): the q_resample series in
     * integral cents interpolated between neighbors on the daily grid,
@@ -2981,6 +3007,8 @@ object SparkEntry {
     "q_resample_linear" -> (qResampleLinear _),
     "q_minmax" -> (qMinmax _),
     "q_skyline" -> (qSkyline _),
+    "q_state_runs" -> (qStateRuns _),
+    "q_recs" -> (qRecs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4237,6 +4265,49 @@ object SparkEntry {
         |SELECT t.user_id, t.n_active_periods, t.n_streaks,
         |       b.longest_streak, b.longest_end
         |FROM tot t JOIN best b ON t.user_id = b.user_id AND b.rn = 1""".stripMargin,
+    // Lag-change flag + cumsum episode numbering, (time, state) total
+    // order — the sessionize mirror shape on VALUE changes.
+    "q_state_runs" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_type AS s FROM events),
+        |f AS (
+        |  SELECT user_id, t, s,
+        |    CASE WHEN lag(s) OVER w IS NULL OR lag(s) OVER w <> s
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, s)),
+        |g AS (
+        |  SELECT user_id, t, s,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY t, s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ep
+        |  FROM f)
+        |SELECT user_id, CAST(ep AS BIGINT) AS episode, min(s) AS state,
+        |       min(t) AS t_start, max(t) AS t_end, count(*) AS n_events
+        |FROM g GROUP BY 1, 2""".stripMargin,
+    // The q_assoc_rules pipeline cut per antecedent by the same total
+    // (lift DESC, conf DESC, item) order.
+    "q_recs" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |           FROM lineitem),
+        |deg AS (SELECT basket, count(*) AS d FROM e GROUP BY 1),
+        |kept AS (SELECT basket FROM deg WHERE d <= 50),
+        |k AS (SELECT e.basket, e.item FROM e JOIN kept USING (basket)),
+        |ic AS (SELECT item, count(*) AS n FROM k GROUP BY 1),
+        |tot AS (SELECT count(*) AS t FROM kept),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+        |      FROM k a JOIN k b ON a.basket = b.basket AND a.item <> b.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |rules AS (
+        |  SELECT p.item_a, p.item_b,
+        |    CAST((p.n_ab * 1000000) // ia.n AS BIGINT) AS confidence_ppm,
+        |    CAST((CAST(p.n_ab AS HUGEINT) * tot.t * 1000000) //
+        |         (CAST(ia.n AS HUGEINT) * ib.n) AS BIGINT) AS lift_ppm
+        |  FROM p JOIN ic ia ON p.item_a = ia.item
+        |         JOIN ic ib ON p.item_b = ib.item, tot),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY item_a
+        |        ORDER BY lift_ppm DESC, confidence_ppm DESC, item_b) AS rnk
+        |      FROM rules)
+        |SELECT item_a, item_b, lift_ppm, confidence_ppm, rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
     // The union+window encoding with struct-carried neighbors; the
     // interp is one truncating division from exact integers.
     "q_resample_linear" ->

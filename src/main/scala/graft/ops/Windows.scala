@@ -371,6 +371,37 @@ object Windows {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** STATE DURATIONS — run-length encoding of a status stream: per
+    * key, consecutive equal states collapse into one episode
+    * `(state, t_start, t_end, n_events)` with `t_end` the LAST event
+    * time inside the run (the next run's `t_start` is the transition
+    * instant). The state-machine telemetry shape: how long was the
+    * job RUNNING, the user active, the device degraded — and the
+    * value-change variant of [[sessionize]]'s gap islands /
+    * [[streaks]]' calendar islands.
+    *
+    * Encoding: one keyed lag to flag state changes, one keyed cumsum
+    * to number episodes, one hash agg — the sessionize shuffle shape,
+    * deterministic because equal-time rows order by (time, state)
+    * totally; all-integer, engine-exact.
+    */
+  def stateDurations(df: DataFrame, keys: Seq[String], timeCol: String,
+      stateCol: String): DataFrame = {
+    require(keys.nonEmpty, "stateDurations needs at least one key column")
+    val byKey = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col(stateCol).asc)
+    val changed = when(lag(col(stateCol), 1).over(byKey).isNull ||
+      lag(col(stateCol), 1).over(byKey) =!= col(stateCol), 1L).otherwise(0L)
+    df.withColumn("__ep",
+        sum(changed).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((keys :+ "__ep").map(col): _*)
+      .agg(min(col(stateCol)).as("state"),
+        min(col(timeCol)).as("t_start"), max(col(timeCol)).as("t_end"),
+        count(lit(1)).as("n_events"))
+      .select(keys.map(col) :+ col("__ep").as("episode") :+ col("state") :+
+        col("t_start") :+ col("t_end") :+ col("n_events"): _*)
+  }
+
   /** KAPLAN–MEIER survival curve (product-limit estimator) — the
     * time-to-event analytic behind churn/retention-duration studies:
     * given per-subject `(duration, event)` rows (`event` true =

@@ -278,6 +278,21 @@ class ExtensionsWindowsSpec extends SparkSpec {
       ((4L, 2L, 2L, 6L)))
   }
 
+  test("stateDurations: runs collapse, transitions split, singleton keys") {
+    val df = Seq(
+      ("u", 1L, "run"), ("u", 3L, "run"), ("u", 5L, "fail"),
+      ("u", 7L, "run"),                          // back to run = NEW episode
+      ("v", 2L, "idle")).toDF("k", "t", "s")
+    val got = graft.ops.Windows.stateDurations(df, Seq("k"), "t", "s")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("u", 1L)) == (("run", 1L, 3L, 2L)))
+    assert(got(("u", 2L)) == (("fail", 5L, 5L, 1L)))
+    assert(got(("u", 3L)) == (("run", 7L, 7L, 1L)))  // NOT merged with episode 1
+    assert(got(("v", 1L)) == (("idle", 2L, 2L, 1L)))
+    assert(got.size == 4)
+  }
+
   test("resampleLinear: interpolation, on-grid observations, tail LOCF, truncation") {
     // key a: obs (0, 100), (30, 160) with grid step 10: samples at
     // 0, 10, 20, 30 → 100, 120, 140, 160 exactly.
