@@ -2016,7 +2016,7 @@ object SparkEntry {
     */
   private def qDedupCurve(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.ngramJaccardPairsPrefix(
-        t(s, dir, "documents"), "doc_id", col("text"), n = 3, minJaccard = 0.2)
+        t(s, dir, "documents"), "doc_id", col("text"), n = 3, minJaccard = 0.4)
       .select(floor(col("jaccard") * 10).cast("long").as("decile"))
       .groupBy("decile").agg(count(lit(1)).as("n_pairs"))
 
@@ -4485,7 +4485,7 @@ object SparkEntry {
          |JOIN idx a ON c.id_a = a.doc_id
          |JOIN idx b ON c.id_b = b.doc_id AND a.shingle = b.shingle
          |GROUP BY 1, 2""".stripMargin,
-    // Exact pairs at the 0.3 floor (uncapped co-occurrence = the
+    // Exact pairs at the 0.4 floor (uncapped co-occurrence = the
     // prefix path's recall proof), bucketed by Jaccard decile — the
     // single double division is identical IEEE on both engines.
     "q_dedup_curve" ->
@@ -4507,7 +4507,7 @@ object SparkEntry {
          |j AS (
          |  SELECT CAST(inter AS DOUBLE) / (size_a + size_b - inter) AS jac FROM v)
          |SELECT CAST(floor(jac * 10) AS BIGINT) AS decile, count(*) AS n_pairs
-         |FROM j WHERE jac >= 0.2 GROUP BY 1""".stripMargin,
+         |FROM j WHERE jac >= 0.4 GROUP BY 1""".stripMargin,
     // Same banded signatures as q_minhash_lsh (one-table CTE chain —
     // the operator buckets the union identically); the cross pair set
     // is just a side predicate on the bucket self-join.
