@@ -1833,6 +1833,31 @@ object SparkEntry {
     graft.ops.TextAnalysis.collocations(
       t(s, dir, "documents"), col("text"), minCount = 5L)
 
+  /** URL path-hierarchy rollup ([[graft.ops.Urls.pathPrefixCounts]]):
+    * the canonicalized fetch log rolled up per ancestor prefix to
+    * depth 2 — the site-structure view crawl budgeting reads.
+    */
+  private def qPathRollup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Urls.pathPrefixCounts(
+      t(s, dir, "customer")
+        .select(graft.ops.Urls.canonicalizeUrl(urlVariant(col("c_custkey"))).as("u"))
+        .filter(col("u").isNotNull),
+      col("u"), maxDepth = 2)
+
+  /** TF-IDF cosine rescoring
+    * ([[graft.ops.TextAnalysis.tfidfCosinePairs]]) of the minhash
+    * candidates — the lexical-vector verify stage between cheap
+    * candidate generation and an embedding model; integer weights
+    * make even the cosine hash-exact.
+    */
+  private def qTfidfCosine(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cand = graft.ops.Dedup.minhashLshCandidates(
+      docs, "doc_id", col("text"), n = 3, k = 8, bands = 4,
+      maxBucketSize = Some(LshCap))
+    graft.ops.TextAnalysis.tfidfCosinePairs(docs, "doc_id", col("text"), cand)
+  }
+
   /** State-duration runs ([[graft.ops.Windows.stateDurations]]): each
     * user's event stream collapsed into consecutive same-type
     * episodes — run-length telemetry, all-integer.
@@ -3009,6 +3034,8 @@ object SparkEntry {
     "q_skyline" -> (qSkyline _),
     "q_state_runs" -> (qStateRuns _),
     "q_recs" -> (qRecs _),
+    "q_path_rollup" -> (qPathRollup _),
+    "q_tfidf_cosine" -> (qTfidfCosine _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4265,6 +4292,51 @@ object SparkEntry {
         |SELECT t.user_id, t.n_active_periods, t.n_streaks,
         |       b.longest_streak, b.longest_end
         |FROM tot t JOIN best b ON t.user_id = b.user_id AND b.rn = 1""".stripMargin,
+    // The canonical fetch log through the shared prefix/list program.
+    "q_path_rollup" ->
+      s"""WITH raw AS (
+         |  SELECT CASE c_custkey % 5
+         |    WHEN 0 THEN 'HTTPS://Shop.Example.COM:443/items/' || CAST(c_custkey % 97 AS VARCHAR) || '/?utm_source=x&b=2&a=1'
+         |    WHEN 1 THEN 'https://shop.example.com/items/' || CAST(c_custkey % 97 AS VARCHAR) || '?a=1&b=2'
+         |    WHEN 2 THEN 'https://www.shop.example.com/items/' || CAST(c_custkey % 97 AS VARCHAR) || '#frag'
+         |    WHEN 3 THEN 'http://Blog.example.com:80/posts/' || CAST(c_custkey % 47 AS VARCHAR) || '/?fbclid=zz&z=9&y=8'
+         |    ELSE 'not a url ' || CAST(c_custkey AS VARCHAR) END AS url
+         |  FROM customer),
+         |c AS (
+         |  SELECT u FROM (
+         |    SELECT ${graft.ops.Urls.canonicalizeUrlSql("url")} AS u FROM raw)
+         |  WHERE u IS NOT NULL),
+         |${graft.ops.Urls.pathPrefixCountsSql(2)}""".stripMargin,
+    // Integer centi-nat weights keep every aggregate under 2^53, so
+    // the dot/norm doubles are exact and even the cosine hash-matches.
+    "q_tfidf_cosine" ->
+      s"""WITH ${minhashCandCtes(8, 4, Some(LshCap))},
+         |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |       FROM tk WHERE term <> '' GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+         |nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+         |wt AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    tf.tf * CAST(floor(ln(CAST(nn.n AS DOUBLE) / CAST(dfq.dfc AS DOUBLE))
+         |      * 100) AS BIGINT) AS w
+         |  FROM tf JOIN dfq USING (term), nn),
+         |wp AS (SELECT * FROM wt WHERE w > 0),
+         |nr AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM wp GROUP BY 1),
+         |dt AS (
+         |  SELECT c.id_a, c.id_b, sum(CAST(a.w AS HUGEINT) * b.w) AS dot,
+         |         count(*) AS n_shared_terms
+         |  FROM cand c
+         |  JOIN wp a ON c.id_a = a.doc_id
+         |  JOIN wp b ON c.id_b = b.doc_id AND a.term = b.term
+         |  GROUP BY 1, 2)
+         |SELECT dt.id_a, dt.id_b, dt.n_shared_terms,
+         |  CAST(floor(CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |    * 1000000) AS BIGINT) AS cosine_ppm
+         |FROM dt
+         |JOIN nr na ON dt.id_a = na.doc_id
+         |JOIN nr nb ON dt.id_b = nb.doc_id""".stripMargin,
     // Lag-change flag + cumsum episode numbering, (time, state) total
     // order — the sessionize mirror shape on VALUE changes.
     "q_state_runs" ->

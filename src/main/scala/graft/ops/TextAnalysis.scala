@@ -741,6 +741,69 @@ object TextAnalysis {
         col("score_unat"), col("rank"))
   }
 
+  /** TF-IDF COSINE rescoring of candidate pairs — lexical-vector
+    * similarity between [[graft.ops.Dedup]]'s cheap candidates and an
+    * embedding model: each document is the sparse vector
+    * `w(term) = tf · ⌊ln(N/df)·100⌋` (integer centi-nat idf), and a
+    * candidate pair scores `cos = Σ_shared wₐ·w_b / (‖a‖·‖b‖)` as
+    * `cosine_ppm`. Shared boilerplate (df = N ⇒ idf 0) drops out of
+    * both the dot and the norms — exactly the property tf-idf is for.
+    *
+    * Exactness: weights are integers, so the dot and squared norms
+    * are ORDER-FREE BIGINT-valued sums (carried in decimal(38,0) ≡
+    * HUGEINT); the final chain `⌊dot/(√na·√nb)·10⁶⌋` is fixed-order
+    * IEEE from exactly-converted integers — the centi-nat idf
+    * resolution is what keeps every aggregate under 2⁵³ so the double
+    * conversions are EXACT (guarded per doc with raise_error, the
+    * groupCorr discipline; envelope ≈ tf·idf ≤ 2·10⁶ per term and
+    * ≤ 10³ distinct terms/doc).
+    *
+    * Pairs sharing NO positive-idf term are ABSENT (their cosine over
+    * informative terms is 0; the inner join never fans). Shape: one
+    * tf agg + df agg, the weight table joins the candidate pair list
+    * on (doc, term) — candidates·shared-terms rows, never corpus² —
+    * plus doc-keyed norm aggs.
+    */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, text: Column,
+      pairs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tf = df.select(col(idCol).as("__id"), explode(tokensWs(text)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("__id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds docfreq AND the weight join
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val n = tf.agg(countDistinct("__id").as("__n"))
+    val w = tf.join(docFreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("__id"), col("term"),
+        (col("tf") * floor(log(col("__n").cast("double") / col("__df").cast("double"))
+          * 100).cast("long")).as("__w"))
+      .filter(col("__w") > 0)
+      .localCheckpoint(true) // feeds norms and both pair sides
+    val bound = lit("9000000000000000").cast(dec)
+    val norms = w.groupBy(col("__id"))
+      .agg(sum(col("__w").cast(dec) * col("__w").cast(dec)).as("__n2"))
+      .select(col("__id"),
+        when(col("__n2") <= bound, col("__n2"))
+          .otherwise(raise_error(lit(
+            "tfidfCosinePairs envelope exceeded (norm2 <= 9e15): trim or rescale")))
+          .as("__n2"))
+    val pc = pairs.columns
+    val p = pairs.select(col(pc(0)).as("id_a"), col(pc(1)).as("id_b"))
+    p.join(w.select(col("__id").as("id_a"), col("term"), col("__w").as("__wa")), Seq("id_a"))
+      .join(w.select(col("__id").as("id_b"), col("term"), col("__w").as("__wb")),
+        Seq("id_b", "term"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("__wa").cast(dec) * col("__wb").cast(dec)).as("__dot"),
+        count(lit(1)).as("n_shared_terms"))
+      .join(norms.select(col("__id").as("id_a"), col("__n2").as("__na")), Seq("id_a"))
+      .join(norms.select(col("__id").as("id_b"), col("__n2").as("__nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared_terms"),
+        floor(col("__dot").cast("double") /
+          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))) * 1e6)
+          .cast("long").as("cosine_ppm"))
+  }
+
   /** Skip-gram co-occurrence counts — the word2vec/GloVe training-pair
     * primitive and the windowed generalization of [[collocations]]'
     * adjacent bigrams: every ordered token pair `(tᵢ, tᵢ₊d)` with

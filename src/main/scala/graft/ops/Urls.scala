@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization — the step BEFORE content dedup in a web-scale
@@ -98,4 +98,55 @@ object Urls {
     s"""CASE WHEN $scheme = '' OR $host = '' THEN NULL
        |     ELSE $scheme || '://' || $host || $path || $query END""".stripMargin
   }
+
+  /** PATH-HIERARCHY rollup over (canonical) URLs: every URL
+    * contributes one row per ancestor — `host` at depth 0,
+    * `host/seg₁` at 1, `host/seg₁/seg₂` at 2, … up to `maxDepth` —
+    * and the counts aggregate per prefix: the site-structure view
+    * web analytics and crawl budgeting read ("how much of
+    * example.com is under /docs?"). Pass URLs through
+    * [[canonicalizeUrl]] FIRST so spelling variants of one page roll
+    * up together; rows whose host can't be extracted are dropped
+    * (the canonicalizer already turned junk into NULL).
+    *
+    * Returns `(prefix, depth, n_urls)`. Map-side: one regex split +
+    * a bounded `transform`/`explode` (fan-out ≤ maxDepth + 1), one
+    * hash agg — fuses into the scan; all-string/integer, mirrored by
+    * the same regex/list program.
+    */
+  def pathPrefixCounts(df: DataFrame, url: Column, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val u = regexp_replace(url, "\\?.*", "")
+    val host = regexp_extract(u, HostRe, 1)
+    val segs = filter(split(regexp_extract(u, PathRe, 1), "/"), s => s =!= "")
+    val pref = transform(
+      sequence(lit(0), least(size(segs), lit(maxDepth))),
+      d => struct(d.cast("long").as("depth"),
+        when(d === 0, host)
+          .otherwise(concat(host, lit("/"), array_join(slice(segs, lit(1), d), "/")))
+          .as("prefix")))
+    df.filter(host =!= "" && url.isNotNull)
+      .select(explode(pref).as("p"))
+      .groupBy(col("p.prefix").as("prefix"), col("p.depth").as("depth"))
+      .agg(count(lit(1)).as("n_urls"))
+  }
+
+  /** DuckDB mirror of [[pathPrefixCounts]] over a CTE `c(u)` of
+    * non-NULL canonical URLs.
+    */
+  def pathPrefixCountsSql(maxDepth: Int): String =
+    s"""b AS (SELECT regexp_replace(u, '\\?.*', '') AS u0 FROM c),
+       |h AS (
+       |  SELECT regexp_extract(u0, '$HostRe', 1) AS host,
+       |    list_filter(string_split(regexp_extract(u0, '$PathRe', 1), '/'),
+       |      s -> s <> '') AS segs
+       |  FROM b),
+       |e AS (
+       |  SELECT CASE WHEN t.d = 0 THEN host
+       |              ELSE host || '/' || coalesce(array_to_string(segs[1:t.d], '/'), '')
+       |         END AS prefix,
+       |         CAST(t.d AS BIGINT) AS depth
+       |  FROM h, UNNEST(range(0, least(len(segs), $maxDepth) + 1)) AS t(d)
+       |  WHERE host <> '')
+       |SELECT prefix, depth, count(*) AS n_urls FROM e GROUP BY 1, 2""".stripMargin
 }

@@ -272,6 +272,33 @@ class OpsSpec extends SparkSpec {
     assert(sym.count() == 0L)
   }
 
+  test("text: tfidfCosinePairs — boilerplate drops out, identity pairs score 1e6") {
+    // 'the' appears in all docs (idf 0 → weight 0): docs 1 and 2 share
+    // ONLY boilerplate → pair absent; docs 1 and 3 are identical in
+    // informative terms → cosine exactly 1e6.
+    val docs = Seq(
+      (1L, "the alpha beta"),
+      (2L, "the gamma delta"),
+      (3L, "the alpha beta"),
+      (4L, "the alpha zeta")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val got = TextAnalysis.tfidfCosinePairs(docs, "doc_id", col("text"), pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(!got.contains((1L, 2L)), "boilerplate-only pair must be absent")
+    assert(got((1L, 3L))._2 == 1000000L, s"identical informative terms: ${got((1L, 3L))}")
+    val (shared14, cos14) = got((1L, 4L))
+    assert(shared14 == 1L && cos14 > 0L && cos14 < 1000000L)
+    // independent float check of the partial overlap
+    val wAlpha = math.floor(math.log(4.0 / 3.0) * 100)  // alpha df=3
+    val wBeta = math.floor(math.log(4.0 / 2.0) * 100)   // beta df=2
+    val wZeta = math.floor(math.log(4.0 / 1.0) * 100)   // zeta df=1
+    val exp = math.floor(wAlpha * wAlpha /
+      (math.sqrt(wAlpha * wAlpha + wBeta * wBeta) *
+        math.sqrt(wAlpha * wAlpha + wZeta * wZeta)) * 1e6).toLong
+    assert(cos14 == exp, s"got $cos14 expected $exp")
+  }
+
   test("text: topTfidfTerms — tf weighting beats rarity-only ranking") {
     val d = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
     val got = TextAnalysis.topTfidfTerms(d, "doc_id", col("text"), k = 2)

@@ -135,6 +135,28 @@ class UrlsProfilingSpec extends SparkSpec {
     assert(got == Map(2L -> 0L))
   }
 
+  test("pathPrefixCounts: ancestors roll up, depth cap, junk dropped") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://ex.com/a/b/c",
+      "https://ex.com/a/b",
+      "https://ex.com/a",
+      "https://ex.com/",
+      "https://other.org/x",
+      "garbage").toDF("u")
+    val got = graft.ops.Urls.pathPrefixCounts(urls, col("u"), maxDepth = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every ex.com URL contributes the host row
+    assert(got(("ex.com", 0L)) == 4L)
+    // /a collects its own hit plus both descendants
+    assert(got(("ex.com/a", 1L)) == 3L)
+    // depth capped at 2: /a/b counts the /a/b/c descendant, no depth-3 row
+    assert(got(("ex.com/a/b", 2L)) == 2L)
+    assert(!got.keySet.exists(_._2 > 2L))
+    assert(got(("other.org", 0L)) == 1L && got(("other.org/x", 1L)) == 1L)
+    assert(!got.keySet.exists(_._1.contains("garbage")))
+  }
+
   test("temporalBfs: time-respecting reach — static BFS overstates; earliest arrival wins") {
     import spark.implicits._
     // 1 -(t5)-> 2 -(t3)-> 3: the 2→3 edge fired BEFORE 2 was reached,
