@@ -1670,11 +1670,23 @@ object SparkEntry {
     * division-free band test in decimal(38,0) ≡ DuckDB HUGEINT — the
     * flag set is bit-identical across engines because no float mean /
     * stddev is ever computed.
+    *
+    * TPC-H totalprice is platykurtic — a 2σ band on the raw column
+    * flags NOTHING at any scale, which made this row vacuous (round-6
+    * verdict). Both engines therefore plant the same deterministic
+    * heavy tail: every `o_orderkey % 37 == 0` row gets its price ×50
+    * (the q_blocking_metrics perturbation idiom), so the flag set is
+    * exactly the planted rows — non-empty (~40 rows at sf0.001,
+    * scaling linearly) and still division-free exact. Magnitudes:
+    * wild price ≈ 2.8e9 cents, per-group n·SS ≈ 7e33 at sf100 — well
+    * inside decimal(38,0)/HUGEINT.
     */
   private def qOutliers(s: SparkSession, dir: String): DataFrame =
     graft.ops.Profiling.sigmaOutliers(
       t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
-        round(col("o_totalprice") * 100).cast("long").as("price_cents")),
+        (round(col("o_totalprice") * 100).cast("long") *
+          when(col("o_orderkey") % 37 === 0, lit(50L)).otherwise(lit(1L)))
+          .as("price_cents")),
       Seq("o_orderpriority"), col("price_cents"), sigmaNum = 2, sigmaDen = 1)
 
   /** Messy fetch-URL variants (case, default ports, `www.`, tracking
@@ -2035,9 +2047,9 @@ object SparkEntry {
   }
 
   /** Dedup threshold-sensitivity curve: exact-pair counts per Jaccard
-    * decile from 0.3 up (prefix filtering guarantees full recall at
-    * its own floor) — the how-many-pairs-would-each-threshold-remove
-    * decision row.
+    * decile from the 0.4 floor up (prefix filtering guarantees full
+    * recall at its own floor) — the
+    * how-many-pairs-would-each-threshold-remove decision row.
     */
   private def qDedupCurve(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.ngramJaccardPairsPrefix(
@@ -3823,7 +3835,8 @@ object SparkEntry {
     "q_outliers" ->
       """WITH v AS (
         |  SELECT o_orderkey, o_orderpriority,
-        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |         CAST(round(o_totalprice * 100) AS BIGINT) *
+        |           (CASE WHEN o_orderkey % 37 = 0 THEN 50 ELSE 1 END) AS price_cents
         |  FROM orders),
         |st AS (
         |  SELECT o_orderpriority, count(*) AS n, sum(price_cents) AS s,

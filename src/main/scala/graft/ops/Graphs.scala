@@ -586,8 +586,14 @@ object Graphs {
     * makes the degenerate no-mass round yield all-zero scores instead
     * of dividing by zero, identically on both engines.
     *
-    * The raw·N·scale product runs through decimal(38,0) (DuckDB
-    * HUGEINT): raw ≤ N·scale, so the product is ≤ (N·scale)² — safe to
+    * ALL integer accumulation runs through decimal(38,0) (DuckDB
+    * HUGEINT): the per-node raw sums AND the 1-row total — a plain
+    * LongType sum would wrap silently once Σ raw = Σ_j outdeg(j)·score(j)
+    * ≤ maxdeg·N·scale passes 2⁶³ (maxdeg·N ≈ 9·10¹² at the default
+    * scale) while the HUGEINT mirror kept going, silently diverging.
+    * Per-node raw ≤ N·scale, so the raw·N·scale product is ≤ (N·scale)²
+    * and the total ≤ maxdeg·N·scale ≤ N²·scale ≈ 10³¹ at N = 3·10¹² —
+    * everything inside decimal(38,0), so the envelope is genuinely
     * N ≈ 3·10¹² nodes at the default micro-unit scale.
     *
     * Scale shape: per round two hash joins (edges ⋈ scores, keyed on
@@ -613,24 +619,27 @@ object Graphs {
       .union(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
     val target = nodes.count() * scale // Σ after each normalization
+    val dec = "decimal(38,0)"
     def normalize(raw: DataFrame, outName: String): DataFrame = {
-      val tot = raw.agg(sum("__raw").as("__tot"))
+      // __raw is decimal(38,0); the total must be too — a LongType sum
+      // wraps at maxdeg·N·scale > 2^63 while the HUGEINT mirror doesn't.
+      val tot = raw.agg(sum(col("__raw")).as("__tot"))
       raw.crossJoin(broadcast(tot)) // 1 row
         .select(col("id"), expr(
-          s"(cast(__raw as decimal(38,0)) * ${target}L) div greatest(__tot, 1L)")
+          s"(__raw * ${target}L) div greatest(__tot, cast(1 as decimal(38,0)))")
           .as(outName))
     }
     var scores = nodes.select(col("id"), lit(scale).as("auth"), lit(scale).as("hub"))
     for (i <- 1 to rounds) {
       val authRaw = nodes
         .join(e.join(scores.select(col("id").as("src"), col("hub")), Seq("src"))
-          .groupBy(col("dst").as("id")).agg(sum("hub").as("__s")), Seq("id"), "left")
-        .select(col("id"), coalesce(col("__s"), lit(0L)).as("__raw"))
+          .groupBy(col("dst").as("id")).agg(sum(col("hub").cast(dec)).as("__s")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__s"), lit(0L).cast(dec)).as("__raw"))
       val auth = normalize(authRaw, "auth")
       val hubRaw = nodes
         .join(e.join(auth.select(col("id").as("dst"), col("auth")), Seq("dst"))
-          .groupBy(col("src").as("id")).agg(sum("auth").as("__s")), Seq("id"), "left")
-        .select(col("id"), coalesce(col("__s"), lit(0L)).as("__raw"))
+          .groupBy(col("src").as("id")).agg(sum(col("auth").cast(dec)).as("__s")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__s"), lit(0L).cast(dec)).as("__raw"))
       val hub = normalize(hubRaw, "hub")
       val next = auth.join(hub, Seq("id"))
       scores =

@@ -331,6 +331,10 @@ object Joins {
     val rightKeyNames = levels.map(_._2).distinct
     val payload = right.columns.filterNot(rightKeyNames.contains)
     require(payload.nonEmpty, "right side needs at least one payload column")
+    val clash = left.columns.toSet.intersect(payload.toSet)
+    require(clash.isEmpty,
+      s"waterfallJoin: right payload column(s) ${clash.mkString(", ")} already exist on the left — " +
+        "rename the payload upstream (the per-level join would emit ambiguous duplicate names)")
     for ((_, rk) <- levels) {
       val dup = right.filter(col(rk).isNotNull)
         .groupBy(rk).agg(count(lit(1)).as("__c")).filter(col("__c") > 1)

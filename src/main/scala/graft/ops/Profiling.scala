@@ -274,9 +274,14 @@ object Profiling {
     * as a single term (part of this operator's output contract, which
     * the oracle mirrors).
     *
-    * ENVELOPE: `(o·T − r·c)²·10⁶` must fit decimal(38,0) ⇒
-    * `o·T ≲ 3·10¹⁵` — holds through ~5·10⁷ rows; raise_error beyond
-    * (the [[groupCorr]] guard).
+    * ENVELOPE: `(o·T − r·c)²·10⁶` must fit decimal(38,0), and the
+    * term numerator grows with `r·c` (up to T²) as well as `o·T` — so
+    * the binding bound is the TOTAL: `T ≤ 5.5·10⁷` rows makes every
+    * `o·T`, `r·c` ≤ T² ≈ 3·10¹⁵ and the missing-cell numerator
+    * `(T² − Σ r·c)·10⁶ ≤ 3·10²¹`. Enforced with raise_error on the
+    * 1-row total itself (the [[groupCorr]] guard discipline) — a
+    * per-cell o·T check alone would pass while a skewed r·c overflows
+    * to NULL and silently drops the term.
     *
     * Shape: one (a,b) cell count, two marginal aggs (broadcast-sized),
     * the 1-row total broadcast; joins keyed by the category values.
@@ -288,7 +293,12 @@ object Profiling {
       .localCheckpoint(true) // feeds marginals AND the term sum
     val ra = cells.groupBy("__a").agg(sum("__o").as("__r"))
     val cb = cells.groupBy("__b").agg(sum("__o").as("__c"))
-    val tot = cells.agg(sum("__o").cast(dec).as("__t"),
+    val tRaw = sum("__o").cast(dec)
+    val tot = cells.agg(
+      when(tRaw <= lit("55000000").cast(dec), tRaw)
+        .otherwise(raise_error(lit(
+          "chiSquare envelope exceeded (T <= 5.5e7 rows: r*c terms would overflow decimal(38,0)): shard or pre-aggregate upstream")))
+        .as("__t"),
       countDistinct("__a").as("__na"), countDistinct("__b").as("__nb"))
     val joined = cells.join(ra, Seq("__a")).join(cb, Seq("__b"))
       .crossJoin(broadcast(tot))
