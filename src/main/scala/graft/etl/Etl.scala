@@ -460,9 +460,18 @@ object Etl {
     * needs per-partition ledgers, not a silent flat listing. When
     * nothing is new the frame is the table's own empty projection, so
     * downstream code needs no special case. The listing is one
-    * filesystem call on the driver — O(files), never O(rows).
+    * filesystem call on the driver — O(files), never O(rows) — and
+    * that O(files) is BOUNDED: a grow-only directory at 100 TB is
+    * millions of part files, and an unbounded flat listing + ledger
+    * would OOM the driver long after the design stopped making sense.
+    * `maxFiles` (default 100k ≈ a few MB of names) is enforced with
+    * the same loud-refusal discipline as the subdirectory check: past
+    * it, compact processed files ([[compact]]) and reset the ledger,
+    * or shard into per-partition directories with one ledger each.
     */
-  def readIncremental(spark: SparkSession, path: String): (DataFrame, Seq[String]) = {
+  def readIncremental(spark: SparkSession, path: String,
+      maxFiles: Int = 100000): (DataFrame, Seq[String]) = {
+    require(maxFiles > 0, s"maxFiles must be positive, got $maxFiles")
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val entries = fs.listStatus(dir).toSeq
@@ -473,6 +482,11 @@ object Etl {
         s"under $path — run per partition (cf. compactPartition) with one ledger each")
     val dataFiles = entries.filter(_.isFile).map(_.getPath.getName)
       .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    require(dataFiles.size <= maxFiles,
+      s"readIncremental: $path holds ${dataFiles.size} data files > maxFiles=$maxFiles — " +
+        "the flat driver-side listing/ledger is past its design envelope; compact processed " +
+        "files (Etl.compact) and reset the ledger, or shard into per-partition directories " +
+        "with one ledger each")
     val done = processedFiles(spark, path).toSet
     val fresh = dataFiles.filterNot(done).sorted
     val df =
@@ -484,12 +498,20 @@ object Etl {
   /** Mark `files` as processed in `path`'s `_LEDGER.json` (union with
     * the existing ledger; idempotent under replay). The flat encoder
     * refuses names it cannot round-trip — same contract as the audit
-    * manifest's column list.
+    * manifest's column list. The merged ledger is bounded by the same
+    * `maxFiles` ceiling as [[readIncremental]]'s listing — the guard
+    * raises BEFORE an unbounded ledger is written, not after the
+    * driver chokes re-reading it.
     */
-  def commitProcessed(spark: SparkSession, path: String, files: Seq[String]): Unit = {
+  def commitProcessed(spark: SparkSession, path: String, files: Seq[String],
+      maxFiles: Int = 100000): Unit = {
     require(files.forall(f => !f.contains(",") && !f.contains("\"") && !f.contains("\\")),
       s"ledger file names must not contain ',', '\"', or '\\': $files")
     val all = (processedFiles(spark, path) ++ files).distinct.sorted
+    require(all.size <= maxFiles,
+      s"commitProcessed: merged ledger at $path would hold ${all.size} names > maxFiles=$maxFiles — " +
+        "compact processed files (Etl.compact) and reset the ledger, or shard into " +
+        "per-partition directories with one ledger each")
     val json = s"""{"files":[${all.map(f => "\"" + f + "\"").mkString(",")}]}"""
     val hPath = new org.apache.hadoop.fs.Path(path, "_LEDGER.json")
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())

@@ -339,4 +339,31 @@ class EtlSpec extends SparkSpec {
       Etl.commitProcessed(spark, tmp, Seq("a\"b.parquet")))
     assert(e2.getMessage.contains("must not contain"))
   }
+
+  test("readIncremental: file-count ceiling raises loudly before the driver drowns") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incr_cap").toString
+    // many-file fixture: 8 single-row part files via repartition(8)
+    spark.range(8).repartition(8).toDF("id")
+      .write.mode("append").parquet(tmp)
+    val nFiles = new java.io.File(tmp).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(nFiles >= 2) // AQE may coalesce the 8 partitions; the guard only needs >1 file
+    // under the ceiling: normal operation
+    val (df, fresh) = Etl.readIncremental(spark, tmp, maxFiles = nFiles)
+    assert(df.count() == 8L && fresh.size == nFiles)
+    // over the ceiling: loud refusal pointing at compaction/sharding,
+    // raised from the LISTING (before any ledger read or scan plan)
+    val e = intercept[IllegalArgumentException](
+      Etl.readIncremental(spark, tmp, maxFiles = nFiles - 1))
+    assert(e.getMessage.contains("maxFiles") && e.getMessage.contains("compact"))
+    // the commit side enforces the same ceiling on the MERGED ledger:
+    // committing a batch that would push past maxFiles refuses too
+    val e2 = intercept[IllegalArgumentException](
+      Etl.commitProcessed(spark, tmp, fresh, maxFiles = nFiles - 1))
+    assert(e2.getMessage.contains("maxFiles"))
+    // idempotent replay under an exact-fit ceiling still succeeds
+    Etl.commitProcessed(spark, tmp, fresh, maxFiles = nFiles)
+    Etl.commitProcessed(spark, tmp, fresh, maxFiles = nFiles)
+    assert(Etl.readIncremental(spark, tmp, maxFiles = nFiles)._2.isEmpty)
+  }
 }
