@@ -388,4 +388,69 @@ class ClustersSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == exp)
   }
+
+  test("convergence telemetry: early-stop on a converged graph, identical result") {
+    import graft.ops.Graphs
+    // star graph: diameter 1 from the center — BFS converges at round 1,
+    // a 10-round fixed unroll wastes 9. Telemetry (checkpoint every 2)
+    // sees a zero-change span at round 4 and stops there.
+    val star = (2L to 30L).map(c => (1L, c)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val logs = scala.collection.mutable.ArrayBuffer[String]()
+    val conv = Graphs.Convergence(earlyStop = true, log = logs += _)
+    val got = Graphs.bfsDistances(star, seeds, rounds = 10,
+        checkpointEvery = 2, convergence = Some(conv))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Graphs.bfsDistances(star, seeds, rounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "early-stopped result diverged from the full unroll")
+    assert(logs.exists(_.contains("converged by round")), s"no convergence line in: $logs")
+    assert(logs.exists(_.contains("stopping early")), s"no early stop in: $logs")
+    assert(!logs.exists(_.contains("NOT CONVERGED")), s"false warning in: $logs")
+    // rounds 6..10 never ran: no change line mentions a round past 4
+    assert(!logs.exists(_.contains("round 6/")), s"loop kept running: $logs")
+  }
+
+  test("convergence telemetry: loud warning on an under-iterated deep path") {
+    import graft.ops.Graphs
+    // path 1→2→…→12 has diameter 11; 3 rounds reach only node 4 — the
+    // silent under-iteration the round-6 verdict flagged. With
+    // telemetry the final span still moves and the warning fires.
+    val path = (1L to 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val logs = scala.collection.mutable.ArrayBuffer[String]()
+    val conv = Graphs.Convergence(earlyStop = true, log = logs += _)
+    val got = Graphs.bfsDistances(path, seeds, rounds = 3,
+        checkpointEvery = 2, convergence = Some(conv))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 4L).map(i => i -> (i - 1)).toMap) // truncated reach, as documented
+    assert(logs.exists(_.contains("NOT CONVERGED")), s"missing warning in: $logs")
+    // same shape through kCore: a 12-path's 2-core is empty but peeling
+    // cascades one node per round — 2 rounds under-peel and must warn
+    val logs2 = scala.collection.mutable.ArrayBuffer[String]()
+    val core = Graphs.kCore(path, k = 2, rounds = 2, checkpointEvery = 1,
+      convergence = Some(Graphs.Convergence(log = logs2 += _)))
+    assert(core.count() > 0) // under-peeled remnant — exactly the hazard
+    assert(logs2.exists(_.contains("NOT CONVERGED")), s"missing kCore warning in: $logs2")
+    // and with enough rounds the same telemetry reports convergence
+    val logs3 = scala.collection.mutable.ArrayBuffer[String]()
+    val core2 = Graphs.kCore(path, k = 2, rounds = 16, checkpointEvery = 2,
+      convergence = Some(Graphs.Convergence(log = logs3 += _)))
+    assert(core2.count() == 0)
+    assert(logs3.exists(_.contains("converged by round")), s"no early stop in: $logs3")
+    assert(!logs3.exists(_.contains("NOT CONVERGED")), s"false warning in: $logs3")
+  }
+
+  test("convergence telemetry disabled: bit-identical ranks, no telemetry jobs") {
+    import graft.ops.Graphs
+    val edges = (1L to 120L).map(i => (i % 17, i % 11)).toDF("src", "dst")
+    val off = Graphs.pageRankExact(edges, iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val logs = scala.collection.mutable.ArrayBuffer[String]()
+    val on = Graphs.pageRankExact(edges, iterations = 6,
+        convergence = Some(Graphs.Convergence(earlyStop = false, log = logs += _)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(on == off, "telemetry changed the answer")
+    assert(logs.nonEmpty)
+  }
 }
