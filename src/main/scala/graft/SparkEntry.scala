@@ -2343,6 +2343,25 @@ object SparkEntry {
       docs.filter(col("doc_id") % 10 >= 8), col("text"))
   }
 
+  /** CorpusDemo's split QA gates as a standing oracle row (round-6
+    * verdict task 7): the train/valid token-distribution JSD and the
+    * split×lang chi-square that gate the composed pipeline, computed
+    * over the REAL [[graft.ops.Sampling.assignSplit]] assignment
+    * (stable md5 permille buckets) rather than a demo-only path — a
+    * regression anywhere in split hashing, tokenization, drift, or
+    * chi-square now breaks a hash, not just a demo `require`. Both
+    * gate statistics are 1-row frames; the cross join is 1×1.
+    */
+  private def qCorpusSplitQa(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.ops.Sampling.assignSplit(t(s, dir, "documents"), col("doc_id"),
+      Seq("train" -> 900, "valid" -> 50, "test" -> 50))
+    val jsd = graft.ops.TextAnalysis.distributionDrift(
+      split.filter(col("split") === "train"), col("text"),
+      split.filter(col("split") === "valid"), col("text"))
+    val chi = graft.ops.Profiling.chiSquare(split, col("split"), col("lang"))
+    jsd.crossJoin(chi)
+  }
+
   /** File-ledger incremental ingest ([[graft.etl.Etl.readIncremental]]):
     * batch 1 lands and is committed to the ledger; batch 2 lands; the
     * incremental read must see EXACTLY batch 2 — proven through the
@@ -3028,6 +3047,7 @@ object SparkEntry {
     "q_corr" -> (qCorr _),
     "q_lm_bigram" -> (qLmBigram _),
     "q_js_drift" -> (qJsDrift _),
+    "q_corpus_split_qa" -> (qCorpusSplitQa _),
     "q_incr_read" -> (qIncrRead _),
     "q_containment" -> (qContainment _),
     "q_skipgram" -> (qSkipgram _),
@@ -5043,6 +5063,74 @@ object SparkEntry {
         |         AS BIGINT) AS n_common,
         |       CAST(sum(t1 + t2) AS BIGINT) AS jsd2_pnat
         |FROM terms""".stripMargin,
+    // The split QA row composes q_split's md5 bucket, q_js_drift's
+    // floored-term JSD, and q_chi_square's closed-form missing-cell
+    // chi-square over ONE shared split CTE.
+    "q_corpus_split_qa" ->
+      """WITH sp AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'valid' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, lang, text,
+        |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS b
+        |        FROM documents)),
+        |ta0 AS (SELECT unnest(string_split(text, ' ')) AS tok FROM sp WHERE split = 'train'),
+        |ca AS (SELECT tok, count(*) AS c FROM ta0 WHERE tok <> '' GROUP BY 1),
+        |tb0 AS (SELECT unnest(string_split(text, ' ')) AS tok FROM sp WHERE split = 'valid'),
+        |cb AS (SELECT tok, count(*) AS c FROM tb0 WHERE tok <> '' GROUP BY 1),
+        |sa AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ca),
+        |sb AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cb),
+        |j AS (SELECT ca.c AS a, cb.c AS b FROM ca FULL OUTER JOIN cb USING (tok)),
+        |vals AS (
+        |  SELECT a, b,
+        |    CAST(coalesce(a, 0) AS DOUBLE) / CAST(sa.t AS DOUBLE) AS x,
+        |    CAST(coalesce(b, 0) AS DOUBLE) / CAST(sb.t AS DOUBLE) AS y
+        |  FROM j, sa, sb),
+        |terms AS (
+        |  SELECT a, b,
+        |    CASE WHEN coalesce(a, 0) > 0
+        |         THEN CAST(floor(x * ln((x + x) / (x + y)) * 1e12) AS BIGINT)
+        |         ELSE 0 END AS t1,
+        |    CASE WHEN coalesce(b, 0) > 0
+        |         THEN CAST(floor(y * ln((y + y) / (x + y)) * 1e12) AS BIGINT)
+        |         ELSE 0 END AS t2
+        |  FROM vals),
+        |jsd AS (
+        |  SELECT CAST(sum(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_types_a,
+        |         CAST(sum(CASE WHEN b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_types_b,
+        |         CAST(sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_common,
+        |         CAST(sum(t1 + t2) AS BIGINT) AS jsd2_pnat
+        |  FROM terms),
+        |cells AS (
+        |  SELECT split AS ka, lang AS kb, count(*) AS o
+        |  FROM sp GROUP BY 1, 2),
+        |ra AS (SELECT ka, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cbx AS (SELECT kb, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(o) AS HUGEINT) AS t,
+        |         count(DISTINCT ka) AS na, count(DISTINCT kb) AS nb
+        |  FROM cells),
+        |jn AS (
+        |  SELECT cells.o, tot.t, tot.na, tot.nb,
+        |         CAST(ra.r AS HUGEINT) * cbx.c AS rc
+        |  FROM cells JOIN ra USING (ka) JOIN cbx USING (kb), tot),
+        |trm AS (
+        |  SELECT o, rc, t, na, nb,
+        |    CAST(((CAST(o AS HUGEINT) * t - rc) * (CAST(o AS HUGEINT) * t - rc)
+        |          * 1000000) // (t * rc) AS BIGINT) AS term
+        |  FROM jn),
+        |agg AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n_rows, max(na) AS n_a, max(nb) AS n_b,
+        |         max(t) AS t, CAST(sum(term) AS BIGINT) AS obs_terms,
+        |         sum(rc) AS obs_rc
+        |  FROM trm),
+        |chi AS (
+        |  SELECT n_rows, n_a, n_b,
+        |         CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+        |         obs_terms + CAST(((t * t - obs_rc) * 1000000) // t AS BIGINT)
+        |           AS chi2_micro
+        |  FROM agg)
+        |SELECT jsd.*, chi.* FROM jsd, chi""".stripMargin,
     // The incremental read must return EXACTLY batch 2 (and nothing
     // after the commit), so the oracle aggregates the batch-2 predicate
     // directly against the base table.
