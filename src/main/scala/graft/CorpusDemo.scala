@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *     → sequence packing             (Windows.packChunks)
   *     → token-budget apportionment   (Sampling.apportionTokens)
   *     → stride interleave order      (Sampling.interleaveOrder)
-  *     → token-id encoding            (TextAnalysis.encodeTokens)
+  *     → BPE subword train + encode   (Bpe.bpeTrain, Bpe.bpeEncode)
   *     → vocabulary report            (HeavyHitters.heavyHitters)
   *     → JSONL export + AUDITED parquet export (Etl.writeJsonl,
   *       Etl.writeAudited → readAudited verification gate)
@@ -145,12 +145,17 @@ object CorpusDemo {
     val nChunks = packed.agg(countDistinct(col("lang"), col("chunk"))).head.getLong(0)
     val tMix = lap()
 
-    // 6. Mix scheduling + token-id encoding: apportion a global token
+    // 6. Mix scheduling + SUBWORD encoding: apportion a global token
     //    budget across languages (largest-remainder quotas sum to the
     //    budget exactly), order the train stream by deterministic
     //    stride interleave (no all-of-A-then-all-of-B curriculum
-    //    accident), and encode text through the corpus' own
-    //    min-count-5 vocabulary — ids in token order, OOV sentinel 0.
+    //    accident), then tokenize SUBWORD: BPE merges trained on the
+    //    train mix's own word-frequency table (Bpe.bpeTrain — exact
+    //    integer pair counts, deterministic tie-break) and every
+    //    train doc encoded through the learned segmentation
+    //    (Bpe.bpeEncode, vocabulary-sized join). No OOV by
+    //    construction on the training corpus — the base alphabet is
+    //    always available, the property word-level vocabularies lack.
     val quotas = graft.ops.Sampling.apportionTokens(
         mixed.select(col("lang").as("source"),
           col("n_tokens").cast("long").as("tokens")),
@@ -160,18 +165,18 @@ object CorpusDemo {
       mixed.withColumn("w", when(col("lang") === "en", 1L).otherwise(2L)),
       "lang", concat_ws("_", col("doc_id"), col("rep")), col("w"))
     val nScheduled = scheduled.count()
-    val encToks = mixed.select(
-        explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-    val encVocab = graft.ops.Windows.denseIdsBy(
-      encToks.groupBy("tok").agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 5),
-      Seq(col("cnt").desc, col("tok").asc), "token_id")
-    val encoded = graft.ops.TextAnalysis.encodeTokens(
+    val wordFreq = mixed.select(
+        explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val (bpeMergeTable, bpeSeg) = graft.ops.Bpe.bpeTrain(wordFreq, merges = 24)
+    val nMerges = bpeMergeTable.count()
+    val bpePieces = graft.ops.Bpe.bpeEncode(
       mixed.select((col("doc_id") * 10 + col("rep")).as("uid"), col("text")),
-      "uid", col("text"), encVocab, "tok", "token_id")
-    val encStats = encoded.agg(count(lit(1)).as("n"),
-      sum("n_tokens").as("tok"), sum("n_oov").as("oov")).head
-    val (nEncoded, encTok, encOov) =
+      "uid", col("text"), bpeSeg)
+    val encStats = bpePieces.agg(countDistinct("uid").as("n"),
+      count(lit(1)).as("pieces"), countDistinct("piece").as("vocab")).head()
+    val (nEncoded, encPieces, encVocabSize) =
       (encStats.getLong(0), encStats.getLong(1), encStats.getLong(2))
     val tSched = lap()
 
@@ -211,8 +216,8 @@ object CorpusDemo {
     println(s"[corpus] token quotas    " + quotas.map { case (l, avail, q) =>
       s"$l=$q/$avail" }.mkString(" ") + " (budget 20000)")
     println(f"[corpus] scheduled       $nScheduled%6d rows in stride-interleave order")
-    println(f"[corpus] encoded         $nEncoded%6d docs, $encTok%d token ids, " +
-      f"oov ${encOov * 10000 / math.max(encTok, 1L)}%d bp")
+    println(f"[corpus] bpe-encoded     $nEncoded%6d docs, $encPieces%d subword pieces " +
+      f"($nMerges%d merges, $encVocabSize%d-piece vocab, no OOV by construction)")
     println(f"[corpus] vocab report    $nVocab%6d heavy tokens (>1%% of train stream)")
     println(s"[corpus] exported to $out (jsonl + audited parquet, verified $verifiedRows rows)")
     println(f"[time] exact=$tExact%.1fs near=$tNear%.1fs quality=$tQuality%.1fs " +

@@ -2343,6 +2343,48 @@ object SparkEntry {
       docs.filter(col("doc_id") % 10 >= 8), col("text"))
   }
 
+  /** Merge rounds for the BPE oracle pair — fixed so the Spark loop
+    * and the DuckDB chained-CTE mirror unroll identically.
+    */
+  private val BpeMergeRounds = 12
+
+  /** Word-frequency table for BPE training: whitespace words of the
+    * document corpus with exact counts (the ONE corpus-wide scan;
+    * everything after is vocabulary-sized).
+    */
+  private def bpeWords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Distributed BPE subword training ([[graft.ops.Bpe.bpeTrain]]):
+    * 12 most-frequent-pair merge rounds over the corpus word-frequency
+    * table, exact integer pair counts, (count desc, pair asc)
+    * tie-break. The output IS the model — the ordered merge table —
+    * hash-checked against a DuckDB chained-CTE mirror that replays
+    * the identical single-replace rewrite round for round.
+    */
+  private def qBpe(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.bpeTrain(bpeWords(s, dir), merges = BpeMergeRounds)._1
+
+  /** BPE encoding ([[graft.ops.Bpe.bpeEncode]]): every document
+    * re-tokenized through the trained segmentation (vocabulary-sized
+    * hash join, the encodeTokens contract) and mapped to dense piece
+    * ids ([[graft.ops.Windows.denseIdsBy]] over the piece vocabulary)
+    * — row-level `(doc_id, word_pos, piece_pos, piece, piece_id)` so
+    * the hash covers every emitted subword in order.
+    */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (_, seg) = graft.ops.Bpe.bpeTrain(bpeWords(s, dir), merges = BpeMergeRounds)
+    val vocab = graft.ops.Windows.denseIdsBy(
+      seg.select(explode(col("pieces")).as("piece")).distinct(),
+      Seq(col("piece").asc), "piece_id")
+    graft.ops.Bpe.bpeEncode(t(s, dir, "documents"), "doc_id", col("text"), seg)
+      .join(vocab, Seq("piece"))
+      .select("doc_id", "word_pos", "piece_pos", "piece", "piece_id")
+  }
+
   /** CorpusDemo's split QA gates as a standing oracle row (round-6
     * verdict task 7): the train/valid token-distribution JSD and the
     * split×lang chi-square that gate the composed pipeline, computed
@@ -3048,6 +3090,8 @@ object SparkEntry {
     "q_lm_bigram" -> (qLmBigram _),
     "q_js_drift" -> (qJsDrift _),
     "q_corpus_split_qa" -> (qCorpusSplitQa _),
+    "q_bpe" -> (qBpe _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_incr_read" -> (qIncrRead _),
     "q_containment" -> (qContainment _),
     "q_skipgram" -> (qSkipgram _),
@@ -5063,6 +5107,55 @@ object SparkEntry {
         |         AS BIGINT) AS n_common,
         |       CAST(sum(t1 + t2) AS BIGINT) AS jsd2_pnat
         |FROM terms""".stripMargin,
+    // BPE training mirror: wf/w0 seed the doubled-separator symbol
+    // strings, then Bpe.bpeSql unrolls the identical 12 merge rounds
+    // (pair count → argmax → single literal replace) as chained CTEs.
+    "q_bpe" ->
+      s"""WITH wf AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY 1),
+         |w0 AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    chr(31) || chr(31) ||
+         |      regexp_replace(word, '(.)', '\\1' || chr(31) || chr(31), 'g') AS sym
+         |  FROM wf),
+         |${graft.ops.Bpe.bpeSql(BpeMergeRounds)}""".stripMargin,
+    // Encoding mirror: the same training CTEs, then word-position
+    // explode (positions keep gaps where empty words were filtered,
+    // matching posexplode-then-filter), segmentation join, piece
+    // explode, and a row_number piece vocabulary over sorted distinct
+    // pieces (≡ denseIdsBy's 1-based dense numbering).
+    "q_bpe_encode" ->
+      s"""WITH wf AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY 1),
+         |w0 AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    chr(31) || chr(31) ||
+         |      regexp_replace(word, '(.)', '\\1' || chr(31) || chr(31), 'g') AS sym
+         |  FROM wf),
+         |${graft.ops.Bpe.bpeSqlRounds(BpeMergeRounds)},
+         |seg AS MATERIALIZED (
+         |  SELECT word, list_filter(string_split(sym, chr(31)), x -> x <> '') AS pieces
+         |  FROM w$BpeMergeRounds),
+         |vocab AS (
+         |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS piece_id
+         |  FROM (SELECT DISTINCT unnest(pieces) AS piece FROM seg)),
+         |dw AS (
+         |  SELECT doc_id, CAST(j AS BIGINT) AS word_pos, w[j] AS word
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |       unnest(generate_series(1, len(w))) AS t(j)
+         |  WHERE w[j] <> ''),
+         |pe AS (
+         |  SELECT x.doc_id, x.word_pos, CAST(j AS BIGINT) AS piece_pos,
+         |         x.pieces[j] AS piece
+         |  FROM (SELECT dw.doc_id, dw.word_pos, seg.pieces
+         |        FROM dw JOIN seg USING (word)) x,
+         |       unnest(generate_series(1, len(x.pieces))) AS t(j))
+         |SELECT pe.doc_id, pe.word_pos, pe.piece_pos, pe.piece, v.piece_id
+         |FROM pe JOIN vocab v USING (piece)""".stripMargin,
     // The split QA row composes q_split's md5 bucket, q_js_drift's
     // floored-term JSD, and q_chi_square's closed-form missing-cell
     // chi-square over ONE shared split CTE.
