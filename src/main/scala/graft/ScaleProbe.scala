@@ -152,7 +152,15 @@ object ScaleProbe {
     // customer (distinct-duration windows, keyed joins → linear).
     "q_weighted_median", "q_rrf", "q_waterfall", "q_incr_lsh",
     "q_temporal_bfs", "q_sorted_blocking", "q_survival",
-    "q_resample_linear", "q_minmax", "q_fd")
+    "q_resample_linear", "q_minmax", "q_fd",
+    // round 7: BPE rides the token-salted documents — the word-freq
+    // state and pair space grow ×10 (salted replicas disjoint), rounds
+    // fixed → linear in the vocabulary, NOT the corpus (the corpus is
+    // touched once for the freq table); bpe_encode adds the
+    // corpus⋈segmentation join (rows ×10, vocab ×10 → linear);
+    // corpus_split_qa composes split hashing + JSD + chi-square (two
+    // token-keyed aggs + dimension-sized marginals → linear).
+    "q_bpe", "q_bpe_encode", "q_corpus_split_qa")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a

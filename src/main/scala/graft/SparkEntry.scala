@@ -2385,6 +2385,35 @@ object SparkEntry {
       .select("doc_id", "word_pos", "piece_pos", "piece", "piece_id")
   }
 
+  /** BPE pieces feeding the packing stage — the composed
+    * text→subword→training-chunk path as ONE hash-checked row
+    * ([[graft.ops.Bpe.bpeEncode]] → per-doc piece counts →
+    * [[graft.ops.Windows.packChunks]] at a 2048-piece budget): chunk
+    * boundaries computed from SUBWORD lengths, which is what a real
+    * loader packs on (whitespace token counts over- or under-fill
+    * chunks the moment the tokenizer is subword).
+    */
+  private def qPackBpe(s: SparkSession, dir: String): DataFrame = {
+    val (_, seg) = graft.ops.Bpe.bpeTrain(bpeWords(s, dir), merges = BpeMergeRounds)
+    val docs = t(s, dir, "documents")
+    val counts = graft.ops.Bpe.bpeEncode(docs, "doc_id", col("text"), seg)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_pieces"))
+    graft.ops.Windows.packChunks(
+      docs.select("doc_id", "lang").join(counts, Seq("doc_id"))
+        .select(col("lang"), col("doc_id"), col("n_pieces")),
+      "lang", "doc_id", "n_pieces", budget = 2048L)
+  }
+
+  /** Deterministic per-epoch reshuffle
+    * ([[graft.ops.Sampling.epochShuffle]]): 3 training epochs of the
+    * document corpus, each a fresh md5-keyed global permutation —
+    * every (epoch, position) hash-checked against the oracle's
+    * identical md5 ordering.
+    */
+  private def qEpochShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.epochShuffle(
+      t(s, dir, "documents").select("doc_id"), col("doc_id"), epochs = 3)
+
   /** CorpusDemo's split QA gates as a standing oracle row (round-6
     * verdict task 7): the train/valid token-distribution JSD and the
     * split×lang chi-square that gate the composed pipeline, computed
@@ -3092,6 +3121,8 @@ object SparkEntry {
     "q_corpus_split_qa" -> (qCorpusSplitQa _),
     "q_bpe" -> (qBpe _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_pack_bpe" -> (qPackBpe _),
+    "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_incr_read" -> (qIncrRead _),
     "q_containment" -> (qContainment _),
     "q_skipgram" -> (qSkipgram _),
@@ -5156,6 +5187,53 @@ object SparkEntry {
          |       unnest(generate_series(1, len(x.pieces))) AS t(j))
          |SELECT pe.doc_id, pe.word_pos, pe.piece_pos, pe.piece, v.piece_id
          |FROM pe JOIN vocab v USING (piece)""".stripMargin,
+    // BPE→packing composition: the encode mirror's piece stream
+    // aggregated per doc, then the q_pack_chunks cumsum/floor-div.
+    "q_pack_bpe" ->
+      s"""WITH wf AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY 1),
+         |w0 AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    chr(31) || chr(31) ||
+         |      regexp_replace(word, '(.)', '\\1' || chr(31) || chr(31), 'g') AS sym
+         |  FROM wf),
+         |${graft.ops.Bpe.bpeSqlRounds(BpeMergeRounds)},
+         |seg AS MATERIALIZED (
+         |  SELECT word, list_filter(string_split(sym, chr(31)), x -> x <> '') AS pieces
+         |  FROM w$BpeMergeRounds),
+         |dw AS (
+         |  SELECT doc_id, w[j] AS word
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |       unnest(generate_series(1, len(w))) AS t(j)
+         |  WHERE w[j] <> ''),
+         |cnt AS (
+         |  SELECT x.doc_id, CAST(sum(len(x.pieces)) AS BIGINT) AS n_pieces
+         |  FROM (SELECT dw.doc_id, seg.pieces FROM dw JOIN seg USING (word)) x
+         |  GROUP BY 1),
+         |wl AS (
+         |  SELECT d.lang, d.doc_id, c.n_pieces
+         |  FROM documents d JOIN cnt c USING (doc_id)),
+         |cum AS (
+         |  SELECT lang, doc_id, n_pieces,
+         |         CAST(sum(n_pieces) OVER (PARTITION BY lang ORDER BY doc_id
+         |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |           - n_pieces AS s_before
+         |  FROM wl)
+         |SELECT lang, doc_id, n_pieces,
+         |       s_before // 2048 AS chunk,
+         |       s_before % 2048 AS chunk_offset
+         |FROM cum""".stripMargin,
+    // Per-epoch md5 permutation: same (epoch || chr(1) || key) hash,
+    // row_number per epoch over (hash, key) ≡ denseIdsBy's global
+    // numbering minus the epoch base.
+    "q_epoch_shuffle" ->
+      """SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+        |       CAST(row_number() OVER (PARTITION BY epoch
+        |              ORDER BY md5(CAST(epoch AS VARCHAR) || chr(1) || CAST(doc_id AS VARCHAR)),
+        |                       CAST(doc_id AS VARCHAR)) AS BIGINT) AS pos
+        |FROM documents, unnest(generate_series(1, 3)) AS e(epoch)""".stripMargin,
     // The split QA row composes q_split's md5 bucket, q_js_drift's
     // floored-term JSD, and q_chi_square's closed-form missing-cell
     // chi-square over ONE shared split CTE.

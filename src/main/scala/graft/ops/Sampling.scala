@@ -236,6 +236,40 @@ object Sampling {
   def interleavePosSql(scale: Long): String =
     s"((2 * rank_in_source - 1) * $scale) // (2 * w)"
 
+  /** Deterministic per-epoch training order: every epoch gets a
+    * fresh, reproducible GLOBAL permutation by sorting on
+    * `md5(epoch ⊕ key)` — the reshuffle-each-epoch a trainer needs
+    * (data order is a training hyperparameter; repeating one order
+    * every epoch measurably hurts), with no engine RNG anywhere, so
+    * the schedule is layout/partitioning/engine independent and
+    * resumable (the [[hashBucket]] discipline). Returns the input
+    * × `epochs` with `(epoch, pos)`: `pos` is the row's 1-based
+    * position in that epoch's permutation. Ties in the md5 break by
+    * the key itself — a total order, so every position is
+    * hash-checkable.
+    *
+    * Shape: a bounded epoch explode, then ONE
+    * [[graft.ops.Windows.denseIdsBy]] global numbering ordered by
+    * (epoch, hash, key) — a range exchange + partition-local
+    * row_number, never a single-partition window; per-epoch position
+    * is the global id minus the epoch's base (one driver-side
+    * count). Epoch count is a literal (a training run's epochs, not
+    * data-dependent).
+    */
+  def epochShuffle(df: DataFrame, key: Column, epochs: Int): DataFrame = {
+    require(epochs >= 1 && epochs <= 10000, s"epochs must be in [1,10000], got $epochs")
+    val n = df.count()
+    val ex = df
+      .withColumn("epoch", explode(sequence(lit(1), lit(epochs))))
+      .withColumn("__h", md5(concat_ws("\u0001",
+        col("epoch").cast("string"), key.cast("string"))))
+      .withColumn("__k", key.cast("string"))
+    graft.ops.Windows.denseIdsBy(ex,
+        Seq(col("epoch").asc, col("__h").asc, col("__k").asc), "__gid")
+      .withColumn("pos", col("__gid") - (col("epoch") - 1).cast("long") * n)
+      .drop("__h", "__k", "__gid")
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment — Thaler &
     * Ravishankar 1996, the consistent-placement primitive: each key
     * goes to the shard with the highest `md5(key ":" shard)` weight.

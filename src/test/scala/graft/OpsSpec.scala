@@ -614,6 +614,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("sampling: epochShuffle — per-epoch permutations, distinct across epochs, layout-stable") {
+    val df = (1L to 200L).toDF("id")
+    val got = graft.ops.Sampling.epochShuffle(df, col("id"), epochs = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(0), r.getLong(2)))
+    // each epoch is a full permutation of positions 1..n
+    for (e <- 1 to 3) {
+      val eps = got.filter(_._1 == e)
+      assert(eps.map(_._3).sorted.toSeq == (1L to 200L), s"epoch $e not a permutation")
+    }
+    // epochs genuinely reshuffle: the same doc lands at different
+    // positions (identical permutations would defeat the operator)
+    val byDoc = got.groupBy(_._2).map { case (_, xs) => xs.map(_._3).distinct.size }
+    assert(byDoc.count(_ >= 2) > 150, "epoch permutations barely differ")
+    // deterministic under repartition
+    val again = graft.ops.Sampling.epochShuffle(df.repartition(7), col("id"), epochs = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(0), r.getLong(2)))
+    assert(again.toSet == got.toSet)
+  }
+
   test("sampling: repeatByWeight emits one copy per epoch, drops weight<1") {
     val df = Seq((1L, 3), (2L, 1), (3L, 0), (4L, -2)).toDF("id", "w")
     val got = graft.ops.Sampling.repeatByWeight(df, col("w"))
