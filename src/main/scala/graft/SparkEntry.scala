@@ -2463,6 +2463,44 @@ object SparkEntry {
       .withColumn("n_after_commit", lit(b3.count()))
   }
 
+  /** Sharded incremental ingest
+    * ([[graft.etl.Etl.readIncrementalPartitioned]]): a
+    * hive-partitioned grow-only table with ONE ledger per partition —
+    * the bounded-listing layout the flat guard prescribes. Batch 1
+    * lands across all partitions and only the LOW-priority
+    * partitions' ledgers are committed; batch 2 lands; the
+    * incremental read must see batch 2 everywhere PLUS batch 1 in
+    * the never-committed partitions — per-partition ledger isolation,
+    * proven through the filesystem against the oracle's direct
+    * predicate. The final full-commit re-read contributes the
+    * n=0-safe arm.
+    */
+  private def qIncrPart(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("incrp")
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    val hPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hPath.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(hPath, true)
+    orders.filter(col("o_orderkey") % 4 < 2)
+      .write.partitionBy("o_orderpriority").mode("append").parquet(tmp)
+    val (_, names1) = graft.etl.Etl.readIncrementalPartitioned(s, tmp, "o_orderpriority")
+    // commit only priorities 3-5: partitions 1-URGENT / 2-HIGH keep
+    // their batch-1 files unprocessed
+    graft.etl.Etl.commitProcessedPartitioned(s, tmp, "o_orderpriority",
+      names1.filter { case (v, _) => !v.startsWith("1-") && !v.startsWith("2-") })
+    orders.filter(col("o_orderkey") % 4 >= 2)
+      .write.partitionBy("o_orderpriority").mode("append").parquet(tmp)
+    val (b2, names2) = graft.etl.Etl.readIncrementalPartitioned(s, tmp, "o_orderpriority")
+    graft.etl.Etl.commitProcessedPartitioned(s, tmp, "o_orderpriority", names2)
+    val (b3, _) = graft.etl.Etl.readIncrementalPartitioned(s, tmp, "o_orderpriority")
+    b2.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(floor(col("o_totalprice")).cast("long")).as("sum_floor_price"))
+      .withColumn("n_after_commit", lit(b3.count()))
+  }
+
   /** HITS hubs/authorities ([[graft.ops.Graphs.hitsExact]]) over the
     * same customer→order bipartite graph as q_pagerank — customers
     * are pure hubs, orders pure authorities, the shape HITS was
@@ -3123,6 +3161,7 @@ object SparkEntry {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_pack_bpe" -> (qPackBpe _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
+    "q_incr_part" -> (qIncrPart _),
     "q_incr_read" -> (qIncrRead _),
     "q_containment" -> (qContainment _),
     "q_skipgram" -> (qSkipgram _),
@@ -5311,6 +5350,18 @@ object SparkEntry {
         |       CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_floor_price,
         |       CAST(0 AS BIGINT) AS n_after_commit
         |FROM orders WHERE o_orderkey % 4 >= 2 GROUP BY 1""".stripMargin,
+    // The sharded read must return batch 2 everywhere PLUS batch 1 in
+    // the two partitions whose ledgers were never committed.
+    "q_incr_part" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_floor_price,
+        |       CAST(0 AS BIGINT) AS n_after_commit
+        |FROM orders
+        |WHERE o_orderkey % 4 >= 2
+        |   OR (o_orderkey % 4 < 2 AND
+        |       (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'))
+        |GROUP BY 1""".stripMargin,
     // r² as an exact HUGEINT rational; only the final ppm quotient
     // truncates (non-negative operands, so // ≡ div).
     "q_corr" ->

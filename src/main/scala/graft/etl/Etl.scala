@@ -520,6 +520,66 @@ object Etl {
     finally out.close()
   }
 
+  /** Per-partition incremental ingest — the SHARDED form of
+    * [[readIncremental]] that the flat guard's refusal message
+    * prescribes for hive-partitioned grow-only tables: one
+    * `_LEDGER.json` per leaf `col=value` directory, so every listing
+    * and ledger stays bounded by ITS partition rather than the whole
+    * table. The driver loop is over partition DIRECTORIES (bounded by
+    * the partition key's cardinality — dates, shards — not by file
+    * count); `maxFiles` bounds each leaf exactly as in
+    * [[readIncremental]].
+    *
+    * Returns `(frame over every partition's unprocessed files with
+    * the partition column restored as a STRING column, per-partition
+    * fresh names for [[commitProcessedPartitioned]])`. The fresh map
+    * is keyed by the RAW encoded value exactly as it appears in the
+    * directory name (`4-NOT%20SPECIFIED`, not `4-NOT SPECIFIED`) so
+    * the commit path can reconstruct the directory byte-for-byte —
+    * re-encoding through a URL codec is lossy (Java URLEncoder writes
+    * `+` where Spark's hive layout wrote `%20`, silently committing
+    * the ledger into a rogue new directory). Only the restored COLUMN
+    * value is decoded. When nothing anywhere is new, the frame is the
+    * empty projection with the same schema.
+    */
+  def readIncrementalPartitioned(spark: SparkSession, path: String,
+      partitionCol: String, maxFiles: Int = 100000)
+      : (DataFrame, Map[String, Seq[String]]) = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .sorted
+    require(parts.nonEmpty,
+      s"readIncrementalPartitioned: no $partitionCol=value subdirectories under $path — " +
+        "use readIncremental for flat directories")
+    require(parts.forall(_.startsWith(partitionCol + "=")),
+      s"readIncrementalPartitioned: expected only $partitionCol=value subdirectories, found " +
+        parts.filterNot(_.startsWith(partitionCol + "=")).mkString(", "))
+    val perPart = parts.map { p =>
+      val rawValue = p.substring(partitionCol.length + 1)
+      val colValue = java.net.URLDecoder.decode(rawValue, "UTF-8")
+      val (df, fresh) = readIncremental(spark, s"$path/$p", maxFiles)
+      (rawValue, df.withColumn(partitionCol, lit(colValue)), fresh)
+    }
+    val union = perPart.map(_._2).reduce(_ unionByName _)
+    (union, perPart.collect { case (v, _, fresh) if fresh.nonEmpty => v -> fresh }.toMap)
+  }
+
+  /** Commit each partition's processed files to ITS own ledger —
+    * the write side of [[readIncrementalPartitioned]]; idempotent per
+    * partition like [[commitProcessed]]. `files` is keyed by the RAW
+    * encoded directory value the read returned — used verbatim, never
+    * re-encoded (see [[readIncrementalPartitioned]]).
+    */
+  def commitProcessedPartitioned(spark: SparkSession, path: String,
+      partitionCol: String, files: Map[String, Seq[String]],
+      maxFiles: Int = 100000): Unit =
+    files.toSeq.sortBy(_._1).foreach { case (rawValue, names) =>
+      commitProcessed(spark, s"$path/$partitionCol=$rawValue", names, maxFiles)
+    }
+
   /** JSON-lines write — the lingua franca of training-data corpora. */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

@@ -340,6 +340,37 @@ class EtlSpec extends SparkSpec {
     assert(e2.getMessage.contains("must not contain"))
   }
 
+  test("readIncrementalPartitioned: per-partition ledgers isolate commits") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incr_shard").toString
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "p")
+      .write.partitionBy("p").mode("append").parquet(tmp)
+    val (all1, fresh1) = Etl.readIncrementalPartitioned(spark, tmp, "p")
+    assert(all1.count() == 3L && fresh1.keySet == Set("a", "b"))
+    assert(all1.columns.toSet == Set("id", "p"))
+    // commit ONLY partition a; b's files stay unprocessed
+    Etl.commitProcessedPartitioned(spark, tmp, "p", fresh1.filter(_._1 == "a"))
+    Seq((4L, "a"), (5L, "b")).toDF("id", "p")
+      .write.partitionBy("p").mode("append").parquet(tmp)
+    val (got2, fresh2) = Etl.readIncrementalPartitioned(spark, tmp, "p")
+    val rows2 = got2.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // a: only the new file; b: old AND new (its ledger was never written)
+    assert(rows2 == Set((4L, "a"), (3L, "b"), (5L, "b")), rows2.toString)
+    Etl.commitProcessedPartitioned(spark, tmp, "p", fresh2)
+    val (got3, fresh3) = Etl.readIncrementalPartitioned(spark, tmp, "p")
+    assert(got3.count() == 0L && fresh3.isEmpty)
+    assert(got3.columns.toSet == Set("id", "p")) // schema survives the empty case
+    // guards: a flat directory refuses; a foreign subdirectory refuses
+    val flat = java.nio.file.Files.createTempDirectory("graft_incr_flat").toString
+    Seq((1L, "x")).toDF("id", "v").write.mode("append").parquet(flat)
+    val e1 = intercept[IllegalArgumentException](
+      Etl.readIncrementalPartitioned(spark, flat, "p"))
+    assert(e1.getMessage.contains("no p=value subdirectories"), e1.getMessage)
+    new java.io.File(tmp, "rogue").mkdir()
+    val e2 = intercept[IllegalArgumentException](
+      Etl.readIncrementalPartitioned(spark, tmp, "p"))
+    assert(e2.getMessage.contains("expected only p=value"), e2.getMessage)
+  }
+
   test("readIncremental: file-count ceiling raises loudly before the driver drowns") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_incr_cap").toString
     // many-file fixture: 8 single-row part files via repartition(8)
