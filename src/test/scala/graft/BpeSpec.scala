@@ -103,6 +103,51 @@ class BpeSpec extends SparkSpec {
     assert(e2.getMessage.contains("separator"), e2.getMessage)
   }
 
+  test("bpe model artifact: merge table round-trips through the audited writer") {
+    // the merge table IS the model — persisting it must be lossless
+    // and verified, and a reloaded model must re-segment identically
+    val words = Seq(("banana", 4L), ("bandana", 2L), ("ana", 7L)).toDF("word", "freq")
+    val (mt, seg) = Bpe.bpeTrain(words, merges = 4)
+    val out = java.nio.file.Files.createTempDirectory("graft_bpe_model").toString
+    graft.etl.Etl.writeAudited(mt, out,
+      Seq("merge_no", "pair_a", "pair_b", "merged", "pair_count"))
+    val reloaded = graft.etl.Etl.readAudited(spark, out) // verifying reader
+      .orderBy("merge_no").collect()
+      .map(r => (r.getAs[String]("pair_a"), r.getAs[String]("pair_b"))).toSeq
+    val viaReloaded = words.select(col("word"),
+        Bpe.bpeApplyMerges(col("word"), reloaded).as("pieces"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val viaTrain = seg.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    assert(viaReloaded == viaTrain, "reloaded model diverged from the trained segmentation")
+  }
+
+  test("bpe streaming encode: stream result equals batch through the merge fold") {
+    // bpeApplyMerges is a pure codegen column — it must compose with
+    // Structured Streaming unchanged (the map-only encode path for
+    // novel words arriving on a stream).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val words = Seq(("banana", 4L), ("bandana", 2L), ("ana", 7L)).toDF("word", "freq")
+    val (mt, _) = Bpe.bpeTrain(words, merges = 4)
+    val merges = mt.orderBy("merge_no").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val input = Seq("banana", "bandana", "ana", "bananana")
+    val expected = input.toDF("word")
+      .select(col("word"), Bpe.bpeApplyMerges(col("word"), merges).as("pieces"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val stream = MemoryStream[String](spark)
+    val q = stream.toDF().toDF("word")
+      .select(col("word"), Bpe.bpeApplyMerges(col("word"), merges).as("pieces"))
+      .writeStream.format("memory").queryName("bpe_out").outputMode("append").start()
+    try {
+      stream.addData(input)
+      q.processAllAvailable()
+      val got = spark.table("bpe_out")
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("bpeTrain: deterministic under repartitioning (pure function of the freq table)") {
     val words = Seq(("spark", 5L), ("sparse", 3L), ("parse", 4L), ("park", 2L))
       .toDF("word", "freq")
