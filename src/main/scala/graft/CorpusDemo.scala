@@ -182,11 +182,15 @@ object CorpusDemo {
 
     // 7. Vocabulary report: exact heavy tokens of the train mix (the
     //    sanity check before a tokenizer run — a glued artifact or
-    //    boilerplate blob shows up here first).
+    //    boilerplate blob shows up here first). The share bar scales
+    //    with the corpus (anchored at the 500-doc scale — the
+    //    q_heavy_hitters contract): a FIXED 1% bar goes empty the
+    //    moment the vocabulary grows with the corpus.
+    val su = math.min(math.max(1L, nMixed / 500L), 1024L)
     val vocab = graft.expr.HeavyHitters.heavyHitters(
       mixed.select(explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("t"))
         .filter(col("t") =!= ""),
-      col("t"), capacity = 256, freqDen = 100L)
+      col("t"), capacity = (256L * su).toInt, freqDen = 100L * su)
     val nVocab = vocab.count()
     val tVocab = lap()
 
@@ -218,7 +222,7 @@ object CorpusDemo {
     println(f"[corpus] scheduled       $nScheduled%6d rows in stride-interleave order")
     println(f"[corpus] bpe-encoded     $nEncoded%6d docs, $encPieces%d subword pieces " +
       f"($nMerges%d merges, $encVocabSize%d-piece vocab, no OOV by construction)")
-    println(f"[corpus] vocab report    $nVocab%6d heavy tokens (>1%% of train stream)")
+    println(f"[corpus] vocab report    $nVocab%6d heavy tokens (>1/${100 * su}%d of train stream)")
     println(s"[corpus] exported to $out (jsonl + audited parquet, verified $verifiedRows rows)")
     println(f"[time] exact=$tExact%.1fs near=$tNear%.1fs quality=$tQuality%.1fs " +
       f"decontam=$tClean%.1fs gates=$tGates%.1fs split+mix+pack=$tMix%.1fs sched+encode=$tSched%.1fs " +
