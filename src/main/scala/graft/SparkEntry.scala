@@ -2308,6 +2308,80 @@ object SparkEntry {
       t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
       "vec_id", "embedding", EmbDim, k = 5)
 
+  /** Binary-signature ANN ([[graft.ops.Similarity.searchHamming]]):
+    * the same 5 query ids as q_ann_topk, ranked by exact popcount
+    * Hamming distance between sign signatures — the 1-bit (32×
+    * memory) quantization tier below q_ann_int8, hash-exact because
+    * distances are small integers with a total tie-broken order.
+    */
+  private def qHammingTopk(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.searchHamming(
+      t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
+      "vec_id", "embedding", EmbDim, k = 5)
+
+  /** Hamming near-duplicate pairs via multi-index hashing
+    * ([[graft.ops.Similarity.hammingNearDupPairs]]): 8-bit bands over
+    * the 64-bit sign signature, exact popcount rescore at radius 18.
+    * The oracle mirrors the BANDED candidate set (the q_minhash_lsh
+    * contract — full recall is guaranteed only below the band count).
+    */
+  private def qHammingNeardups(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.hammingNearDupPairs(
+      t(s, dir, "embeddings"), "vec_id", "embedding", EmbDim,
+      maxDist = 18, bandBits = 8)
+
+  /** Retrieval evaluation ([[graft.ops.Similarity.retrievalEval]]):
+    * the binary-signature ranker (q_hamming_topk) graded against the
+    * int8 ranking (q_ann_int8) as ground truth — per-query hits, MRR
+    * and NDCG in exact integer micro-units (positional gains are ONE
+    * set of Scala-computed constants injected into both engines).
+    */
+  private def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L)
+    val emb = t(s, dir, "embeddings")
+    graft.ops.Similarity.retrievalEval(
+      graft.ops.Similarity.searchHamming(emb, ids, "vec_id", "embedding", EmbDim, k = 5),
+      graft.ops.Similarity.searchInt8(emb, ids, "vec_id", "embedding", EmbDim, k = 5),
+      k = 5)
+  }
+
+  /** Count-min sketch ([[graft.ops.Sketches]]): a 4×64 sketch over
+    * the corpus token stream, point-queried for every token with
+    * true count ≥ 50 — `est_n ≥ true_n` by the CMS overestimate
+    * guarantee, and the deliberately narrow width makes `err` > 0 on
+    * real collisions so the row exercises the estimator, not just the
+    * identity.
+    */
+  private def qCms(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val cells = graft.ops.Sketches.cmsCells(toks, col("tok"), depth = 4, width = 64)
+    val probes = toks.groupBy("tok").agg(count(lit(1)).as("true_n"))
+      .filter(col("true_n") >= 50)
+    graft.ops.Sketches.cmsEstimates(cells, probes, "tok", depth = 4, width = 64)
+      .withColumn("err", col("est_n") - col("true_n"))
+  }
+
+  /** Length-sorted batch packing ([[graft.ops.Windows.sortedBatches]]):
+    * the padded-loader layout at batch size 16, run BOTH ways —
+    * length-sorted and arrival-order — so the row carries the exact
+    * per-batch padding waste of each strategy (the sort's whole point
+    * is the drop in `pad_waste`).
+    */
+  private def qLengthBatches(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n_tok"))
+    val sorted = graft.ops.Windows.sortedBatches(
+        docs, col("n_tok"), col("doc_id"), batchSize = 16)
+      .withColumn("strategy", lit("length_sorted"))
+    val arrival = graft.ops.Windows.sortedBatches(
+        docs, col("n_tok"), col("doc_id"), batchSize = 16, sortByLength = false)
+      .withColumn("strategy", lit("arrival"))
+    sorted.unionByName(arrival)
+      .select("strategy", "batch_id", "n_seqs", "max_len", "sum_tokens", "pad_waste")
+  }
+
   /** Per-group z-score standardization
     * ([[graft.ops.Profiling.groupZscore]]): customer balances in tens
     * of dollars (pre-scaled into the 2⁵³ exact-double envelope),
@@ -2367,6 +2441,15 @@ object SparkEntry {
     */
   private def qBpe(s: SparkSession, dir: String): DataFrame =
     graft.ops.Bpe.bpeTrain(bpeWords(s, dir), merges = BpeMergeRounds)._1
+
+  /** Tokenizer fertility histogram ([[graft.ops.Bpe.fertility]]):
+    * pieces-per-word distribution of the trained segmentation, with
+    * type, occurrence and character mass per bin — the tokenizer
+    * quality report as exact integers.
+    */
+  private def qBpeStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.fertility(
+      graft.ops.Bpe.bpeTrain(bpeWords(s, dir), merges = BpeMergeRounds)._2)
 
   /** BPE encoding ([[graft.ops.Bpe.bpeEncode]]): every document
     * re-tokenized through the trained segmentation (vocabulary-sized
@@ -3158,6 +3241,7 @@ object SparkEntry {
     "q_js_drift" -> (qJsDrift _),
     "q_corpus_split_qa" -> (qCorpusSplitQa _),
     "q_bpe" -> (qBpe _),
+    "q_bpe_stats" -> (qBpeStats _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_pack_bpe" -> (qPackBpe _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
@@ -3166,6 +3250,11 @@ object SparkEntry {
     "q_containment" -> (qContainment _),
     "q_skipgram" -> (qSkipgram _),
     "q_ann_int8" -> (qAnnInt8 _),
+    "q_hamming_topk" -> (qHammingTopk _),
+    "q_hamming_neardups" -> (qHammingNeardups _),
+    "q_ndcg" -> (qNdcg _),
+    "q_cms" -> (qCms _),
+    "q_length_batches" -> (qLengthBatches _),
     "q_zscore" -> (qZscore _),
     "q_shards" -> (qShards _),
     "q_golden" -> (qGolden _),
@@ -5081,6 +5170,153 @@ object SparkEntry {
          |        ORDER BY dot_q DESC, neighbor_id) AS rank FROM sc)
          |SELECT query_id, neighbor_id, dot_q, rank FROM r WHERE rank <= 5""".stripMargin
     },
+    // Sign-signature CTE shared shape: identical half-word layout and
+    // `> 0` test as Similarity.signWord; xor+bit_count distance.
+    "q_hamming_topk" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id,
+         |    ${graft.ops.Similarity.signWordSql("embedding", 0, EmbDim)} AS sig0,
+         |    ${graft.ops.Similarity.signWordSql("embedding", 1, EmbDim)} AS sig1
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, sig0 AS q0, sig1 AS q1 FROM sig WHERE vec_id < 5),
+         |sc AS (
+         |  SELECT q.query_id, s.vec_id AS neighbor_id,
+         |    CAST(bit_count(xor(q.q0, s.sig0)) + bit_count(xor(q.q1, s.sig1)) AS BIGINT) AS hamming
+         |  FROM q CROSS JOIN sig s WHERE s.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY hamming, neighbor_id) AS rank FROM sc)
+         |SELECT query_id, neighbor_id, hamming, rank FROM r WHERE rank <= 5""".stripMargin,
+    // The oracle REPRODUCES the multi-index banding (8-bit bands over
+    // the two half-words), so the reported pair set is exactly the
+    // banded-candidate ∩ radius set on both engines.
+    "q_hamming_neardups" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id,
+         |    ${graft.ops.Similarity.signWordSql("embedding", 0, EmbDim)} AS sig0,
+         |    ${graft.ops.Similarity.signWordSql("embedding", 1, EmbDim)} AS sig1
+         |  FROM embeddings),
+         |bands AS (
+         |  SELECT vec_id, gs.b AS band,
+         |    CASE WHEN gs.b < 4 THEN (sig0 >> (gs.b * 8)) & 255
+         |         ELSE (sig1 >> ((gs.b - 4) * 8)) & 255 END AS bits
+         |  FROM sig, generate_series(0, 7) gs(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id),
+         |h AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(bit_count(xor(sa.sig0, sb.sig0)) + bit_count(xor(sa.sig1, sb.sig1)) AS BIGINT) AS hamming
+         |  FROM cand c
+         |  JOIN sig sa ON sa.vec_id = c.id_a
+         |  JOIN sig sb ON sb.vec_id = c.id_b)
+         |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 18""".stripMargin,
+    // Both strategies' batch layouts are pure functions of the data
+    // (row_number over a total order); all costs are BIGINT.
+    "q_length_batches" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (
+        |  SELECT 'length_sorted' AS strategy,
+        |    (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 16 AS batch_id, n_tok
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'arrival', (row_number() OVER (ORDER BY doc_id) - 1) // 16, n_tok
+        |  FROM d)
+        |SELECT strategy, batch_id, CAST(count(*) AS BIGINT) AS n_seqs,
+        |  max(n_tok) AS max_len, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    // The oracle rebuilds the 4×64 sketch with the same row-salted
+    // md5 buckets; estimates are min-over-rows of exact BIGINT cells.
+    "q_cms" -> {
+      def arms(keyExpr: String) = (0 until 4).map(r =>
+        s"WHEN gs.r = $r THEN ${graft.ops.Sketches.cmsBucketSql(keyExpr, r, 64)}")
+        .mkString("CASE ", " ", " END")
+      s"""WITH toks AS (
+         |  SELECT u.tok
+         |  FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+         |        FROM documents), unnest(ts) AS u(tok)),
+         |cells AS (
+         |  SELECT gs.r AS row, ${arms("tok")} AS bucket, count(*) AS cnt
+         |  FROM toks, generate_series(0, 3) gs(r) GROUP BY 1, 2),
+         |probe AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS true_n
+         |  FROM toks GROUP BY 1 HAVING count(*) >= 50),
+         |pe AS (
+         |  SELECT p.tok, p.true_n, gs.r AS row, ${arms("p.tok")} AS bucket
+         |  FROM probe p, generate_series(0, 3) gs(r)),
+         |j AS (
+         |  SELECT pe.tok, pe.true_n, coalesce(c.cnt, 0) AS cnt
+         |  FROM pe LEFT JOIN cells c ON c.row = pe.row AND c.bucket = pe.bucket)
+         |SELECT tok, true_n, CAST(min(cnt) AS BIGINT) AS est_n,
+         |       CAST(min(cnt) AS BIGINT) - true_n AS err
+         |FROM j GROUP BY 1, 2""".stripMargin
+    },
+    // System = hamming ranking, truth = int8 ranking; gains are the
+    // SAME Scala-computed literals Similarity.retrievalEval uses.
+    "q_ndcg" -> {
+      val dot = (1 to EmbDim).map(i => s"q.qc[$i] * e.codes[$i]").mkString(" + ")
+      s"""WITH sig AS (
+         |  SELECT vec_id,
+         |    ${graft.ops.Similarity.signWordSql("embedding", 0, EmbDim)} AS sig0,
+         |    ${graft.ops.Similarity.signWordSql("embedding", 1, EmbDim)} AS sig1
+         |  FROM embeddings),
+         |hq AS (SELECT vec_id AS query_id, sig0 AS q0, sig1 AS q1 FROM sig WHERE vec_id < 5),
+         |hsc AS (
+         |  SELECT hq.query_id, s.vec_id AS neighbor_id,
+         |    bit_count(xor(hq.q0, s.sig0)) + bit_count(xor(hq.q1, s.sig1)) AS hamming
+         |  FROM hq CROSS JOIN sig s WHERE s.vec_id <> hq.query_id),
+         |sys AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+         |  FROM hsc QUALIFY rank <= 5),
+         |st AS (
+         |  SELECT gs.i AS pos,
+         |    min(CAST(embedding[gs.i] AS DOUBLE)) AS lo,
+         |    max(CAST(embedding[gs.i] AS DOUBLE)) AS hi
+         |  FROM embeddings, generate_series(1, $EmbDim) gs(i) GROUP BY gs.i),
+         |sl AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM st),
+         |enc AS (
+         |  SELECT vec_id,
+         |    list_transform(generate_series(1, $EmbDim), i ->
+         |      CAST(CASE WHEN sl.his[i] = sl.los[i] THEN 0
+         |        ELSE least(255, floor((CAST(embedding[i] AS DOUBLE) - sl.los[i]) * 255.0
+         |          / (sl.his[i] - sl.los[i])))
+         |        END AS INTEGER)) AS codes
+         |  FROM embeddings, sl),
+         |iq AS (SELECT vec_id AS query_id, codes AS qc FROM enc WHERE vec_id < 5),
+         |isc AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id, CAST($dot AS BIGINT) AS dot_q
+         |  FROM iq q CROSS JOIN enc e WHERE e.vec_id <> q.query_id),
+         |truth AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
+         |  FROM isc QUALIFY rank <= 5),
+         |gl AS (SELECT ${graft.ops.Similarity.ndcgGainsSql(5)}::BIGINT[] AS g),
+         |tn AS (SELECT query_id, count(*) AS nt FROM truth GROUP BY 1),
+         |idcg AS (
+         |  SELECT tn.query_id, CAST(sum(g[s.p::INT]) AS BIGINT) AS v
+         |  FROM tn, gl, UNNEST(range(1, least(nt, 5) + 1)) s(p)
+         |  GROUP BY tn.query_id),
+         |joined AS (
+         |  SELECT s.query_id, s.rank,
+         |    EXISTS (SELECT 1 FROM truth t
+         |            WHERE t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id) AS rel
+         |  FROM sys s),
+         |per AS (
+         |  SELECT j.query_id,
+         |    CAST(count(*) FILTER (j.rel) AS BIGINT) AS n_hits,
+         |    CAST(coalesce(sum(CASE WHEN j.rel THEN g[j.rank::INT] END), 0) AS BIGINT) AS dcg,
+         |    min(CASE WHEN j.rel THEN j.rank END) AS first_hit
+         |  FROM joined j, gl GROUP BY j.query_id)
+         |SELECT p.query_id, p.n_hits,
+         |  CAST(coalesce(1000000 // p.first_hit, 0) AS BIGINT) AS mrr_micro,
+         |  CAST((1000000 * p.dcg) // i.v AS BIGINT) AS ndcg_ppm
+         |FROM per p JOIN idcg i ON i.query_id = p.query_id""".stripMargin
+    },
     // num and radicand are exact shift-invariant HUGEINTs ≤ 2^53, so
     // the double conversions are exact and the z chain is ONE
     // fixed-order IEEE computation on both engines.
@@ -5191,6 +5427,30 @@ object SparkEntry {
          |      regexp_replace(word, '(.)', '\\1' || chr(31) || chr(31), 'g') AS sym
          |  FROM wf),
          |${graft.ops.Bpe.bpeSql(BpeMergeRounds)}""".stripMargin,
+    // Fertility mirror: the same training CTEs to the final
+    // segmentation, then the pieces-per-word histogram in exact
+    // integers (character length semantics match: both engines count
+    // codepoints).
+    "q_bpe_stats" ->
+      s"""WITH wf AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY 1),
+         |w0 AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    chr(31) || chr(31) ||
+         |      regexp_replace(word, '(.)', '\\1' || chr(31) || chr(31), 'g') AS sym
+         |  FROM wf),
+         |${graft.ops.Bpe.bpeSqlRounds(BpeMergeRounds)},
+         |seg AS (
+         |  SELECT word, freq,
+         |    list_filter(string_split(sym, chr(31)), x -> x <> '') AS pieces
+         |  FROM w$BpeMergeRounds)
+         |SELECT CAST(len(pieces) AS BIGINT) AS n_pieces,
+         |  CAST(count(*) AS BIGINT) AS n_word_types,
+         |  CAST(sum(freq) AS BIGINT) AS n_word_occurrences,
+         |  CAST(sum(length(word) * freq) AS BIGINT) AS n_chars_occurrences
+         |FROM seg GROUP BY 1""".stripMargin,
     // Encoding mirror: the same training CTEs, then word-position
     // explode (positions keep gaps where empty words were filtered,
     // matching posexplode-then-filter), segmentation join, piece

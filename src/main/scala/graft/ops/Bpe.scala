@@ -213,6 +213,24 @@ object Bpe {
         (col("__pp") + 1).cast("long").as("piece_pos"), col("piece"))
   }
 
+  /** TOKENIZER FERTILITY distribution — the quality report every
+    * tokenizer ships with: how many subword pieces each word type
+    * splits into, as a `(n_pieces → types, occurrences, chars)`
+    * histogram over the trained segmentation. Fertility (mean pieces
+    * per word occurrence) and compression (chars per piece) fall out
+    * of the histogram by division; keeping the row EXACT integer
+    * counts keeps it hash-checkable and mergeable. Vocabulary-sized
+    * input → one tiny hash agg.
+    */
+  def fertility(segmented: DataFrame): DataFrame =
+    segmented.select(size(col("pieces")).cast("long").as("n_pieces"),
+        col("freq").cast("long").as("__f"),
+        length(col("word")).cast("long").as("__c"))
+      .groupBy("n_pieces")
+      .agg(count(lit(1)).as("n_word_types"),
+        sum("__f").as("n_word_occurrences"),
+        sum(col("__c") * col("__f")).as("n_chars_occurrences"))
+
   /** DuckDB mirror of [[bpeTrain]]'s merge table: one
     * (pair-count → scalar-subquery argmax → single-replace rewrite)
     * CTE triple per round over a prior CTE `w0(word, freq, sym)`

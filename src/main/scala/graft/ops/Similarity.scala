@@ -575,4 +575,192 @@ object Similarity {
        |  dist AS dist_unat
        |FROM perdoc
        |QUALIFY row_number() OVER (PARTITION BY cl ORDER BY dist DESC, id ASC) = 1""".stripMargin
+
+  // ---- binary (sign) quantization + Hamming-space search ------------
+
+  /** One 32-bit word of the BINARY (sign) signature: bit `i` of word
+    * `w` is set iff component `32·w + i` of the vector is `> 0` —
+    * 1-bit scalar quantization, the 32×-smaller cousin of
+    * [[quantizeInt8]] (binary codes are the memory floor of
+    * large-scale ANN serving; cosine proximity survives as Hamming
+    * proximity because sign agreement per random-ish dimension tracks
+    * the angle — the Goemans–Williamson / SimHash identity applied to
+    * the identity projection).
+    *
+    * Words are 32-bit on purpose: bit 63 of a full 64-bit pack is the
+    * BIGINT sign bit, and `1 << 63` overflows loudly in DuckDB (and
+    * HUGEINT-promotes the literal), so signatures are arrays of
+    * half-words in BOTH engines — bit-identical and xor-safe. Bits
+    * past `dim` in the last word stay 0 on both sides.
+    *
+    * Bits are combined with bitwise OR over disjoint one-bit terms —
+    * exact, order-free, codegen-friendly `when` chain fused into the
+    * scan (map-only; the signature build never shuffles).
+    */
+  def signWord(vec: Column, word: Int, dim: Int): Column = {
+    require(word >= 0 && word * 32 < dim, s"word $word out of range for dim $dim")
+    val hi = math.min(dim, (word + 1) * 32)
+    (word * 32 until hi).map { i =>
+      when(element_at(vec, i + 1).cast("double") > 0d,
+        lit(1L << (i - word * 32))).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** DuckDB mirror of [[signWord]] — identical `> 0` test, identical
+    * shift layout, BIGINT half-words. */
+  def signWordSql(vecExpr: String, word: Int, dim: Int): String = {
+    val hi = math.min(dim, (word + 1) * 32)
+    (word * 32 until hi).map { i =>
+      s"(CASE WHEN CAST($vecExpr[${i + 1}] AS DOUBLE) > 0 THEN (1::BIGINT << ${i - word * 32}) ELSE 0::BIGINT END)"
+    }.mkString("(", " | ", ")")
+  }
+
+  private def signWords(dim: Int): Int = (dim + 31) / 32
+
+  /** `(id, sig0 … sig{w-1})` sign signatures for the corpus. */
+  def signSignatures(df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    val sigs = (0 until signWords(dim)).map(w => signWord(col(vecCol), w, dim).as(s"sig$w"))
+    df.select(col(idCol) +: sigs: _*)
+  }
+
+  private def hammingExpr(words: Int, a: String, b: String): Column =
+    (0 until words).map(w =>
+      call_function("bit_count", col(s"$a$w").bitwiseXOR(col(s"$b$w"))).cast("long")
+    ).reduce(_ + _)
+
+  /** Top-k search in HAMMING space over [[signSignatures]] — the
+    * 1-bit analogue of [[searchInt8]]: for each query id the k corpus
+    * vectors with the LOWEST Hamming distance between sign
+    * signatures (ties → smaller neighbor id; total, engine-exact
+    * order — distances are small exact integers). A 64-dim float
+    * vector becomes 8 bytes, so a 1000-executor corpus scan is
+    * bandwidth-trivial and the distance is two xor+popcount
+    * instructions — the standard first-pass filter in front of an
+    * exact rescoring of the shortlist.
+    *
+    * Shape: one map-only signature pass, broadcast query signatures,
+    * per-query top-k window — identical plan to [[searchInt8]].
+    */
+  def searchHamming(
+      corpus: DataFrame, queryIds: Seq[Long], idCol: String, vecCol: String,
+      dim: Int, k: Int): DataFrame = {
+    require(queryIds.nonEmpty, "searchHamming needs at least one query id")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val words = signWords(dim)
+    val sigs = signSignatures(corpus, idCol, vecCol, dim)
+    val q = sigs.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id") +:
+        (0 until words).map(w => col(s"sig$w").as(s"__q$w")): _*)
+    val c = graft.util.Parallelism.ensure(sigs)
+      .select(col(idCol).as("neighbor_id") +:
+        (0 until words).map(w => col(s"sig$w").as(s"__c$w")): _*)
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", hammingExpr(words, "__q", "__c"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("hamming"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "hamming", "rank")
+  }
+
+  /** Near-duplicate pairs in Hamming space via MULTI-INDEX HASHING
+    * (Norouzi, Punjani & Fleet, CVPR'12): the signature splits into
+    * `nBands` disjoint `bandBits`-bit substrings; two codes within
+    * Hamming radius `nBands − 1` MUST agree on at least one band
+    * (pigeonhole), so an equi-join on `(band, substring)` is a
+    * full-recall candidate generator for that radius. For
+    * `maxDist ≥ nBands` the band join is a candidate generator in the
+    * [[Dedup.minhashLshCandidates]] sense — recall below 100% is the
+    * trade, and the ORACLE MIRRORS THE BANDING so the reported set is
+    * still exactly specified. Candidates are rescored with the exact
+    * popcount distance and filtered to `hamming ≤ maxDist`.
+    *
+    * Shape: map-only signature + band explode (`nBands` rows per
+    * doc), keyed self-equi-join on the band value, distinct, exact
+    * rescore — never all-pairs. Scale note: selectivity is
+    * `2^bandBits` buckets per band; at corpus scale use ≥ 16-bit
+    * bands over ≥ 128-bit codes (8-bit bands on a 10⁹-doc corpus
+    * put ~4M docs in a bucket — quadratic; the bucket-cap remedy of
+    * the LSH path applies here unchanged).
+    *
+    * `bandBits` must divide 32 so bands never straddle signature
+    * words.
+    */
+  def hammingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      maxDist: Int, bandBits: Int = 8): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(bandBits >= 1 && 32 % bandBits == 0,
+      s"bandBits must divide 32, got $bandBits")
+    require(dim % bandBits == 0, s"bandBits $bandBits must divide dim $dim")
+    val words = signWords(dim)
+    val perWord = 32 / bandBits
+    val sigs = signSignatures(df, idCol, vecCol, dim).localCheckpoint(true)
+    val mask = (1L << bandBits) - 1
+    val bandCols = (0 until dim / bandBits).map { b =>
+      val w = b / perWord
+      val off = (b % perWord) * bandBits
+      struct(lit(b).as("band"),
+        shiftright(col(s"sig$w"), off).bitwiseAND(lit(mask)).as("bits"))
+    }
+    val bands = sigs.select(col(idCol).as("__id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("__id"), col("bs.band").as("band"), col("bs.bits").as("bits"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    val sa = sigs.select(col(idCol).as("id_a") +:
+      (0 until words).map(w => col(s"sig$w").as(s"__a$w")): _*)
+    val sb = sigs.select(col(idCol).as("id_b") +:
+      (0 until words).map(w => col(s"sig$w").as(s"__b$w")): _*)
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("hamming", hammingExpr(words, "__a", "__b"))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** RETRIEVAL EVALUATION of one ranker against a ground-truth
+    * ranking — per-query Recall@k, MRR and NDCG in exact integer
+    * micro-units so the row is hash-checkable: positional gains
+    * `⌊10⁶ / log₂(pos+1)⌋` are Scala-computed constants injected
+    * into BOTH engines as literals (one source of truth — no cross-
+    * libm log), relevance is binary membership in the truth top-k,
+    * and `ndcg_ppm = (10⁶·dcg) div idcg` is one BIGINT division.
+    * Inputs are `(query_id, neighbor_id, rank)` shortlists (both
+    * per-query bounded), so the whole evaluation is two keyed joins
+    * and one per-query agg — it never touches the corpus.
+    */
+  def retrievalEval(system: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val gains = ndcgGains(k)
+    val gainArr = typedLit(gains)
+    val tr = truth.select(col("query_id"), col("neighbor_id"), lit(true).as("__rel"))
+    val idcg = truth.groupBy("query_id")
+      .agg(count(lit(1)).as("__nt"))
+      .select(col("query_id"),
+        aggregate(slice(gainArr, lit(1), least(col("__nt"), lit(k)).cast("int")),
+          lit(0L), (acc, x) => acc + x).as("__idcg"))
+    system.filter(col("rank") <= k)
+      .join(tr, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("__rel"), lit(1L)).otherwise(lit(0L))).as("n_hits"),
+        sum(when(col("__rel"), element_at(gainArr, col("rank").cast("int")))
+          .otherwise(lit(0L))).as("__dcg"),
+        min(when(col("__rel"), col("rank"))).as("__first"))
+      .join(idcg, Seq("query_id"))
+      .select(col("query_id"), col("n_hits"),
+        coalesce(expr("1000000L div __first"), lit(0L)).as("mrr_micro"),
+        expr("(1000000L * __dcg) div __idcg").as("ndcg_ppm"))
+  }
+
+  /** The shared gain table: `gain(pos) = ⌊10⁶ / log₂(pos+1)⌋`. */
+  def ndcgGains(k: Int): Seq[Long] =
+    (1 to k).map(p => math.floor(1e6 / (math.log(p + 1.0) / math.log(2.0))).toLong)
+
+  /** [[ndcgGains]] as a DuckDB list literal — the SAME Scala-computed
+    * constants the Spark side uses. */
+  def ndcgGainsSql(k: Int): String = ndcgGains(k).mkString("[", ", ", "]")
 }

@@ -538,4 +538,47 @@ object Windows {
         col("__best.__len").as("longest_streak") :+
         col("__best.__end").as("longest_end"): _*)
   }
+
+  /** LENGTH-SORTED BATCH PACKING — the padded-batch loader layout
+    * (the alternative to [[packChunks]]' concat-and-chunk: models
+    * that can't cross document boundaries pad every sequence in a
+    * batch to the batch max, and sorting by length first is the
+    * standard way to collapse that padding). Sequences are ordered by
+    * `(length, tieCol)`, grouped into consecutive `batchSize`-row
+    * batches, and each batch reports its exact padding cost:
+    * `pad_waste = n_seqs·max_len − sum_tokens` — all BIGINT
+    * arithmetic, so the full layout is hash-checkable.
+    *
+    * With `shardCols` empty the order is GLOBAL — a range
+    * repartition + per-partition numbering ([[denseIdsBy]], no
+    * single-partition window), which is an inherent global sort: fine
+    * up to ~10⁹ sequences, but at corpus scale pass shard keys
+    * (language, source, length-decile…) so each shard sorts
+    * independently under a keyed window and nothing global moves.
+    * `tieCol` must be unique within a shard.
+    */
+  def sortedBatches(df: DataFrame, lenCol: Column, tieCol: Column,
+      batchSize: Int, shardCols: Seq[String] = Nil,
+      sortByLength: Boolean = true): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val base = df.select(shardCols.map(col) :+ lenCol.cast("long").as("__len") :+
+      tieCol.as("__tie"): _*)
+    // sortByLength=false is the ARRIVAL-ORDER baseline (batch by the
+    // tie key alone) — the pair of runs quantifies how much padding
+    // the length sort actually removes.
+    val ord = if (sortByLength) Seq(col("__len").asc, col("__tie").asc)
+      else Seq(col("__tie").asc)
+    val indexed =
+      if (shardCols.isEmpty) denseIdsBy(base, ord, "__idx")
+      else {
+        val w = Window.partitionBy(shardCols.map(col): _*).orderBy(ord: _*)
+        base.withColumn("__idx", row_number().over(w).cast("long"))
+      }
+    indexed
+      .withColumn("batch_id", expr(s"(__idx - 1) div $batchSize"))
+      .groupBy((shardCols :+ "batch_id").map(col): _*)
+      .agg(count(lit(1)).as("n_seqs"), max("__len").as("max_len"),
+        sum("__len").as("sum_tokens"))
+      .withColumn("pad_waste", col("n_seqs") * col("max_len") - col("sum_tokens"))
+  }
 }
