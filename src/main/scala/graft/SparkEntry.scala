@@ -2626,6 +2626,53 @@ object SparkEntry {
       Seq("o_orderpriority"), col("x_k"), col("n_items"))
   }
 
+  /** Lag-k autocorrelation ([[graft.ops.Profiling.autocorr]]): daily
+    * order revenue (thousands, exact floor-div) modulated by a
+    * deterministic period-7 factor `1 + (t%7)%3`, ACF at lags 1–7 and
+    * 14 — the seasonality detector; the planted weekly cycle puts
+    * lag 7/14 far above the rest (both engines compute the identical
+    * integer series, so the r² ppm values are engine-exact via the
+    * groupCorr machinery).
+    */
+  private def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val minD = o.agg(min(col("o_orderdate")).as("__d0"))
+    val daily = o.join(broadcast(minD))
+      .select(datediff(col("o_orderdate"), col("__d0")).cast("long").as("t"),
+        floor(col("o_totalprice") * 100).cast("long").as("__cents"))
+      .groupBy("t").agg(expr("sum(__cents) div 100000").as("__rev"))
+      .select(col("t"),
+        (col("__rev") * (lit(1L) + (col("t") % 7) % 3 * 2)).as("x"))
+    graft.ops.Profiling.autocorr(daily, col("t"), col("x"),
+      lags = Seq(1, 2, 3, 4, 5, 6, 7, 14))
+  }
+
+  /** Image perceptual hashing ([[graft.ops.Multimodal.imageDhash]]):
+    * per-doc synthetic 24-bit BMPs (REAL image bytes, written by the
+    * engine) decoded through `javax.imageio` and difference-hashed on
+    * a 9×8 integer block-mean grid. The oracle recomputes the hash
+    * from the ANALYTIC pixel formula — equality proves the whole
+    * encode → decode → luma → downsample → hash chain bit-faithful
+    * (the synthAudioRecords contract, for images).
+    */
+  private def qImageDhash(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.imageDhash(
+      graft.ops.Multimodal.synthImageRecords(t(s, dir, "documents"), "doc_id"))
+      .toDF()
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("d0"), col("d1"))
+
+  /** Winsorized group statistics
+    * ([[graft.ops.Profiling.winsorizedStats]]): customer balances in
+    * cents clamped at the exact 5th/95th order statistics per market
+    * segment — tail counts and the winsorized sum as BIGINTs.
+    */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.winsorizedStats(
+      t(s, dir, "customer").select(col("c_mktsegment"), col("c_custkey"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal_c")),
+      Seq("c_mktsegment"), "c_custkey", col("bal_c"), loPct = 5, hiPct = 95)
+
   /** Exact robust spread ([[graft.ops.Profiling.groupMad]]): median
     * and median-absolute-deviation of order cents per priority —
     * rank-selected actual data values, reproducible anywhere.
@@ -3255,6 +3302,9 @@ object SparkEntry {
     "q_ndcg" -> (qNdcg _),
     "q_cms" -> (qCms _),
     "q_length_batches" -> (qLengthBatches _),
+    "q_autocorr" -> (qAutocorr _),
+    "q_winsorize" -> (qWinsorize _),
+    "q_image_dhash" -> (qImageDhash _),
     "q_zscore" -> (qZscore _),
     "q_shards" -> (qShards _),
     "q_golden" -> (qGolden _),
@@ -5211,6 +5261,87 @@ object SparkEntry {
          |  JOIN sig sa ON sa.vec_id = c.id_a
          |  JOIN sig sb ON sb.vec_id = c.id_b)
          |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 18""".stripMargin,
+    // dHash mirror from first principles: the analytic gray formula
+    // (R=G=B → BT.601 luma is the gray value exactly), 4×4 block sums
+    // floor-divided, gradient-sign bits packed into the same two
+    // half-words the Spark decode path emits.
+    "q_image_dhash" ->
+      """WITH px AS (
+        |  SELECT d.doc_id AS id, gx.x AS x, gy.y AS y,
+        |    CASE WHEN (gx.x + gy.y * 36) % 97 = d.doc_id % 10
+        |         THEN ((gx.x * 7 + gy.y * 13 + (d.doc_id // 10) * 31) % 256 + 128) % 256
+        |         ELSE (gx.x * 7 + gy.y * 13 + (d.doc_id // 10) * 31) % 256 END AS g
+        |  FROM documents d, generate_series(0, 35) gx(x), generate_series(0, 31) gy(y)),
+        |bm AS (
+        |  SELECT id, y // 4 AS r, x // 4 AS c, sum(g) // 16 AS m
+        |  FROM px GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.id, a.r * 8 + a.c AS bit
+        |  FROM bm a JOIN bm b ON a.id = b.id AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.m > b.m),
+        |agg AS (
+        |  SELECT id,
+        |    coalesce(bit_or(CASE WHEN bit < 32 THEN (1::BIGINT << bit::INT) END), 0) AS d0,
+        |    coalesce(bit_or(CASE WHEN bit >= 32 THEN (1::BIGINT << (bit - 32)::INT) END), 0) AS d1
+        |  FROM bits GROUP BY 1)
+        |SELECT d.doc_id, CAST(36 AS INT) AS width, CAST(32 AS INT) AS height,
+        |  CAST(coalesce(a.d0, 0) AS BIGINT) AS d0,
+        |  CAST(coalesce(a.d1, 0) AS BIGINT) AS d1
+        |FROM documents d LEFT JOIN agg a ON a.id = d.doc_id""".stripMargin,
+    // ACF mirror: identical integer series (floor-div revenue ×
+    // planted weekly factor), self-join on the shifted index, then
+    // the q_corr HUGEINT correlation math per lag.
+    "q_autocorr" ->
+      """WITH d0 AS (SELECT min(o_orderdate) AS v FROM orders),
+        |daily AS (
+        |  SELECT CAST(datediff('day', d0.v, o_orderdate) AS BIGINT) AS t,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders, d0 GROUP BY 1),
+        |ser AS (SELECT t, (cents // 100000) * (1 + (t % 7) % 3 * 2) AS x FROM daily),
+        |lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 14]) AS lag),
+        |pairs AS (
+        |  SELECT l.lag, a.x AS xc, b.x AS xl
+        |  FROM ser a CROSS JOIN lags l JOIN ser b ON a.t = b.t + l.lag),
+        |st AS (
+        |  SELECT lag, count(*) AS n,
+        |         sum(CAST(xc AS HUGEINT)) AS sx, sum(CAST(xl AS HUGEINT)) AS sy,
+        |         sum(CAST(xc AS HUGEINT) * xl) AS sxy,
+        |         sum(CAST(xc AS HUGEINT) * xc) AS sxx,
+        |         sum(CAST(xl AS HUGEINT) * xl) AS syy
+        |  FROM pairs GROUP BY 1),
+        |fin AS (
+        |  SELECT lag, n, n * sxy - sx * sy AS num,
+        |         n * sxx - sx * sx AS den1, n * syy - sy * sy AS den2
+        |  FROM st)
+        |SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN den1 = 0 OR den2 = 0 THEN NULL
+        |       ELSE CAST((1000000 * num * num) // (den1 * den2) AS BIGINT) END AS r2_ppm,
+        |  CASE WHEN den1 = 0 OR den2 = 0 THEN NULL
+        |       ELSE CAST(sign(num) AS INT) END AS corr_sign
+        |FROM fin""".stripMargin,
+    // Winsorize mirror: identical rank math (ceil(pct·n/100)-th
+    // smallest under the same (val, id) tie order), BIGINT clamps.
+    "q_winsorize" ->
+      """WITH v AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |         CAST(floor(c_acctbal * 100) AS BIGINT) AS val
+        |  FROM customer),
+        |rk AS (
+        |  SELECT c_mktsegment, val,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY val, c_custkey) AS rk,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM v),
+        |cuts AS (
+        |  SELECT c_mktsegment, max(n) AS n,
+        |    max(CASE WHEN rk = (n * 5 + 99) // 100 THEN val END) AS lo,
+        |    max(CASE WHEN rk = (n * 95 + 99) // 100 THEN val END) AS hi
+        |  FROM rk GROUP BY 1)
+        |SELECT c.c_mktsegment, CAST(c.n AS BIGINT) AS n, c.lo, c.hi,
+        |  CAST(sum(CASE WHEN r.val < c.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+        |  CAST(sum(CASE WHEN r.val > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+        |  CAST(sum(greatest(least(r.val, c.hi), c.lo)) AS BIGINT) AS sum_winsorized
+        |FROM rk r JOIN cuts c USING (c_mktsegment)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
     // Both strategies' batch layouts are pure functions of the data
     // (row_number over a total order); all costs are BIGINT.
     "q_length_batches" ->

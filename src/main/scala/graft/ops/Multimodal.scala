@@ -256,4 +256,132 @@ object Multimodal {
       }
     }
   }
+
+  // ---- image perceptual hashing (dHash) -----------------------------
+
+  /** Perceptual hash record: two 32-bit half-words (the
+    * [[Similarity.signWord]] layout — xor/popcount-safe in every
+    * engine) of the 64-bit difference hash. */
+  final case class ImageHash(id: Long, width: Int, height: Int, d0: Long, d1: Long)
+
+  /** Synth image geometry: 36×32 so the 9×8 dHash grid tiles it in
+    * exact 4×4 blocks (integer block means, no resampling filter). */
+  val SynthW = 36
+  val SynthH = 32
+
+  /** The synthetic pixel's gray value — PURE INTEGER arithmetic, so an
+    * oracle can recompute it analytically: a base gradient keyed by
+    * `id div 10` (ids sharing a base are PERCEPTUAL NEAR-DUPLICATES)
+    * plus a sparse per-variant brightness flip keyed by `id mod 10`
+    * (≈ 1% of pixels inverted — visible to an exact-dup hash, mostly
+    * invisible to dHash, which is the point of perceptual hashing).
+    */
+  def synthGray(id: Long, x: Int, y: Int): Int = {
+    val g = ((x * 7 + y * 13 + (id / 10) * 31) % 256).toInt
+    if ((x + y * SynthW) % 97 == id % 10) (g + 128) % 256 else g
+  }
+
+  /** Write the synthetic image as a REAL 24-bit BMP (54-byte header,
+    * bottom-up BGR rows, 4-byte row padding) — pure JVM, so the
+    * engine-side payload is genuine image bytes that `javax.imageio`
+    * must decode correctly for the hash to match the oracle's
+    * analytic pixels.
+    */
+  def synthBmp(id: Long): Array[Byte] = {
+    val (w, h) = (SynthW, SynthH)
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1
+    while (y >= 0) { // bottom-up row order, as positive-height BMP requires
+      var x = 0
+      while (x < w) {
+        val g = synthGray(id, x, y).toByte
+        buf.put(g).put(g).put(g)
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowBytes) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Synthetic image records over an id column — the image-fixture
+    * path ([[synthAudioRecords]]' sibling). */
+  def synthImageRecords(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      MediaRecord(id, synthBmp(id), "image/bmp", Map("codec" -> "bmp24"))
+    }
+  }
+
+  /** dHash (difference hash) of a decoded image: integer luma per
+    * pixel (the [[ImageCodec]] BT.601 weights), exact 4×4 block-mean
+    * downsample to a 9×8 grid (floor division — no float filter), and
+    * bit `r·8 + c` set iff `mean(r,c) > mean(r,c+1)`. The standard
+    * near-duplicate image fingerprint: brightness/contrast shifts
+    * preserve the gradient SIGNS, so near-dups land within small
+    * Hamming distance ([[Similarity.hammingNearDupPairs]] consumes
+    * these half-words directly).
+    *
+    * Decode failures yield the visible `(-1, -1, 0, 0)` sentinel.
+    * Requires width divisible by 9 and height by 8 (exact tiling —
+    * the deterministic-resample contract; general sizes would need a
+    * resampling filter whose rounding no oracle could mirror).
+    */
+  def imageDhash(records: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    records.mapPartitions { it =>
+      it.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+          catch { case _: java.io.IOException => null }
+        if (img == null || img.getWidth % 9 != 0 || img.getHeight % 8 != 0)
+          ImageHash(r.id, -1, -1, 0L, 0L)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (bw, bh) = (w / 9, h / 8)
+          val means = Array.ofDim[Long](8, 9)
+          var br = 0
+          while (br < 8) {
+            var bc = 0
+            while (bc < 9) {
+              var s = 0L
+              var yy = br * bh
+              while (yy < (br + 1) * bh) {
+                var xx = bc * bw
+                while (xx < (bc + 1) * bw) {
+                  val rgb = img.getRGB(xx, yy)
+                  s += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                    (rgb & 0xff) * 114) / 1000
+                  xx += 1
+                }
+                yy += 1
+              }
+              means(br)(bc) = s / (bw.toLong * bh)
+              bc += 1
+            }
+            br += 1
+          }
+          var d0 = 0L; var d1 = 0L
+          var bit = 0
+          while (bit < 64) {
+            val (rr, cc) = (bit / 8, bit % 8)
+            if (means(rr)(cc) > means(rr)(cc + 1)) {
+              if (bit < 32) d0 |= 1L << bit else d1 |= 1L << (bit - 32)
+            }
+            bit += 1
+          }
+          ImageHash(r.id, w, h, d0, d1)
+        }
+      }
+    }
+  }
 }

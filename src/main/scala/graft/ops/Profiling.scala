@@ -564,4 +564,73 @@ object Profiling {
        |SELECT $g, p, val AS value
        |FROM rk, ps WHERE rk = ((n - 1) * p) // 100 + 1""".stripMargin
   }
+
+  /** LAG-k AUTOCORRELATION of a regular integer time series — the
+    * seasonality detector (a spike at lag 7 on a daily series is a
+    * weekly cycle; the mix-drift monitors catch WHAT changed, this
+    * catches WHEN it repeats). `t` must be a dense integer time index
+    * and `x` an integer-valued measure, pre-scaled into the
+    * [[groupCorr]] envelope (the shared contract: den terms ≤ 3e18,
+    * raise_error beyond — correlation math is delegated verbatim, so
+    * r² lands as exact ppm with a separate sign column).
+    *
+    * Shape: the series is joined to itself once per lag via a lag
+    * EXPLODE (each row emits `(t + k, k, x)`; the equi-join on the
+    * shifted index is keyed, never cross), then one groupCorr hash
+    * agg per lag. Series length L, lag count m → m·L join rows; for
+    * daily/hourly series L is tiny next to the corpus that produced
+    * it, so the whole thing is dimension-sized.
+    */
+  def autocorr(series: DataFrame, t: Column, x: Column, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty, "autocorr needs at least one lag")
+    require(lags.forall(_ >= 1), s"lags must be >= 1, got $lags")
+    require(lags.distinct.length == lags.length, s"duplicate lags in $lags")
+    val base = series.select(t.cast("long").as("__t"), x.cast("long").as("__x"))
+    val cur = base.select(col("__t"), col("__x").as("__xc"))
+    val shifted = base
+      .select(explode(array(lags.map(k => lit(k)): _*)).as("lag"),
+        col("__t"), col("__x"))
+      .select(col("lag"), (col("__t") + col("lag")).as("__t"),
+        col("__x").as("__xl"))
+    val pairs = cur.join(shifted, Seq("__t"))
+    groupCorr(pairs, Seq("lag"), col("__xc"), col("__xl"))
+  }
+
+  /** WINSORIZED group statistics — clamp-at-the-tails robustification
+    * (the standard way to keep a handful of wild rows from dominating
+    * a mean or a downstream weight): per group, the exact `loPct`/
+    * `hiPct` order statistics (k-th smallest with
+    * `k = ⌈pct·n/100⌉` — pure integer rank math, no interpolation,
+    * so both engines pick the SAME element), the count clamped at
+    * each tail, and the winsorized sum. All BIGINT — hash-exact.
+    *
+    * Shape: one group-keyed window pass (row_number + count over the
+    * same partitioning — one sort), a group-sized agg for the two
+    * cut values, a broadcast-sized join back, one final agg. No
+    * global window anywhere.
+    */
+  def winsorizedStats(df: DataFrame, groupCols: Seq[String], idCol: String,
+      value: Column, loPct: Int, hiPct: Int): DataFrame = {
+    require(groupCols.nonEmpty, "winsorizedStats needs at least one group column")
+    require(loPct >= 1 && hiPct <= 100 && loPct < hiPct,
+      s"need 1 <= loPct < hiPct <= 100, got ($loPct, $hiPct)")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("__v").asc, col(idCol).asc)
+    val ranked = df
+      .select(groupCols.map(col) :+ col(idCol) :+ value.cast("long").as("__v"): _*)
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(g: _*)))
+    val kLo = expr(s"(__n * $loPct + 99) div 100") // integer ceil(pct·n/100)
+    val kHi = expr(s"(__n * $hiPct + 99) div 100")
+    val cuts = ranked.groupBy(g: _*)
+      .agg(max(col("__n")).as("n"),
+        max(when(col("__rk") === kLo, col("__v"))).as("lo"),
+        max(when(col("__rk") === kHi, col("__v"))).as("hi"))
+    ranked.join(cuts, groupCols)
+      .groupBy(g: _*)
+      .agg(max(col("n")).as("n"), max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(when(col("__v") < col("lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(col("__v") > col("hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+        sum(greatest(least(col("__v"), col("hi")), col("lo"))).as("sum_winsorized"))
+  }
 }
