@@ -2634,18 +2634,43 @@ object SparkEntry {
     * integer series, so the r² ppm values are engine-exact via the
     * groupCorr machinery).
     */
-  private def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+  /** Shared modulated daily revenue series for the time-series rows
+    * (q_autocorr, q_seasonal): daily revenue in exact thousands,
+    * scaled by the deterministic period-7 factor `1 + (t%7)%3·2`.
+    */
+  private def dailyRevSeries(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val minD = o.agg(min(col("o_orderdate")).as("__d0"))
-    val daily = o.join(broadcast(minD))
+    o.join(broadcast(minD))
       .select(datediff(col("o_orderdate"), col("__d0")).cast("long").as("t"),
         floor(col("o_totalprice") * 100).cast("long").as("__cents"))
       .groupBy("t").agg(expr("sum(__cents) div 100000").as("__rev"))
       .select(col("t"),
         (col("__rev") * (lit(1L) + (col("t") % 7) % 3 * 2)).as("x"))
-    graft.ops.Profiling.autocorr(daily, col("t"), col("x"),
-      lags = Seq(1, 2, 3, 4, 5, 6, 7, 14))
   }
+
+  /** DuckDB mirror of [[dailyRevSeries]] as CTEs `d0, daily, ser`. */
+  private val DailySeriesCtes: String =
+    """d0 AS (SELECT min(o_orderdate) AS v FROM orders),
+      |daily AS (
+      |  SELECT CAST(datediff('day', d0.v, o_orderdate) AS BIGINT) AS t,
+      |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders, d0 GROUP BY 1),
+      |ser AS (SELECT t, (cents // 100000) * (1 + (t % 7) % 3 * 2) AS x FROM daily)""".stripMargin
+
+  private def qAutocorr(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.autocorr(dailyRevSeries(s, dir), col("t"), col("x"),
+      lags = Seq(1, 2, 3, 4, 5, 6, 7, 14))
+
+  /** Weekly seasonal decomposition
+    * ([[graft.ops.Profiling.seasonalDecompose]]): the same modulated
+    * series, centered 7-day trend removed by exact floor-div, phase
+    * residual sums — the planted factor's 0/2/4 pattern is visible in
+    * the per-phase signs.
+    */
+  private def qSeasonal(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.seasonalDecompose(dailyRevSeries(s, dir),
+      col("t"), col("x"), p = 7)
 
   /** Image perceptual hashing ([[graft.ops.Multimodal.imageDhash]]):
     * per-doc synthetic 24-bit BMPs (REAL image bytes, written by the
@@ -2661,6 +2686,91 @@ object SparkEntry {
       .toDF()
       .select(col("id").as("doc_id"), col("width"), col("height"),
         col("d0"), col("d1"))
+
+  /** Near-duplicate image pairs: [[qImageDhash]]'s perceptual hashes
+    * through the [[graft.ops.Similarity.hammingNearDupPairsSig]]
+    * multi-index join at radius 7 — BELOW the 8-band pigeonhole
+    * bound, so recall is exactly 100% and the row is the full
+    * radius-7 pair set (same-base variants sit ≤ 5 bits apart,
+    * cross-base images ≥ 20 — the md5 block texture enforces the
+    * separation).
+    */
+  private def qImageNeardups(s: SparkSession, dir: String): DataFrame = {
+    val sigs = graft.ops.Multimodal.imageDhash(
+        graft.ops.Multimodal.synthImageRecords(t(s, dir, "documents"), "doc_id"))
+      .toDF().select(col("id"), col("d0").as("sig0"), col("d1").as("sig1"))
+    graft.ops.Similarity.hammingNearDupPairsSig(
+      sigs, "id", words = 2, nBits = 64, maxDist = 7, bandBits = 8)
+  }
+
+  /** Shared DuckDB CTE chain recomputing [[qImageDhash]] from the
+    * analytic pixel formula (md5 block texture + gradient + sparse
+    * variant flips → 4×4 block means → gradient-sign bits).
+    */
+  private val ImageDhashCtes: String = {
+    val bh = "CAST(('0x' || substr(md5(CAST((d.doc_id // 10) AS VARCHAR) || ':' || " +
+      "CAST((gx.x // 4) AS VARCHAR) || ':' || CAST((gy.y // 4) AS VARCHAR)), 1, 15)) AS BIGINT) % 256"
+    s"""px AS (
+       |  SELECT d.doc_id AS id, gx.x AS x, gy.y AS y,
+       |    CASE WHEN (gx.x + gy.y * 36) % 97 = d.doc_id % 10
+       |         THEN ((gx.x * 7 + gy.y * 13 + $bh) % 256 + 128) % 256
+       |         ELSE (gx.x * 7 + gy.y * 13 + $bh) % 256 END AS g
+       |  FROM documents d, generate_series(0, 35) gx(x), generate_series(0, 31) gy(y)),
+       |bm AS (
+       |  SELECT id, y // 4 AS r, x // 4 AS c, sum(g) // 16 AS m
+       |  FROM px GROUP BY 1, 2, 3),
+       |bits AS (
+       |  SELECT a.id, a.r * 8 + a.c AS bit
+       |  FROM bm a JOIN bm b ON a.id = b.id AND a.r = b.r AND b.c = a.c + 1
+       |  WHERE a.m > b.m),
+       |agg AS (
+       |  SELECT id,
+       |    coalesce(bit_or(CASE WHEN bit < 32 THEN (1::BIGINT << bit::INT) END), 0) AS d0,
+       |    coalesce(bit_or(CASE WHEN bit >= 32 THEN (1::BIGINT << (bit - 32)::INT) END), 0) AS d1
+       |  FROM bits GROUP BY 1)""".stripMargin
+  }
+
+  /** Bloom file-skipping index ([[graft.ops.Sketches.bloomIndex]]):
+    * orders sharded into 8 deterministic "files", one 1024-bit/3-hash
+    * Bloom filter per file over `o_custkey`, probed for 40 customer
+    * keys — every (probe, file) skip decision plus ground truth, so
+    * the row certifies both the no-false-negative guarantee and the
+    * real false-positive behavior of the index.
+    */
+  private def qBloomIndex(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select((col("o_orderkey") % 8).as("file"), col("o_custkey"))
+    val idx = graft.ops.Sketches.bloomIndex(o, col("file"), col("o_custkey"),
+      mBits = 1024, k = 3)
+    val probes = t(s, dir, "customer").filter(col("c_custkey") <= 40)
+      .select(col("c_custkey").as("probe_key"))
+    val actual = o.select(col("o_custkey").as("probe_key"), col("file"))
+      .distinct().withColumn("actual", lit(true))
+    graft.ops.Sketches.bloomMaybe(idx, probes, "probe_key", mBits = 1024, k = 3)
+      .join(actual, Seq("probe_key", "file"), "left")
+      .select(col("probe_key"), col("file"), col("maybe"),
+        coalesce(col("actual"), lit(false)).as("actual"))
+  }
+
+  /** First-occurrence novelty
+    * ([[graft.ops.TextAnalysis.noveltyScores]]): per-document fraction
+    * of distinct word trigrams owned (first seen) by that document —
+    * the add-something curation signal, exact ppm.
+    */
+  private def qNovelty(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.noveltyScores(
+      t(s, dir, "documents"), "doc_id", col("text"), n = 3)
+
+  /** K-anonymity profile ([[graft.ops.Profiling.kAnonymity]]):
+    * equivalence-class size histogram over the quasi-identifiers
+    * (nation, segment, acctbal-hundreds), risky below k=5.
+    */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.kAnonymity(
+      t(s, dir, "customer"),
+      Seq(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 100).cast("long")),
+      k = 5)
 
   /** Winsorized group statistics
     * ([[graft.ops.Profiling.winsorizedStats]]): customer balances in
@@ -3305,6 +3415,11 @@ object SparkEntry {
     "q_autocorr" -> (qAutocorr _),
     "q_winsorize" -> (qWinsorize _),
     "q_image_dhash" -> (qImageDhash _),
+    "q_image_neardups" -> (qImageNeardups _),
+    "q_seasonal" -> (qSeasonal _),
+    "q_bloom_index" -> (qBloomIndex _),
+    "q_novelty" -> (qNovelty _),
+    "q_k_anonymity" -> (qKAnonymity _),
     "q_zscore" -> (qZscore _),
     "q_shards" -> (qShards _),
     "q_golden" -> (qGolden _),
@@ -5266,38 +5381,104 @@ object SparkEntry {
     // floor-divided, gradient-sign bits packed into the same two
     // half-words the Spark decode path emits.
     "q_image_dhash" ->
-      """WITH px AS (
-        |  SELECT d.doc_id AS id, gx.x AS x, gy.y AS y,
-        |    CASE WHEN (gx.x + gy.y * 36) % 97 = d.doc_id % 10
-        |         THEN ((gx.x * 7 + gy.y * 13 + (d.doc_id // 10) * 31) % 256 + 128) % 256
-        |         ELSE (gx.x * 7 + gy.y * 13 + (d.doc_id // 10) * 31) % 256 END AS g
-        |  FROM documents d, generate_series(0, 35) gx(x), generate_series(0, 31) gy(y)),
-        |bm AS (
-        |  SELECT id, y // 4 AS r, x // 4 AS c, sum(g) // 16 AS m
-        |  FROM px GROUP BY 1, 2, 3),
-        |bits AS (
-        |  SELECT a.id, a.r * 8 + a.c AS bit
-        |  FROM bm a JOIN bm b ON a.id = b.id AND a.r = b.r AND b.c = a.c + 1
-        |  WHERE a.m > b.m),
-        |agg AS (
-        |  SELECT id,
-        |    coalesce(bit_or(CASE WHEN bit < 32 THEN (1::BIGINT << bit::INT) END), 0) AS d0,
-        |    coalesce(bit_or(CASE WHEN bit >= 32 THEN (1::BIGINT << (bit - 32)::INT) END), 0) AS d1
-        |  FROM bits GROUP BY 1)
-        |SELECT d.doc_id, CAST(36 AS INT) AS width, CAST(32 AS INT) AS height,
-        |  CAST(coalesce(a.d0, 0) AS BIGINT) AS d0,
-        |  CAST(coalesce(a.d1, 0) AS BIGINT) AS d1
-        |FROM documents d LEFT JOIN agg a ON a.id = d.doc_id""".stripMargin,
+      s"""WITH $ImageDhashCtes
+         |SELECT d.doc_id, CAST(36 AS INT) AS width, CAST(32 AS INT) AS height,
+         |  CAST(coalesce(a.d0, 0) AS BIGINT) AS d0,
+         |  CAST(coalesce(a.d1, 0) AS BIGINT) AS d1
+         |FROM documents d LEFT JOIN agg a ON a.id = d.doc_id""".stripMargin,
+    // Near-duplicate images: the analytic dHash feeds the SAME 8-band
+    // multi-index join as q_hamming_neardups; radius 7 < 8 bands, so
+    // the pigeonhole guarantee makes the result the EXACT radius-7
+    // pair set (no candidate-generation caveat on this row).
+    "q_image_neardups" ->
+      s"""WITH $ImageDhashCtes,
+         |sig AS (
+         |  SELECT d.doc_id AS id, coalesce(a.d0, 0) AS sig0, coalesce(a.d1, 0) AS sig1
+         |  FROM documents d LEFT JOIN agg a ON a.id = d.doc_id),
+         |bands AS (
+         |  SELECT id, gs.b AS band,
+         |    CASE WHEN gs.b < 4 THEN (sig0 >> (gs.b * 8)) & 255
+         |         ELSE (sig1 >> ((gs.b - 4) * 8)) & 255 END AS bits
+         |  FROM sig, generate_series(0, 7) gs(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bits = b.bits AND a.id < b.id),
+         |h AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(bit_count(xor(sa.sig0, sb.sig0)) + bit_count(xor(sa.sig1, sb.sig1)) AS BIGINT) AS hamming
+         |  FROM cand c JOIN sig sa ON sa.id = c.id_a JOIN sig sb ON sb.id = c.id_b)
+         |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 7""".stripMargin,
+    // Seasonal mirror: same series CTEs, same centered RANGE window,
+    // floor-div trend, phase agg.
+    "q_seasonal" ->
+      s"""WITH $DailySeriesCtes,
+        |tw AS (
+        |  SELECT t, x,
+        |    count(*) OVER (ORDER BY t RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn,
+        |    sum(x) OVER (ORDER BY t RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ws
+        |  FROM ser)
+        |SELECT t % 7 AS phase, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(x - ws // 7) AS BIGINT) AS resid_sum
+        |FROM tw WHERE wn = 7 GROUP BY 1""".stripMargin,
+    // Bloom mirror: identical salted-md5 bit positions, bit_or'd into
+    // the same 32-bit words, all-k-bits membership test per file.
+    "q_bloom_index" -> {
+      def arms(keyExpr: String) = (0 until 3).map(i =>
+        s"WHEN gs.i = $i THEN ${graft.ops.Sketches.bloomBitSql(keyExpr, i, 1024)}")
+        .mkString("CASE ", " ", " END")
+      s"""WITH o AS (SELECT o_orderkey % 8 AS file, o_custkey FROM orders),
+         |bitsrc AS (
+         |  SELECT file, ${arms("o_custkey")} AS bit
+         |  FROM o, generate_series(0, 2) gs(i)),
+         |idx AS (
+         |  SELECT file, bit // 32 AS word,
+         |         bit_or(1::BIGINT << (bit % 32)::INT) AS bits
+         |  FROM bitsrc GROUP BY 1, 2),
+         |probes AS (SELECT c_custkey AS probe_key FROM customer WHERE c_custkey <= 40),
+         |pb AS (
+         |  SELECT probe_key, f.file, ${arms("probe_key")} AS bit
+         |  FROM probes, (SELECT DISTINCT file FROM o) f, generate_series(0, 2) gs(i)),
+         |hit AS (
+         |  SELECT pb.probe_key, pb.file,
+         |    CASE WHEN (coalesce(idx.bits, 0) & (1::BIGINT << (pb.bit % 32)::INT))
+         |              = (1::BIGINT << (pb.bit % 32)::INT) THEN 1 ELSE 0 END AS h
+         |  FROM pb LEFT JOIN idx ON idx.file = pb.file AND idx.word = pb.bit // 32),
+         |mb AS (SELECT probe_key, file, (sum(h) = 3) AS maybe FROM hit GROUP BY 1, 2),
+         |act AS (SELECT DISTINCT o_custkey AS probe_key, file, true AS actual FROM o)
+         |SELECT m.probe_key, m.file, m.maybe, coalesce(a.actual, false) AS actual
+         |FROM mb m LEFT JOIN act a USING (probe_key, file)""".stripMargin
+    },
+    // Novelty mirror: distinct (doc, trigram), min-doc ownership,
+    // integer ppm.
+    "q_novelty" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, u.sh
+         |  FROM (SELECT doc_id, ${graft.ops.Dedup.shinglesSql("text", 3)} AS shs
+         |        FROM documents), unnest(shs) AS u(sh)),
+         |fs AS (SELECT sh, min(doc_id) AS first_id FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN fs.first_id = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  (sum(CASE WHEN fs.first_id = sh.doc_id THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS novelty_ppm
+         |FROM sh JOIN fs USING (sh) GROUP BY 1""".stripMargin,
+    // K-anonymity mirror: two hash aggs, identical acctbal banding.
+    "q_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal / 100) AS BIGINT) AS band,
+        |         count(*) AS sz
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT CAST(sz AS BIGINT) AS class_size,
+        |       CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(count(*) * sz AS BIGINT) AS n_rows,
+        |       sz < 5 AS risky
+        |FROM cls GROUP BY sz""".stripMargin,
     // ACF mirror: identical integer series (floor-div revenue ×
     // planted weekly factor), self-join on the shifted index, then
     // the q_corr HUGEINT correlation math per lag.
     "q_autocorr" ->
-      """WITH d0 AS (SELECT min(o_orderdate) AS v FROM orders),
-        |daily AS (
-        |  SELECT CAST(datediff('day', d0.v, o_orderdate) AS BIGINT) AS t,
-        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM orders, d0 GROUP BY 1),
-        |ser AS (SELECT t, (cents // 100000) * (1 + (t % 7) % 3 * 2) AS x FROM daily),
+      s"""WITH $DailySeriesCtes,
         |lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 14]) AS lag),
         |pairs AS (
         |  SELECT l.lag, a.x AS xc, b.x AS xl

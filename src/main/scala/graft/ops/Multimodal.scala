@@ -269,15 +269,31 @@ object Multimodal {
   val SynthW = 36
   val SynthH = 32
 
+  /** Per-(base, block) texture offset — md5-derived (the repo's
+    * hex-prefix arithmetic, reproducible in any engine) so DIFFERENT
+    * bases get INDEPENDENT block patterns: a plain affine-in-(x,y)
+    * base leaks through dHash (adjacent-block deltas are constant →
+    * every base hashes alike, measured cross-base distance min 0);
+    * md5 texture puts cross-base distances at ≥ 20 bits while
+    * same-base variants stay ≤ 5.
+    */
+  def blockHash(base: Long, bx: Int, by: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$base:$bx:$by".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 256).toInt
+  }
+
   /** The synthetic pixel's gray value — PURE INTEGER arithmetic, so an
-    * oracle can recompute it analytically: a base gradient keyed by
-    * `id div 10` (ids sharing a base are PERCEPTUAL NEAR-DUPLICATES)
-    * plus a sparse per-variant brightness flip keyed by `id mod 10`
-    * (≈ 1% of pixels inverted — visible to an exact-dup hash, mostly
-    * invisible to dHash, which is the point of perceptual hashing).
+    * oracle can recompute it analytically: a gradient over a
+    * per-block md5 texture keyed by `id div 10` (ids sharing a base
+    * are PERCEPTUAL NEAR-DUPLICATES) plus a sparse per-variant
+    * brightness flip keyed by `id mod 10` (≈ 1% of pixels inverted —
+    * visible to an exact-dup hash, mostly invisible to dHash, which
+    * is the point of perceptual hashing).
     */
   def synthGray(id: Long, x: Int, y: Int): Int = {
-    val g = ((x * 7 + y * 13 + (id / 10) * 31) % 256).toInt
+    val g = (x * 7 + y * 13 + blockHash(id / 10, x / 4, y / 4)) % 256
     if ((x + y * SynthW) % 97 == id % 10) (g + 128) % 256 else g
   }
 

@@ -596,6 +596,52 @@ object Profiling {
     groupCorr(pairs, Seq("lag"), col("__xc"), col("__xl"))
   }
 
+  /** WEEKLY (period-`p`) SEASONAL DECOMPOSITION of a regular integer
+    * series — the classical-decomposition companion to [[autocorr]]
+    * (autocorr says "period 7 repeats"; this says "by HOW MUCH each
+    * phase deviates"): trend is the centered `p`-point moving sum
+    * floor-divided by `p` (rows without a full window are excluded —
+    * no edge fudging), the detrended residual is grouped by phase
+    * `t mod p`, and each phase reports its exact residual sum and
+    * count (callers divide; keeping the sum exact keeps the row
+    * hash-checkable and mergeable). `p` must be odd so the window
+    * centers exactly.
+    *
+    * Shape: one ordered window over the series (series-sized, the
+    * autocorr contract) and one `p`-row hash agg.
+    */
+  def seasonalDecompose(series: DataFrame, t: Column, x: Column, p: Int): DataFrame = {
+    require(p >= 3 && p % 2 == 1, s"period must be odd and >= 3, got $p")
+    val half = p / 2
+    val base = series.select(t.cast("long").as("__t"), x.cast("long").as("__x"))
+    val w = Window.orderBy(col("__t")).rangeBetween(-half, half)
+    base
+      .withColumn("__wn", count(lit(1)).over(w))
+      .withColumn("__ws", sum(col("__x")).over(w))
+      .filter(col("__wn") === p) // full centered windows only
+      .select(col("__t"), (col("__x") - expr(s"__ws div $p")).as("__resid"))
+      .groupBy((col("__t") % p).as("phase"))
+      .agg(count(lit(1)).as("n_days"), sum("__resid").as("resid_sum"))
+  }
+
+  /** K-ANONYMITY profile over a set of quasi-identifier columns — the
+    * governance pre-flight before a release: how many equivalence
+    * classes (distinct quasi-identifier combinations) exist at each
+    * size, and how many ROWS sit in classes smaller than `k` (those
+    * rows are re-identifiable; suppression/generalization targets
+    * them). Exact counts, two hash aggs, nothing driver-sided.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[Column], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols: _*)
+      .agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("class_size"))
+      .agg(count(lit(1)).as("n_classes"))
+      .withColumn("n_rows", col("n_classes") * col("class_size"))
+      .withColumn("risky", col("class_size") < k)
+  }
+
   /** WINSORIZED group statistics — clamp-at-the-tails robustification
     * (the standard way to keep a handful of wild rows from dominating
     * a mean or a downstream weight): per group, the exact `loPct`/

@@ -690,15 +690,31 @@ object Similarity {
   def hammingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       maxDist: Int, bandBits: Int = 8): DataFrame = {
+    require(dim % bandBits == 0, s"bandBits $bandBits must divide dim $dim")
+    hammingNearDupPairsSig(
+      signSignatures(df, idCol, vecCol, dim), idCol, signWords(dim),
+      dim, maxDist, bandBits)
+  }
+
+  /** [[hammingNearDupPairs]] over PRECOMPUTED signature half-words
+    * `sig0 … sig{words-1}` — the entry point for codes that are not
+    * sign bits of a float vector (e.g. [[Multimodal.imageDhash]]'s
+    * perceptual hashes: near-duplicate IMAGE detection is this exact
+    * join over `(d0, d1)`). `nBits` ≤ 32·words bounds the banded
+    * region (trailing pad bits are constant and carry no signal).
+    */
+  def hammingNearDupPairsSig(
+      sigDf: DataFrame, idCol: String, words: Int, nBits: Int,
+      maxDist: Int, bandBits: Int = 8): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(bandBits >= 1 && 32 % bandBits == 0,
       s"bandBits must divide 32, got $bandBits")
-    require(dim % bandBits == 0, s"bandBits $bandBits must divide dim $dim")
-    val words = signWords(dim)
+    require(nBits % bandBits == 0 && nBits <= 32 * words,
+      s"nBits $nBits must be a bandBits multiple within $words words")
     val perWord = 32 / bandBits
-    val sigs = signSignatures(df, idCol, vecCol, dim).localCheckpoint(true)
+    val sigs = sigDf.localCheckpoint(true)
     val mask = (1L << bandBits) - 1
-    val bandCols = (0 until dim / bandBits).map { b =>
+    val bandCols = (0 until nBits / bandBits).map { b =>
       val w = b / perWord
       val off = (b % perWord) * bandBits
       struct(lit(b).as("band"),

@@ -75,4 +75,73 @@ object Sketches {
       .groupBy(keyCol, payload: _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
   }
+
+  // ---- bloom file-skipping index ------------------------------------
+
+  /** Bit position `i` of `key`'s Bloom membership (of `k` probes into
+    * an `m`-bit filter): the row-salted md5 arithmetic again, so the
+    * index is engine- and layout-independent. */
+  def bloomBit(key: Column, i: Int, mBits: Int): Column =
+    conv(substring(md5(concat(lit(s"bf$i:"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % mBits
+
+  /** DuckDB mirror of [[bloomBit]]. */
+  def bloomBitSql(keyExpr: String, i: Int, mBits: Int): String =
+    s"CAST(('0x' || substr(md5('bf$i:' || CAST($keyExpr AS VARCHAR)), 1, 15)) AS BIGINT) % $mBits"
+
+  /** BLOOM FILE-SKIPPING INDEX (the lakehouse column-index shape:
+    * Parquet bloom filters / Delta data skipping): one `mBits`-bit
+    * Bloom filter PER FILE over the file's key values, stored
+    * relationally as `(file, word, bits)` 32-bit half-words (the
+    * [[graft.ops.Similarity.signWord]] layout — OR-safe in every
+    * engine, no sign-bit hazards). A point lookup consults the index
+    * and reads only files whose filter has ALL `k` bits set — no
+    * false negatives ever (a set bit is never cleared), false
+    * positives at the classic `(1 − e^{−kn/m})^k` rate.
+    *
+    * Shape: one scan → `k`-fold explode → `(file, word)` bit_or agg
+    * with map-side partials (mergeable exactly like [[cmsCells]]);
+    * the finished index is `files × mBits/32` rows.
+    */
+  def bloomIndex(df: DataFrame, fileCol: Column, key: Column,
+      mBits: Int = 1024, k: Int = 3): DataFrame = {
+    require(mBits >= 32 && mBits % 32 == 0, s"mBits must be a multiple of 32, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val probes = (0 until k).map { i =>
+      val bit = bloomBit(key, i, mBits)
+      struct(floor(bit / 32).cast("long").as("word"),
+        call_function("shiftleft", lit(1L), (bit % 32).cast("int")).as("mask"))
+    }
+    df.select(fileCol.as("file"), explode(array(probes: _*)).as("wb"))
+      .groupBy(col("file"), col("wb.word").as("word"))
+      .agg(expr("bit_or(wb.mask)").as("bits"))
+  }
+
+  /** Which files MAY contain each probe key: a probe passes a file
+    * iff every one of its `k` bits is set in that file's filter.
+    * Returns one row per `(probe key, file)` with the verdict — the
+    * skip decision a reader would make. The index is broadcast (it is
+    * `files × words` rows by construction); absent words mean 0.
+    */
+  def bloomMaybe(index: DataFrame, probes: DataFrame, keyCol: String,
+      mBits: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val files = index.select("file").distinct()
+    val pb = (0 until k).map { i =>
+      val bit = bloomBit(col(keyCol), i, mBits)
+      struct(floor(bit / 32).cast("long").as("word"),
+        call_function("shiftleft", lit(1L), (bit % 32).cast("int")).as("mask"))
+    }
+    probes.crossJoin(broadcast(files))
+      .select(probes.columns.map(col) :+ col("file") :+
+        explode(array(pb: _*)).as("wb"): _*)
+      .select(probes.columns.map(col) :+ col("file") :+
+        col("wb.word").as("word") :+ col("wb.mask").as("mask"): _*)
+      .join(broadcast(index), Seq("file", "word"), "left")
+      .withColumn("__hit",
+        (coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) === col("mask"))
+          .cast("long"))
+      .groupBy((probes.columns :+ "file").map(col): _*)
+      .agg((sum("__hit") === k).as("maybe"))
+  }
 }

@@ -869,4 +869,32 @@ object TextAnalysis {
         transform(array_sort(collect_list(struct(col("__pos"), col("__tid")))),
           x => x.getField("__tid")).as("ids"))
   }
+
+  /** FIRST-OCCURRENCE NOVELTY — the curation signal behind
+    * "deduplicate, then prefer documents that add something": each
+    * distinct word-`n`-gram is owned by the LOWEST doc id that
+    * contains it (min is order-free and engine-exact; in an
+    * ingest-ordered corpus that is "first seen"), and a document's
+    * novelty is the fraction of its distinct shingles it owns.
+    * Boilerplate and near-copies of earlier documents score near 0;
+    * genuinely new material near 10⁶ ppm. Documents with fewer than
+    * `n` tokens emit no shingles and drop out (visible, not faked).
+    *
+    * Shape: one shingle explode + (doc, shingle) distinct, one
+    * shingle-keyed min agg, one keyed join back, one doc-keyed agg —
+    * all keyed by values whose cardinality grows with the corpus.
+    */
+  def noveltyScores(docs: DataFrame, idCol: String, text: Column, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val sh = docs
+      .select(col(idCol).as("__id"),
+        explode(Dedup.shingles(text, n)).as("sh"))
+      .distinct()
+    val firstSeen = sh.groupBy("sh").agg(min("__id").as("__first"))
+    sh.join(firstSeen, "sh")
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col("__id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000L) div n_shingles"))
+  }
 }

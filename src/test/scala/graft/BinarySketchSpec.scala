@@ -115,6 +115,23 @@ class BinarySketchSpec extends SparkSpec {
     assert(sharded.toSeq == got.toSeq)
   }
 
+  test("bloomIndex/bloomMaybe: no false negatives, real pruning") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select((col("o_orderkey") % 8).as("file"), col("o_custkey"))
+    val idx = Sketches.bloomIndex(o, col("file"), col("o_custkey"), 1024, 3)
+    val probes = o.select(col("o_custkey").as("probe_key")).distinct().limit(50)
+    val maybe = Sketches.bloomMaybe(idx, probes, "probe_key", 1024, 3)
+    val actual = o.select(col("o_custkey").as("probe_key"), col("file")).distinct()
+      .withColumn("actual", lit(true))
+    val joined = maybe.join(actual, Seq("probe_key", "file"), "left")
+      .select(col("maybe"), coalesce(col("actual"), lit(false)).as("actual"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)))
+    assert(joined.forall { case (m, a) => m || !a },
+      "bloom returned a false negative")
+    assert(joined.exists { case (m, a) => !m && !a },
+      "no pruning at all — the index is useless at these parameters")
+  }
+
   test("fertility hand golden") {
     val seg = Seq(("ab", 10L, Seq("ab")), ("cde", 4L, Seq("cd", "e")),
         ("fg", 2L, Seq("f", "g")))

@@ -35,6 +35,36 @@ class ProfilingMultimodalSpec extends SparkSpec {
     assert(row.getLong(6) == sorted.map(v => math.max(lo, math.min(hi, v))).sum)
   }
 
+  test("seasonalDecompose recovers a planted additive pattern exactly") {
+    val series = (0L until 70L).map(t => (t, 100L + 10L * (t % 7))).toDF("t", "x")
+    val got = Profiling.seasonalDecompose(series, col("t"), col("x"), 7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // any full 7-window sums to 7·100 + 10·21 → trend = 130 everywhere;
+    // resid(phase) = 100 + 10·phase − 130, constant per phase.
+    for (phase <- 0L until 7L) {
+      val (n, sum) = got(phase)
+      assert(sum == n * (100L + 10L * phase - 130L), s"phase $phase")
+    }
+  }
+
+  test("kAnonymity hand golden") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2), ("b", 2), ("c", 3))
+      .toDF("q1", "q2")
+    val got = Profiling.kAnonymity(df, Seq(col("q1"), col("q2")), k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got == Map(
+      3L -> (1L, 3L, false), 2L -> (1L, 2L, true), 1L -> (1L, 1L, true)))
+  }
+
+  test("noveltyScores hand golden (exact dup scores 0, partial overlap 50%)") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c x"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.noveltyScores(docs, "doc_id", col("text"), 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      1L -> (2L, 2L, 1000000L), 2L -> (2L, 0L, 0L), 3L -> (2L, 1L, 500000L)))
+  }
+
   // Independent local dHash from the ANALYTIC pixel formula — no
   // image bytes involved; the Spark path must agree through a real
   // BMP encode + javax.imageio decode.
