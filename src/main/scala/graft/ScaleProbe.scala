@@ -160,14 +160,57 @@ object ScaleProbe {
     // corpus⋈segmentation join (rows ×10, vocab ×10 → linear);
     // corpus_split_qa composes split hashing + JSD + chi-square (two
     // token-keyed aggs + dimension-sized marginals → linear).
-    "q_bpe", "q_bpe_encode", "q_corpus_split_qa")
+    "q_bpe", "q_bpe_encode", "q_corpus_split_qa",
+    // round-7 batch 2: hamming_neardups rides the shifted embedding
+    // replicas (per-replica signature structure preserved, banded
+    // equi-join → linear); image near-dups ride the doc-id replicas
+    // (new bases per replica → pairs AND decode cost ×10, map-only
+    // BMP decode); cms + bloom_index are the bounded-state claim
+    // (cells/words constant while input ×10); length_batches is the
+    // denseIdsBy range-exchange claim at ×10 (no single-task stage);
+    // novelty rides the token-salted documents (shingle space ×10
+    // disjoint → keyed aggs linear); winsorize/seasonal/autocorr ride
+    // customer/orders replicas (keyed windows + dimension-sized
+    // series → linear).
+    "q_hamming_neardups", "q_image_neardups", "q_cms", "q_bloom_index",
+    "q_length_batches", "q_novelty", "q_winsorize", "q_seasonal",
+    "q_autocorr",
+    // round-7 batch 4 (data-quality / eval family): fk_integrity and
+    // join_estimate are per-key hash aggs + one key join — facts ×10
+    // against a FIXED part dimension (the realistic star scaling) →
+    // linear; equidepth is one group-keyed window (groups fixed, rows
+    // ×10); benford is map-only + a 9-row agg; cusum's daily series
+    // stays CONSTANT-length while the orders feeding it grow ×10 (the
+    // bounded-series contract, like autocorr); vocab_coverage's vocab
+    // grows ×10 (salted tokens) — denseIdsBy numbering + one
+    // cutoff-exploded vocab-sized agg → linear; image_clusters adds
+    // CC over ×10 disjoint pair components → linear; label_agreement
+    // keeps the 50-query shortlist fixed while the scanned corpus
+    // grows ×10 (the searchInt8 broadcast-query shape).
+    "q_fk_integrity", "q_join_estimate", "q_equidepth", "q_benford",
+    "q_cusum", "q_vocab_coverage", "q_image_clusters",
+    "q_label_agreement",
+    // round-7 batches 5-6: cdc_chunks is map-side array math per doc
+    // (docs ×10 → linear, no shuffle before the output explode);
+    // kappa/l_diversity are keyed aggs over docs/customer replicas;
+    // calibration is map-only md5 + one 10-row agg; audio_tone rides
+    // the doc replicas (decode + DFT both ×10, map-only + keyed agg);
+    // modularity rides the orders graph replicas (disjoint components
+    // → all joins/aggs linear in edges).
+    "q_cdc_chunks", "q_kappa", "q_l_diversity", "q_calibration",
+    "q_audio_tone", "q_modularity")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a
     // dir built by an earlier round silently lacks the new tables
     // (an unversioned _DONE skipped the events build entirely).
-    val done = new java.io.File(s"$FixtureDir/_DONE_v6_supplier")
+    val done = new java.io.File(s"$FixtureDir/_DONE_v7_part")
     if (done.exists) return
+    // part: copied VERBATIM — dimensions stay fixed while facts grow,
+    // the realistic star-schema scaling (q_fk_integrity /
+    // q_join_estimate read lineitem×part at ×10 facts, 1× dim).
+    spark.read.parquet(s"$BaseDir/part.parquet")
+      .write.mode("overwrite").parquet(s"$FixtureDir/part.parquet")
     val customer = spark.read.parquet(s"$BaseDir/customer.parquet")
     val documents = spark.read.parquet(s"$BaseDir/documents.parquet")
     val nCust = 15000L

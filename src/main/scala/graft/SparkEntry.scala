@@ -1654,10 +1654,12 @@ object SparkEntry {
         col("o_custkey").as("src"), (-col("o_orderkey")).as("dst")),
       rounds = 4)
 
-  /** DuckDB mirror of [[qLabelProp]]: one (count → QUALIFY-argmax →
-    * carry-forward) CTE triple per round.
+  /** The [[qLabelProp]] mirror's CTE body (shared with
+    * [[qModularity]]'s oracle): the orders graph, symmetrized edges,
+    * and one (count → QUALIFY-argmax → carry-forward) CTE triple per
+    * round, ending at `lab<rounds>`.
     */
-  private def lpaOracle(rounds: Int): String = {
+  private def lpaOracleCtes(rounds: Int): String = {
     val rs = (1 to rounds).map { i =>
       s"""c$i AS (
          |  SELECT e.dst AS id, l.lbl, count(*) AS c
@@ -1670,13 +1672,19 @@ object SparkEntry {
          |  SELECT p.id, COALESCE(b.lbl, p.lbl) AS lbl
          |  FROM lab${i - 1} p LEFT JOIN b$i b ON p.id = b.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (
+    s"""e0 AS (
        |  SELECT DISTINCT o_custkey AS src, -o_orderkey AS dst FROM orders),
        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
        |lab0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
-       |$rs
-       |SELECT id, lbl AS community FROM lab$rounds""".stripMargin
+       |$rs""".stripMargin
   }
+
+  /** DuckDB mirror of [[qLabelProp]]: one (count → QUALIFY-argmax →
+    * carry-forward) CTE triple per round, from [[lpaOracleCtes]].
+    */
+  private def lpaOracle(rounds: Int): String =
+    s"""WITH ${lpaOracleCtes(rounds)}
+       |SELECT id, lbl AS community FROM lab$rounds""".stripMargin
 
   /** Exact integer-arithmetic 2σ outliers on order value per priority
     * class ([[graft.ops.Profiling.sigmaOutliers]]): cents in, the
@@ -2772,6 +2780,229 @@ object SparkEntry {
         floor(col("c_acctbal") / 100).cast("long")),
       k = 5)
 
+  /** Referential-integrity profile ([[graft.ops.Profiling.fkIntegrity]]):
+    * all four star-schema FK relations as exact summary rows — orphan
+    * rows/keys (none in TPC-H, truthfully reported), null FKs, and
+    * the unreferenced-parent counts that ARE non-trivial here
+    * (a third of customers have no orders).
+    */
+  private def qFkIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.ops.Profiling
+    val (o, c, l) = (t(s, dir, "orders"), t(s, dir, "customer"), t(s, dir, "lineitem"))
+    P.fkIntegrity(o, col("o_custkey"), c, col("c_custkey"), "orders->customer")
+      .unionByName(P.fkIntegrity(l, col("l_orderkey"), o, col("o_orderkey"), "lineitem->orders"))
+      .unionByName(P.fkIntegrity(l, col("l_partkey"), t(s, dir, "part"), col("p_partkey"), "lineitem->part"))
+      .unionByName(P.fkIntegrity(l, col("l_suppkey"), t(s, dir, "supplier"), col("s_suppkey"), "lineitem->supplier"))
+  }
+
+  /** Exact join-size forecast
+    * ([[graft.ops.Profiling.joinSizeEstimate]]): predicted inner-join
+    * cardinality and dominant-key share for two star joins, from
+    * per-key counts alone — the pre-flight that sizes a shuffle
+    * before paying for it.
+    */
+  private def qJoinEstimate(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.ops.Profiling
+    P.joinSizeEstimate(t(s, dir, "orders"), col("o_custkey"),
+        t(s, dir, "customer"), col("c_custkey"), "orders*customer")
+      .unionByName(P.joinSizeEstimate(t(s, dir, "lineitem"), col("l_partkey"),
+        t(s, dir, "part"), col("p_partkey"), "lineitem*part"))
+  }
+
+  /** Equi-depth histogram
+    * ([[graft.ops.Profiling.equiDepthHistogram]]): 8 equal-count
+    * buckets of customer balances per market segment, boundaries as
+    * exact order statistics.
+    */
+  private def qEquidepth(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.equiDepthHistogram(
+      t(s, dir, "customer").select(col("c_mktsegment"), col("c_custkey"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal_c")),
+      Seq("c_mktsegment"), "c_custkey", col("bal_c"), buckets = 8)
+
+  /** Benford first-digit profile
+    * ([[graft.ops.Profiling.benfordProfile]]): order totals in cents
+    * vs the Benford expectation — TPC-H's uniform price generator
+    * deviates hard, and the row reports exactly how much, digit by
+    * digit (expected shares are ONE set of Scala constants in both
+    * engines).
+    */
+  private def qBenford(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.benfordProfile(
+      t(s, dir, "orders"), floor(col("o_totalprice") * 100).cast("long"))
+
+  /** Near-duplicate image CLUSTERS: [[qImageNeardups]] pairs through
+    * [[graft.ops.Clusters.resolveDuplicates]] connected components.
+    * The oracle is the planted GROUND TRUTH (`cluster = (id div 10)·10`)
+    * rather than an algorithm mirror — CC is graded against what the
+    * fixture actually contains, at every scale.
+    */
+  private def qImageClusters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Clusters.resolveDuplicates(
+      t(s, dir, "documents").select(col("doc_id")), "doc_id",
+      qImageNeardups(s, dir), "id_a", "id_b")
+
+  /** CUSUM drift detection ([[graft.ops.Profiling.cusum]]): daily
+    * revenue SHARES in milli-mean units (≈1000/day at every scale —
+    * the scale-free normalization), a planted +700 level shift over
+    * days [1200, 1800), slack 1200, threshold 20000. The prefix
+    * closed form distributes the "sequential" recurrence; the ramp
+    * over the planted window dwarfs the threshold at every sf.
+    */
+  private def qCusum(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val minD = o.agg(min(col("o_orderdate")).as("__d0"))
+    val daily = o.join(broadcast(minD))
+      .select(datediff(col("o_orderdate"), col("__d0")).cast("long").as("t"),
+        floor(col("o_totalprice") * 100).cast("long").as("__cents"))
+      .groupBy("t").agg(sum("__cents").as("__dc"))
+    val tot = daily.agg(sum("__dc").as("__tc"), count(lit(1)).as("__nd"))
+    val series = daily.join(broadcast(tot))
+      .select(col("t"),
+        (expr("(__dc * __nd * 1000L) div __tc") +
+          when(col("t") >= 1200 && col("t") < 1800, 700L).otherwise(0L)).as("x"))
+    graft.ops.Profiling.cusum(series, col("t"), col("x"),
+      slack = 1200L, threshold = 20000L)
+  }
+
+  /** Vocabulary coverage curve
+    * ([[graft.ops.TextAnalysis.vocabCoverage]]): token-stream share
+    * covered by the top-V types at power-of-8 cutoffs — the
+    * tokenizer-sizing curve, exact ppm.
+    */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.vocabCoverage(
+      t(s, dir, "documents"), col("text"),
+      cutoffs = Seq(1, 8, 64, 512, 4096, 32768))
+
+  /** kNN label-agreement QA (mislabeled-example detection): the int8
+    * top-5 neighbors of the first 50 vectors, scored for label
+    * agreement — a vector whose neighborhood votes against its own
+    * label is a labeling suspect (Confident-Learning-style signal,
+    * here as exact integer agreement counts over the hash-exact
+    * quantized kNN).
+    */
+  private def qLabelAgreement(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val lbl = emb.select(col("vec_id"), col("label"))
+    graft.ops.Similarity.searchInt8(emb, (0L until 50L).toSeq,
+        "vec_id", "embedding", EmbDim, k = 5)
+      .join(lbl.select(col("vec_id").as("query_id"), col("label")), Seq("query_id"))
+      .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("__nl")),
+        Seq("neighbor_id"))
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("__nl") === col("label"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("agree_ppm", expr("(n_agree * 1000000L) div n_neighbors"))
+      .withColumn("suspect", col("n_agree") * 2 < col("n_neighbors"))
+  }
+
+  /** L-diversity profile ([[graft.ops.Profiling.lDiversity]]):
+    * k-anonymity's companion — per quasi-identifier class, how many
+    * DISTINCT sensitive values; the (class_size, diversity) histogram
+    * with the at-risk flag. Same QI as [[qKAnonymity]], sensitive =
+    * the balance-sign band.
+    */
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.lDiversity(
+      t(s, dir, "customer"),
+      Seq(col("c_nationkey"), col("c_mktsegment")),
+      floor(col("c_acctbal") / 1000).cast("long"),
+      l = 3)
+
+  /** Calibration bins ([[graft.ops.Profiling.calibrationBins]]) over
+    * a PERFECTLY-CALIBRATED-by-construction model: confidence = one
+    * md5 channel (uniform ppm), label = an INDEPENDENT md5 coin
+    * under the confidence — so each bin's observed rate tracks its
+    * mean predicted score up to real binomial noise, and `gap_ppm`
+    * reports exactly that noise. (A first cut graded receipt-date
+    * age against the return flag, but the synthetic generator does
+    * not date-correlate returnflag — every bin read ~66%, a flat
+    * uninformative curve.) All md5 hex-prefix arithmetic, identical
+    * in both engines; bins hash-exact.
+    */
+  private def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    def chan(tag: String) =
+      conv(substring(md5(concat(lit(tag), col("o_orderkey").cast("string"))),
+        1, 15), 16, 10).cast("long") % 1000000L
+    val scored = t(s, dir, "orders")
+      .select(chan("cal:").as("score"), chan("coin:").as("__coin"))
+      .select(col("score"), (col("__coin") < col("score")).as("label"))
+    graft.ops.Profiling.calibrationBins(scored, col("score"), col("label"),
+      bins = 10)
+  }
+
+  /** Cohen's kappa ([[graft.ops.Profiling.cohenKappa]]): agreement
+    * between two rule-based document labelers — a length bucketer
+    * and a distinct-token bucketer (correlated but not identical →
+    * kappa lands strictly between 0 and 1e6, chance-corrected).
+    */
+  private def qKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(filter(split(col("text"), " "), x => x =!= "").as("__ts"))
+      .select(size(col("__ts")).as("__n"),
+        size(array_distinct(col("__ts"))).as("__d"))
+    graft.ops.Profiling.cohenKappa(d,
+      when(col("__n") < 30, "short").when(col("__n") < 100, "mid").otherwise("long"),
+      when(col("__d") < 25, "short").when(col("__d") < 60, "mid").otherwise("long"))
+  }
+
+  /** Content-defined chunking ([[graft.ops.TextAnalysis.cdcChunks]]):
+    * every document cut at rolling-hash boundaries (w=4, divisor 32 →
+    * ~32-token chunks) — the shift-robust dedup substrate; one row
+    * per chunk with its token count and content hash.
+    */
+  private def qCdcChunks(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.cdcChunks(
+      t(s, dir, "documents"), "doc_id", col("text"), window = 4, divisor = 32)
+
+  /** Audio tone detection: REAL WAV tones written by the engine
+    * ([[graft.ops.Multimodal.synthToneRecords]] — bin `1 + id mod 8`
+    * of the 64-point grid), decoded through the RIFF codec to
+    * relational samples, then an EXACT-INTEGER 8-bin DFT: C/S sums
+    * against the ONE Scala-computed `CosTable64` both engines share
+    * (sin = the same table shifted 48), `power = C² + S²` in BIGINT
+    * (|C| ≤ 128·1024² ≈ 1.3e8 → C² ≤ 1.8e16). The oracle rebuilds
+    * every sample analytically, so row equality certifies the whole
+    * encode → WAV → decode → DFT chain; `dominant` must land on the
+    * planted bin (orthogonality survives the integer rounding).
+    */
+  private def qAudioTone(s: SparkSession, dir: String): DataFrame = {
+    val M = graft.ops.Multimodal
+    val tab = typedLit(M.CosTable64)
+    val recs = M.synthToneRecords(
+      t(s, dir, "documents").filter(col("doc_id") % 11 === 0), "doc_id")
+    val smp = M.decodeAudioSamples(recs).filter(col("pos") >= 0)
+    smp.select(col("id").as("doc_id"), col("pos"), col("sample"),
+        explode(sequence(lit(1L), lit(8L))).as("bin"))
+      .groupBy("doc_id", "bin")
+      .agg(
+        sum(col("sample") *
+          element_at(tab, ((col("bin") * col("pos")) % 64 + 1).cast("int")))
+          .as("c_sum"),
+        sum(col("sample") *
+          element_at(tab, ((col("bin") * col("pos") + 48) % 64 + 1).cast("int")))
+          .as("s_sum"))
+      .withColumn("power",
+        col("c_sum") * col("c_sum") + col("s_sum") * col("s_sum"))
+      .withColumn("dominant",
+        col("power") === max("power").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+  }
+
+  /** Community quality ([[graft.ops.Graphs.modularity]]): Newman
+    * modularity of the [[qLabelProp]] partition on the same orders
+    * graph — one exact-rational summary row; the oracle replays the
+    * LPA CTE chain then the same (2m·W − Σd²)/(2m)² arithmetic in
+    * HUGEINT.
+    */
+  private def qModularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").select(
+      col("o_custkey").as("src"), (-col("o_orderkey")).as("dst"))
+    graft.ops.Graphs.modularity(edges,
+      graft.ops.Graphs.labelPropagation(edges, rounds = 4))
+  }
+
   /** Winsorized group statistics
     * ([[graft.ops.Profiling.winsorizedStats]]): customer balances in
     * cents clamped at the exact 5th/95th order statistics per market
@@ -3420,6 +3651,20 @@ object SparkEntry {
     "q_bloom_index" -> (qBloomIndex _),
     "q_novelty" -> (qNovelty _),
     "q_k_anonymity" -> (qKAnonymity _),
+    "q_fk_integrity" -> (qFkIntegrity _),
+    "q_join_estimate" -> (qJoinEstimate _),
+    "q_equidepth" -> (qEquidepth _),
+    "q_benford" -> (qBenford _),
+    "q_image_clusters" -> (qImageClusters _),
+    "q_cusum" -> (qCusum _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_label_agreement" -> (qLabelAgreement _),
+    "q_l_diversity" -> (qLDiversity _),
+    "q_calibration" -> (qCalibration _),
+    "q_kappa" -> (qKappa _),
+    "q_cdc_chunks" -> (qCdcChunks _),
+    "q_audio_tone" -> (qAudioTone _),
+    "q_modularity" -> (qModularity _),
     "q_zscore" -> (qZscore _),
     "q_shards" -> (qShards _),
     "q_golden" -> (qGolden _),
@@ -5462,6 +5707,261 @@ object SparkEntry {
          |  (sum(CASE WHEN fs.first_id = sh.doc_id THEN 1 ELSE 0 END) * 1000000)
          |    // count(*) AS novelty_ppm
          |FROM sh JOIN fs USING (sh) GROUP BY 1""".stripMargin,
+    // CUSUM mirror: identical milli-mean series + planted shift, the
+    // same running-sum/running-min prefix form.
+    "q_cusum" ->
+      """WITH d0 AS (SELECT min(o_orderdate) AS v FROM orders),
+        |daily AS (
+        |  SELECT CAST(datediff('day', d0.v, o_orderdate) AS BIGINT) AS t,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS dc
+        |  FROM orders, d0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(dc) AS BIGINT) AS tc, count(*) AS nd FROM daily),
+        |ser AS (
+        |  SELECT t, (dc * nd * 1000) // tc +
+        |    CASE WHEN t >= 1200 AND t < 1800 THEN 700 ELSE 0 END AS x
+        |  FROM daily, tot),
+        |c AS (
+        |  SELECT t, x,
+        |    sum(x - 1200) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM ser),
+        |m AS (
+        |  SELECT t, x, cum,
+        |    least(min(cum) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 0) AS mn
+        |  FROM c)
+        |SELECT t, CAST(x AS BIGINT) AS x, CAST(cum - mn AS BIGINT) AS s,
+        |       cum - mn >= 20000 AS alarm
+        |FROM m""".stripMargin,
+    // Coverage mirror: same (freq DESC, tok) total order, same
+    // cutoff explode, 1-row total.
+    "q_vocab_coverage" ->
+      """WITH v AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT u.tok FROM (
+        |          SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |          FROM documents), unnest(ts) AS u(tok))
+        |  GROUP BY 1),
+        |rk AS (SELECT tok, freq,
+        |         row_number() OVER (ORDER BY freq DESC, tok) AS rank FROM v),
+        |t AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM v),
+        |cf AS (SELECT unnest([1, 8, 64, 512, 4096, 32768]) AS cutoff)
+        |SELECT cf.cutoff, CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(sum(rk.freq) AS BIGINT) AS covered_tokens,
+        |       (sum(rk.freq) * 1000000) // t.total AS coverage_ppm
+        |FROM rk, cf, t WHERE rk.rank <= cf.cutoff
+        |GROUP BY 1, t.total""".stripMargin,
+    // Label-agreement mirror: the q_ann_int8 quantized-kNN CTEs with
+    // a 50-query filter, then exact label-vote integers.
+    "q_label_agreement" -> {
+      val dot = (1 to EmbDim).map(i => s"q.qc[$i] * e.codes[$i]").mkString(" + ")
+      s"""WITH st AS (
+         |  SELECT gs.i AS pos,
+         |    min(CAST(embedding[gs.i] AS DOUBLE)) AS lo,
+         |    max(CAST(embedding[gs.i] AS DOUBLE)) AS hi
+         |  FROM embeddings, generate_series(1, $EmbDim) gs(i) GROUP BY gs.i),
+         |sl AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM st),
+         |enc AS (
+         |  SELECT vec_id,
+         |    list_transform(generate_series(1, $EmbDim), i ->
+         |      CAST(CASE WHEN sl.his[i] = sl.los[i] THEN 0
+         |        ELSE least(255, floor((CAST(embedding[i] AS DOUBLE) - sl.los[i]) * 255.0
+         |          / (sl.his[i] - sl.los[i])))
+         |        END AS INTEGER)) AS codes
+         |  FROM embeddings, sl),
+         |q AS (SELECT vec_id AS query_id, codes AS qc FROM enc WHERE vec_id < 50),
+         |sc AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id, CAST($dot AS BIGINT) AS dot_q
+         |  FROM q CROSS JOIN enc e WHERE e.vec_id <> q.query_id),
+         |nn AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
+         |  FROM sc QUALIFY rank <= 5),
+         |lj AS (
+         |  SELECT nn.query_id, ql.label, nl.label AS n_label
+         |  FROM nn JOIN embeddings ql ON ql.vec_id = nn.query_id
+         |          JOIN embeddings nl ON nl.vec_id = nn.neighbor_id)
+         |SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_neighbors,
+         |  CAST(sum(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  (sum(CASE WHEN n_label = label THEN 1 ELSE 0 END) * 1000000) // count(*) AS agree_ppm,
+         |  sum(CASE WHEN n_label = label THEN 1 ELSE 0 END) * 2 < count(*) AS suspect
+         |FROM lj GROUP BY 1, 2""".stripMargin
+    },
+    // FK mirror: identical full-join shape per relation, null tally
+    // as a scalar subquery.
+    "q_fk_integrity" -> {
+      def rel(name: String, child: String, ck: String, parent: String, pk: String) =
+        s"""SELECT '$name' AS relation,
+           |  CAST(coalesce(sum(coalesce(cn, 0)), 0) AS BIGINT) AS n_child_rows,
+           |  (SELECT count(*) FROM $child WHERE $ck IS NULL) AS n_null_fk_rows,
+           |  CAST(coalesce(sum(CASE WHEN p IS NULL THEN cn ELSE 0 END), 0) AS BIGINT) AS n_orphan_rows,
+           |  CAST(coalesce(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphan_keys,
+           |  CAST(coalesce(sum(CASE WHEN p IS NOT NULL AND cn IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_referenced_parents,
+           |  CAST(coalesce(sum(CASE WHEN cn IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unreferenced_parents
+           |FROM (SELECT $ck AS k, count(*) AS cn FROM $child WHERE $ck IS NOT NULL GROUP BY 1) ck
+           |FULL JOIN (SELECT DISTINCT $pk AS k, true AS p FROM $parent) pk USING (k)""".stripMargin
+      Seq(
+        rel("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        rel("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        rel("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        rel("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"))
+        .mkString("\nUNION ALL\n")
+    },
+    // Join-forecast mirror: per-key counts, HUGEINT products, same
+    // (contribution DESC, key string DESC) top pick.
+    "q_join_estimate" -> {
+      def rel(name: String, left: String, lk: String, right: String, rk: String) =
+        s"""SELECT '$name' AS relation, t.nk AS n_shared_keys, t.nj AS n_join_rows,
+           |  top.tk AS top_key, top.tc AS top_key_rows,
+           |  (top.tc * 1000000) // t.nj AS top_share_ppm
+           |FROM (SELECT count(*) AS nk, CAST(sum(c) AS BIGINT) AS nj FROM (
+           |        SELECT CAST(ln AS HUGEINT) * rn AS c
+           |        FROM (SELECT $lk AS k, count(*) AS ln FROM $left GROUP BY 1) la
+           |        JOIN (SELECT $rk AS k, count(*) AS rn FROM $right GROUP BY 1) ra USING (k))) t,
+           |     (SELECT CAST(k AS VARCHAR) AS tk, CAST(ln * rn AS BIGINT) AS tc
+           |      FROM (SELECT $lk AS k, count(*) AS ln FROM $left GROUP BY 1) la
+           |      JOIN (SELECT $rk AS k, count(*) AS rn FROM $right GROUP BY 1) ra USING (k)
+           |      ORDER BY ln * rn DESC, CAST(k AS VARCHAR) DESC LIMIT 1) top""".stripMargin
+      Seq(rel("orders*customer", "orders", "o_custkey", "customer", "c_custkey"),
+        rel("lineitem*part", "lineitem", "l_partkey", "part", "p_partkey"))
+        .mkString("\nUNION ALL\n")
+    },
+    // Equi-depth mirror: same rank math, same bucket assignment.
+    "q_equidepth" ->
+      """WITH v AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |         CAST(floor(c_acctbal * 100) AS BIGINT) AS val
+        |  FROM customer),
+        |rk AS (
+        |  SELECT c_mktsegment, val,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY val, c_custkey) AS rk,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM v)
+        |SELECT c_mktsegment, ((rk - 1) * 8) // n AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n, min(val) AS lo, max(val) AS hi
+        |FROM rk GROUP BY 1, 2""".stripMargin,
+    // Benford mirror: same digit extract, same shared literal table.
+    "q_benford" ->
+      s"""WITH d AS (
+         |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders)
+         |  WHERE v > 0),
+         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g),
+         |e AS (SELECT ${graft.ops.Profiling.benfordExpectedPpmSql}::BIGINT[] AS exp_arr)
+         |SELECT g.digit, g.n, (g.n * 1000000) // t.tot AS obs_ppm,
+         |       e.exp_arr[g.digit] AS exp_ppm,
+         |       (g.n * 1000000) // t.tot - e.exp_arr[g.digit] AS dev_ppm
+         |FROM g, t, e""".stripMargin,
+    // CC graded against the planted ground truth, not a mirror: every
+    // image's cluster is its base decade (and the keeper its minimum)
+    // iff the pair detection found every same-base link and no
+    // cross-base one.
+    "q_image_clusters" ->
+      """SELECT doc_id, (doc_id // 10) * 10 AS cluster_id,
+        |       doc_id = (doc_id // 10) * 10 AS keep
+        |FROM documents""".stripMargin,
+    // L-diversity mirror: three-level agg, same QI and sensitive band.
+    "q_l_diversity" ->
+      """WITH sv AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS s, count(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3),
+        |cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(sum(n) AS BIGINT) AS sz, count(*) AS dv
+        |  FROM sv GROUP BY 1, 2)
+        |SELECT sz AS class_size, dv AS diversity,
+        |       CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(count(*) * sz AS BIGINT) AS n_rows,
+        |       dv < 3 AS risky
+        |FROM cls GROUP BY 1, 2""".stripMargin,
+    // Calibration mirror: identical md5 confidence + independent md5
+    // coin (non-negative operands, div ≡ //), same fixed-width bins.
+    "q_calibration" ->
+      """WITH sc AS (
+        |  SELECT CAST(('0x' || substr(md5('cal:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS p,
+        |         CAST(('0x' || substr(md5('coin:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+        |           < CAST(('0x' || substr(md5('cal:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS y
+        |  FROM orders)
+        |SELECT least((p * 10) // 1000000, 9) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |       (sum(CASE WHEN y THEN 1 ELSE 0 END) * 1000000) // count(*) AS obs_pos_ppm,
+        |       CAST(sum(p) AS BIGINT) // count(*) AS mean_score_ppm,
+        |       (sum(CASE WHEN y THEN 1 ELSE 0 END) * 1000000) // count(*)
+        |         - CAST(sum(p) AS BIGINT) // count(*) AS gap_ppm
+        |FROM sc GROUP BY 1""".stripMargin,
+    // Kappa mirror: same two rule labelers, same exact rational —
+    // truncating division via remainder subtraction (HUGEINT).
+    "q_kappa" ->
+      """WITH lab AS (
+        |  SELECT CASE WHEN n < 30 THEN 'short' WHEN n < 100 THEN 'mid' ELSE 'long' END AS a,
+        |         CASE WHEN d < 25 THEN 'short' WHEN d < 60 THEN 'mid' ELSE 'long' END AS b
+        |  FROM (SELECT len(ts) AS n, len(list_distinct(ts)) AS d
+        |        FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |              FROM documents))),
+        |cells AS (SELECT a, b, count(*) AS n FROM lab GROUP BY 1, 2),
+        |ra AS (SELECT a AS c, CAST(sum(n) AS HUGEINT) AS ra FROM cells GROUP BY 1),
+        |cb AS (SELECT b AS c, CAST(sum(n) AS HUGEINT) AS cb FROM cells GROUP BY 1),
+        |pe AS (SELECT CAST(sum(ra.ra * cb.cb) AS HUGEINT) AS pe
+        |       FROM ra JOIN cb USING (c)),
+        |tot AS (SELECT CAST(sum(n) AS HUGEINT) AS t,
+        |               CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS HUGEINT) AS d
+        |        FROM cells)
+        |SELECT CAST(t AS BIGINT) AS n, CAST(d AS BIGINT) AS n_agree,
+        |  CASE WHEN t * t - pe = 0 THEN NULL
+        |    ELSE CAST((((t * d - pe) * 1000000 - ((t * d - pe) * 1000000) % (t * t - pe))
+        |               // (t * t - pe)) AS BIGINT) END AS kappa_ppm
+        |FROM tot, pe""".stripMargin,
+    // CDC mirror: the cdcChunksSqlCtes chain — identical rolling-hash
+    // arithmetic, boundary residue, and slice math.
+    "q_cdc_chunks" ->
+      s"""WITH ${graft.ops.TextAnalysis.cdcChunksSqlCtes(
+            "documents", "doc_id", "text", 4, 32)}
+         |SELECT doc_id, chunk_idx, n_tokens, chunk_hash
+         |FROM cdc_chunks""".stripMargin,
+    // Tone mirror: samples rebuilt ANALYTICALLY from the planted bin
+    // and the shared CosTable64 — equality certifies the engine's
+    // encode→WAV→decode→DFT chain (the q_image_dhash discipline).
+    "q_audio_tone" -> {
+      val tab = graft.ops.Multimodal.cosTable64Sql
+      s"""WITH ids AS (
+         |  SELECT doc_id, 1 + doc_id % 8 AS k FROM documents WHERE doc_id % 11 = 0),
+         |tb AS (SELECT $tab::BIGINT[] AS t),
+         |smp AS (
+         |  SELECT doc_id, t[(k * gs.i) % 64 + 1] AS sample, gs.i AS pos
+         |  FROM ids, tb, generate_series(0, 127) gs(i)),
+         |sums AS (
+         |  SELECT doc_id, b.b AS bin,
+         |    CAST(sum(sample * t[(b.b * pos) % 64 + 1]) AS BIGINT) AS c_sum,
+         |    CAST(sum(sample * t[(b.b * pos + 48) % 64 + 1]) AS BIGINT) AS s_sum
+         |  FROM smp, tb, generate_series(1, 8) b(b) GROUP BY 1, 2)
+         |SELECT doc_id, bin, c_sum, s_sum,
+         |       c_sum * c_sum + s_sum * s_sum AS power,
+         |       c_sum * c_sum + s_sum * s_sum = max(c_sum * c_sum + s_sum * s_sum)
+         |         OVER (PARTITION BY doc_id) AS dominant
+         |FROM sums""".stripMargin
+    },
+    // Modularity mirror: the LPA CTE chain, then the same
+    // (2m·W − Σd²)/(2m)² rational in HUGEINT.
+    "q_modularity" ->
+      s"""WITH ${lpaOracleCtes(4)},
+         |lab AS (SELECT id, lbl FROM lab4),
+         |je AS (
+         |  SELECT ls.lbl AS cs, ld.lbl AS cd
+         |  FROM edges e JOIN lab ls ON e.src = ls.id
+         |               JOIN lab ld ON e.dst = ld.id),
+         |w AS (SELECT CAST(count(*) AS HUGEINT) AS two_m,
+         |             CAST(sum(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS HUGEINT) AS wi
+         |      FROM je),
+         |dsq AS (SELECT CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS ds,
+         |               count(*) AS nc
+         |        FROM (SELECT cs, count(*) AS d FROM je GROUP BY 1)),
+         |nn AS (SELECT count(*) AS n FROM lab)
+         |SELECT nn.n AS n_nodes, dsq.nc AS n_communities,
+         |  CAST(two_m // 2 AS BIGINT) AS m_edges, CAST(wi AS BIGINT) AS w_internal,
+         |  CAST(((two_m * wi - ds) * 1000000 - ((two_m * wi - ds) * 1000000) % (two_m * two_m))
+         |       // (two_m * two_m) AS BIGINT) AS q_ppm
+         |FROM w, dsq, nn""".stripMargin,
     // K-anonymity mirror: two hash aggs, identical acctbal banding.
     "q_k_anonymity" ->
       """WITH cls AS (

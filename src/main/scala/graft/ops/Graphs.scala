@@ -835,4 +835,49 @@ object Graphs {
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** NEWMAN MODULARITY of a node partition — "how much denser are
+    * communities than chance" (Newman & Girvan 2004), the standard
+    * quality score for [[labelPropagation]] output. Over the
+    * symmetrized distinct edge set (2m directed rows), with `W` =
+    * same-community directed rows (= 2·internal edges) and `d_c` =
+    * community degree sums,
+    * {{{ Q = W/(2m) − Σ_c d_c²/(2m)²  =  (2m·W − Σ d_c²) / (2m)² }}}
+    * — ONE exact rational in decimal(38,0) ≡ HUGEINT, emitted in ppm
+    * via the groupTrend truncating division (Q can be negative).
+    * Returns one summary row `(n_nodes, n_communities, m_edges,
+    * w_internal, q_ppm)`.
+    *
+    * Shape: symmetrize + two label joins (node-keyed), one
+    * community-keyed agg for degrees, two 1-row folds. Nothing
+    * quadratic, nothing driver-side.
+    */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cols = edges.columns
+    val e0 = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+    val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val ccols = communities.columns
+    val lab = communities.select(col(ccols(0)).as("id"), col(ccols(1)).as("__c"))
+    val je = sym
+      .join(lab.select(col("id").as("src"), col("__c").as("__cs")), Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("__c").as("__cd")), Seq("dst"))
+      .localCheckpoint(true)
+    val w = je.agg(count(lit(1)).as("__two_m"),
+      sum(when(col("__cs") === col("__cd"), 1L).otherwise(0L)).as("__w"))
+    val dsq = je.groupBy("__cs").agg(count(lit(1)).as("__d"))
+      .agg(sum(col("__d").cast(dec) * col("__d").cast(dec)).as("__dsq"),
+        count(lit(1)).as("__nc"))
+    val nn = lab.agg(count(lit(1)).as("__nn"))
+    val num = (col("__two_m").cast(dec) * col("__w").cast(dec) - col("__dsq")) *
+      lit(1000000L).cast(dec)
+    val den = col("__two_m").cast(dec) * col("__two_m").cast(dec)
+    w.join(broadcast(dsq)).join(broadcast(nn))
+      .select(col("__nn").as("n_nodes"), col("__nc").as("n_communities"),
+        expr("__two_m div 2").as("m_edges"),
+        col("__w").as("w_internal"),
+        when(den === 0, lit(null).cast("long"))
+          .otherwise(((num - num % den) / den).cast("long")).as("q_ppm"))
+  }
 }

@@ -257,6 +257,57 @@ object Multimodal {
     }
   }
 
+  /** Scaled 64-point cosine table `round(1024·cos(2πj/64))` — ONE set
+    * of Scala-computed integer literals shared by the synthesizer,
+    * the analyzer, and the DuckDB oracle (the ndcgGains discipline:
+    * no cross-libm trig anywhere in the data path). `sin` is the
+    * same table shifted by 48 (cos(x − π/2) = sin(x)). */
+  val CosTable64: Seq[Long] =
+    (0 until 64).map(j => math.round(1024.0 * math.cos(2.0 * math.Pi * j / 64)))
+
+  /** [[CosTable64]] as a SQL list literal. */
+  def cosTable64Sql: String = CosTable64.mkString("[", ", ", "]")
+
+  /** Fixture-path TONE synthesis: doc `id` carries a pure tone at DFT
+    * bin `k = 1 + id mod 8` of the 64-sample grid — `s_i =
+    * CosTable64[(k·i) mod 64]`, 128 samples (two full grid periods)
+    * at 8 kHz, ENCODED INTO REAL WAV BYTES. Pure integer arithmetic,
+    * so an oracle can rebuild every sample analytically and the
+    * decoded DFT must match bit-exactly.
+    */
+  def synthToneRecords(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tab = CosTable64.toArray
+    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val k = (1 + id % 8).toInt
+      val samples = Array.tabulate(128)(i => tab((k * i) % 64).toShort)
+      MediaRecord(id, AudioCodec.encode(samples, 8000), "audio/wav",
+        Map("codec" -> "pcm_s16le"))
+    }
+  }
+
+  /** Batched decode to RELATIONAL samples `(id, pos, sample)` — the
+    * bridge from the binary column to engine-side signal math
+    * ([[decodeAudioFeatures]]'s mapPartitions shape; corrupt →
+    * one visible `(id, -1, 0)` sentinel row, never a silent drop).
+    */
+  def decodeAudioSamples(records: Dataset[MediaRecord]): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        AudioCodec.decode(r.media) match {
+          case Some((_, _, samples)) =>
+            samples.iterator.zipWithIndex.map { case (s, i) =>
+              (r.id, i.toLong, s.toLong)
+            }
+          case None => Iterator((r.id, -1L, 0L))
+        }
+      }
+    }.toDF("id", "pos", "sample")
+  }
+
   // ---- image perceptual hashing (dHash) -----------------------------
 
   /** Perceptual hash record: two 32-bit half-words (the

@@ -679,4 +679,217 @@ object Profiling {
         sum(when(col("__v") > col("hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
         sum(greatest(least(col("__v"), col("hi")), col("lo"))).as("sum_winsorized"))
   }
+
+  /** REFERENTIAL-INTEGRITY profile of one foreign-key relation — the
+    * data-quality pre-flight for every star-schema join: orphan child
+    * rows (FK value with no parent — a join would silently drop or
+    * null them), null FKs, and unreferenced parents, all as one exact
+    * summary row. Two key-level hash aggs + one key-keyed outer join,
+    * plus one count for the null tally — null keys can't ride the
+    * full join (its null-key rows mean "no match", not "null FK").
+    */
+  def fkIntegrity(child: DataFrame, childKey: Column, parent: DataFrame,
+      parentKey: Column, relation: String): DataFrame = {
+    val ck = child.select(childKey.as("__k"))
+    val nulls = ck.filter(col("__k").isNull).count()
+    val ckeys = ck.filter(col("__k").isNotNull)
+      .groupBy("__k").agg(count(lit(1)).as("__cn"))
+    val pkeys = parent.select(parentKey.as("__k")).distinct()
+      .withColumn("__p", lit(true))
+    ckeys.join(pkeys, Seq("__k"), "full")
+      .agg(
+        lit(relation).as("relation"),
+        sum(coalesce(col("__cn"), lit(0L))).as("n_child_rows"),
+        lit(nulls).as("n_null_fk_rows"),
+        sum(when(col("__p").isNull, col("__cn")).otherwise(0L)).as("n_orphan_rows"),
+        sum(when(col("__p").isNull, 1L).otherwise(0L)).as("n_orphan_keys"),
+        sum(when(col("__p").isNotNull && col("__cn").isNotNull, 1L).otherwise(0L))
+          .as("n_referenced_parents"),
+        sum(when(col("__cn").isNull, 1L).otherwise(0L)).as("n_unreferenced_parents"))
+  }
+
+  /** EXACT equi-join size forecast from per-key counts — the pre-join
+    * skew diagnostic that answers "how big will this join be and
+    * which key dominates" BEFORE paying for the join: `Σ cntL·cntR`
+    * over shared keys is the exact inner-join cardinality, and the
+    * top key's share is the straggler forecast ([[keySkew]]'s
+    * companion, one step earlier in the plan). Two key aggs + one
+    * key join, output one row.
+    */
+  def joinSizeEstimate(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column, relation: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val la = left.groupBy(leftKey.as("__k")).agg(count(lit(1)).as("__ln"))
+    val ra = right.groupBy(rightKey.as("__k")).agg(count(lit(1)).as("__rn"))
+    la.join(ra, Seq("__k"))
+      .select(col("__k"), (col("__ln").cast(dec) * col("__rn").cast(dec)).as("__c"))
+      .agg(
+        lit(relation).as("relation"),
+        count(lit(1)).as("n_shared_keys"),
+        sum("__c").cast("long").as("n_join_rows"),
+        max(struct(col("__c"), col("__k").cast("string").as("__kk"))).as("__top"))
+      .select(col("relation"), col("n_shared_keys"), col("n_join_rows"),
+        col("__top.__kk").as("top_key"),
+        col("__top.__c").cast("long").as("top_key_rows"),
+        expr("(CAST(__top.__c AS BIGINT) * 1000000L) div n_join_rows")
+          .as("top_share_ppm"))
+  }
+
+  /** EQUI-DEPTH histogram per group: every row ranked under the
+    * (value, id) total order, bucket `(rank−1)·B div n` — buckets
+    * hold equal row counts (±1) by construction, and the boundaries
+    * are exact order statistics both engines agree on (the
+    * [[winsorizedStats]] rank discipline, generalized to B cuts).
+    * One group-keyed window + one hash agg.
+    */
+  def equiDepthHistogram(df: DataFrame, groupCols: Seq[String], idCol: String,
+      value: Column, buckets: Int): DataFrame = {
+    require(groupCols.nonEmpty, "equiDepthHistogram needs at least one group column")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("__v").asc, col(idCol).asc)
+    df.select(groupCols.map(col) :+ col(idCol) :+ value.cast("long").as("__v"): _*)
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(g: _*)))
+      .withColumn("bucket", expr(s"((__rk - 1) * $buckets) div __n"))
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("n"), min("__v").as("lo"), max("__v").as("hi"))
+  }
+
+  /** One-sided CUSUM drift detector over a regular integer series —
+    * the change-point monitor (Page 1954): `S_t = max(0, S_{t−1} +
+    * x_t − slack)` ramps when the level shifts above `slack` and
+    * hugs 0 otherwise. The recurrence LOOKS inherently sequential,
+    * but has the exact prefix closed form
+    * {{{ S_t = C_t − min(0, min_{j≤t} C_j),  C_t = Σ_{i≤t}(x_i − slack) }}}
+    * so it distributes as one running sum + one running min over the
+    * same ordered window — no iteration, engine-exact BIGINTs.
+    * Series-sized input (the [[autocorr]] contract: the corpus that
+    * produced the series is huge; the series itself is tiny), so the
+    * unpartitioned ordered window is dimension-sized by construction.
+    * Returns every point with its statistic and the alarm flag.
+    */
+  def cusum(series: DataFrame, t: Column, x: Column, slack: Long,
+      threshold: Long): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val w = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series.select(t.cast("long").as("__t"), x.cast("long").as("__x"))
+      .withColumn("__c", sum(col("__x") - slack).over(w))
+      .withColumn("__m", least(min(col("__c")).over(w), lit(0L)))
+      .select(col("__t").as("t"), col("__x").as("x"),
+        (col("__c") - col("__m")).as("s"),
+        (col("__c") - col("__m") >= threshold).as("alarm"))
+  }
+
+  /** The Benford first-digit expectation `⌊10⁶·log₁₀(1 + 1/d)⌋` —
+    * Scala-computed constants shared by both engines (the ndcgGains
+    * discipline). */
+  def benfordExpectedPpm: Seq[Long] =
+    (1 to 9).map(d => math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)
+
+  /** [[benfordExpectedPpm]] as a SQL list literal. */
+  def benfordExpectedPpmSql: String = benfordExpectedPpm.mkString("[", ", ", "]")
+
+  /** BENFORD first-significant-digit profile of a positive integer
+    * measure — the classic fabricated-data / unit-mixing smell test:
+    * observed digit shares vs the Benford expectation, in exact ppm
+    * (counts are exact; the expectation is a shared literal table).
+    * Non-positive values are excluded (they have no leading digit).
+    * One map-only digit extract + a 9-row agg + a 1-row broadcast.
+    */
+  def benfordProfile(df: DataFrame, value: Column): DataFrame = {
+    val expArr = typedLit(benfordExpectedPpm)
+    val digits = df.select(value.cast("long").as("__v"))
+      .filter(col("__v") > 0)
+      .select(substring(col("__v").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    digits
+      .join(broadcast(digits.agg(sum("n").as("__t"))))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000L) div __t").as("obs_ppm"),
+        element_at(expArr, col("digit")).as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+  }
+
+  /** L-DIVERSITY profile — [[kAnonymity]]'s companion (Machanavajjhala
+    * et al., ICDE 2006): a k-anonymous class is still a disclosure if
+    * everyone in it shares the SAME sensitive value, so the unit of
+    * risk is the number of DISTINCT sensitive values per
+    * quasi-identifier class. Output: histogram of (class_size,
+    * diversity) with class/row tallies and the at-risk flag
+    * (`diversity < l`). Two hash aggs over (QI..., sensitive) then
+    * (QI...), nothing driver-sided — the [[kAnonymity]] shape with
+    * one extra keyed level.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[Column], sensitive: Column,
+      l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity needs at least one quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    val qs = quasiCols.indices.map(i => s"__q$i")
+    val keyed = df.select(
+      quasiCols.zip(qs).map { case (c, n) => c.as(n) } :+ sensitive.as("__s"): _*)
+    keyed
+      .groupBy((qs :+ "__s").map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(qs.map(col): _*)
+      .agg(sum("__n").as("__sz"), count(lit(1)).as("__div"))
+      .groupBy(col("__sz").as("class_size"), col("__div").as("diversity"))
+      .agg(count(lit(1)).as("n_classes"))
+      .withColumn("n_rows", col("n_classes") * col("class_size"))
+      .withColumn("risky", col("diversity") < l)
+  }
+
+  /** CALIBRATION (reliability) bins — "when the model says 70%, is it
+    * right 70% of the time?": scores in ppm bucketed into `bins`
+    * fixed-width bands, each band reporting exact n / positives /
+    * score mass, with the observed positive rate and mean predicted
+    * score both in exact ppm (one hash agg; rates by exact BIGINT
+    * division — non-negative operands, `div` ≡ `//`).
+    */
+  def calibrationBins(df: DataFrame, scorePpm: Column, label: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    df.select(scorePpm.cast("long").as("__p"), label.cast("boolean").as("__y"))
+      .withColumn("bin", least(expr(s"(__p * $bins) div 1000000"), lit(bins - 1)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum("__p").as("__sp"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(n_pos * 1000000L) div n").as("obs_pos_ppm"),
+        expr("__sp div n").as("mean_score_ppm"))
+      .withColumn("gap_ppm", col("obs_pos_ppm") - col("mean_score_ppm"))
+  }
+
+  /** COHEN'S KAPPA — chance-corrected agreement between two labelers
+    * (Cohen 1960), the inter-annotator QA staple, in exact integer
+    * arithmetic: with `n` items, observed agreement `d = Σ diag` and
+    * expected agreement `e·n = Σ_c rowmarg_c·colmarg_c`,
+    * {{{ κ = (n·d − Σ rm·cm) / (n² − Σ rm·cm) }}}
+    * emitted in ppm via the [[groupTrend]] truncating decimal
+    * division (exactly the same value on both engines, including
+    * negative κ). Shape: one (a,b) cell agg, two marginal aggs from
+    * the CELLS (label-cardinality-sized, broadcast), one 1-row fold.
+    */
+  def cohenKappa(df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(labelA.cast("string").as("__a"),
+        labelB.cast("string").as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__n"))
+    val ra = cells.groupBy(col("__a").as("__c")).agg(sum("__n").as("__ra"))
+    val cb = cells.groupBy(col("__b").as("__c")).agg(sum("__n").as("__cb"))
+    val pe = ra.join(cb, Seq("__c"))
+      .agg(sum(col("__ra").cast(dec) * col("__cb").cast(dec)).as("__pe"))
+    val tot = cells.agg(sum("__n").cast(dec).as("__t"),
+      sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L)).cast(dec)
+        .as("__d"))
+    val num = (col("__t") * col("__d") - col("__pe")) * lit(1000000L).cast(dec)
+    val den = col("__t") * col("__t") - col("__pe")
+    tot.join(broadcast(pe))
+      .select(col("__t").cast("long").as("n"),
+        col("__d").cast("long").as("n_agree"),
+        when(den === 0, lit(null).cast("long"))
+          .otherwise(((num - num % den) / den).cast("long")).as("kappa_ppm"))
+  }
 }

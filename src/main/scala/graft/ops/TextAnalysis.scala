@@ -897,4 +897,120 @@ object TextAnalysis {
         sum(when(col("__first") === col("__id"), 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty_ppm", expr("(n_novel * 1000000L) div n_shingles"))
   }
+
+  /** VOCABULARY COVERAGE CURVE — the tokenizer-sizing question "how
+    * much of the token stream do the top-V types cover?" answered at
+    * each cutoff: types ranked by (freq DESC, token ASC) with
+    * [[Windows.denseIdsBy]] (distributed numbering, no global
+    * window), then one cutoff-exploded agg over the vocabulary.
+    * Coverage is exact ppm against the 1-row broadcast total. The
+    * corpus is scanned once (the freq table); everything after is
+    * vocabulary-sized.
+    */
+  def vocabCoverage(docs: DataFrame, text: Column, cutoffs: Seq[Int]): DataFrame = {
+    require(cutoffs.nonEmpty, "vocabCoverage needs at least one cutoff")
+    require(cutoffs.forall(_ >= 1), s"cutoffs must be >= 1, got $cutoffs")
+    val vocab = docs.select(explode(split(text, " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val ranked = Windows.denseIdsBy(vocab,
+      Seq(col("freq").desc, col("tok").asc), "rank")
+    val total = vocab.agg(sum("freq").as("__total"))
+    ranked
+      .select(explode(array(cutoffs.map(c => lit(c)): _*)).as("cutoff"),
+        col("rank"), col("freq"))
+      .filter(col("rank") <= col("cutoff"))
+      .groupBy("cutoff")
+      .agg(count(lit(1)).as("n_types"), sum("freq").as("covered_tokens"))
+      .join(broadcast(total))
+      .select(col("cutoff"), col("n_types"), col("covered_tokens"),
+        expr("(covered_tokens * 1000000L) div __total").as("coverage_ppm"))
+  }
+
+  /** CONTENT-DEFINED CHUNKING — boundaries chosen by the CONTENT
+    * (rolling hash hits a residue class), not by offset, so an
+    * insertion resynchronizes within one window and every later chunk
+    * hashes identically (the LBFS/rsync principle, Muthitacharoen et
+    * al., SOSP 2001). This is the dedup substrate offset-based
+    * chunking ([[chunkText]]) cannot provide: shift a document by one
+    * token and offset chunks ALL change, CDC chunks don't.
+    *
+    * A token at position `p ≥ w` ends a chunk when the w-token
+    * rolling hash `Σ_{j=1..w} v(tok_{p−w+j})·B^{j−1} ≡ 0 (mod
+    * divisor)` — `v` the md5 hex-prefix value mod 1e6, `B = 31`, all
+    * BIGINT-exact (max term 1e6·31³ ≈ 3e10). Expected chunk length ≈
+    * `divisor` tokens. Everything is MAP-SIDE array math per document
+    * (the [[winnowFingerprints]] discipline — no position self-join,
+    * no shuffle until the output explode); emits one row per chunk:
+    * `(id, chunk_idx, n_tokens, chunk_hash)`.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, text: Column,
+      window: Int, divisor: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val pows = typedLit((0 until window).map(j => math.pow(31.0, j).toLong))
+    df.select(col(idCol), filter(tokensWs(text), t => t =!= "").as("__ts"))
+      .filter(size(col("__ts")) >= 1)
+      .withColumn("__hs", transform(col("__ts"), t =>
+        conv(substring(md5(t), 1, 15), 16, 10).cast("long") % 1000000L))
+      .withColumn("__bounds",
+        filter(sequence(lit(window), greatest(size(col("__ts")), lit(window))),
+          p => p <= size(col("__ts")) &&
+            aggregate(
+              zip_with(slice(col("__hs"), p - (window - 1), lit(window)), pows,
+                (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x) % divisor === 0))
+      .withColumn("__cuts",
+        array_distinct(concat(col("__bounds"), array(size(col("__ts"))))))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("__cuts"))), i => {
+          val end = element_at(col("__cuts"), i)
+          val start = when(i === 1, lit(1))
+            .otherwise(element_at(col("__cuts"), i - 1) + 1)
+          slice(col("__ts"), start, end - start + 1)
+        })))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_tokens"),
+        md5(array_join(col("col"), " ")).as("chunk_hash"))
+  }
+
+  /** DuckDB mirror of [[cdcChunks]] as a CTE chain; the final CTE
+    * `cdc_chunks` has columns (`idExpr`, chunk_idx, n_tokens,
+    * chunk_hash). Slices are 1-based inclusive in both engines;
+    * `generate_series(w, len)` is empty when `len < w` exactly like
+    * the guarded Spark sequence.
+    */
+  def cdcChunksSqlCtes(table: String, idExpr: String, textExpr: String,
+      window: Int, divisor: Int): String = {
+    val pows = (0 until window).map(j => math.pow(31.0, j).toLong)
+      .mkString("[", ", ", "]")
+    s"""ct AS (
+       |  SELECT $idExpr, list_filter(string_split($textExpr, ' '), x -> x <> '') AS ts
+       |  FROM $table),
+       |ch AS (
+       |  SELECT $idExpr, ts,
+       |    list_transform(ts, t ->
+       |      CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 1000000) AS hs
+       |  FROM ct WHERE len(ts) >= 1),
+       |cb AS (
+       |  SELECT $idExpr, ts,
+       |    -- list_distinct does NOT preserve order in DuckDB (it
+       |    -- returned [78, 36] for append([36], 78)) — sort restores
+       |    -- the ascending cut order Spark's array_distinct keeps.
+       |    list_sort(list_distinct(list_append(
+       |      list_filter(generate_series($window, len(ts)), p ->
+       |        list_sum(list_transform(generate_series(1, $window),
+       |          j -> hs[p - $window + j] * ($pows)[j])) % $divisor = 0),
+       |      len(ts)))) AS cuts
+       |  FROM ch),
+       |cs AS (
+       |  SELECT $idExpr, u.i AS i,
+       |    ts[CASE WHEN u.i = 1 THEN 1 ELSE cuts[u.i - 1] + 1 END : cuts[u.i]] AS chunk
+       |  FROM cb, unnest(generate_series(1, len(cuts))) AS u(i)),
+       |cdc_chunks AS (
+       |  SELECT $idExpr, CAST(i - 1 AS BIGINT) AS chunk_idx,
+       |         CAST(len(chunk) AS BIGINT) AS n_tokens,
+       |         md5(list_aggregate(chunk, 'string_agg', ' ')) AS chunk_hash
+       |  FROM cs)""".stripMargin
+  }
 }

@@ -453,4 +453,48 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(oneShot(1L) == ((2L, 111L * 250000L + 40L * 500000L + 7L * 1000000L, 4L)))
     assert(oneShot(2L) == ((5L, 10L * 1000000L, 2L)))
   }
+
+  test("streaming: count-min sketch cells — incremental stream equals batch") {
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").limit(2000)
+    val expected = graft.ops.Sketches.cmsCells(toks, col("tok"), 4, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+
+    val stream = MemoryStream[String](spark)
+    val q = graft.ops.Sketches.cmsCells(stream.toDF().toDF("tok"), col("tok"), 4, 64)
+      .writeStream.format("memory").queryName("cms_out").outputMode("complete").start()
+    try {
+      // three arbitrary chunks: the sketch is a sum, so the final
+      // state must be chunking-invariant (mergeability, live)
+      val all = toks.collect().map(_.getString(0))
+      all.grouped(700).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+      val got = spark.table("cms_out")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("streaming: bloom index — incremental stream equals batch") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select((col("o_orderkey") % 8).as("file"), col("o_custkey"))
+    val expected = graft.ops.Sketches.bloomIndex(o, col("file"), col("o_custkey"), 1024, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val stream = MemoryStream[(Long, Long)](spark)
+    val sdf = stream.toDF().toDF("file", "o_custkey")
+    val q = graft.ops.Sketches.bloomIndex(sdf, col("file"), col("o_custkey"), 1024, 3)
+      .writeStream.format("memory").queryName("bloom_out").outputMode("complete").start()
+    try {
+      val rows = o.collect().map(r => (r.getLong(0), r.getLong(1)))
+      rows.grouped(600).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+      val got = spark.table("bloom_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
 }

@@ -107,6 +107,188 @@ class ProfilingMultimodalSpec extends SparkSpec {
     assert(dist <= 16, s"same-base perceptual distance was $dist")
   }
 
+  test("fkIntegrity hand golden: orphans, nulls, unreferenced parents") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk") // 9 is an orphan, one null FK
+    val parent = Seq(1L, 2L, 3L).toDF("pk") // 3 is unreferenced
+    val r = Profiling.fkIntegrity(child, col("fk"), parent, col("pk"), "t").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) == ((4L, 1L, 1L, 1L, 2L, 1L)))
+  }
+
+  test("joinSizeEstimate predicts the exact join cardinality") {
+    val l = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val r = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val row = Profiling.joinSizeEstimate(l, col("o_custkey"), r, col("c_custkey"), "x").head()
+    val actual = l.join(r, col("o_custkey") === col("c_custkey")).count()
+    assert(row.getLong(2) == actual)
+  }
+
+  test("equiDepthHistogram: equal counts (±1), coverage, ordered bounds") {
+    val df = (1L to 103L).map(i => (i, i * 7 % 1000)).toDF("id", "v")
+      .withColumn("g", lit("x"))
+    val rows = Profiling.equiDepthHistogram(df, Seq("g"), "id", col("v"), 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._2).sum == 103L)
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    assert(rows.sliding(2).forall { case Array(a, b) => a._4 <= b._3; case _ => true })
+  }
+
+  test("benfordProfile: exact counts and shared expectation table") {
+    val df = Seq(1L, 19L, 100L, 2L, 25L, 31L, 999L).toDF("v")
+    val got = Profiling.benfordProfile(df, col("v"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got(1) == (3L, Profiling.benfordExpectedPpm(0)))
+    assert(got(2) == (2L, Profiling.benfordExpectedPpm(1)))
+    assert(got(3) == (1L, Profiling.benfordExpectedPpm(2)))
+    assert(got(9) == (1L, Profiling.benfordExpectedPpm(8)))
+    assert(Profiling.benfordExpectedPpm.head == 301029L) // log10(2) floor
+  }
+
+  test("cusum prefix form equals the sequential recurrence") {
+    // hand: x = [5,5,20,5], slack 10 → S = [0,0,10,5]
+    val series = Seq((0L, 5L), (1L, 5L), (2L, 20L), (3L, 5L)).toDF("t", "x")
+    val got = Profiling.cusum(series, col("t"), col("x"), slack = 10L, threshold = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got == Map(0L -> (0L, false), 1L -> (0L, false),
+      2L -> (10L, true), 3L -> (5L, false)))
+    // property: prefix closed form == the sequential fold, on a
+    // pseudo-random series
+    val xs = (0L until 200L).map(t => (t, (t * 37 % 23) - 3))
+    val seq = xs.scanLeft(0L) { case (s, (_, x)) => math.max(0L, s + x - 8L) }.tail
+    val dist = Profiling.cusum(xs.toDF("t", "x"), col("t"), col("x"), 8L, 50L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(xs.indices.forall(i => dist(xs(i)._1) == seq(i)))
+  }
+
+  test("vocabCoverage hand golden") {
+    val docs = Seq("a a a b b c", "a b d").toDF("text")
+    val got = graft.ops.TextAnalysis.vocabCoverage(docs, col("text"), Seq(1, 2, 8))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // freqs: a=4, b=3, c=1, d=1; total 9
+    assert(got(1) == (1L, 4L, 4L * 1000000L / 9L))
+    assert(got(2) == (2L, 7L, 7L * 1000000L / 9L))
+    assert(got(8) == (4L, 9L, 1000000L))
+  }
+
+  test("lDiversity hand golden: diversity histogram and risk flag") {
+    // class (1): sensitive {a,a,b} → size 3, diversity 2 (risky at l=3)
+    // class (2): sensitive {a,b,c} → size 3, diversity 3 (safe)
+    // class (3): sensitive {a}     → size 1, diversity 1 (risky)
+    val df = Seq((1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "c"),
+      (3, "a")).toDF("q", "s")
+    val got = Profiling.lDiversity(df, Seq(col("q")), col("s"), l = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got == Map(
+      (3L, 2L) -> (1L, 3L, true),
+      (3L, 3L) -> (1L, 3L, false),
+      (1L, 1L) -> (1L, 1L, true)))
+  }
+
+  test("calibrationBins hand golden: exact rates, clamp at the top bin") {
+    // scores: 050000(bin 0, y=F), 150000(bin 1, y=T), 199999(bin 1, y=F),
+    //         999999(bin 9 via clamp, y=T), 1000000→bin 9 too (least)
+    val df = Seq((50000L, false), (150000L, true), (199999L, false),
+      (999999L, true)).toDF("p", "y")
+    val got = Profiling.calibrationBins(df, col("p"), col("y"), bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(0L) == (1L, 0L, 0L, 50000L))
+    assert(got(1L) == (2L, 1L, 500000L, (150000L + 199999L) / 2))
+    assert(got(9L) == (1L, 1L, 1000000L, 999999L))
+  }
+
+  test("cohenKappa: perfect agreement, independence, and a hand value") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("x", "y")
+    assert(Profiling.cohenKappa(perfect, col("x"), col("y")).head().getLong(2)
+      == 1000000L)
+    // hand: 2x2 — n=100, diag=70, both marginals (50,50)
+    //   po=0.70, pe=0.50 → kappa = (0.70-0.50)/(1-0.50) = 0.4 exactly
+    val rows = Seq.fill(35)(("p", "p")) ++ Seq.fill(15)(("p", "n")) ++
+      Seq.fill(15)(("n", "p")) ++ Seq.fill(35)(("n", "n"))
+    val k = Profiling.cohenKappa(rows.toDF("x", "y"), col("x"), col("y")).head()
+    assert(k.getLong(0) == 100L && k.getLong(1) == 70L)
+    assert(k.getLong(2) == 400000L)
+    // degenerate: both labelers constant → den = 0 → NULL, not a crash
+    val const = Seq(("a", "a"), ("a", "a")).toDF("x", "y")
+    assert(Profiling.cohenKappa(const, col("x"), col("y")).head().isNullAt(2))
+  }
+
+  test("cdcChunks: coverage, determinism, and shift robustness") {
+    val T = graft.ops.TextAnalysis
+    // Tokens must be aperiodic: a first cut used w(i·7 mod 83) and the
+    // 83-periodic stream produced only 13 DISTINCT chunks (boundaries
+    // are content-local, so they repeat with the content) — the
+    // set-intersection check then compared near-empty sets.
+    val text = (1 to 400).map(i => s"w${i * i % 997}x$i").mkString(" ")
+    val base = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = T.cdcChunks(base, "doc_id", col("text"), 4, 16)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // chunks cover the document exactly
+    assert(chunks.map(_._2).sum == 400L)
+    assert(chunks.length > 3, s"only ${chunks.length} chunks — divisor too big?")
+    // SHIFT ROBUSTNESS: prepend 3 tokens; all chunk hashes after the
+    // first boundary resynchronize (content-defined, not offset-based)
+    val shifted = Seq((1L, "zz1 zz2 zz3 " + text)).toDF("doc_id", "text")
+    val shiftedHashes = T.cdcChunks(shifted, "doc_id", col("text"), 4, 16)
+      .collect().map(r => r.getString(3)).toSet
+    val common = chunks.map(_._3).toSet.intersect(shiftedHashes)
+    assert(common.size >= chunks.length - 2,
+      s"only ${common.size}/${chunks.length} chunk hashes survived the shift")
+    // empty-ish doc: shorter than one window → a single chunk
+    val tiny = T.cdcChunks(Seq((2L, "a b")).toDF("doc_id", "text"),
+      "doc_id", col("text"), 4, 16).collect()
+    assert(tiny.length == 1 && tiny.head.getLong(2) == 2L)
+  }
+
+  test("audio tone DFT: planted bin dominates through the WAV roundtrip") {
+    val ids = (0L to 7L).map(Tuple1(_)).toDF("doc_id")
+    val recs = Multimodal.synthToneRecords(ids, "doc_id")
+    val smp = Multimodal.decodeAudioSamples(recs).filter(col("pos") >= 0)
+    val tab = typedLit(Multimodal.CosTable64)
+    val sums = smp.select(col("id"), col("pos"), col("sample"),
+        explode(sequence(lit(1L), lit(8L))).as("bin"))
+      .groupBy("id", "bin")
+      .agg(sum(col("sample") *
+          element_at(tab, ((col("bin") * col("pos")) % 64 + 1).cast("int"))).as("c"),
+        sum(col("sample") *
+          element_at(tab, ((col("bin") * col("pos") + 48) % 64 + 1).cast("int"))).as("s"))
+      .withColumn("p", col("c") * col("c") + col("s") * col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    (0L to 7L).foreach { id =>
+      val planted = 1 + id % 8
+      val best = (1L to 8L).maxBy(b => sums((id, b)))
+      assert(best == planted, s"id $id: dominant $best != planted $planted")
+      // orthogonality: the planted bin carries ≥ 100x any other bin
+      (1L to 8L).filter(_ != planted).foreach { b =>
+        assert(sums((id, planted)) > 100L * math.max(sums((id, b)), 1L))
+      }
+    }
+  }
+
+  test("modularity hand goldens: two triangles, one blob, negative Q") {
+    val G = graft.ops.Graphs
+    // two triangles {1,2,3} and {4,5,6} bridged by 3-4
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("src", "dst")
+    val comm = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 2L))
+      .toDF("id", "community")
+    val r = G.modularity(tri, comm).head()
+    // 2m=14, W=12, d_c=7 each → Q = (14*12-98)/196 = 70/196 = 0.357142...
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((6L, 2L, 7L, 12L, 357142L)))
+    // everything one community → Q = 0 exactly
+    val one = comm.select(col("id"), lit(9L).as("community"))
+    assert(G.modularity(tri, one).head().getLong(4) == 0L)
+    // singleton communities on one edge → Q = -1/2 exactly
+    val edge = Seq((1L, 2L)).toDF("src", "dst")
+    val singles = Seq((1L, 1L), (2L, 2L)).toDF("id", "community")
+    assert(G.modularity(edge, singles).head().getLong(4) == -500000L)
+  }
+
   test("imageDhash sentinel on corrupt payloads") {
     val recs = Seq(Multimodal.MediaRecord(7L, Array[Byte](1, 2, 3), "image/bmp", Map()))
       .toDS()
