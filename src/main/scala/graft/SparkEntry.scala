@@ -2715,15 +2715,23 @@ object SparkEntry {
     * analytic pixel formula (md5 block texture + gradient + sparse
     * variant flips → 4×4 block means → gradient-sign bits).
     */
-  private val ImageDhashCtes: String = {
-    val bh = "CAST(('0x' || substr(md5(CAST((d.doc_id // 10) AS VARCHAR) || ':' || " +
+  /** The analytic-dHash CTE chain over an arbitrary image-key source:
+    * `idsSql` must yield a column `img_id`; the chain ends at `agg`
+    * keyed by `id`. Frame key semantics are [[graft.ops.Multimodal
+    * .synthGray]]'s: base = `img_id div 10`, variant = `img_id mod
+    * 10` — shared by the still-image fixture (img_id = doc_id) and
+    * the video fixture (img_id = video·10 + frame).
+    */
+  private def imageDhashCtesFor(idsSql: String): String = {
+    val bh = "CAST(('0x' || substr(md5(CAST((d.img_id // 10) AS VARCHAR) || ':' || " +
       "CAST((gx.x // 4) AS VARCHAR) || ':' || CAST((gy.y // 4) AS VARCHAR)), 1, 15)) AS BIGINT) % 256"
-    s"""px AS (
-       |  SELECT d.doc_id AS id, gx.x AS x, gy.y AS y,
-       |    CASE WHEN (gx.x + gy.y * 36) % 97 = d.doc_id % 10
+    s"""imgids AS ($idsSql),
+       |px AS (
+       |  SELECT d.img_id AS id, gx.x AS x, gy.y AS y,
+       |    CASE WHEN (gx.x + gy.y * 36) % 97 = d.img_id % 10
        |         THEN ((gx.x * 7 + gy.y * 13 + $bh) % 256 + 128) % 256
        |         ELSE (gx.x * 7 + gy.y * 13 + $bh) % 256 END AS g
-       |  FROM documents d, generate_series(0, 35) gx(x), generate_series(0, 31) gy(y)),
+       |  FROM imgids d, generate_series(0, 35) gx(x), generate_series(0, 31) gy(y)),
        |bm AS (
        |  SELECT id, y // 4 AS r, x // 4 AS c, sum(g) // 16 AS m
        |  FROM px GROUP BY 1, 2, 3),
@@ -2737,6 +2745,11 @@ object SparkEntry {
        |    coalesce(bit_or(CASE WHEN bit >= 32 THEN (1::BIGINT << (bit - 32)::INT) END), 0) AS d1
        |  FROM bits GROUP BY 1)""".stripMargin
   }
+
+  /** The still-image instantiation (img_id = doc_id), used by
+    * q_image_dhash / q_image_neardups. */
+  private val ImageDhashCtes: String =
+    imageDhashCtesFor("SELECT doc_id AS img_id FROM documents")
 
   /** Bloom file-skipping index ([[graft.ops.Sketches.bloomIndex]]):
     * orders sharded into 8 deterministic "files", one 1024-bit/3-hash
@@ -2988,6 +3001,36 @@ object SparkEntry {
       .withColumn("dominant",
         col("power") === max("power").over(
           org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+  }
+
+  /** Shifted-content near-dups
+    * ([[graft.ops.TextAnalysis.cdcNearDupPairs]]): documents sharing
+    * ≥2 content-defined chunks (w=4, divisor 16, hot-chunk cap 8) —
+    * the shift-invariant containment signal offset chunking can't
+    * give; ~21 pairs at sf0.001, chunk-keyed join only.
+    */
+  private def qCdcNeardups(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.cdcNearDupPairs(
+      t(s, dir, "documents"), "doc_id", col("text"),
+      window = 4, divisor = 16, minShared = 2, maxChunkFreq = 8)
+
+  /** Sampled video-frame perceptual hashes
+    * ([[graft.ops.Multimodal.synthVideoRecords]] /
+    * [[graft.ops.Multimodal.videoFrameHashes]]): REAL GVID containers
+    * of BMP frames written by the engine (frame key = video·10 + f,
+    * so frames share the video's texture base — consecutive frames
+    * are perceptual near-dups, like real video), every 2nd frame
+    * decoded and dHashed. The oracle recomputes each sampled frame's
+    * hash from the analytic pixel formula — equality certifies
+    * container encode → frame extract → BMP decode → dHash.
+    */
+  private def qVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    val M = graft.ops.Multimodal
+    val recs = M.synthVideoRecords(
+      t(s, dir, "documents").filter(col("doc_id") % 13 === 0), "doc_id")
+    M.videoFrameHashes(recs, stride = 2)
+      .select(col("id").as("doc_id"), col("frame_idx"),
+        col("width"), col("height"), col("d0"), col("d1"))
   }
 
   /** Community quality ([[graft.ops.Graphs.modularity]]): Newman
@@ -3665,6 +3708,8 @@ object SparkEntry {
     "q_cdc_chunks" -> (qCdcChunks _),
     "q_audio_tone" -> (qAudioTone _),
     "q_modularity" -> (qModularity _),
+    "q_cdc_neardups" -> (qCdcNeardups _),
+    "q_video_frames" -> (qVideoFrames _),
     "q_zscore" -> (qZscore _),
     "q_shards" -> (qShards _),
     "q_golden" -> (qGolden _),
@@ -5941,6 +5986,41 @@ object SparkEntry {
          |         OVER (PARTITION BY doc_id) AS dominant
          |FROM sums""".stripMargin
     },
+    // CDC near-dup mirror: the cdc_chunks chain, distinct (doc,
+    // hash), the same hot-chunk cap, chunk-keyed join, pre-cap
+    // containment denominators.
+    "q_cdc_neardups" ->
+      s"""WITH ${graft.ops.TextAnalysis.cdcChunksSqlCtes(
+            "documents", "doc_id", "text", 4, 16)},
+         |ch AS (SELECT DISTINCT doc_id, chunk_hash FROM cdc_chunks),
+         |kept AS (
+         |  SELECT ch.doc_id, ch.chunk_hash FROM ch
+         |  JOIN (SELECT chunk_hash FROM ch GROUP BY 1 HAVING count(*) <= 8) f
+         |    USING (chunk_hash)),
+         |nd AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY 1),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM kept a JOIN kept b
+         |    ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT p.id_a, p.id_b, p.n_shared,
+         |       (p.n_shared * 1000000) // least(na.n, nb.n) AS containment_ppm
+         |FROM p JOIN nd na ON na.doc_id = p.id_a
+         |       JOIN nd nb ON nb.doc_id = p.id_b""".stripMargin,
+    // Video-frame mirror: the SAME analytic dHash chain instantiated
+    // at frame keys video·10 + f (sampled every 2nd frame).
+    "q_video_frames" ->
+      s"""WITH ${imageDhashCtesFor(
+            """SELECT doc_id * 10 + gs.f AS img_id
+              |    FROM documents, generate_series(0, 8) gs(f)
+              |    WHERE doc_id % 13 = 0 AND gs.f < 4 + doc_id % 5
+              |      AND gs.f % 2 = 0""".stripMargin)}
+         |SELECT i.img_id // 10 AS doc_id, i.img_id % 10 AS frame_idx,
+         |  CAST(36 AS INT) AS width, CAST(32 AS INT) AS height,
+         |  CAST(coalesce(a.d0, 0) AS BIGINT) AS d0,
+         |  CAST(coalesce(a.d1, 0) AS BIGINT) AS d1
+         |FROM imgids i LEFT JOIN agg a ON a.id = i.img_id""".stripMargin,
     // Modularity mirror: the LPA CTE chain, then the same
     // (2m·W − Σd²)/(2m)² rational in HUGEINT.
     "q_modularity" ->

@@ -407,11 +407,23 @@ object Multimodal {
     implicit val enc = Encoders.product[ImageHash]
     records.mapPartitions { it =>
       it.map { r =>
+        val (w0, h0, d0, d1) = dhashBytes(r.media)
+        ImageHash(r.id, w0, h0, d0, d1)
+      }
+    }
+  }
+
+  /** The dHash kernel over raw image bytes — shared by [[imageDhash]]
+    * and [[videoFrameHashes]]; decode failure or non-tiling geometry
+    * → the `(-1, -1, 0, 0)` sentinel. */
+  def dhashBytes(payload: Array[Byte]): (Int, Int, Long, Long) = {
+    {
+      {
         val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
           catch { case _: java.io.IOException => null }
         if (img == null || img.getWidth % 9 != 0 || img.getHeight % 8 != 0)
-          ImageHash(r.id, -1, -1, 0L, 0L)
+          (-1, -1, 0L, 0L)
         else {
           val (w, h) = (img.getWidth, img.getHeight)
           val (bw, bh) = (w / 9, h / 8)
@@ -446,9 +458,98 @@ object Multimodal {
             }
             bit += 1
           }
-          ImageHash(r.id, w, h, d0, d1)
+          (w, h, d0, d1)
         }
       }
     }
+  }
+
+  // ---- video: frame container + sampled frame hashing ----------------
+
+  /** Minimal length-prefixed frame container (`GVID` magic, int32
+    * frame count, then `int32 length + bytes` per frame) — the
+    * video-as-binary-column shape: the payload stays ONE opaque cell,
+    * decode walks it without ever materializing more than a frame.
+    * `decode` returns None on bad magic/truncation — callers surface
+    * a sentinel row, never a silent drop (the [[AudioCodec]]
+    * contract).
+    */
+  object VideoCodec {
+    def encode(frames: Array[Array[Byte]]): Array[Byte] = {
+      val total = 8 + frames.map(_.length + 4).sum
+      val bb = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("GVID".getBytes("US-ASCII")).putInt(frames.length)
+      frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+      bb.array()
+    }
+
+    def decode(payload: Array[Byte]): Option[Array[Array[Byte]]] = {
+      if (payload.length < 8) return None
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val magic = new Array[Byte](4); bb.get(magic)
+      if (new String(magic, "US-ASCII") != "GVID") return None
+      val n = bb.getInt
+      if (n < 0 || n > (1 << 20)) return None
+      val out = new Array[Array[Byte]](n)
+      var i = 0
+      while (i < n) {
+        if (bb.remaining < 4) return None
+        val len = bb.getInt
+        if (len < 0 || bb.remaining < len) return None
+        val f = new Array[Byte](len); bb.get(f)
+        out(i) = f
+        i += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** Fixture-path video synthesis: video `id` carries `4 + id mod 5`
+    * BMP frames, frame `f` drawn by the SAME analytic pixel formula
+    * as the image fixture with frame key `id·10 + f` — so every
+    * frame of a video shares the video's md5 block texture (base
+    * `id`, since key div 10 = id for f < 10) and differs only by the
+    * sparse per-variant flip: consecutive frames are perceptual
+    * near-duplicates, exactly like real video.
+    */
+  def synthVideoRecords(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val n = (4 + id % 5).toInt
+      val frames = Array.tabulate(n)(f => synthBmp(id * 10 + f))
+      MediaRecord(id, VideoCodec.encode(frames), "video/gvid",
+        Map("codec" -> "gvid-bmp24"))
+    }
+  }
+
+  /** Sampled frame hashes `(id, frame_idx, width, height, d0, d1)`:
+    * decode the container, keep every `stride`-th frame, dHash each
+    * through the [[dhashBytes]] kernel — the standard video
+    * near-duplicate fingerprint (frame-sampled perceptual hashes;
+    * pairs then go through [[graft.ops.Similarity.hammingNearDupPairsSig]]
+    * like still images). Corrupt container → one `(id, -1, …)`
+    * sentinel row.
+    */
+  def videoFrameHashes(records: Dataset[MediaRecord], stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        VideoCodec.decode(r.media) match {
+          case Some(frames) =>
+            frames.iterator.zipWithIndex
+              .filter { case (_, f) => f % stride == 0 }
+              .map { case (bytes, f) =>
+                val (w, h, d0, d1) = dhashBytes(bytes)
+                (r.id, f.toLong, w, h, d0, d1)
+              }
+          case None => Iterator((r.id, -1L, -1, -1, 0L, 0L))
+        }
+      }
+    }.toDF("id", "frame_idx", "width", "height", "d0", "d1")
   }
 }

@@ -974,6 +974,46 @@ object TextAnalysis {
         md5(array_join(col("col"), " ")).as("chunk_hash"))
   }
 
+  /** SHIFTED-CONTENT near-duplicate pairs via shared [[cdcChunks]]
+    * hashes — the payoff of content-defined boundaries: a document
+    * that embeds another's text AT ANY OFFSET shares its interior
+    * chunks verbatim (offset chunking shares none), so chunk-hash
+    * co-occurrence is a shift-invariant containment signal. Returns
+    * `(id_a, id_b, n_shared, containment_ppm)` for pairs sharing ≥
+    * `minShared` distinct chunks; `containment_ppm` divides by the
+    * SMALLER document's distinct-chunk count (pre-cap, truthful).
+    *
+    * Scale shape: the n-gram-Jaccard discipline — chunk-keyed
+    * equi-join, never corpus²; chunks appearing in more than
+    * `maxChunkFreq` documents are dropped BEFORE the join (the
+    * documented hot-shingle cap: boilerplate chunks would otherwise
+    * explode the bucket quadratically; capped chunks censor the same
+    * way in the oracle).
+    */
+  def cdcNearDupPairs(df: DataFrame, idCol: String, text: Column,
+      window: Int, divisor: Int, minShared: Int, maxChunkFreq: Int): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxChunkFreq >= 2, s"maxChunkFreq must be >= 2, got $maxChunkFreq")
+    val ch = cdcChunks(df, idCol, text, window, divisor)
+      .select(col(idCol), col("chunk_hash")).distinct()
+      .localCheckpoint(true)
+    val kept = ch.join(
+      ch.groupBy("chunk_hash").agg(count(lit(1)).as("__f"))
+        .filter(col("__f") <= maxChunkFreq).select("chunk_hash"),
+      Seq("chunk_hash"))
+    val nd = ch.groupBy(idCol).agg(count(lit(1)).as("__n"))
+    kept.select(col("chunk_hash"), col(idCol).as("id_a"))
+      .join(kept.select(col("chunk_hash"), col(idCol).as("id_b")),
+        Seq("chunk_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(nd.select(col(idCol).as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(nd.select(col(idCol).as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        expr("(n_shared * 1000000L) div least(__na, __nb)").as("containment_ppm"))
+  }
+
   /** DuckDB mirror of [[cdcChunks]] as a CTE chain; the final CTE
     * `cdc_chunks` has columns (`idExpr`, chunk_idx, n_tokens,
     * chunk_hash). Slices are 1-based inclusive in both engines;
