@@ -75,7 +75,23 @@ object Bench {
       spark
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Subset/re-time mode (round-7 verdict ask): SPARK_GRAFT_ONLY=q_a,q_b
+    // runs just those queries — the mechanical tool for the noise
+    // policy's "re-time suspicious deltas under calm load" step, which
+    // previously needed hand-rigged runs. Subset runs never overwrite
+    // the full-run trend baseline file.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      only match {
+        case Some(qs) =>
+          val unknown = qs -- all.toSet
+          require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not in queries: $unknown")
+          all.filter(qs)
+        case None => all
+      }
+    }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
     def timeOne(name: String): Double = {
@@ -174,15 +190,20 @@ object Bench {
       val spreadPct =
         if (totalsRaw.size >= 2 && totalsRaw.min > 0)
           (totalsRaw.max - totalsRaw.min) / totalsRaw.min * 100 else 0.0
-      val noisy = spreadPct > 25.0
+      // A run can be loaded without being spread-noisy (round 7 ran at
+      // load_avg 5.05 with 13.5% spread and its >2× deltas were still
+      // co-tenant noise) — gate delta attribution on load too.
+      val loaded = loads.nonEmpty && loads.max > 3.0
+      val noisy = spreadPct > 25.0 || loaded
       val loadJson = loads.map(jnum).mkString("[", ",", "]")
       val noiseFields =
-        s""""load_avg":$loadJson,"spread_pct":${jnum(spreadPct)},"noisy":$noisy"""
+        s""""load_avg":$loadJson,"spread_pct":${jnum(spreadPct)},"noisy":$noisy,"loaded":$loaded"""
       val full = s"""{"metric":"total_of_medians","value":${jnum(total)},"unit":"sec","runs":$runs,"passes_completed":${passes.size},$noiseFields,"queries":$qs,"run_spread":$spread,"pass_totals":$passTotals,"failed":$failed,"sf":"$sfDir","sf1_probe":$probe}"""
       println(full)
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("docs/BENCH_full_latest.json"), full + "\n")
-      catch { case _: Throwable => () } // bench result must not die on a doc write
+      if (only.isEmpty)
+        try java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("docs/BENCH_full_latest.json"), full + "\n")
+        catch { case _: Throwable => () } // bench result must not die on a doc write
       val top = perQuery.sortBy { case (_, xs) => -median(xs) }.take(10)
         .map { case (n, xs) => s"${jstr(n)}:${jnum(median(xs))}" }.mkString("{", ",", "}")
       // Round-over-round deltas: queries whose median moved >1.5×
@@ -201,8 +222,10 @@ object Bench {
       // On a noisy run (>25% pass spread) per-query deltas are VM
       // noise, not regressions — annotate instead of attributing.
       val trend = prevTotal.fold("")(p =>
-        if (noisy) s""","prev_total":${jnum(p)},"deltas_note":"suppressed: noisy run (pass spread ${jnum(spreadPct)}%)""""
-        else s""","prev_total":${jnum(p)},"deltas":$deltas""")
+        if (noisy) {
+          val why = if (loaded) s"load_avg ${jnum(loads.max)} > 3" else s"pass spread ${jnum(spreadPct)}%"
+          s""","prev_total":${jnum(p)},"deltas_note":"suppressed: unattributable under $why""""
+        } else s""","prev_total":${jnum(p)},"deltas":$deltas""")
       // The compact line must survive the driver's 2000-char output
       // tail even in a MASS-failure run: cap the inlined failure map
       // at 3 entries + a count (the full map is in the full line and

@@ -2634,38 +2634,44 @@ object SparkEntry {
       Seq("o_orderpriority"), col("x_k"), col("n_items"))
   }
 
-  /** Lag-k autocorrelation ([[graft.ops.Profiling.autocorr]]): daily
-    * order revenue (thousands, exact floor-div) modulated by a
-    * deterministic period-7 factor `1 + (t%7)%3`, ACF at lags 1–7 and
-    * 14 — the seasonality detector; the planted weekly cycle puts
-    * lag 7/14 far above the rest (both engines compute the identical
-    * integer series, so the r² ppm values are engine-exact via the
-    * groupCorr machinery).
-    */
   /** Shared modulated daily revenue series for the time-series rows
-    * (q_autocorr, q_seasonal): daily revenue in exact thousands,
-    * scaled by the deterministic period-7 factor `1 + (t%7)%3·2`.
+    * (q_autocorr, q_seasonal): daily revenue in SCALE-FREE milli-mean
+    * units (`dc·nd·1000 // tc` ≈ 1000·day/mean — the qCusum
+    * discipline, so the series magnitude is ~1000·factor at EVERY sf
+    * and the groupCorr 3e18 envelope can never fire), scaled by the
+    * deterministic period-7 factor `1 + (t%7)%3·2` (values 1/3/5).
     */
   private def dailyRevSeries(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val minD = o.agg(min(col("o_orderdate")).as("__d0"))
-    o.join(broadcast(minD))
+    val daily = o.join(broadcast(minD))
       .select(datediff(col("o_orderdate"), col("__d0")).cast("long").as("t"),
         floor(col("o_totalprice") * 100).cast("long").as("__cents"))
-      .groupBy("t").agg(expr("sum(__cents) div 100000").as("__rev"))
+      .groupBy("t").agg(sum(col("__cents")).as("__dc"))
+    val tot = daily.agg(sum(col("__dc")).as("__tc"), count(lit(1)).as("__nd"))
+    daily.join(broadcast(tot))
       .select(col("t"),
-        (col("__rev") * (lit(1L) + (col("t") % 7) % 3 * 2)).as("x"))
+        (expr("(__dc * __nd * 1000) div __tc")
+          * (lit(1L) + (col("t") % 7) % 3 * 2)).as("x"))
   }
 
-  /** DuckDB mirror of [[dailyRevSeries]] as CTEs `d0, daily, ser`. */
+  /** DuckDB mirror of [[dailyRevSeries]] as CTEs `d0, daily, dtot, ser`. */
   private val DailySeriesCtes: String =
     """d0 AS (SELECT min(o_orderdate) AS v FROM orders),
       |daily AS (
       |  SELECT CAST(datediff('day', d0.v, o_orderdate) AS BIGINT) AS t,
-      |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS dc
       |  FROM orders, d0 GROUP BY 1),
-      |ser AS (SELECT t, (cents // 100000) * (1 + (t % 7) % 3 * 2) AS x FROM daily)""".stripMargin
+      |dtot AS (SELECT CAST(sum(dc) AS BIGINT) AS tc, count(*) AS nd FROM daily),
+      |ser AS (SELECT t, ((dc * nd * 1000) // tc) * (1 + (t % 7) % 3 * 2) AS x
+      |        FROM daily, dtot)""".stripMargin
 
+  /** Lag-k autocorrelation ([[graft.ops.Profiling.autocorr]]) of
+    * [[dailyRevSeries]] at lags 1–7 and 14 — the seasonality
+    * detector; the planted weekly 1/3/5 cycle puts lag 7/14 far above
+    * the rest (both engines compute the identical integer series, so
+    * the r² ppm values are engine-exact via the groupCorr machinery).
+    */
   private def qAutocorr(s: SparkSession, dir: String): DataFrame =
     graft.ops.Profiling.autocorr(dailyRevSeries(s, dir), col("t"), col("x"),
       lags = Seq(1, 2, 3, 4, 5, 6, 7, 14))
@@ -5749,8 +5755,8 @@ object SparkEntry {
          |fs AS (SELECT sh, min(doc_id) AS first_id FROM sh GROUP BY 1)
          |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
          |  CAST(sum(CASE WHEN fs.first_id = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-         |  (sum(CASE WHEN fs.first_id = sh.doc_id THEN 1 ELSE 0 END) * 1000000)
-         |    // count(*) AS novelty_ppm
+         |  CAST((sum(CASE WHEN fs.first_id = sh.doc_id THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS novelty_ppm
          |FROM sh JOIN fs USING (sh) GROUP BY 1""".stripMargin,
     // CUSUM mirror: identical milli-mean series + planted shift, the
     // same running-sum/running-min prefix form.
@@ -5791,7 +5797,7 @@ object SparkEntry {
         |cf AS (SELECT unnest([1, 8, 64, 512, 4096, 32768]) AS cutoff)
         |SELECT cf.cutoff, CAST(count(*) AS BIGINT) AS n_types,
         |       CAST(sum(rk.freq) AS BIGINT) AS covered_tokens,
-        |       (sum(rk.freq) * 1000000) // t.total AS coverage_ppm
+        |       CAST((sum(rk.freq) * 1000000) // t.total AS BIGINT) AS coverage_ppm
         |FROM rk, cf, t WHERE rk.rank <= cf.cutoff
         |GROUP BY 1, t.total""".stripMargin,
     // Label-agreement mirror: the q_ann_int8 quantized-kNN CTEs with
@@ -5826,7 +5832,7 @@ object SparkEntry {
          |          JOIN embeddings nl ON nl.vec_id = nn.neighbor_id)
          |SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_neighbors,
          |  CAST(sum(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
-         |  (sum(CASE WHEN n_label = label THEN 1 ELSE 0 END) * 1000000) // count(*) AS agree_ppm,
+         |  CAST((sum(CASE WHEN n_label = label THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS agree_ppm,
          |  sum(CASE WHEN n_label = label THEN 1 ELSE 0 END) * 2 < count(*) AS suspect
          |FROM lj GROUP BY 1, 2""".stripMargin
     },
@@ -5930,10 +5936,10 @@ object SparkEntry {
         |SELECT least((p * 10) // 1000000, 9) AS bin,
         |       CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-        |       (sum(CASE WHEN y THEN 1 ELSE 0 END) * 1000000) // count(*) AS obs_pos_ppm,
+        |       CAST((sum(CASE WHEN y THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS obs_pos_ppm,
         |       CAST(sum(p) AS BIGINT) // count(*) AS mean_score_ppm,
-        |       (sum(CASE WHEN y THEN 1 ELSE 0 END) * 1000000) // count(*)
-        |         - CAST(sum(p) AS BIGINT) // count(*) AS gap_ppm
+        |       CAST((sum(CASE WHEN y THEN 1 ELSE 0 END) * 1000000) // count(*)
+        |         - CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS gap_ppm
         |FROM sc GROUP BY 1""".stripMargin,
     // Kappa mirror: same two rule labelers, same exact rational —
     // truncating division via remainder subtraction (HUGEINT).
@@ -5992,12 +5998,12 @@ object SparkEntry {
     "q_cdc_neardups" ->
       s"""WITH ${graft.ops.TextAnalysis.cdcChunksSqlCtes(
             "documents", "doc_id", "text", 4, 16)},
-         |ch AS (SELECT DISTINCT doc_id, chunk_hash FROM cdc_chunks),
+         |dch AS (SELECT DISTINCT doc_id, chunk_hash FROM cdc_chunks),
          |kept AS (
-         |  SELECT ch.doc_id, ch.chunk_hash FROM ch
-         |  JOIN (SELECT chunk_hash FROM ch GROUP BY 1 HAVING count(*) <= 8) f
+         |  SELECT dch.doc_id, dch.chunk_hash FROM dch
+         |  JOIN (SELECT chunk_hash FROM dch GROUP BY 1 HAVING count(*) <= 8) f
          |    USING (chunk_hash)),
-         |nd AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY 1),
+         |nd AS (SELECT doc_id, count(*) AS n FROM dch GROUP BY 1),
          |p AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |         CAST(count(*) AS BIGINT) AS n_shared

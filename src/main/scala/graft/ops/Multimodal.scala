@@ -328,11 +328,22 @@ object Multimodal {
     * md5 texture puts cross-base distances at ≥ 20 bits while
     * same-base variants stay ≤ 5.
     */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def blockHash(base: Long, bx: Int, by: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$base:$bx:$by".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 256).toInt
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s"$base:$bx:$by".getBytes("UTF-8"))
+    // First 15 hex chars of the digest = the big-endian first-8-byte
+    // word shifted right 4 bits (unsigned) — identical to the old
+    // parseLong(hex.substring(0, 15), 16) without the string round-trip.
+    var w = 0L
+    var i = 0
+    while (i < 8) { w = (w << 8) | (d(i) & 0xffL); i += 1 }
+    ((w >>> 4) % 256).toInt
   }
 
   /** The synthetic pixel's gray value — PURE INTEGER arithmetic, so an
@@ -364,11 +375,17 @@ object Multimodal {
       .putInt(0).putInt(54)
     buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
       .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // One md5 per 4×4 block (9×8 = 72 per image), not one per pixel:
+    // the per-pixel form recomputed each block's hash 16× and was the
+    // dominant cost of the whole image/video fixture tier.
+    val blocks = Array.tabulate(h / 4, w / 4)((by, bx) => blockHash(id / 10, bx, by))
+    val variant = (id % 10).toInt
     var y = h - 1
     while (y >= 0) { // bottom-up row order, as positive-height BMP requires
       var x = 0
       while (x < w) {
-        val g = synthGray(id, x, y).toByte
+        val g0 = (x * 7 + y * 13 + blocks(y / 4)(x / 4)) % 256
+        val g = (if ((x + y * w) % 97 == variant) (g0 + 128) % 256 else g0).toByte
         buf.put(g).put(g).put(g)
         x += 1
       }

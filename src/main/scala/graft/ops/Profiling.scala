@@ -691,21 +691,34 @@ object Profiling {
   def fkIntegrity(child: DataFrame, childKey: Column, parent: DataFrame,
       parentKey: Column, relation: String): DataFrame = {
     val ck = child.select(childKey.as("__k"))
-    val nulls = ck.filter(col("__k").isNull).count()
+    // Lazy 1-row null tally (null keys can't ride the full join — its
+    // null-key rows mean "no match", not "null FK"); joined in below
+    // so the whole profile stays one deferred plan, no eager count().
+    val nullAgg = ck.agg(
+      coalesce(sum(when(col("__k").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_null_fk_rows"))
     val ckeys = ck.filter(col("__k").isNotNull)
       .groupBy("__k").agg(count(lit(1)).as("__cn"))
     val pkeys = parent.select(parentKey.as("__k")).distinct()
       .withColumn("__p", lit(true))
+    // Every sum coalesced to 0: on an empty child+parent input Spark's
+    // sums over zero rows are NULL while the DuckDB mirror coalesces.
     ckeys.join(pkeys, Seq("__k"), "full")
       .agg(
         lit(relation).as("relation"),
-        sum(coalesce(col("__cn"), lit(0L))).as("n_child_rows"),
-        lit(nulls).as("n_null_fk_rows"),
-        sum(when(col("__p").isNull, col("__cn")).otherwise(0L)).as("n_orphan_rows"),
-        sum(when(col("__p").isNull, 1L).otherwise(0L)).as("n_orphan_keys"),
-        sum(when(col("__p").isNotNull && col("__cn").isNotNull, 1L).otherwise(0L))
-          .as("n_referenced_parents"),
-        sum(when(col("__cn").isNull, 1L).otherwise(0L)).as("n_unreferenced_parents"))
+        coalesce(sum(coalesce(col("__cn"), lit(0L))), lit(0L)).as("n_child_rows"),
+        coalesce(sum(when(col("__p").isNull, col("__cn")).otherwise(0L)), lit(0L))
+          .as("n_orphan_rows"),
+        coalesce(sum(when(col("__p").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_orphan_keys"),
+        coalesce(sum(when(col("__p").isNotNull && col("__cn").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_referenced_parents"),
+        coalesce(sum(when(col("__cn").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_unreferenced_parents"))
+      .join(broadcast(nullAgg))
+      .select(col("relation"), col("n_child_rows"), col("n_null_fk_rows"),
+        col("n_orphan_rows"), col("n_orphan_keys"),
+        col("n_referenced_parents"), col("n_unreferenced_parents"))
   }
 
   /** EXACT equi-join size forecast from per-key counts — the pre-join

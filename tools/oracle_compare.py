@@ -1,39 +1,84 @@
 import duckdb, json, sys, glob
 
+# Compares Spark parquet dumps (graft.Verify output) against the DuckDB
+# oracle SQL, the way the driver does — but STRICTER on dtypes: the driver
+# hashes stringified values, so an integer column that DuckDB returns as
+# HUGEINT/DECIMAL (-> pandas float64, "42.0") vs Spark's int64 ("42") is a
+# driver-side hash mismatch even when the values are numerically equal.
+# Round 7 shipped four such rows (q_calibration, q_label_agreement,
+# q_novelty, q_vocab_coverage) that were green here and red in the driver;
+# this tool now treats int-vs-float dtype skew as a hard failure.
+# Exits 1 if any query fails, so it can gate commits.
+
 outdir = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_sf0.001'
 sfdir = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.001'
+only = set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.execute(f"create view {t} as select * from read_parquet('{sfdir}/{t}.parquet')")
 oracle = json.load(open(f'{outdir}/oracle_sql.json'))
+failures = 0
+def fail(msg):
+    global failures
+    failures += 1
+    print(msg)
 for name, sql in sorted(oracle.items()):
+    if only is not None and name not in only:
+        continue
     try:
-        exp = con.execute(sql).fetchdf()
+        rel = con.sql(sql)
+        ducktypes = dict(zip(rel.columns, [str(t) for t in rel.types]))
+        exp = rel.fetchdf()
     except Exception as e:
-        print(f"{name}: ORACLE SQL ERROR: {e}"); continue
+        fail(f"{name}: ORACLE SQL ERROR: {e}"); continue
+    # Driver-portability check: every oracle output column must be a type
+    # whose pandas rendering matches the Spark parquet dtype exactly.
+    widetypes = {c: t for c, t in ducktypes.items()
+                 if t in ('HUGEINT', 'UHUGEINT') or t.startswith('DECIMAL')}
+    if widetypes:
+        fail(f"{name}: WIDE ORACLE TYPE (cast to BIGINT in the SQL): {widetypes}")
+        continue
     try:
         files = glob.glob(f'{outdir}/{name}/*.parquet')
-        got = con.execute(f"select * from read_parquet({files!r})".replace('[','[').replace(']',']')).fetchdf() if files else None
-        if got is None: print(f"{name}: NO SPARK OUTPUT"); continue
+        got = con.execute(f"select * from read_parquet({files!r})").fetchdf() if files else None
+        if got is None: fail(f"{name}: NO SPARK OUTPUT"); continue
     except Exception as e:
-        print(f"{name}: read error {e}"); continue
+        fail(f"{name}: read error {e}"); continue
     ec = sorted(exp.columns); gc = sorted(got.columns)
     if ec != gc:
-        print(f"{name}: COLUMN MISMATCH oracle={ec} spark={gc}"); continue
+        fail(f"{name}: COLUMN MISMATCH oracle={ec} spark={gc}"); continue
     exp = exp[ec].sort_values(ec, na_position='first').reset_index(drop=True)
     got = got[ec].sort_values(ec, na_position='first').reset_index(drop=True)
     if len(exp) != len(got):
-        print(f"{name}: ROWCOUNT oracle={len(exp)} spark={len(got)}"); continue
+        fail(f"{name}: ROWCOUNT oracle={len(exp)} spark={len(got)}"); continue
     ok = True
+    import numpy as np
     for c in ec:
         a, b = exp[c], got[c]
+        afloat = np.issubdtype(a.dtype, np.floating)
+        bfloat = np.issubdtype(b.dtype, np.floating)
+        if afloat != bfloat:
+            print(f"{name}: DTYPE MISMATCH col {c} oracle={a.dtype} spark={b.dtype} "
+                  f"(driver hashes '42.0' != '42' — align the types)")
+            ok = False
+            continue
         if not a.equals(b):
             try:
-                import numpy as np
-                if np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True): continue
+                if afloat and bfloat and np.allclose(a, b, rtol=0, atol=0, equal_nan=True):
+                    continue
+                # int32 vs int64 etc: same stringified values driver-side.
+                if (not afloat and not bfloat
+                        and np.issubdtype(a.dtype, np.integer)
+                        and np.issubdtype(b.dtype, np.integer)
+                        and np.array_equal(a.to_numpy(np.int64), b.to_numpy(np.int64))):
+                    continue
             except Exception: pass
             print(f"{name}: VALUE MISMATCH col {c}")
             mism = (a != b) & ~(a.isna() & b.isna())
             print("  oracle:", a[mism].head(3).tolist(), " spark:", b[mism].head(3).tolist())
             ok = False
     if ok: print(f"{name}: OK rows={len(exp)}")
+    else: failures += 1
+if failures:
+    print(f"FAILURES: {failures}")
+    sys.exit(1)
