@@ -114,6 +114,11 @@ object Bench {
     def loadAvg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // Co-tenant load must be sampled BEFORE the bench contributes its
+    // own 32 runnable threads — mid-run samples measure ourselves (a
+    // calm-box subset run read 6–8). The start sample is the
+    // co-tenant proxy; per-pass samples stay recorded for the trail.
+    val loadStart = loadAvg()
     val loads = scala.collection.mutable.ArrayBuffer[Double]()
 
     def jstr(s: String): String =
@@ -192,12 +197,12 @@ object Bench {
           (totalsRaw.max - totalsRaw.min) / totalsRaw.min * 100 else 0.0
       // A run can be loaded without being spread-noisy (round 7 ran at
       // load_avg 5.05 with 13.5% spread and its >2× deltas were still
-      // co-tenant noise) — gate delta attribution on load too.
-      val loaded = loads.nonEmpty && loads.max > 3.0
+      // co-tenant noise) — gate delta attribution on pre-run load too.
+      val loaded = loadStart > 3.0
       val noisy = spreadPct > 25.0 || loaded
       val loadJson = loads.map(jnum).mkString("[", ",", "]")
       val noiseFields =
-        s""""load_avg":$loadJson,"spread_pct":${jnum(spreadPct)},"noisy":$noisy,"loaded":$loaded"""
+        s""""load_avg_start":${jnum(loadStart)},"load_avg":$loadJson,"spread_pct":${jnum(spreadPct)},"noisy":$noisy,"loaded":$loaded"""
       val full = s"""{"metric":"total_of_medians","value":${jnum(total)},"unit":"sec","runs":$runs,"passes_completed":${passes.size},$noiseFields,"queries":$qs,"run_spread":$spread,"pass_totals":$passTotals,"failed":$failed,"sf":"$sfDir","sf1_probe":$probe}"""
       println(full)
       if (only.isEmpty)
@@ -223,7 +228,7 @@ object Bench {
       // noise, not regressions — annotate instead of attributing.
       val trend = prevTotal.fold("")(p =>
         if (noisy) {
-          val why = if (loaded) s"load_avg ${jnum(loads.max)} > 3" else s"pass spread ${jnum(spreadPct)}%"
+          val why = if (loaded) s"pre-run load_avg ${jnum(loadStart)} > 3" else s"pass spread ${jnum(spreadPct)}%"
           s""","prev_total":${jnum(p)},"deltas_note":"suppressed: unattributable under $why""""
         } else s""","prev_total":${jnum(p)},"deltas":$deltas""")
       // The compact line must survive the driver's 2000-char output

@@ -657,9 +657,22 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", col("text"), n = 3, k = 8, bands = 4,
       maxBucketSize = Some(LshCap))
 
+  /** SimHash near-dups at 60 bits / 15-bit pigeonhole bands: the
+    * sf1 probe measured time_x 50 at rows_x 24 for the old 32-bit/
+    * 8-bit-band shape — 256-key bands saturate once the corpus is
+    * tens of thousands of docs and every bucket goes quadratic. At
+    * 2¹⁰ keys per band the expected random bucket stays small through
+    * ~10⁵ docs, and the LSH-style hot-bucket cap bounds adversarial
+    * skew (identical-fingerprint floods) on top. Radius 5 of 60 bits:
+    * the corpus's pairwise-hamming histogram has a planted near-dup
+    * shelf at h ≤ 5 (~56 pairs at sf0.01) with the random background
+    * only starting at h ≥ 7 — radius 3/60 kept 13 pairs and cut the
+    * shelf in half.
+    */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.simhashNearDups(
-      t(s, dir, "documents"), "doc_id", col("text"), maxHamming = 3)
+      t(s, dir, "documents"), "doc_id", col("text"), maxHamming = 5,
+      bits = 60, maxBucketSize = Some(LshCap))
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
 
   /** Duplicate-cluster resolution: LSH candidate pairs → connected
@@ -734,6 +747,19 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), col("cosine"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** K-means centroid refinement
+    * ([[graft.ops.Similarity.kmeansCentroidsMicro]]): 3 Lloyd's rounds
+    * over the embeddings in integer micro-units — quantize once,
+    * integer squared-Euclidean argmin, truncating-mean update — so
+    * the full iterative clustering chain is hash-checked against the
+    * DuckDB CTE pyramid (the last non-oracle'd ANN stage; float-mean
+    * k-means stays as [[graft.ops.Similarity.kmeansCentroids]]).
+    */
+  private def qKmeans(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.kmeansCentroidsMicro(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 8, dim = EmbDim, rounds = 3)
 
   // ---- wave 5: temporal + skew-aware joins -------------------------
 
@@ -3581,6 +3607,7 @@ object SparkEntry {
     "q_band_join" -> (qBandJoin _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_ivf_topk" -> (qIvfTopK _),
+    "q_kmeans" -> (qKmeans _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_two_table_link" -> (qTwoTableLink _),
     "q_sessionize" -> (qSessionize _),
@@ -4076,8 +4103,8 @@ object SparkEntry {
          |SELECT id AS doc_id, min(r) AS cluster_id, (min(r) = id) AS keep
          |FROM reach GROUP BY id""".stripMargin,
     "q_simhash" ->
-      s"""WITH ${graft.ops.Dedup.simhashFpCtesSql("documents", "doc_id", "text")},
-         |${graft.ops.Dedup.simhashPairsSql(3)}
+      s"""WITH ${graft.ops.Dedup.simhashFpCtesSql("documents", "doc_id", "text", 60)},
+         |${graft.ops.Dedup.simhashPairsSql(5, 60, Some(LshCap))}
          |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
     "q_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -4159,6 +4186,13 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id) AS rank FROM sim)
          |WHERE rank <= 5""".stripMargin,
+    // K-means mirror: the same quantize → argmin → truncating-mean
+    // rounds as a MATERIALIZED CTE pyramid; every integer is exact in
+    // both engines, so 3 chained rounds stay hash-identical.
+    "q_kmeans" ->
+      s"""WITH ${graft.ops.Similarity.kmeansMicroSqlCtes(
+            "embeddings", "vec_id", "embedding", 8, EmbDim, 3)}
+         |SELECT cid, pos, c_micro, n_members FROM km""".stripMargin,
     // Verbatim: DuckDB's built-in jaro_winkler_similarity runs the
     // exact SQL text our registered function table runs on Spark.
     "q_sql_functions" -> SqlFunctionsSql,

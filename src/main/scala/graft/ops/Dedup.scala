@@ -709,16 +709,26 @@ object Dedup {
     * whose differing bits straddled the high byte. Output
     * (id_a, id_b, hamming), distinct, id_a < id_b.
     */
-  def simhashPairsFromFingerprints(fp: DataFrame, maxHamming: Int, bits: Int = 32): DataFrame = {
+  def simhashPairsFromFingerprints(fp: DataFrame, maxHamming: Int, bits: Int = 32,
+      maxBucketSize: Option[Long] = None): DataFrame = {
     val nb = maxHamming + 1
     require(bits % nb == 0, s"bits=$bits must be divisible by maxHamming+1=$nb bands")
     val w = bits / nb
     val mask = (1L << w) - 1
-    val banded = fp.select(col("id"), col("fp"),
+    val bandedAll = fp.select(col("id"), col("fp"),
       explode(array((0 until nb).map(j =>
         struct(lit(j).as("band"),
           shiftright(col("fp"), j * w).bitwiseAND(lit(mask)).as("key"))): _*)).as("b"))
       .select(col("id"), col("fp"), col("b.band").as("band"), col("b.key").as("key"))
+    // Hot-bucket cap (the LSH-path anti-join idiom): a band key shared
+    // by more than `cap` fingerprints is dropped from pairing — its
+    // bucket alone would contribute cap²/2 candidate pairs. Pigeonhole
+    // recall survives unless ALL of a pair's agreeing bands are hot.
+    val banded = maxBucketSize.fold(bandedAll) { cap =>
+      val hot = bandedAll.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > cap).select("band", "key")
+      bandedAll.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    }
     val a = banded.select(col("id").as("id_a"), col("fp").as("fp_a"), col("band"), col("key"))
     val b = banded.select(col("id").as("id_b"), col("fp").as("fp_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
@@ -732,20 +742,29 @@ object Dedup {
     * Output (id_a, id_b, hamming ≤ maxHamming).
     */
   def simhashNearDups(
-      df: DataFrame, idCol: String, text: Column, maxHamming: Int, bits: Int = 32): DataFrame =
-    simhashPairsFromFingerprints(simhashFingerprints(df, idCol, text, bits), maxHamming, bits)
+      df: DataFrame, idCol: String, text: Column, maxHamming: Int, bits: Int = 32,
+      maxBucketSize: Option[Long] = None): DataFrame =
+    simhashPairsFromFingerprints(simhashFingerprints(df, idCol, text, bits),
+      maxHamming, bits, maxBucketSize)
 
   /** DuckDB mirror of [[simhashNearDups]] past the `fp` CTE (append
     * after [[simhashFpCtesSql]]): bit-slice bands + distinct Hamming
     * pairs.
     */
-  def simhashPairsSql(maxHamming: Int, bits: Int = 32): String = {
+  def simhashPairsSql(maxHamming: Int, bits: Int = 32,
+      maxBucketSize: Option[Long] = None): String = {
     val nb = maxHamming + 1
     val w = bits / nb
     val mask = (1L << w) - 1
-    s"""banded AS (
+    val capCte = maxBucketSize.fold("banded AS (SELECT * FROM banded0)") { cap =>
+      s"""banded AS (
+         |  SELECT id, fp, band, key FROM banded0
+         |  QUALIFY count(*) OVER (PARTITION BY band, key) <= $cap)""".stripMargin
+    }
+    s"""banded0 AS (
        |  SELECT id, fp, r.j AS band, (fp >> (r.j * $w)) & $mask AS key
        |  FROM fp, range($nb) AS r(j)),
+       |$capCte,
        |pairs AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming

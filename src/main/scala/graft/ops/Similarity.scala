@@ -273,6 +273,119 @@ object Similarity {
     cents
   }
 
+  /** ENGINE-EXACT Lloyd's refinement in integer micro-units — the
+    * oracle-wireable counterpart of [[kmeansCentroids]] (whose float
+    * means are order-dependent across engines): every coordinate is
+    * quantized ONCE to `floor(x·10⁶)` (exact double math in both
+    * engines), assignment is argmin of the integer squared-Euclidean
+    * distance with `(dist, cid)` tie order, and each update is the
+    * truncating integer mean `(s − s % n) / n` (remainder subtraction
+    * — `%` follows the dividend's sign in Scala, Spark, and DuckDB,
+    * so the division is exact and identical everywhere). Empty
+    * clusters keep their previous centroid. Seeds = the first `k`
+    * rows by id, quantized.
+    *
+    * Output: `(cid, pos, c_micro, n_members)` — the final centroid
+    * matrix exploded to k·dim rows plus the last assignment's cluster
+    * sizes. Scale shape: per round ONE map-only codegen scan (the k
+    * distance expressions are unrolled literals — no join, no corpus
+    * inflation) into a (k·dim)-key hash agg collected to the driver;
+    * driver state is k·dim longs, never corpus-sized.
+    */
+  def kmeansCentroidsMicro(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, rounds: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(k >= 2 && rounds >= 1, "need k >= 2 and rounds >= 1")
+    val q = corpus.select(col(idCol).cast("long").as("id"),
+      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("q"))
+    var cents: Array[Array[Long]] = q.orderBy(col("id")).limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+    var sizes: Map[Int, Long] = Map.empty
+    for (_ <- 0 until rounds) {
+      def dist(cArr: Array[Long]): Column =
+        aggregate(zip_with(col("q"), typedLit(cArr.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      val withD = q.select(col("q") +:
+        cents.zipWithIndex.map { case (arr, cid) => dist(arr).as(s"__d$cid") }
+          .toIndexedSeq: _*)
+      val mind = least((0 until k).map(i => col(s"__d$i")): _*)
+      // First (= smallest) cid achieving the min — the (dist, cid)
+      // tie order the oracle's min-of-argmin join reproduces.
+      val best = coalesce((0 until k).map(i =>
+        when(col(s"__d$i") === mind, lit(i))): _*)
+      val stats = withD.select(best.as("cid"), posexplode(col("q")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCid = stats.groupBy(_.getInt(0))
+      sizes = byCid.map { case (cid, rs) => cid -> rs.head.getLong(3) }
+      cents = cents.zipWithIndex.map { case (prev, cid) =>
+        byCid.get(cid).fold(prev) { rs =>
+          val arr = prev.clone()
+          rs.foreach { r =>
+            val (pos, s, n) = (r.getInt(1), r.getLong(2), r.getLong(3))
+            arr(pos) = (s - s % n) / n
+          }
+          arr
+        }
+      }
+    }
+    cents.zipWithIndex.flatMap { case (arr, cid) =>
+      arr.zipWithIndex.map { case (v, pos) => (cid, pos, v, sizes.getOrElse(cid, 0L)) }
+    }.toIndexedSeq.toDF("cid", "pos", "c_micro", "n_members")
+  }
+
+  /** DuckDB mirror of [[kmeansCentroidsMicro]] as a chained CTE pyramid
+    * ending in `km(cid, pos, c_micro, n_members)` — one
+    * assign/min/sum/update block per round, every round state
+    * MATERIALIZED (each is referenced twice; un-materialized CTE
+    * chains re-derive the whole prefix per reference). `vecExpr` is a
+    * 1-based list column on `table`.
+    */
+  def kmeansMicroSqlCtes(table: String, idExpr: String, vecExpr: String,
+      k: Int, dim: Int, rounds: Int): String = {
+    val quant = s"list_transform(generate_series(1, $dim), i -> " +
+      s"CAST(floor(CAST($vecExpr[i] AS DOUBLE) * 1000000) AS BIGINT))"
+    val head =
+      s"""kq AS MATERIALIZED (
+         |  SELECT $idExpr AS id, $quant AS q FROM $table),
+         |kc0 AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, q AS c
+         |  FROM kq ORDER BY id LIMIT $k)""".stripMargin
+    val blocks = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""ka$r AS (
+         |  SELECT kq.id, kc$p.cid,
+         |    list_sum(list_transform(generate_series(1, $dim), i ->
+         |      (kq.q[i] - kc$p.c[i]) * (kq.q[i] - kc$p.c[i]))) AS d
+         |  FROM kq, kc$p),
+         |km$r AS (SELECT id, min(d) AS md FROM ka$r GROUP BY 1),
+         |kb$r AS MATERIALIZED (
+         |  SELECT a.id, min(a.cid) AS cid
+         |  FROM ka$r a JOIN km$r m ON a.id = m.id AND a.d = m.md GROUP BY 1),
+         |ks$r AS (
+         |  SELECT b.cid, u.i AS pos, CAST(sum(kq.q[u.i]) AS BIGINT) AS s,
+         |         count(*) AS n
+         |  FROM kb$r b JOIN kq ON kq.id = b.id,
+         |       unnest(generate_series(1, $dim)) u(i)
+         |  GROUP BY 1, 2),
+         |kn$r AS (
+         |  SELECT cid, list((s - (s % n)) // n ORDER BY pos) AS c, min(n) AS n
+         |  FROM ks$r GROUP BY 1),
+         |kc$r AS MATERIALIZED (
+         |  SELECT p.cid, coalesce(kn$r.c, p.c) AS c, coalesce(kn$r.n, 0) AS n
+         |  FROM kc$p p LEFT JOIN kn$r USING (cid))""".stripMargin
+    }
+    val fin =
+      s"""km AS (
+         |  SELECT CAST(cid AS INT) AS cid, CAST(u.i - 1 AS INT) AS pos,
+         |         c[u.i] AS c_micro, CAST(n AS BIGINT) AS n_members
+         |  FROM kc$rounds, unnest(generate_series(1, $dim)) u(i))""".stripMargin
+    (head +: blocks :+ fin).mkString(",\n")
+  }
+
   /** Mean squared cosine-distance to the assigned centroid — the
     * k-means objective, for convergence tests. */
   def inertia(

@@ -66,6 +66,49 @@ class IvfSpec extends SparkSpec {
     assert(j1 <= j0 + 1e-12 && j3 <= j1 + 1e-12, s"inertia rose: $j0 -> $j1 -> $j3")
   }
 
+  test("kmeansCentroidsMicro matches an exact driver-side reference") {
+    val k = 8
+    val dim = 64
+    val rounds = 2
+    // Plain-Scala reference: same quantize → (dist, cid)-argmin →
+    // truncating-mean rounds, computed entirely on the driver.
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000000).toLong).toArray)
+      .sortBy(_._1)
+    var cents = vecs.take(k).map(_._2.clone())
+    var sizes = Map.empty[Int, Long]
+    for (_ <- 0 until rounds) {
+      val assign = vecs.map { case (_, q) =>
+        val best = cents.zipWithIndex.map { case (c, cid) =>
+          (c.zip(q).map { case (ci, qi) => (qi - ci) * (qi - ci) }.sum, cid)
+        }.min
+        (best._2, q)
+      }
+      sizes = assign.groupBy(_._1).map { case (cid, g) => cid -> g.length.toLong }
+      cents = cents.zipWithIndex.map { case (prev, cid) =>
+        assign.filter(_._1 == cid) match {
+          case g if g.nonEmpty =>
+            Array.tabulate(dim) { i =>
+              val s = g.map(_._2(i)).sum
+              val n = g.length
+              (s - s % n) / n
+            }
+          case _ => prev
+        }
+      }
+    }
+    val want = cents.zipWithIndex.flatMap { case (arr, cid) =>
+      arr.zipWithIndex.map { case (v, pos) => (cid, pos, v, sizes.getOrElse(cid, 0L)) }
+    }.toSet
+    val got = Similarity.kmeansCentroidsMicro(emb, "vec_id", "embedding", k, dim, rounds)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.size == k * dim)
+    // every vector lands in exactly one cluster
+    assert(sizes.values.sum == vecs.length)
+  }
+
   test("semanticNearDupPairs = brute-force pairs restricted to co-assigned clusters") {
     val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
     val got = Similarity.semanticNearDupPairs(emb, "vec_id", "embedding", cents, 0.4)
