@@ -761,6 +761,80 @@ object SparkEntry {
       t(s, dir, "embeddings"), "vec_id", "embedding",
       k = 8, dim = EmbDim, rounds = 3)
 
+  /** Left anti join — the "rows with NO match" core operator:
+    * customers who never placed an URGENT order, per segment (the
+    * unfiltered FK relations are dense in this generator, so the
+    * predicate keeps the row non-vacuous). Spark plans it as a
+    * broadcast/shuffled hash anti join; the oracle is the NOT EXISTS
+    * form.
+    */
+  private def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers_no_orders"),
+        min("c_custkey").as("min_custkey"),
+        max("c_custkey").as("max_custkey"))
+  }
+
+  /** Token-budget corpus selection
+    * ([[graft.ops.Sampling.tokenBudget]]): per source, keep the
+    * highest-quality docs (distinct-token-ratio ppm, doc-id
+    * tie-break) while their running token total stays within 40% of
+    * the source's tokens — the budgeted-mix step after quality
+    * scoring. Summary row per source; the keep flag itself is the
+    * 100 TB filter.
+    */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("__ts"))
+      .filter(size(col("__ts")) >= 1)
+      .select(col("doc_id"), col("source"),
+        size(col("__ts")).cast("long").as("n_toks"),
+        expr("(size(array_distinct(__ts)) * 1000000L) div size(__ts)").as("q"))
+    graft.ops.Sampling.tokenBudget(d, "source", col("doc_id"),
+        col("n_toks"), col("q"), budgetNum = 2, budgetDen = 5)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("tokens_avail")).as("total_tokens"),
+        max(col("budget_tokens")).as("budget_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("__tok")).otherwise(0L)).as("kept_tokens"))
+  }
+
+  /** Leakage-safe train/val/test split: near-dup CLUSTERS (LSH
+    * candidates → connected components) are the split unit, so no
+    * near-duplicate of a test doc can sit in train — the contamination
+    * mode a row-hash split ([[graft.ops.Sampling.assignSplit]] keyed
+    * by doc) cannot prevent. The n_leaky_clusters column IS the proof:
+    * clusters spanning more than one split, exactly 0 by construction.
+    */
+  private def qLeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cand = graft.ops.Dedup.minhashLshCandidates(
+      docs, "doc_id", col("text"), n = 3, k = 8, bands = 4,
+      maxBucketSize = Some(LshCap))
+    val cl = graft.ops.Clusters.resolveDuplicates(docs.select("doc_id"), "doc_id", cand)
+      .select(col("doc_id"), col("cluster_id"))
+    val sp = graft.ops.Sampling.assignSplit(cl,
+      concat(lit("lsplit:"), col("cluster_id").cast("string")),
+      Seq(("train", 800), ("val", 100), ("test", 100)))
+    val leaky = sp.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("__ns"))
+      .filter(col("__ns") > 1)
+      .agg(count(lit(1)).as("n_leaky_clusters"))
+    sp.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .join(broadcast(leaky))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("n_leaky_clusters"))
+  }
+
   // ---- wave 5: temporal + skew-aware joins -------------------------
 
   /** As-of join: each event attached to the user's latest order at or
@@ -3608,6 +3682,9 @@ object SparkEntry {
     "q_salted_join" -> (qSaltedJoin _),
     "q_ivf_topk" -> (qIvfTopK _),
     "q_kmeans" -> (qKmeans _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_token_budget" -> (qTokenBudget _),
+    "q_leakage_split" -> (qLeakageSplit _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_two_table_link" -> (qTwoTableLink _),
     "q_sessionize" -> (qSessionize _),
@@ -4193,6 +4270,66 @@ object SparkEntry {
       s"""WITH ${graft.ops.Similarity.kmeansMicroSqlCtes(
             "embeddings", "vec_id", "embedding", 8, EmbDim, 3)}
          |SELECT cid, pos, c_micro, n_members FROM km""".stripMargin,
+    // Anti-join mirror: the NOT EXISTS form of the same orphan set.
+    "q_anti_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers_no_orders,
+        |       min(c_custkey) AS min_custkey, max(c_custkey) AS max_custkey
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+    // Token-budget mirror: same distinct-ratio quality, same
+    // (q DESC, doc_id) prefix sum, same 2/5 integer budget.
+    "q_token_budget" ->
+      """WITH tq AS (
+        |  SELECT doc_id, source, ts FROM (
+        |    SELECT doc_id, source,
+        |           list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |    FROM documents) WHERE len(ts) >= 1),
+        |tb AS (
+        |  SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS n_toks,
+        |         CAST((len(list_distinct(ts)) * 1000000) // len(ts) AS BIGINT) AS q
+        |  FROM tq),
+        |tot AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS tt FROM tb GROUP BY 1),
+        |rk AS (
+        |  SELECT tb.*, tot.tt,
+        |    CAST(sum(n_toks) OVER (PARTITION BY tb.source ORDER BY q DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM tb JOIN tot USING (source))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  tt AS total_tokens, (tt * 2) // 5 AS budget_tokens,
+        |  CAST(sum(CASE WHEN cum <= (tt * 2) // 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN cum <= (tt * 2) // 5 THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM rk GROUP BY source, tt""".stripMargin,
+    // Leakage-split mirror: the q_dedup_clusters CC chain, then the
+    // hashBucket split keyed on cluster_id and the spanning-cluster
+    // tally (0 by construction — the guard the row certifies).
+    "q_leakage_split" ->
+      s"""WITH RECURSIVE ${minhashCandCtes(8, 4, Some(LshCap))},
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM cand
+         |  UNION SELECT id_b, id_a FROM cand),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sp AS (
+         |  SELECT doc_id, cluster_id,
+         |    CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, cluster_id,
+         |          ${graft.ops.Sampling.hashBucketSql(
+                      "'lsplit:' || CAST(cluster_id AS VARCHAR)")} AS b
+         |        FROM cl)),
+         |leak AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_leaky FROM (
+         |    SELECT cluster_id FROM sp GROUP BY 1 HAVING count(DISTINCT split) > 1))
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |  leak.n_leaky AS n_leaky_clusters
+         |FROM sp, leak GROUP BY 1, leak.n_leaky""".stripMargin,
     // Verbatim: DuckDB's built-in jaro_winkler_similarity runs the
     // exact SQL text our registered function table runs on Spark.
     "q_sql_functions" -> SqlFunctionsSql,

@@ -190,6 +190,40 @@ object Sampling {
       .select("source", "tokens_avail", "quota_tokens")
   }
 
+  /** Quality-ranked corpus selection under a PER-GROUP token budget —
+    * the "take the best 40% of each source's tokens" move a training
+    * mix makes after quality scoring: rank each group's docs by
+    * `(quality DESC, id ASC)`, prefix-sum their token counts in that
+    * order, and keep a doc while the running total (including itself)
+    * stays within `tokens_avail · budgetNum / budgetDen` (exact
+    * integer floor). Returns the input row +
+    * `(cum_tokens, budget_tokens, keep)` — deterministic across
+    * engines/layouts because the order key is total and all
+    * arithmetic is integer.
+    *
+    * Shape: one per-group hash agg (totals) broadcast back + ONE
+    * keyed window (partitioned prefix sum) — no global sort, no
+    * driver state; at 100 TB the window shuffles each group once,
+    * which is the minimum any budgeted selection needs.
+    */
+  def tokenBudget(df: DataFrame, groupCol: String, id: Column,
+      tokens: Column, quality: Column, budgetNum: Int, budgetDen: Int): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0, s"bad budget $budgetNum/$budgetDen")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol), id.as("__id"),
+      tokens.cast("long").as("__tok"), quality.cast("long").as("__q"))
+    val tot = base.groupBy(groupCol)
+      .agg(sum(col("__tok")).as("tokens_avail"))
+      .withColumn("budget_tokens",
+        expr(s"(tokens_avail * $budgetNum) div $budgetDen"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("__q").desc, col("__id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(tot, Seq(groupCol))
+      .withColumn("cum_tokens", sum(col("__tok")).over(w))
+      .withColumn("keep", col("cum_tokens") <= col("budget_tokens"))
+  }
+
   /** Deterministic weighted interleave order — the data-loader step
     * after [[assignSplit]]/[[repeatByWeight]] decide WHAT goes into a
     * training mix: in what ORDER the sources emit so the stream is

@@ -402,6 +402,40 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() == 0) // hot buckets dropped, no pair fan-out
   }
 
+  test("dedup: simhash bucket cap defuses an all-identical corpus") {
+    val many = (1 to 60).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.simhashNearDups(many, "doc_id", col("text"), maxHamming = 3)
+    assert(uncapped.count() == 60L * 59 / 2) // identical fps: every pair collides
+    val capped = Dedup.simhashNearDups(many, "doc_id", col("text"), maxHamming = 3,
+      maxBucketSize = Some(10))
+    assert(capped.count() == 0) // hot band buckets dropped, no pair fan-out
+  }
+
+  test("sampling: tokenBudget keeps a maximal quality-ranked prefix per group") {
+    val df = Seq(
+      // (id, grp, toks, quality) — grp g: total 100 tokens, budget 2/5 = 40
+      (1L, "g", 30L, 900L),
+      (2L, "g", 20L, 800L),
+      (3L, "g", 25L, 700L), // cum 75 > 40 → dropped despite decent quality
+      (4L, "g", 25L, 600L),
+      (5L, "h", 10L, 100L)  // singleton group: 10 tokens, budget 4 → dropped
+    ).toDF("id", "grp", "toks", "q")
+    val got = graft.ops.Sampling.tokenBudget(df, "grp", col("id"),
+        col("toks"), col("q"), budgetNum = 2, budgetDen = 5)
+      .select(col("__id"), col("keep"), col("cum_tokens"), col("budget_tokens"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((true, 30L, 40L)))   // best doc fits
+    assert(got(2L) == ((false, 50L, 40L)))  // 30+20 > 40
+    assert(got(3L) == ((false, 75L, 40L)))
+    assert(got(4L) == ((false, 100L, 40L)))
+    assert(got(5L) == ((false, 10L, 4L)))   // budget floor(10·2/5)=4 < 10
+    // prefix-closedness: once a group stops keeping, it never resumes
+    val byGroupOrder = Seq(1L, 2L, 3L, 4L).map(got(_)._1)
+    assert(byGroupOrder.sliding(2).forall { case Seq(a, b) => a || !b })
+  }
+
   private lazy val vecs = Seq(
     (0L, Array(1f, 0f, 0f)),
     (1L, Array(0.9f, 0.1f, 0f)),
