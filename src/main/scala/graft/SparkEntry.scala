@@ -835,6 +835,16 @@ object SparkEntry {
         col("n_leaky_clusters"))
   }
 
+  /** Cross-source shingle-overlap matrix
+    * ([[graft.ops.Dedup.groupShingleOverlap]]): exact pairwise set
+    * Jaccard between every source pair's distinct 3-shingle sets —
+    * the "which sources mirror each other" pre-dedup diagnostic,
+    * bounded by sources² per shingle rather than doc pairs.
+    */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.groupShingleOverlap(
+      t(s, dir, "documents"), "source", col("text"), n = 3)
+
   // ---- wave 5: temporal + skew-aware joins -------------------------
 
   /** As-of join: each event attached to the user's latest order at or
@@ -3685,6 +3695,7 @@ object SparkEntry {
     "q_anti_join" -> (qAntiJoin _),
     "q_token_budget" -> (qTokenBudget _),
     "q_leakage_split" -> (qLeakageSplit _),
+    "q_source_overlap" -> (qSourceOverlap _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_two_table_link" -> (qTwoTableLink _),
     "q_sessionize" -> (qSessionize _),
@@ -4330,6 +4341,22 @@ object SparkEntry {
          |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
          |  leak.n_leaky AS n_leaky_clusters
          |FROM sp, leak GROUP BY 1, leak.n_leaky""".stripMargin,
+    // Source-overlap mirror: same distinct (source, shingle) sets,
+    // same shingle-keyed pair counts, same exact Jaccard ppm.
+    "q_source_overlap" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT source AS g, u.sh
+         |  FROM (SELECT source, ${graft.ops.Dedup.shinglesSql("text", 3)} AS shs
+         |        FROM documents), unnest(shs) AS u(sh)),
+         |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         |p AS (
+         |  SELECT a.g AS src_a, b.g AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.g < b.g
+         |  GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b, p.n_shared,
+         |  CAST((p.n_shared * 1000000) // (sa.n + sb.n - p.n_shared) AS BIGINT) AS jaccard_ppm
+         |FROM p JOIN sz sa ON sa.g = p.src_a
+         |       JOIN sz sb ON sb.g = p.src_b""".stripMargin,
     // Verbatim: DuckDB's built-in jaro_winkler_similarity runs the
     // exact SQL text our registered function table runs on Spark.
     "q_sql_functions" -> SqlFunctionsSql,

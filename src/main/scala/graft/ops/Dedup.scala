@@ -170,6 +170,30 @@ object Dedup {
       .select(col(idCol).as("id"), split(text, " ").as("__toks"))
       .select(col("id"), array_distinct(shinglesFromTokens(col("__toks"), n)).as("sh"))
 
+  /** Cross-GROUP shingle-overlap matrix — the corpus-level duplication
+    * diagnostic ("how much does source A repeat source B?") run before
+    * any doc-pair work: distinct (group, shingle) sets, exact pairwise
+    * set Jaccard in ppm. Fan-out is bounded by `n_groups²` per shingle
+    * (never doc-pairs), so with tens of sources this is one distinct
+    * agg + one shingle-keyed self-join regardless of corpus size.
+    */
+  def groupShingleOverlap(df: DataFrame, groupCol: String, text: Column,
+      n: Int): DataFrame = {
+    val sh = graft.util.Parallelism.ensure(df.filter(size(split(text, " ")) >= n))
+      .select(col(groupCol).as("g"), split(text, " ").as("__toks"))
+      .select(col("g"), explode(array_distinct(shinglesFromTokens(col("__toks"), n))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("g").agg(count(lit(1)).as("__sz"))
+    sh.select(col("g").as("src_a"), col("sh"))
+      .join(sh.select(col("g").as("src_b"), col("sh")), Seq("sh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("g").as("src_a"), col("__sz").as("__sa")), Seq("src_a"))
+      .join(sizes.select(col("g").as("src_b"), col("__sz").as("__sb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        expr("(n_shared * 1000000L) div (__sa + __sb - n_shared)").as("jaccard_ppm"))
+  }
+
   /** Distinct-shingle inverted index: (shingle, id). The `maxDocFreq`
     * cap drops shingles appearing in more than that many documents —
     * stop-shingles explode the inverted index quadratically at scale
