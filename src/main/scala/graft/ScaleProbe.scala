@@ -198,7 +198,16 @@ object ScaleProbe {
     // modularity rides the orders graph replicas (disjoint components
     // → all joins/aggs linear in edges).
     "q_cdc_chunks", "q_kappa", "q_l_diversity", "q_calibration",
-    "q_audio_tone", "q_modularity")
+    "q_audio_tone", "q_modularity",
+    // round 8: kmeans is k map-only scans + (k·dim)-key aggs (rows ×10,
+    // state constant → linear); token_budget is one hash agg + one
+    // per-source prefix window (sources fixed, rows ×10 → linear);
+    // leakage_split composes the q_dedup_clusters CC (linear, capped
+    // buckets) + a map-only split + two keyed aggs; source_overlap's
+    // fan-out is sources² per shingle with shingles ×10 (salted) →
+    // linear; anti_join is facts ×10 against a broadcast build side.
+    "q_kmeans", "q_token_budget", "q_leakage_split", "q_source_overlap",
+    "q_anti_join")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a

@@ -2823,8 +2823,16 @@ object SparkEntry {
     val sigs = graft.ops.Multimodal.imageDhash(
         graft.ops.Multimodal.synthImageRecords(t(s, dir, "documents"), "doc_id"))
       .toDF().select(col("id"), col("d0").as("sig0"), col("d1").as("sig1"))
+    // 16-bit bands probed at radius 1 (MIH): same complete radius-7
+    // pair set as 8-bit equality bands (both pigeonhole-exact), but
+    // buckets are 256× sparser — the sf1 probe measured the 8-bit
+    // form at time_x 50 for rows_x 10 because 256-key buckets
+    // saturate at tens of thousands of images. The oracle generates
+    // candidates via the 8-bit equality banding; equal outputs are
+    // guaranteed by full recall on both sides and hash-verified.
     graft.ops.Similarity.hammingNearDupPairsSig(
-      sigs, "id", words = 2, nBits = 64, maxDist = 7, bandBits = 8)
+      sigs, "id", words = 2, nBits = 64, maxDist = 7, bandBits = 16,
+      bandRadius = 1)
   }
 
   /** Shared DuckDB CTE chain recomputing [[qImageDhash]] from the

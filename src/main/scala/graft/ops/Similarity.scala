@@ -818,24 +818,45 @@ object Similarity {
     */
   def hammingNearDupPairsSig(
       sigDf: DataFrame, idCol: String, words: Int, nBits: Int,
-      maxDist: Int, bandBits: Int = 8): DataFrame = {
+      maxDist: Int, bandBits: Int = 8, bandRadius: Int = 0): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(bandBits >= 1 && 32 % bandBits == 0,
       s"bandBits must divide 32, got $bandBits")
     require(nBits % bandBits == 0 && nBits <= 32 * words,
       s"nBits $nBits must be a bandBits multiple within $words words")
+    require(bandRadius >= 0 && bandRadius <= 1,
+      s"bandRadius must be 0 or 1, got $bandRadius")
     val perWord = 32 / bandBits
     val sigs = sigDf.localCheckpoint(true)
     val mask = (1L << bandBits) - 1
-    val bandCols = (0 until nBits / bandBits).map { b =>
+    def bandKey(b: Int): Column = {
       val w = b / perWord
       val off = (b % perWord) * bandBits
-      struct(lit(b).as("band"),
-        shiftright(col(s"sig$w"), off).bitwiseAND(lit(mask)).as("bits"))
+      shiftright(col(s"sig$w"), off).bitwiseAND(lit(mask))
     }
+    val nb = nBits / bandBits
+    val bandCols = (0 until nb).map(b => struct(lit(b).as("band"), bandKey(b).as("bits")))
     val bands = sigs.select(col(idCol).as("__id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("__id"), col("bs.band").as("band"), col("bs.bits").as("bits"))
-    val cand = bands.as("a").join(bands.as("b"),
+    // MIH probe expansion (Norouzi et al.): with nb bands and per-band
+    // probe radius q, a pair within nb·(q+1)−1 total flips must have
+    // SOME band within q flips (pigeonhole) — so radius-1 probing of
+    // 16-bit bands covers the same maxDist as equality over twice as
+    // many 8-bit bands, while bucket occupancy drops 256×. Only the
+    // probe side expands (key + its bandBits single-bit flips); the
+    // build side stays the exact keys.
+    val probes =
+      if (bandRadius == 0) bands
+      else {
+        val probeCols = (0 until nb).flatMap { b =>
+          val key = bandKey(b)
+          (key +: (0 until bandBits).map(j => key.bitwiseXOR(lit(1L << j))))
+            .map(v => struct(lit(b).as("band"), v.as("bits")))
+        }
+        sigs.select(col(idCol).as("__id"), explode(array(probeCols: _*)).as("bs"))
+          .select(col("__id"), col("bs.band").as("band"), col("bs.bits").as("bits"))
+      }
+    val cand = bands.as("a").join(probes.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))

@@ -60,6 +60,22 @@ class BinarySketchSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 3L)))
   }
 
+  test("MIH radius-1 probing over 16-bit bands = equality over 8-bit bands at maxDist 7") {
+    // Both schemes are pigeonhole-complete at radius 7 (8 bands − 1 =
+    // 4 bands · 2 − 1), so the verified pair sets must be IDENTICAL —
+    // the equivalence that lets q_image_neardups switch to sparse
+    // 16-bit buckets without touching its oracle.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sigs = Similarity.signSignatures(emb, "vec_id", "embedding", 64)
+    def run(bandBits: Int, r: Int) =
+      Similarity.hammingNearDupPairsSig(sigs, "vec_id", words = 2, nBits = 64,
+          maxDist = 7, bandBits = bandBits, bandRadius = r)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val eq8 = run(8, 0)
+    val mih16 = run(16, 1)
+    assert(mih16 == eq8)
+  }
+
   test("retrievalEval hand golden: hits, MRR, NDCG in integer micro-units") {
     val system = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
         (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
