@@ -845,6 +845,41 @@ object SparkEntry {
     graft.ops.Dedup.groupShingleOverlap(
       t(s, dir, "documents"), "source", col("text"), n = 3)
 
+  /** Per-source distinctive tokens
+    * ([[graft.ops.TextAnalysis.distinctiveTokens]]): top-5 tokens by
+    * exact in-source-vs-rest lift ppm — the contrastive domain
+    * signature a mixing pipeline reads before weighting sources.
+    */
+  private def qDistinctiveTokens(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.distinctiveTokens(
+      t(s, dir, "documents"), "source", col("text"), k = 5, minCount = 5L)
+
+  /** Out-of-vocabulary QA across the hash split: the share of val /
+    * test TOKENS whose type never occurs in train — the held-out
+    * coverage check run before any tokenizer or LM is trained on the
+    * split. Train vocab is distinct-token (vocabulary-sized); the
+    * token-keyed left join is the only corpus-sized shuffle.
+    */
+  private def qOovRate(s: SparkSession, dir: String): DataFrame = {
+    val sp = graft.ops.Sampling.assignSplit(
+      t(s, dir, "documents"), concat(lit("split:"), col("doc_id").cast("string")),
+      Seq(("train", 800), ("val", 100), ("test", 100)))
+    val toks = sp.select(col("split"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val trainVocab = toks.filter(col("split") === "train")
+      .select("tok").distinct().withColumn("__seen", lit(true))
+    toks.filter(col("split") =!= "train")
+      .join(trainVocab, Seq("tok"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_oov_tokens"),
+        countDistinct(col("tok")).as("n_types"),
+        countDistinct(when(col("__seen").isNull, col("tok"))).as("n_oov_types"))
+      .select(col("split"), col("n_tokens"), col("n_oov_tokens"),
+        col("n_types"), col("n_oov_types"),
+        expr("(n_oov_tokens * 1000000L) div n_tokens").as("oov_ppm"))
+  }
+
   // ---- wave 5: temporal + skew-aware joins -------------------------
 
   /** As-of join: each event attached to the user's latest order at or
@@ -3704,6 +3739,8 @@ object SparkEntry {
     "q_token_budget" -> (qTokenBudget _),
     "q_leakage_split" -> (qLeakageSplit _),
     "q_source_overlap" -> (qSourceOverlap _),
+    "q_distinctive_tokens" -> (qDistinctiveTokens _),
+    "q_oov_rate" -> (qOovRate _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_two_table_link" -> (qTwoTableLink _),
     "q_sessionize" -> (qSessionize _),
@@ -4365,6 +4402,51 @@ object SparkEntry {
          |  CAST((p.n_shared * 1000000) // (sa.n + sb.n - p.n_shared) AS BIGINT) AS jaccard_ppm
          |FROM p JOIN sz sa ON sa.g = p.src_a
          |       JOIN sz sb ON sb.g = p.src_b""".stripMargin,
+    // Distinctive-tokens mirror: same counts, same HUGEINT lift with
+    // +1 smoothing, same (lift DESC, token) top-5 per source.
+    "q_distinctive_tokens" ->
+      """WITH tk AS (
+        |  SELECT source AS g, u.tok FROM (
+        |    SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |    FROM documents), unnest(ts) AS u(tok)),
+        |cgt AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c_gt FROM tk GROUP BY 1, 2),
+        |ct AS (SELECT tok, CAST(sum(c_gt) AS BIGINT) AS c_t FROM cgt GROUP BY 1),
+        |tg AS (SELECT g, CAST(sum(c_gt) AS BIGINT) AS t_g FROM cgt GROUP BY 1),
+        |tt AS (SELECT CAST(sum(t_g) AS BIGINT) AS t FROM tg),
+        |sc AS (
+        |  SELECT cgt.g, cgt.tok, cgt.c_gt,
+        |    CAST((CAST(c_gt AS HUGEINT) * (tt.t - tg.t_g) * 1000000)
+        |      // (CAST(c_t - c_gt + 1 AS HUGEINT) * tg.t_g) AS BIGINT) AS lift_ppm
+        |  FROM cgt JOIN ct USING (tok) JOIN tg USING (g), tt
+        |  WHERE c_gt >= 5),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY lift_ppm DESC, tok) AS rnk
+        |       FROM sc)
+        |SELECT g AS source, tok, c_gt AS n_in_group, lift_ppm,
+        |       CAST(rnk AS BIGINT) AS rank
+        |FROM rk WHERE rnk <= 5""".stripMargin,
+    // OOV mirror: same hashBucket split, same train vocab left join,
+    // same exact ppm.
+    "q_oov_rate" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, text,
+         |          ${graft.ops.Sampling.hashBucketSql(
+                      "'split:' || CAST(doc_id AS VARCHAR)")} AS b
+         |        FROM documents)),
+         |tk AS (SELECT split, u.tok FROM (
+         |  SELECT split, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+         |  FROM sp), unnest(ts) AS u(tok)),
+         |tv AS (SELECT DISTINCT tok FROM tk WHERE split = 'train'),
+         |j AS (SELECT t.split, t.tok, tv.tok IS NOT NULL AS seen
+         |      FROM tk t LEFT JOIN tv ON tv.tok = t.tok WHERE t.split <> 'train')
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_tokens,
+         |  CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+         |  CAST(count(DISTINCT CASE WHEN NOT seen THEN tok END) AS BIGINT) AS n_oov_types,
+         |  CAST((sum(CASE WHEN NOT seen THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS oov_ppm
+         |FROM j GROUP BY 1""".stripMargin,
     // Verbatim: DuckDB's built-in jaro_winkler_similarity runs the
     // exact SQL text our registered function table runs on Spark.
     "q_sql_functions" -> SqlFunctionsSql,

@@ -927,6 +927,43 @@ object TextAnalysis {
         expr("(covered_tokens * 1000000L) div __total").as("coverage_ppm"))
   }
 
+  /** Per-group DISTINCTIVE tokens — the contrastive "domain
+    * signature" view ("which tokens mark source A against the rest of
+    * the corpus"): lift of the token's in-group rate over its
+    * rest-of-corpus rate, exact ppm with +1 smoothing on the rest
+    * count so group-exclusive tokens stay finite,
+    * {{{ lift_ppm = c_gt · (T − T_g) · 10⁶ / ((c_t − c_gt + 1) · T_g) }}}
+    * The numerator rides decimal(38,0) ≡ HUGEINT (corpus-sized
+    * products overflow BIGINT past ~sf1); the output ppm is a BIGINT.
+    * Top-k per group under (lift DESC, token ASC). Two token-keyed
+    * hash aggs + one vocabulary-sized window — the corpus is scanned
+    * once.
+    */
+  def distinctiveTokens(df: DataFrame, groupCol: String, text: Column,
+      k: Int, minCount: Long): DataFrame = {
+    require(k >= 1 && minCount >= 1, s"need k >= 1 and minCount >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val toks = df.select(col(groupCol).as("g"), explode(split(text, " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val cgt = toks.groupBy("g", "tok").agg(count(lit(1)).as("c_gt"))
+    val ct = cgt.groupBy("tok").agg(sum("c_gt").as("c_t"))
+    val tg = cgt.groupBy("g").agg(sum("c_gt").as("t_g"))
+    val tot = tg.agg(sum("t_g").as("__t"))
+    val scored = cgt
+      .filter(col("c_gt") >= minCount)
+      .join(ct, Seq("tok")).join(tg, Seq("g")).join(broadcast(tot))
+      .withColumn("lift_ppm",
+        expr(s"CAST((CAST(c_gt AS $dec) * (__t - t_g) * 1000000)" +
+          s" div (CAST(c_t - c_gt + 1 AS $dec) * t_g) AS BIGINT)"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("g").orderBy(col("lift_ppm").desc, col("tok").asc)))
+      .filter(col("rank") <= k)
+      .select(col("g").as(groupCol), col("tok"), col("c_gt").as("n_in_group"),
+        col("lift_ppm"), col("rank").cast("long").as("rank"))
+  }
+
   /** CONTENT-DEFINED CHUNKING — boundaries chosen by the CONTENT
     * (rolling hash hits a residue class), not by offset, so an
     * insertion resynchronizes within one window and every later chunk
