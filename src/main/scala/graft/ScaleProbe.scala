@@ -207,7 +207,35 @@ object ScaleProbe {
     // fan-out is sources² per shingle with shingles ×10 (salted) →
     // linear; anti_join is facts ×10 against a broadcast build side.
     "q_kmeans", "q_token_budget", "q_leakage_split", "q_source_overlap",
-    "q_anti_join")
+    "q_anti_join",
+    // round-8 batch 2: auc/randomized_response are map-only md5 +
+    // support-sized window / group agg (orders & customer ×10 →
+    // linear); ks_test and t_closeness ride fixed-cardinality supports
+    // (char bands, QI classes×bands) with counts ×10 → linear;
+    // gini's key table stays sources-sized; heaps is two hash aggs +
+    // a ≤64-band window (tokens AND salted types ×10 → linear);
+    // link_predict rides the disjoint orders graph replicas with the
+    // degree-64 wedge cap (wedges track edges → linear); pq_topk
+    // trains constant-state codebooks (4 scans/round), encodes
+    // map-only, and scans codes × 8 broadcast queries → linear.
+    "q_auc", "q_ks_test", "q_t_closeness", "q_gini",
+    "q_randomized_response", "q_heaps", "q_link_predict", "q_pq_topk",
+    // round-8 batch 3: prf1/mcnemar ride the same map-only md5
+    // channels (orders ×10 → linear, 3-key / 1-row aggs);
+    // odds_ratio is a stratum-keyed conditional agg (strata fixed);
+    // zipf adds a vocab agg + constant top-1024; semantic
+    // decontamination is corpus × broadcast bench with corpus and
+    // bench both ×10 (pairs ×100 by construction, per-pair O(dim)).
+    "q_prf1", "q_mcnemar", "q_odds_ratio", "q_zipf",
+    "q_semantic_decontaminate",
+    // ivfpq trains constant-state codebooks (scans ×10 → linear),
+    // encodes map-only, and probes 3/8 of the code partitions per
+    // broadcast query — candidates ×10 → linear.
+    "q_ivfpq_topk",
+    // rake: per-doc windows + vocabulary agg (docs ×10 → linear);
+    // bootstrap: map-only 16× explode + 17-key agg (rows ×10 →
+    // linear).
+    "q_rake", "q_bootstrap")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a

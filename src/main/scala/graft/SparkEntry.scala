@@ -761,6 +761,31 @@ object SparkEntry {
       t(s, dir, "embeddings"), "vec_id", "embedding",
       k = 8, dim = EmbDim, rounds = 3)
 
+  /** Product-quantization ADC top-5 ([[graft.ops.Similarity.pqTopK]]):
+    * 4 subspaces × 4 codewords (2 micro-k-means rounds each) over the
+    * embeddings, 8 query vectors — the memory-bound ANN
+    * representation (m codes per vector instead of dim floats)
+    * searched by exact integer asymmetric distance, hash-identical
+    * to the oracle's codebook/encode/ADC CTE chain.
+    */
+  private def qPqTopK(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.pqTopK(
+      t(s, dir, "embeddings"), (0L until 8L).toSeq, "vec_id", "embedding",
+      dim = EmbDim, m = 4, ksub = 4, rounds = 2, k = 5)
+
+  /** IVF-PQ search ([[graft.ops.Similarity.ivfPqTopK]]): the
+    * billion-scale serving stack — 8-list coarse router (2 Lloyd's
+    * rounds), nprobe=3, the q_pq_topk codebooks, ADC over codes of
+    * probed lists only; work per query ≈ 3/8 of the flat PQ scan.
+    * Hash-identical to the oracle's coarse pyramid + probe list + PQ
+    * pyramid + restricted-ADC CTE chain.
+    */
+  private def qIvfPqTopK(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.ivfPqTopK(
+      t(s, dir, "embeddings"), (0L until 8L).toSeq, "vec_id", "embedding",
+      dim = EmbDim, kCoarse = 8, coarseRounds = 2, nprobe = 3,
+      m = 4, ksub = 4, rounds = 2, k = 5)
+
   /** Left anti join — the "rows with NO match" core operator:
     * customers who never placed an URGENT order, per segment (the
     * unfiltered FK relations are dense in this generator, so the
@@ -879,6 +904,195 @@ object SparkEntry {
         col("n_types"), col("n_oov_types"),
         expr("(n_oov_tokens * 1000000L) div n_tokens").as("oov_ppm"))
   }
+
+  /** ROC AUC ([[graft.ops.Profiling.rocAuc]]) of the
+    * calibration-row scorer — same md5 score channel and independent
+    * coin label as [[qCalibration]], so the label rate tracks the
+    * score by construction and the exact Mann–Whitney AUC lands near
+    * its analytic 2/3 (uniform score, Bernoulli(score) label) with
+    * only binomial noise. Threshold-free counterpart of the
+    * calibration bins: one support-sized window, no per-row ranks.
+    */
+  private def qAuc(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "orders")
+      .select(mdChan("cal:").as("score"), mdChan("coin:").as("__coin"))
+      .select(col("score"), (col("__coin") < col("score")).as("label"))
+    graft.ops.Profiling.rocAuc(scored, col("score"), col("label"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift test
+    * ([[graft.ops.Profiling.ksTest]]): English vs Chinese document
+    * lengths, banded to tens of chars (bounded support — the ordered
+    * window runs over bands, not rows). The ordered-numeric member
+    * of the drift-test family (chi-square: categorical; JSD: token
+    * distributions).
+    */
+  private def qKsTest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.ops.Profiling.ksTest(
+      d.filter(col("lang") === "en"), expr("n_chars div 10"),
+      d.filter(col("lang") === "zh"), expr("n_chars div 10"))
+  }
+
+  /** Gini concentration of corpus mass over sources
+    * ([[graft.ops.Profiling.giniConcentration]]): is the corpus
+    * dominated by one domain? Weight = chars contributed; one
+    * key-sized window; exact ppm Gini + heaviest-source share — the
+    * diversity gate read before [[qDataMix]]-style reweighting.
+    */
+  private def qGini(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.giniConcentration(
+      t(s, dir, "documents"), col("source"), col("n_chars"))
+
+  /** T-closeness profile ([[graft.ops.Profiling.tCloseness]]) over
+    * the customer quasi-identifiers (nation, segment), sensitive =
+    * the balance-thousands band (same QI family as [[qKAnonymity]]
+    * / [[qLDiversity]], completing the privacy trio): per-class EMD
+    * to the global balance distribution in exact floor-ppm, risky
+    * above 200000 ppm.
+    */
+  private def qTCloseness(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.tCloseness(
+      t(s, dir, "customer"),
+      Seq(col("c_nationkey"), col("c_mktsegment")),
+      floor(col("c_acctbal") / 1000).cast("long"),
+      tPpm = 200000L)
+
+  /** Common-neighbor link prediction
+    * ([[graft.ops.Graphs.linkPredict]]) over the [[qTriangles]]
+    * synthetic graph: top-50 non-adjacent pairs by shared-neighbor
+    * count with the exact preferential-attachment product, wedges
+    * hub-capped at degree 64 (cap mirrored in the oracle).
+    */
+  private def qLinkPredict(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.linkPredict(
+      t(s, dir, "orders").select((col("o_orderkey") % 1500).as("src"),
+        (col("o_custkey") % 1500).as("dst")),
+      maxDegree = 64, minCommon = 2L, k = 50)
+
+  /** Heaps'-law vocabulary-growth curve
+    * ([[graft.ops.TextAnalysis.heapsLaw]]): distinct types vs tokens
+    * streamed in doc-position order, sampled at power-of-two index
+    * bands — the tokenizer-vocab sizing / dedup-failure diagnostic;
+    * one corpus scan, one type-keyed agg, ≤64-band windows.
+    */
+  private def qHeaps(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.heapsLaw(
+      t(s, dir, "documents"), "doc_id", col("text"), maxDocTokens = 8192)
+
+  /** Randomized-response proportion estimate
+    * ([[graft.ops.Profiling.randomizedResponse]]): per-segment share
+    * of negative balances through Warner's flip mechanism — 25%
+    * md5-coin flips keyed by custkey, exact integer debias; the
+    * privacy-mechanism row alongside k-anonymity / l-diversity /
+    * t-closeness.
+    */
+  private def qRandomizedResponse(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.randomizedResponse(
+      t(s, dir, "customer"), col("c_mktsegment"),
+      col("c_acctbal") < 0, col("c_custkey"), pPpm = 250000L)
+
+  /** md5 score/coin channel shared by the classifier-eval rows
+    * (q_calibration, q_auc, q_prf1, q_mcnemar): a uniform-ppm value
+    * keyed by (tag, orderkey), deterministic in both engines. */
+  private def mdChan(tag: String): Column =
+    conv(substring(md5(concat(lit(tag), col("o_orderkey").cast("string"))),
+      1, 15), 16, 10).cast("long") % 1000000L
+
+  /** Precision/recall/F1 operating points
+    * ([[graft.ops.Profiling.prf1]]) of the calibration-row scorer at
+    * thresholds 0.25/0.5/0.75 — the cutoff-picking view that
+    * completes the q_calibration (reliability) / q_auc (ranking)
+    * classifier-eval trio. Same md5 score + Bernoulli(score) label
+    * channels, one scan, 3-key hash agg.
+    */
+  private def qPrf1(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "orders")
+      .select(mdChan("cal:").as("score"), mdChan("coin:").as("__coin"))
+      .select(col("score"), (col("__coin") < col("score")).as("label"))
+    graft.ops.Profiling.prf1(scored, col("score"), col("label"),
+      Seq(250000L, 500000L, 750000L))
+  }
+
+  /** McNemar's paired test ([[graft.ops.Profiling.mcnemar]]):
+    * classifier A = the informed md5 scorer at its 0.5 cutoff,
+    * classifier B = an INDEPENDENT md5 channel at the same cutoff (a
+    * coin-flip baseline), both judged on the Bernoulli(score) truth —
+    * A's information advantage shows up as b ≫ c and a large χ²,
+    * exactly the paired-eval shape (two models, one labelled set).
+    */
+  private def qMcnemar(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "orders")
+      .select(mdChan("cal:").as("__s"), mdChan("coin:").as("__c"),
+        mdChan("alt:").as("__b"))
+      .select((col("__c") < col("__s")).as("y"),
+        (col("__s") >= 500000L).as("pa"), (col("__b") >= 500000L).as("pb"))
+    graft.ops.Profiling.mcnemar(df, col("y"), col("pa"), col("pb"))
+  }
+
+  /** Stratified Mantel–Haenszel odds ratio
+    * ([[graft.ops.Profiling.oddsRatioMH]]): exposure = AUTOMOBILE
+    * segment, outcome = negative balance, stratified by nation — the
+    * Simpson's-paradox-safe effect estimate next to q_ab_test's
+    * pooled chi-square; per-stratum exact-ppm OR plus the pooled
+    * `__pooled__` row.
+    */
+  private def qOddsRatio(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.oddsRatioMH(
+      t(s, dir, "customer"), col("c_nationkey"),
+      col("c_mktsegment") === "AUTOMOBILE", col("c_acctbal") < 0)
+
+  /** Zipf rank–frequency profile
+    * ([[graft.ops.TextAnalysis.zipfProfile]]) of the top-1024 corpus
+    * tokens per rank octave — q_heaps' dual diagnostic; the
+    * `rank·freq` invariant bounds expose boilerplate flooding. One
+    * vocabulary agg + distributed top-K, never a global sort.
+    */
+  private def qZipf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.zipfProfile(
+      t(s, dir, "documents"), col("text"), topK = 1024)
+
+  /** Embedding-space decontamination
+    * ([[graft.ops.Similarity.semanticDecontaminate]]): bench set =
+    * every 8th vector, corpus = the rest, keep-out at cos ≥ 0.4 (the
+    * q_semantic_dedup neighborhood scale; this synthetic corpus tops
+    * out near cos 0.46) —
+    * the paraphrase-leakage check that complements the shingle-based
+    * q_decontaminate; broadcast bench, one map-only corpus scan,
+    * exact integer cos² ppm.
+    */
+  private def qSemanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.ops.Similarity.semanticDecontaminate(
+      e.filter(col("vec_id") % 8 =!= 0), e.filter(col("vec_id") % 8 === 0),
+      "vec_id", "embedding", minCosPpm = 400000L)
+  }
+
+  /** Stopword list for the RAKE row — shared verbatim with the oracle
+    * ("the"/"a" are the corpus's actual function words; the rest are
+    * standard-list no-ops that exercise the contains path). */
+  private val RakeStopwords = Seq("the", "a", "of", "and", "to", "is")
+
+  /** RAKE keyphrase extraction
+    * ([[graft.ops.TextAnalysis.rakeKeyphrases]]): top-50 candidate
+    * phrases (maximal non-stopword runs) by the exact integer
+    * degree/freq word-score sum — the unsupervised keyword/tag pass
+    * over a corpus; one scan + per-doc windows + vocabulary agg.
+    */
+  private def qRake(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.rakeKeyphrases(
+      t(s, dir, "documents"), "doc_id", col("text"), RakeStopwords, topK = 50)
+
+  /** Poisson bootstrap ([[graft.ops.Sampling.poissonBootstrap]]):
+    * 16 deterministic md5-weighted replicates of the mean order value
+    * in cents (+ the `replicate = -1` point estimate) — the
+    * distributed-bootstrap CI without any global resample; the
+    * replicate spread IS the confidence interval.
+    */
+  private def qBootstrap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.poissonBootstrap(
+      t(s, dir, "orders"), col("o_orderkey"),
+      floor(col("o_totalprice") * 100).cast("long"), replicates = 16)
 
   // ---- wave 5: temporal + skew-aware joins -------------------------
 
@@ -3735,12 +3949,28 @@ object SparkEntry {
     "q_salted_join" -> (qSaltedJoin _),
     "q_ivf_topk" -> (qIvfTopK _),
     "q_kmeans" -> (qKmeans _),
+    "q_pq_topk" -> (qPqTopK _),
+    "q_ivfpq_topk" -> (qIvfPqTopK _),
     "q_anti_join" -> (qAntiJoin _),
     "q_token_budget" -> (qTokenBudget _),
     "q_leakage_split" -> (qLeakageSplit _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_distinctive_tokens" -> (qDistinctiveTokens _),
     "q_oov_rate" -> (qOovRate _),
+    "q_auc" -> (qAuc _),
+    "q_ks_test" -> (qKsTest _),
+    "q_gini" -> (qGini _),
+    "q_t_closeness" -> (qTCloseness _),
+    "q_randomized_response" -> (qRandomizedResponse _),
+    "q_heaps" -> (qHeaps _),
+    "q_link_predict" -> (qLinkPredict _),
+    "q_prf1" -> (qPrf1 _),
+    "q_mcnemar" -> (qMcnemar _),
+    "q_odds_ratio" -> (qOddsRatio _),
+    "q_zipf" -> (qZipf _),
+    "q_semantic_decontaminate" -> (qSemanticDecontaminate _),
+    "q_rake" -> (qRake _),
+    "q_bootstrap" -> (qBootstrap _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_two_table_link" -> (qTwoTableLink _),
     "q_sessionize" -> (qSessionize _),
@@ -4326,6 +4556,17 @@ object SparkEntry {
       s"""WITH ${graft.ops.Similarity.kmeansMicroSqlCtes(
             "embeddings", "vec_id", "embedding", 8, EmbDim, 3)}
          |SELECT cid, pos, c_micro, n_members FROM km""".stripMargin,
+    // PQ mirror: per-subspace codebook pyramids + the same argmin
+    // encode and integer ADC sum; ranks tie-broken (dist, id).
+    "q_pq_topk" -> graft.ops.Similarity.pqOracleSql(
+      "embeddings", "vec_id", "embedding",
+      dim = EmbDim, m = 4, ksub = 4, rounds = 2, nQueries = 8, k = 5),
+    // IVF-PQ mirror: coarse-router pyramid + (dist, cid) probe lists
+    // + the PQ encode chain, ADC restricted to probed lists.
+    "q_ivfpq_topk" -> graft.ops.Similarity.ivfPqOracleSql(
+      "embeddings", "vec_id", "embedding",
+      dim = EmbDim, kCoarse = 8, coarseRounds = 2, nprobe = 3,
+      m = 4, ksub = 4, rounds = 2, nQueries = 8, k = 5),
     // Anti-join mirror: the NOT EXISTS form of the same orphan set.
     "q_anti_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers_no_orders,
@@ -4447,6 +4688,262 @@ object SparkEntry {
          |  CAST(count(DISTINCT CASE WHEN NOT seen THEN tok END) AS BIGINT) AS n_oov_types,
          |  CAST((sum(CASE WHEN NOT seen THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS oov_ppm
          |FROM j GROUP BY 1""".stripMargin,
+    // AUC mirror: same md5 channels as q_calibration, same per-score
+    // counts, same doubled-U rank-sum in HUGEINT, floor-ppm out.
+    "q_auc" ->
+      """WITH sc AS (
+        |  SELECT CAST(('0x' || substr(md5('cal:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS s,
+        |         CAST(('0x' || substr(md5('coin:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+        |           < CAST(('0x' || substr(md5('cal:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS y
+        |  FROM orders),
+        |g AS (SELECT s, CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |             CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |      FROM sc GROUP BY 1),
+        |c AS (SELECT s, np, nn,
+        |        CAST(coalesce(sum(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cn
+        |      FROM g),
+        |u AS (SELECT CAST(sum(CAST(np AS HUGEINT) * (2 * CAST(cn AS HUGEINT) + nn)) AS HUGEINT) AS u2,
+        |             CAST(sum(np) AS HUGEINT) AS p, CAST(sum(nn) AS HUGEINT) AS q
+        |      FROM c)
+        |SELECT CAST(p + q AS BIGINT) AS n, CAST(p AS BIGINT) AS n_pos,
+        |       CAST(q AS BIGINT) AS n_neg,
+        |       CASE WHEN p * q = 0 THEN NULL
+        |            ELSE CAST((u2 * 1000000) // (2 * p * q) AS BIGINT) END AS auc_ppm
+        |FROM u""".stripMargin,
+    // KS mirror: same banded supports, same full-outer merge, same
+    // cumulative floor-ppm ECDFs, max-D with min-v tie-break.
+    "q_ks_test" ->
+      """WITH a AS (SELECT n_chars // 10 AS v FROM documents WHERE lang = 'en'),
+        |b AS (SELECT n_chars // 10 AS v FROM documents WHERE lang = 'zh'),
+        |ca AS (SELECT v, CAST(count(*) AS BIGINT) AS na FROM a GROUP BY 1),
+        |cb AS (SELECT v, CAST(count(*) AS BIGINT) AS nb FROM b GROUP BY 1),
+        |m AS (SELECT coalesce(ca.v, cb.v) AS v, coalesce(na, 0) AS na,
+        |             coalesce(nb, 0) AS nb
+        |      FROM ca FULL JOIN cb ON ca.v = cb.v),
+        |c AS (SELECT v,
+        |        CAST(sum(na) OVER w AS BIGINT) AS cra,
+        |        CAST(sum(nb) OVER w AS BIGINT) AS crb
+        |      FROM m WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT max(cra) AS ta, max(crb) AS tb FROM c),
+        |d AS (SELECT v, abs((cra * 1000000) // t.ta - (crb * 1000000) // t.tb) AS dv
+        |      FROM c, t),
+        |mx AS (SELECT max(dv) AS d_ppm FROM d)
+        |SELECT t.ta AS n_a, t.tb AS n_b, CAST(mx.d_ppm AS BIGINT) AS d_ppm,
+        |       (SELECT min(v) FROM d WHERE d.dv = mx.d_ppm) AS at_v
+        |FROM t, mx""".stripMargin,
+    // Gini mirror: same (weight, key) rank order, same rearrangement
+    // identity in HUGEINT, same floor-ppm out.
+    "q_gini" ->
+      """WITH k AS (SELECT source AS k, CAST(sum(n_chars) AS BIGINT) AS w
+        |           FROM documents GROUP BY 1),
+        |r AS (SELECT w, row_number() OVER (ORDER BY w, k) AS i FROM k),
+        |a AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(w) AS HUGEINT) AS s,
+        |             CAST(sum(CAST(i AS HUGEINT) * w) AS HUGEINT) AS iw,
+        |             CAST(max(w) AS HUGEINT) AS mx
+        |      FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_keys, CAST(s AS BIGINT) AS total_weight,
+        |  CASE WHEN n * s = 0 THEN NULL
+        |       ELSE CAST(((2 * iw - (n + 1) * s) * 1000000) // (n * s) AS BIGINT) END AS gini_ppm,
+        |  CASE WHEN s = 0 THEN NULL
+        |       ELSE CAST((mx * 1000000) // s AS BIGINT) END AS top_share_ppm
+        |FROM a""".stripMargin,
+    // Link-prediction mirror: same canonical edge set, same hub-cap
+    // on wedge middles, same anti join and (n_common DESC, u, v)
+    // total order.
+    "q_link_predict" ->
+      """WITH raw AS (
+        |  SELECT o_orderkey % 1500 AS a, o_custkey % 1500 AS b FROM orders),
+        |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |      FROM raw WHERE a <> b),
+        |sym AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY 1),
+        |adj AS (SELECT sym.s, sym.d FROM sym
+        |        JOIN deg ON deg.s = sym.s AND deg.dg <= 64),
+        |wed AS (SELECT a1.d AS u, a2.d AS v, CAST(count(*) AS BIGINT) AS n_common
+        |        FROM adj a1 JOIN adj a2 ON a1.s = a2.s AND a1.d < a2.d
+        |        GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nw AS (SELECT w.u, w.v, w.n_common FROM wed w
+        |       LEFT JOIN e ON e.u = w.u AND e.v = w.v WHERE e.u IS NULL),
+        |sc AS (SELECT n.u, n.v, n.n_common, du.dg * dv.dg AS pa_score
+        |       FROM nw n JOIN deg du ON du.s = n.u JOIN deg dv ON dv.s = n.v)
+        |SELECT u, v, n_common, pa_score,
+        |       CAST(row_number() OVER (ORDER BY n_common DESC, u, v) AS BIGINT) AS rank
+        |FROM sc
+        |QUALIFY rank <= 50""".stripMargin,
+    // Heaps mirror: same stream indices, same bin-length bands, same
+    // cumulative windows.
+    "q_heaps" ->
+      s"""WITH ${graft.ops.TextAnalysis.heapsLawSqlCtes(
+            "documents", "doc_id", "text", 8192)}
+         |SELECT band, n_tokens, n_types, type_token_ppm FROM heaps""".stripMargin,
+    // Randomized-response mirror: same md5 coin, same XOR report,
+    // same remainder-subtraction debias (est may leave [0, 1e6]).
+    "q_randomized_response" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment AS g,
+        |         ((c_acctbal < 0) <>
+        |          (CAST(('0x' || substr(md5('rr:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < 250000)) AS rep
+        |  FROM customer),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT) AS n_reported
+        |      FROM r GROUP BY 1),
+        |o AS (SELECT g, n, n_reported,
+        |             (n_reported * 1000000) // n AS obs_ppm FROM a)
+        |SELECT g, n, n_reported, obs_ppm,
+        |  CAST((((obs_ppm - 250000) * 1000000
+        |         - ((obs_ppm - 250000) * 1000000) % 500000) // 500000) AS BIGINT) AS est_ppm
+        |FROM o""".stripMargin,
+    // T-closeness mirror: same class×category grid, same cumulative
+    // floor-ppm distributions, same integral EMD.
+    "q_t_closeness" ->
+      """WITH k AS (SELECT c_nationkey AS q0, c_mktsegment AS q1,
+        |                  CAST(floor(c_acctbal / 1000) AS BIGINT) AS c
+        |           FROM customer),
+        |cat AS (SELECT c, CAST(count(*) AS BIGINT) AS gn FROM k GROUP BY 1),
+        |gt AS (SELECT CAST(sum(gn) AS BIGINT) AS t, count(*) AS m FROM cat),
+        |gc AS (SELECT c,
+        |         (CAST(sum(gn) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * 1000000) // gt.t AS gppm,
+        |         gt.m AS m
+        |       FROM cat, gt),
+        |cls AS (SELECT q0, q1, CAST(count(*) AS BIGINT) AS class_size
+        |        FROM k GROUP BY 1, 2),
+        |cnt AS (SELECT q0, q1, c, CAST(count(*) AS BIGINT) AS cn
+        |        FROM k GROUP BY 1, 2, 3),
+        |grid AS (SELECT cls.q0, cls.q1, cls.class_size, gc.c, gc.gppm, gc.m,
+        |                coalesce(cnt.cn, 0) AS cn
+        |         FROM cls CROSS JOIN gc
+        |         LEFT JOIN cnt ON cnt.q0 = cls.q0 AND cnt.q1 = cls.q1
+        |                      AND cnt.c = gc.c),
+        |cum AS (SELECT q0, q1, class_size, m, gppm,
+        |          (CAST(sum(cn) OVER (PARTITION BY q0, q1 ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * 1000000) // class_size AS cppm
+        |        FROM grid)
+        |SELECT q0, q1, class_size,
+        |       CAST(sum(abs(cppm - gppm)) AS BIGINT) // (max(m) - 1) AS emd_ppm,
+        |       (CAST(sum(abs(cppm - gppm)) AS BIGINT) // (max(m) - 1)) > 200000 AS risky
+        |FROM cum GROUP BY 1, 2, 3""".stripMargin,
+    // PRF1 mirror: same md5 channels, same threshold explode, same
+    // single-division floor-ppm precision/recall/F1.
+    "q_prf1" ->
+      """WITH sc AS (
+        |  SELECT CAST(('0x' || substr(md5('cal:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS s,
+        |         CAST(('0x' || substr(md5('coin:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+        |           < CAST(('0x' || substr(md5('cal:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS y
+        |  FROM orders),
+        |th(threshold) AS (VALUES (CAST(250000 AS BIGINT)), (CAST(500000 AS BIGINT)), (CAST(750000 AS BIGINT))),
+        |g AS (SELECT th.threshold,
+        |        CAST(sum(CASE WHEN s >= th.threshold AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |        CAST(sum(CASE WHEN s >= th.threshold AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |        CAST(sum(CASE WHEN s < th.threshold AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |        CAST(sum(CASE WHEN s < th.threshold AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |      FROM sc, th GROUP BY 1)
+        |SELECT threshold, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp = 0 THEN NULL ELSE CAST((tp * 1000000) // (tp + fp) AS BIGINT) END AS precision_ppm,
+        |  CASE WHEN tp + fn = 0 THEN NULL ELSE CAST((tp * 1000000) // (tp + fn) AS BIGINT) END AS recall_ppm,
+        |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE CAST((tp * 2000000) // (2 * tp + fp + fn) AS BIGINT) END AS f1_ppm
+        |FROM g""".stripMargin,
+    // McNemar mirror: same three md5 channels, same discordant-count
+    // milli statistic.
+    "q_mcnemar" ->
+      """WITH ch AS (
+        |  SELECT CAST(('0x' || substr(md5('cal:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS s,
+        |         CAST(('0x' || substr(md5('coin:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS cn,
+        |         CAST(('0x' || substr(md5('alt:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS alt
+        |  FROM orders),
+        |p AS (SELECT ((s >= 500000) = (cn < s)) AS ca,
+        |             ((alt >= 500000) = (cn < s)) AS cb
+        |      FROM ch)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(sum(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS n_neither,
+        |  CASE WHEN sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END) = 0 THEN NULL
+        |       ELSE CAST(((sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) - sum(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END))
+        |                  * (sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) - sum(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END))
+        |                  * 1000) // sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END) AS BIGINT) END AS chi2_milli
+        |FROM p""".stripMargin,
+    // Odds-ratio mirror: same 2x2 strata, same floor-ppm per-stratum
+    // OR and Mantel-Haenszel pooled terms.
+    "q_odds_ratio" ->
+      """WITH t2 AS (
+        |  SELECT CAST(c_nationkey AS VARCHAR) AS stratum,
+        |         (c_mktsegment = 'AUTOMOBILE') AS e, (c_acctbal < 0) AS o
+        |  FROM customer),
+        |tab AS (SELECT stratum,
+        |          CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |          CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |          CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |          CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |        FROM t2 GROUP BY 1),
+        |pool AS (SELECT CAST(sum(a) AS BIGINT) AS a, CAST(sum(b) AS BIGINT) AS b,
+        |           CAST(sum(c) AS BIGINT) AS c, CAST(sum(d) AS BIGINT) AS d,
+        |           sum((CAST(a AS HUGEINT) * d * 1000000) // (a + b + c + d)) AS sn,
+        |           sum((CAST(b AS HUGEINT) * c * 1000000) // (a + b + c + d)) AS sd
+        |         FROM tab)
+        |SELECT stratum, a, b, c, d,
+        |  CASE WHEN b * c = 0 THEN NULL
+        |       ELSE CAST((CAST(a AS HUGEINT) * d * 1000000) // (CAST(b AS HUGEINT) * c) AS BIGINT) END AS or_ppm
+        |FROM tab
+        |UNION ALL
+        |SELECT '__pooled__', a, b, c, d,
+        |  CASE WHEN sd = 0 THEN NULL ELSE CAST((sn * 1000000) // sd AS BIGINT) END
+        |FROM pool""".stripMargin,
+    // RAKE mirror: same stopword segmentation, same degree/freq word
+    // scores and phrase-sum top-50.
+    "q_rake" ->
+      s"""WITH ${graft.ops.TextAnalysis.rakeSqlCtes(
+            "documents", "doc_id", "text", RakeStopwords, 50)}
+         |SELECT phrase, n_words, n_occurrences, score_ppm, rank FROM rake""".stripMargin,
+    // Bootstrap mirror: same md5 uniforms against the SAME
+    // Scala-computed Poisson CDF literal, same floor-milli means.
+    "q_bootstrap" ->
+      s"""WITH b AS (
+         |  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+         |         CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+         |  FROM orders),
+         |r AS (SELECT k, v, u.r AS replicate
+         |      FROM b, unnest(generate_series(0, 15)) AS u(r)),
+         |w AS (SELECT replicate, v,
+         |        len(list_filter(${graft.ops.Sampling.poissonCdfPpmSql}, c ->
+         |          c <= CAST(('0x' || substr(md5('boot:' || replicate || ':' || k), 1, 15)) AS BIGINT) % 1000000)) AS w
+         |      FROM r),
+         |g AS (SELECT CAST(replicate AS INT) AS replicate,
+         |             CAST(sum(w) AS BIGINT) AS n_eff,
+         |             CAST(sum(CAST(w AS HUGEINT) * v) AS HUGEINT) AS ws
+         |      FROM w GROUP BY 1
+         |      UNION ALL
+         |      SELECT -1, CAST(count(*) AS BIGINT), CAST(sum(v) AS HUGEINT) FROM b)
+         |SELECT replicate, n_eff,
+         |       CASE WHEN n_eff = 0 THEN NULL
+         |            ELSE CAST((ws * 1000) // n_eff AS BIGINT) END AS mean_milli
+         |FROM g""".stripMargin,
+    // Zipf mirror: same top-1024 total order, same rank-octave bands
+    // and rank*freq invariant bounds.
+    "q_zipf" ->
+      s"""WITH ${graft.ops.TextAnalysis.zipfProfileSqlCtes("documents", "text", 1024)}
+         |SELECT band, n_ranks, band_mass, rf_min, rf_max FROM zipf""".stripMargin,
+    // Semantic-decontamination mirror: same micro quantization, same
+    // integer dot/norm, same floor-ppm cos-squared keep test.
+    "q_semantic_decontaminate" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |nv AS (SELECT vec_id, v,
+         |         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn FROM e),
+         |bch AS (SELECT vec_id AS bench_id, v AS vb, nn AS nb FROM nv WHERE vec_id % 8 = 0),
+         |cor AS (SELECT vec_id AS corpus_id, v AS vc, nn AS nc FROM nv WHERE vec_id % 8 <> 0),
+         |pr AS (SELECT bench_id, corpus_id,
+         |         CAST(list_sum(list_transform(generate_series(1, $EmbDim), i -> vc[i] * vb[i])) AS BIGINT) AS d,
+         |         nc, nb
+         |       FROM cor, bch),
+         |h AS (SELECT bench_id, corpus_id,
+         |        CAST((CAST(d AS HUGEINT) * d * 1000000) // (CAST(nc AS HUGEINT) * nb) AS BIGINT) AS c2
+         |      FROM pr WHERE d > 0)
+         |SELECT bench_id, CAST(count(*) AS BIGINT) AS n_contaminated,
+         |       CAST(max(c2) AS BIGINT) AS max_cos2_ppm,
+         |       min(corpus_id) AS first_corpus_id
+         |FROM h WHERE c2 >= 160000 GROUP BY 1""".stripMargin,
     // Verbatim: DuckDB's built-in jaro_winkler_similarity runs the
     // exact SQL text our registered function table runs on Spark.
     "q_sql_functions" -> SqlFunctionsSql,

@@ -836,6 +836,56 @@ object Graphs {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003)
+    * — "which unlinked pairs are most likely to connect": for every
+    * non-adjacent pair (u, v), the number of shared neighbors, with
+    * the preferential-attachment product `deg(u)·deg(v)` as the
+    * exact-integer secondary signal. Top-k under the total order
+    * (n_common DESC, u, v) — deterministic because (u, v) is unique.
+    *
+    * Scale shape: wedges are generated ONLY through middle nodes of
+    * degree ≤ `maxDegree` (the hub cap — a degree-d middle emits
+    * d²/2 pairs, so one celebrity node would otherwise dominate the
+    * shuffle; the cap is the same discipline as the LSH bucket cap
+    * and is mirrored in the oracle). Everything else is node-keyed
+    * aggs, an anti join against the existing edge set, and a
+    * TakeOrderedAndProject top-k — no global sort.
+    */
+  def linkPredict(edges: DataFrame, maxDegree: Int, minCommon: Long,
+      k: Int): DataFrame = {
+    require(maxDegree > 0 && minCommon >= 1 && k >= 1,
+      s"need maxDegree > 0, minCommon >= 1, k >= 1")
+    val cols = edges.columns
+    val e = edges.select(col(cols(0)).cast("long").as("a"),
+        col(cols(1)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+    val sym = e.select(col("u").as("s"), col("v").as("d"))
+      .unionByName(e.select(col("v").as("s"), col("u").as("d")))
+    val deg = sym.groupBy("s").agg(count(lit(1)).as("dg"))
+    val adj = sym.join(
+      deg.filter(col("dg") <= maxDegree).select("s"), Seq("s"))
+    val wedges = adj.select(col("s"), col("d").as("cu"))
+      .join(adj.select(col("s"), col("d").as("cv")), Seq("s"))
+      .filter(col("cu") < col("cv"))
+      .groupBy(col("cu").as("u"), col("cv").as("v"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    wedges.join(e, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("s").as("u"), col("dg").as("__du")), Seq("u"))
+      .join(deg.select(col("s").as("v"), col("dg").as("__dv")), Seq("v"))
+      .select(col("u"), col("v"), col("n_common"),
+        (col("__du") * col("__dv")).as("pa_score"))
+      .orderBy(col("n_common").desc, col("u").asc, col("v").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_common").desc, col("u").asc, col("v").asc))
+        .cast("long"))
+  }
+
   /** NEWMAN MODULARITY of a node partition — "how much denser are
     * communities than chance" (Newman & Girvan 2004), the standard
     * quality score for [[labelPropagation]] output. Over the

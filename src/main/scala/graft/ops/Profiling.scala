@@ -905,4 +905,324 @@ object Profiling {
         when(den === 0, lit(null).cast("long"))
           .otherwise(((num - num % den) / den).cast("long")).as("kappa_ppm"))
   }
+
+  /** ROC AUC — threshold-free ranking quality of a scorer against a
+    * binary label (the quality-classifier / reranker eval staple),
+    * EXACT via the Mann–Whitney U identity: AUC = P(s⁺ > s⁻) +
+    * ½·P(s⁺ = s⁻). Computed from per-score counts, never per-row
+    * ranks: group scores → (n_pos, n_neg) per distinct score, one
+    * ordered cumulative window over the SUPPORT (distinct scores —
+    * the caller bands scores to a bounded domain, e.g. ppm, so this
+    * window is support-sized, not corpus-sized), then
+    * {{{ U·2 = Σ_s n_pos(s) · (2·cumneg(<s) + n_neg(s)) }}}
+    * — doubled so ties stay integral — and
+    * `auc_ppm = ⌊U2·10⁶ / (2·P·N)⌋` in decimal(38,0) (holds past
+    * 10¹⁵ rows/side). Null when either class is empty.
+    */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val grouped = df.select(score.cast("long").as("__s"),
+        label.cast("boolean").as("__y"))
+      .groupBy("__s")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__np"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__nn"))
+    val w = Window.orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val u2 = grouped
+      .withColumn("__cn", coalesce(sum("__nn").over(w), lit(0L)))
+      .agg(
+        sum(col("__np").cast(dec) *
+          (col("__cn").cast(dec) * 2 + col("__nn").cast(dec))).as("__u2"),
+        sum("__np").cast(dec).as("__p"), sum("__nn").cast(dec).as("__n"))
+    val num = col("__u2") * lit(1000000L).cast(dec)
+    val den = col("__p") * col("__n") * 2
+    u2.select(
+      (col("__p") + col("__n")).cast("long").as("n"),
+      col("__p").cast("long").as("n_pos"),
+      col("__n").cast("long").as("n_neg"),
+      when(den === 0, lit(null).cast("long"))
+        .otherwise(((num - num % den) / den).cast("long")).as("auc_ppm"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance — "did this distribution
+    * drift": D = max_v |F_a(v) − F_b(v)| over the merged support, in
+    * exact floor-ppm (both engines floor the same integers, so the
+    * statistic is hash-exact; the ⌊⌋ error is < 1 ppm per side).
+    * Complements [[chiSquare]] (categorical) and the JSD drift row
+    * (token distributions) with the ORDERED-numeric drift test.
+    *
+    * Scale shape: per-side hash aggs keyed by value, a full outer
+    * merge of the two supports, ONE ordered cumulative window over
+    * the support — the caller bands values to a bounded domain
+    * (dollars, not cents; the window is support-sized, not
+    * row-sized) — and a 1-row max. Ties on D broken toward the
+    * smallest value (min over argmax), so `at_v` is deterministic.
+    */
+  def ksTest(a: DataFrame, aVal: Column, b: DataFrame, bVal: Column): DataFrame = {
+    val ca = a.select(aVal.cast("long").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__na"))
+    val cb = b.select(bVal.cast("long").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__nb"))
+    val merged = ca.join(cb, Seq("__v"), "full")
+      .select(col("__v"), coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged
+      .withColumn("__ca", sum("__na").over(w))
+      .withColumn("__cb", sum("__nb").over(w))
+    val tot = cum.agg(max("__ca").as("__ta"), max("__cb").as("__tb"))
+    val d = cum.crossJoin(broadcast(tot))
+      .select(col("__v"),
+        abs(expr("__ca * 1000000L div __ta") - expr("__cb * 1000000L div __tb"))
+          .as("__d"),
+        col("__ta"), col("__tb"))
+    d.groupBy("__ta", "__tb").agg(max("__d").as("d_ppm"))
+      .join(d.groupBy(col("__d").as("d_ppm"))
+        .agg(min("__v").as("at_v")), Seq("d_ppm"))
+      .select(col("__ta").as("n_a"), col("__tb").as("n_b"),
+        col("d_ppm"), col("at_v"))
+  }
+
+  /** Gini concentration of a weight over keys — "is the corpus 90%
+    * one domain": the data-mixing diversity gate. Exact integer form
+    * over per-key totals `w₁ ≤ … ≤ w_n` (ties ranked by key —
+    * deterministic):
+    * {{{ G = (2·Σ i·wᵢ − (n+1)·Σ wᵢ) / (n·Σ wᵢ) }}}
+    * in ppm via decimal(38,0) truncating division. 0 = perfectly
+    * even, →1 = all mass on one key. Also reports the single
+    * heaviest key's share. Shape: one key-hash agg, one ordered
+    * window over the KEY table (bounded: distinct keys, not rows),
+    * one 1-row fold.
+    */
+  def giniConcentration(df: DataFrame, key: Column, weight: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val k = df.select(key.cast("string").as("__k"), weight.cast("long").as("__w"))
+      .groupBy("__k").agg(sum("__w").as("__w"))
+    val ranked = k.withColumn("__i",
+      row_number().over(Window.orderBy(col("__w"), col("__k"))))
+    val agg = ranked.agg(
+      count(lit(1)).cast(dec).as("__n"),
+      sum("__w").cast(dec).as("__s"),
+      sum(col("__i").cast(dec) * col("__w").cast(dec)).as("__iw"),
+      max("__w").as("__mx"))
+    val num = (agg("__iw") * 2 - (col("__n") + 1) * col("__s")) *
+      lit(1000000L).cast(dec)
+    val den = col("__n") * col("__s")
+    agg.select(
+      col("__n").cast("long").as("n_keys"),
+      col("__s").cast("long").as("total_weight"),
+      when(den === 0, lit(null).cast("long"))
+        .otherwise(((num - num % den) / den).cast("long")).as("gini_ppm"),
+      when(col("__s") === 0, lit(null).cast("long"))
+        .otherwise({
+          val mn = col("__mx").cast(dec) * lit(1000000L).cast(dec)
+          ((mn - mn % col("__s")) / col("__s")).cast("long")
+        }).as("top_share_ppm"))
+  }
+
+  /** Warner's randomized response (1965) — the privacy mechanism for
+    * estimating a sensitive proportion WITHOUT trusting any row: each
+    * row reports its boolean flipped with probability p (here a
+    * deterministic md5 coin keyed by `coinKey`, so both engines flip
+    * the same rows — the seeded-sampling discipline), and the
+    * aggregate debiases:
+    * {{{ x̄ = (obs − p) / (1 − 2p) }}}
+    * in exact ppm via remainder-subtraction division (est can be
+    * negative or exceed 10⁶ on small groups — that's the mechanism's
+    * real sampling noise, reported truthfully, not clamped). Shape:
+    * one map-only coin column + one group hash agg.
+    */
+  def randomizedResponse(df: DataFrame, group: Column, sensitive: Column,
+      coinKey: Column, pPpm: Long): DataFrame = {
+    require(pPpm > 0 && pPpm < 500000,
+      s"flip probability must be in (0, 0.5) ppm, got $pPpm")
+    val dec = "decimal(38,0)"
+    val coin = conv(substring(md5(concat(lit("rr:"),
+      coinKey.cast("string"))), 1, 15), 16, 10).cast("long") % 1000000L
+    val num = (col("obs_ppm") - pPpm).cast(dec) * lit(1000000L).cast(dec)
+    val den = lit(1000000L - 2 * pPpm).cast(dec)
+    df.select(group.as("g"),
+        (sensitive.cast("boolean") =!= (coin < pPpm)).as("__r"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__r"), 1L).otherwise(0L)).as("n_reported"))
+      .select(col("g"), col("n"), col("n_reported"),
+        expr("(n_reported * 1000000L) div n").as("obs_ppm"))
+      .withColumn("est_ppm", ((num - num % den) / den).cast("long"))
+  }
+
+  /** T-closeness profile (Li et al. 2007) — k-anonymity's
+    * distributional upgrade: per quasi-identifier class, the Earth
+    * Mover's Distance between the class's SENSITIVE-value
+    * distribution and the global one; a class whose sensitive mix
+    * differs sharply from baseline leaks even when large and
+    * diverse. For an ORDERED sensitive attribute with `m` categories,
+    * {{{ EMD = Σ_j |cum_class(j) − cum_global(j)| / (m−1) }}}
+    * computed in floor-ppm (each distribution's cumulative ppm is
+    * exact-floored identically in both engines). Output: one row per
+    * class with its size, emd_ppm, and the `risky` flag
+    * (emd_ppm > tPpm).
+    *
+    * Shape: class×category grid built by cross join of the CLASS
+    * table with the CATEGORY table (both bounded: QI classes ×
+    * sensitive bands — never row-sized), counts left-joined in,
+    * cumulative windows partitioned per class over ≤ m rows.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[Column], sensitive: Column,
+      tPpm: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs at least one quasi-identifier")
+    val qs = quasiCols.indices.map(i => s"q$i")
+    val keyed = df.select(
+      quasiCols.zip(qs).map { case (c, n) => c.as(n) } :+
+        sensitive.cast("long").as("__c"): _*)
+    val cats = keyed.groupBy("__c").agg(count(lit(1)).as("__gn"))
+    val gtot = cats.agg(sum("__gn").as("__gt"), count(lit(1)).as("__m"))
+    val gcum = cats.crossJoin(broadcast(gtot))
+      .withColumn("__gc", sum("__gn").over(Window.orderBy("__c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("__c"), expr("__gc * 1000000L div __gt").as("__gppm"),
+        col("__m"))
+    val cls = keyed.groupBy(qs.map(col): _*).agg(count(lit(1)).as("class_size"))
+    val cnt = keyed.groupBy((qs :+ "__c").map(col): _*)
+      .agg(count(lit(1)).as("__cn"))
+    val grid = cls.crossJoin(gcum.select("__c", "__gppm", "__m"))
+      .join(cnt, qs :+ "__c", "left")
+      .withColumn("__cn", coalesce(col("__cn"), lit(0L)))
+    val wc = Window.partitionBy(qs.map(col): _*).orderBy("__c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("__cc", sum("__cn").over(wc))
+      .withColumn("__cppm", expr("__cc * 1000000L div class_size"))
+      .groupBy((qs :+ "class_size").map(col): _*)
+      .agg(sum(abs(col("__cppm") - col("__gppm"))).as("__sd"),
+        max("__m").as("__m"))
+      .select(qs.map(col) :+ col("class_size") :+
+        expr("__sd div (__m - 1)").as("emd_ppm"): _*)
+      .withColumn("risky", col("emd_ppm") > tPpm)
+  }
+
+  /** Precision / recall / F1 at a sweep of score thresholds — the
+    * operating-point view of a binary scorer ([[rocAuc]] is the
+    * threshold-FREE companion; this row is what picks the production
+    * cutoff). All exact integer: per threshold t, predict
+    * `score ≥ t`, tally the confusion quadrants in one conditional
+    * hash agg, and
+    * {{{ precision = tp/(tp+fp), recall = tp/(tp+fn),
+    *     f1 = 2·tp/(2·tp+fp+fn) }}}
+    * each as floor-ppm (the harmonic-mean F1 reduced to a single
+    * division so no intermediate rounds). NULL when a denominator is
+    * zero (no predicted / no actual positives), never 0-by-fiat.
+    *
+    * Plan shape: ONE corpus scan exploded over the bounded threshold
+    * list (|thresholds| copies of each row — a literal array, not a
+    * join), one |thresholds|-key hash agg. Map-side partials make the
+    * shuffle |thresholds| rows per task.
+    */
+  def prf1(df: DataFrame, score: Column, label: Column,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "prf1 needs at least one threshold")
+    df.select(score.cast("long").as("__s"),
+        label.cast("boolean").as("__y"),
+        explode(typedLit(thresholds.sorted)).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("__s") >= col("threshold") && col("__y"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__s") >= col("threshold") && !col("__y"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__s") < col("threshold") && col("__y"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("__s") < col("threshold") && !col("__y"), 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0, lit(null).cast("long"))
+          .otherwise(expr("(tp * 1000000L) div (tp + fp)")).as("precision_ppm"),
+        when(col("tp") + col("fn") === 0, lit(null).cast("long"))
+          .otherwise(expr("(tp * 1000000L) div (tp + fn)")).as("recall_ppm"),
+        when(col("tp") * 2 + col("fp") + col("fn") === 0, lit(null).cast("long"))
+          .otherwise(expr("(tp * 2000000L) div (2 * tp + fp + fn)")).as("f1_ppm"))
+  }
+
+  /** McNemar's paired test — "is classifier A actually better than B
+    * on the SAME rows", the right test when two models are evaluated
+    * on one labelled set (a two-proportion z-test ignores the pairing
+    * and wastes power). Only the discordant counts matter:
+    * b = A-right/B-wrong, c = A-wrong/B-right, and the statistic
+    * {{{ χ² = (b − c)² / (b + c) }}}
+    * here in exact milli-units ((b−c)²·1000 div (b+c) — df 1;
+    * 3841 milli ≈ p 0.05). NULL when b + c = 0 (no disagreement).
+    * One scan, one conditional hash agg, a 1-row fold — nothing
+    * corpus-sized past the map side.
+    */
+  def mcnemar(df: DataFrame, label: Column, predA: Column,
+      predB: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val agg = df.select(
+        (predA.cast("boolean") === label.cast("boolean")).as("__a"),
+        (predB.cast("boolean") === label.cast("boolean")).as("__b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L)).as("n_neither"))
+    val num = (col("b") - col("c")).cast(dec) *
+      (col("b") - col("c")).cast(dec) * 1000
+    val den = (col("b") + col("c")).cast(dec)
+    agg.select(col("n"), col("n_both"), col("b"), col("c"), col("n_neither"),
+      when(den === 0, lit(null).cast("long"))
+        .otherwise(((num - num % den) / den).cast("long")).as("chi2_milli"))
+  }
+
+  /** Stratified odds ratio with the Mantel–Haenszel pooled estimate —
+    * the Simpson's-paradox-safe effect size: per stratum k the 2×2
+    * table (a=exposed-outcome, b=exposed-no, c=unexposed-outcome,
+    * d=unexposed-no) gives `OR_k = a·d/(b·c)`, and the pooled
+    * {{{ OR_MH = Σ_k (a_k·d_k/n_k) / Σ_k (b_k·c_k/n_k) }}}
+    * weighs strata by size, immune to confounding by the stratum
+    * variable (Mantel & Haenszel 1959). All floor-ppm: each per-stratum
+    * ratio and each MH term uses the same integer division in both
+    * engines, so the output is hash-exact. Per-stratum OR is NULL when
+    * b·c = 0 (degenerate table). Output: one row per stratum plus one
+    * `__pooled__` row.
+    *
+    * Plan shape: one conditional hash agg keyed by stratum, a
+    * stratum-sized projection, and a 1-row fold for the pooled terms —
+    * the 2×2 grid never materializes row-wise.
+    */
+  def oddsRatioMH(df: DataFrame, stratum: Column, exposed: Column,
+      outcome: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tabs = df.select(stratum.cast("string").as("stratum"),
+        exposed.cast("boolean").as("__e"), outcome.cast("boolean").as("__o"))
+      .groupBy("stratum")
+      .agg(sum(when(col("__e") && col("__o"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("__e") && !col("__o"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__e") && col("__o"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("__e") && !col("__o"), 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+    def fdiv(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast("long"))
+        .otherwise(((num - num % den) / den).cast("long"))
+    val perStratum = tabs.select(col("stratum"), col("a"), col("b"),
+      col("c"), col("d"),
+      fdiv(col("a").cast(dec) * col("d").cast(dec) * 1000000L,
+        col("b").cast(dec) * col("c").cast(dec)).as("or_ppm"))
+    def tdiv(num: Column, den: Column): Column =
+      (num - num % den) / den // decimal truncating division, exact
+    val pooled = tabs
+      .select(
+        tdiv(col("a").cast(dec) * col("d").cast(dec) * 1000000L,
+          col("n").cast(dec)).as("__tn"),
+        tdiv(col("b").cast(dec) * col("c").cast(dec) * 1000000L,
+          col("n").cast(dec)).as("__td"),
+        col("a"), col("b"), col("c"), col("d"))
+      .agg(sum("a").as("a"), sum("b").as("b"), sum("c").as("c"),
+        sum("d").as("d"),
+        sum("__tn").cast(dec).as("__sn"), sum("__td").cast(dec).as("__sd"))
+      .select(lit("__pooled__").as("stratum"), col("a"), col("b"),
+        col("c"), col("d"),
+        fdiv(col("__sn") * 1000000L, col("__sd")).as("or_ppm"))
+    perStratum.unionByName(pooled)
+  }
 }

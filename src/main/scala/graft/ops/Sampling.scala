@@ -362,4 +362,69 @@ object Sampling {
        |  CAST(base + CASE WHEN rk <= lf.leftover THEN 1 ELSE 0 END AS BIGINT)
        |    AS quota_tokens
        |FROM rk, lf""".stripMargin
+
+  /** Poisson(1) CDF in floor-ppm, k = 0..8 — the resampling-weight
+    * table for [[poissonBootstrap]]. One shared Scala constant feeds
+    * BOTH engines (the [[graft.ops.Similarity.ndcgGainsSql]] idiom),
+    * so the float provenance of e⁻¹ is irrelevant to parity. */
+  val PoissonCdfPpm: Seq[Long] = {
+    // k! grows fast; 0..8 covers all but ~2e-6 of the mass
+    (0 to 8).map(k => (1L to k.toLong).product)
+      .scanLeft(0.0) { (acc, fact) => acc + math.exp(-1.0) / fact }
+      .drop(1)
+      .map(c => math.floor(c * 1e6).toLong)
+  }
+
+  /** [[PoissonCdfPpm]] as a DuckDB list literal. */
+  def poissonCdfPpmSql: String = PoissonCdfPpm.mkString("[", ", ", "]")
+
+  /** Poisson bootstrap (the distributed bootstrap — Chamandy et al.
+    * 2012): classical resampling draws n rows WITH replacement, which
+    * is a global operation no 1000-executor job can afford; the
+    * Poisson approximation gives every row an INDEPENDENT
+    * Poisson(1) replication weight per replicate, turning the whole
+    * bootstrap into one map-only pass. Here the weight is
+    * deterministic — an md5 uniform per (replicate, row key) cut
+    * against the shared [[PoissonCdfPpm]] table (weight = #CDF
+    * entries ≤ u) — so both engines resample the SAME corpus and the
+    * replicate means are hash-exact: `mean_milli = ⌊Σwᵢvᵢ·1000 /
+    * Σwᵢ⌋` in decimal(38,0). Row `replicate = -1` is the unresampled
+    * point estimate; the spread of the others is the CI.
+    *
+    * Plan shape: ONE scan exploded `replicates`× (bounded, ~16-64) →
+    * a replicate-keyed hash agg; map-side partials keep the shuffle
+    * at `replicates` rows per task. Nothing is ever globally
+    * resampled, sorted, or collected.
+    */
+  def poissonBootstrap(df: DataFrame, key: Column, value: Column,
+      replicates: Int): DataFrame = {
+    require(replicates >= 1 && replicates <= 256,
+      s"replicates must be in [1, 256], got $replicates")
+    val dec = "decimal(38,0)"
+    val cdfLit = typedLit(PoissonCdfPpm)
+    val base = df.select(key.cast("string").as("__k"),
+      value.cast("long").as("__v"))
+    val u = conv(substring(md5(concat(lit("boot:"),
+      col("replicate").cast("string"), lit(":"), col("__k"))),
+      1, 15), 16, 10).cast("long") % 1000000L
+    val reps = base
+      .select(col("__k"), col("__v"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("replicate"))
+      .withColumn("__w", size(filter(cdfLit, c => c <= u)).cast("long"))
+      .groupBy("replicate")
+      .agg(sum("__w").as("n_eff"),
+        sum(col("__w") * col("__v")).as("__ws"))
+    val point = base
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_eff"),
+        coalesce(sum("__v"), lit(0L)).as("__ws"))
+      .select(lit(-1).as("replicate"), col("n_eff"), col("__ws"))
+    reps.select(col("replicate"), col("n_eff"), col("__ws"))
+      .unionByName(point)
+      .select(col("replicate").cast("int").as("replicate"), col("n_eff"), {
+        val num = col("__ws").cast(dec) * 1000
+        val den = col("n_eff").cast(dec)
+        when(den === 0, lit(null).cast("long"))
+          .otherwise(((num - num % den) / den).cast("long")).as("mean_milli")
+      })
+  }
 }

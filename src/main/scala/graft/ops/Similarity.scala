@@ -345,45 +345,332 @@ object Similarity {
     * 1-based list column on `table`.
     */
   def kmeansMicroSqlCtes(table: String, idExpr: String, vecExpr: String,
-      k: Int, dim: Int, rounds: Int): String = {
+      k: Int, dim: Int, rounds: Int, prefix: String = "k"): String = {
+    val P = prefix
     val quant = s"list_transform(generate_series(1, $dim), i -> " +
       s"CAST(floor(CAST($vecExpr[i] AS DOUBLE) * 1000000) AS BIGINT))"
     val head =
-      s"""kq AS MATERIALIZED (
+      s"""${P}q AS MATERIALIZED (
          |  SELECT $idExpr AS id, $quant AS q FROM $table),
-         |kc0 AS MATERIALIZED (
+         |${P}c0 AS MATERIALIZED (
          |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, q AS c
-         |  FROM kq ORDER BY id LIMIT $k)""".stripMargin
+         |  FROM ${P}q ORDER BY id LIMIT $k)""".stripMargin
     val blocks = (1 to rounds).map { r =>
       val p = r - 1
-      s"""ka$r AS (
-         |  SELECT kq.id, kc$p.cid,
+      s"""${P}a$r AS (
+         |  SELECT ${P}q.id, ${P}c$p.cid,
          |    list_sum(list_transform(generate_series(1, $dim), i ->
-         |      (kq.q[i] - kc$p.c[i]) * (kq.q[i] - kc$p.c[i]))) AS d
-         |  FROM kq, kc$p),
-         |km$r AS (SELECT id, min(d) AS md FROM ka$r GROUP BY 1),
-         |kb$r AS MATERIALIZED (
+         |      (${P}q.q[i] - ${P}c$p.c[i]) * (${P}q.q[i] - ${P}c$p.c[i]))) AS d
+         |  FROM ${P}q, ${P}c$p),
+         |${P}m$r AS (SELECT id, min(d) AS md FROM ${P}a$r GROUP BY 1),
+         |${P}b$r AS MATERIALIZED (
          |  SELECT a.id, min(a.cid) AS cid
-         |  FROM ka$r a JOIN km$r m ON a.id = m.id AND a.d = m.md GROUP BY 1),
-         |ks$r AS (
-         |  SELECT b.cid, u.i AS pos, CAST(sum(kq.q[u.i]) AS BIGINT) AS s,
+         |  FROM ${P}a$r a JOIN ${P}m$r m ON a.id = m.id AND a.d = m.md GROUP BY 1),
+         |${P}s$r AS (
+         |  SELECT b.cid, u.i AS pos, CAST(sum(${P}q.q[u.i]) AS BIGINT) AS s,
          |         count(*) AS n
-         |  FROM kb$r b JOIN kq ON kq.id = b.id,
+         |  FROM ${P}b$r b JOIN ${P}q ON ${P}q.id = b.id,
          |       unnest(generate_series(1, $dim)) u(i)
          |  GROUP BY 1, 2),
-         |kn$r AS (
+         |${P}n$r AS (
          |  SELECT cid, list((s - (s % n)) // n ORDER BY pos) AS c, min(n) AS n
-         |  FROM ks$r GROUP BY 1),
-         |kc$r AS MATERIALIZED (
-         |  SELECT p.cid, coalesce(kn$r.c, p.c) AS c, coalesce(kn$r.n, 0) AS n
-         |  FROM kc$p p LEFT JOIN kn$r USING (cid))""".stripMargin
+         |  FROM ${P}s$r GROUP BY 1),
+         |${P}c$r AS MATERIALIZED (
+         |  SELECT p.cid, coalesce(${P}n$r.c, p.c) AS c, coalesce(${P}n$r.n, 0) AS n
+         |  FROM ${P}c$p p LEFT JOIN ${P}n$r USING (cid))""".stripMargin
     }
     val fin =
-      s"""km AS (
+      s"""${P}m AS (
          |  SELECT CAST(cid AS INT) AS cid, CAST(u.i - 1 AS INT) AS pos,
          |         c[u.i] AS c_micro, CAST(n AS BIGINT) AS n_members
-         |  FROM kc$rounds, unnest(generate_series(1, $dim)) u(i))""".stripMargin
+         |  FROM ${P}c$rounds, unnest(generate_series(1, $dim)) u(i))""".stripMargin
     (head +: blocks :+ fin).mkString(",\n")
+  }
+
+  /** Product-quantization codebooks (Jégou et al. 2011) in the
+    * engine-exact integer micro-unit regime: the vector is cut into
+    * `m` contiguous subspaces of `dim/m` components and each subspace
+    * gets its own `ksub`-codeword codebook from
+    * [[kmeansCentroidsMicro]] over the corpus's subvectors. Driver
+    * state: m·ksub·(dim/m) = dim·ksub longs — index metadata, never
+    * corpus-sized. Returns `books(s)(c)` = codeword c of subspace s.
+    */
+  def pqCodebooksMicro(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int, rounds: Int): Array[Array[Array[Long]]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val subd = dim / m
+    (0 until m).toArray.map { s =>
+      val sub = s"slice($vecCol, ${s * subd + 1}, $subd)"
+      val rows = kmeansCentroidsMicro(corpus, idCol, sub, ksub, subd, rounds)
+        .collect()
+      val book = Array.fill(ksub)(new Array[Long](subd))
+      rows.foreach(r => book(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      book
+    }
+  }
+
+  /** PQ asymmetric-distance top-k (Jégou et al. 2011) — the
+    * memory-bound ANN scale path: each corpus vector is stored as `m`
+    * small codes (here m bytes vs dim floats — a 32× compression at
+    * dim=64/m=8), and search scans CODES, not vectors, summing exact
+    * integer squared distances between the query's subvectors and the
+    * codewords the doc's codes name. Everything is micro-unit integer
+    * ([[kmeansCentroidsMicro]] codebooks, floor-quantized queries), so
+    * ranks are engine-exact — no float ADC table.
+    *
+    * Plan shape at scale: codebook training is m runs of the k-means
+    * micro loop (each ONE map-only scan + (ksub·subd)-key agg per
+    * round); encoding is ONE map-only codegen scan (m·ksub unrolled
+    * literal distances, no join); search is the encoded table × the
+    * BROADCAST query set — a linear scan with O(m) adds per pair,
+    * the PQ contract (compose with the IVF router for sublinear
+    * probe counts). Final per-query top-k rides a candidate-only
+    * window. Ties break (dist, neighbor_id).
+    */
+  def pqTopK(corpus: DataFrame, queryIds: Seq[Long], idCol: String,
+      vecCol: String, dim: Int, m: Int, ksub: Int, rounds: Int,
+      k: Int): DataFrame = {
+    val subd = dim / m
+    val books = pqCodebooksMicro(corpus, idCol, vecCol, dim, m, ksub, rounds)
+    val q = graft.util.Parallelism.ensure(corpus)
+      .select(col(idCol).cast("long").as("id"),
+        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("q"))
+    def sqd(qs: Column, cw: Column): Column =
+      aggregate(zip_with(qs, cw, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val encoded = (0 until m).foldLeft(q) { (df, s) =>
+      val dists = (0 until ksub).map(c =>
+        sqd(slice(col("q"), s * subd + 1, subd),
+          typedLit(books(s)(c).toSeq)).as(s"__d${s}_$c"))
+      val withD = df.select(df.columns.map(col).toIndexedSeq ++ dists: _*)
+      val mind = least((0 until ksub).map(c => col(s"__d${s}_$c")): _*)
+      val code = coalesce((0 until ksub).map(c =>
+        when(col(s"__d${s}_$c") === mind, lit(c))): _*)
+      withD.withColumn(s"code$s", code)
+        .drop((0 until ksub).map(c => s"__d${s}_$c"): _*)
+    }
+    val codes = encoded.select(col("id").as("neighbor_id") +:
+      (0 until m).map(s => col(s"code$s")): _*)
+    val queries = q.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("q").as("__qq"))
+    val adc = (0 until m).map { s =>
+      val bookLit = typedLit(books(s).map(_.toSeq).toSeq)
+      sqd(slice(col("__qq"), s * subd + 1, subd),
+        get(bookLit, col(s"code$s")))
+    }.reduce(_ + _)
+    codes.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", adc)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(asc("adc_dist"), asc("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+  }
+
+  /** DuckDB mirror of [[pqTopK]]: m [[kmeansMicroSqlCtes]] pyramids
+    * (prefixes `p0..`), per-subspace encode via the same
+    * min-dist/min-cid argmin, query rows reusing the encode distance
+    * table (queries ⊂ corpus, ids `< nQueries`), and the ADC sum
+    * joined code→codeword. Assumes `idExpr` yields 0-based ids so
+    * `id < nQueries` names the query set.
+    */
+  def pqOracleSql(table: String, idExpr: String, vecExpr: String,
+      dim: Int, m: Int, ksub: Int, rounds: Int, nQueries: Int,
+      k: Int): String = {
+    val subd = dim / m
+    val pyramids = (0 until m).map { s =>
+      kmeansMicroSqlCtes(table, idExpr,
+        s"($vecExpr)[${s * subd + 1}:${(s + 1) * subd}]",
+        ksub, subd, rounds, s"p$s")
+    }
+    val encodes = (0 until m).map { s =>
+      s"""ed$s AS (
+         |  SELECT pq.id, c.cid,
+         |    list_sum(list_transform(generate_series(1, $subd), i ->
+         |      (pq.q[i] - c.c[i]) * (pq.q[i] - c.c[i]))) AS d
+         |  FROM p${s}q pq, p${s}c$rounds c),
+         |em$s AS (SELECT id, min(d) AS md FROM ed$s GROUP BY 1),
+         |e$s AS MATERIALIZED (
+         |  SELECT a.id, min(a.cid) AS code$s
+         |  FROM ed$s a JOIN em$s m ON a.id = m.id AND a.d = m.md GROUP BY 1),
+         |lq$s AS MATERIALIZED (
+         |  SELECT id AS qid, cid, d FROM ed$s WHERE id < $nQueries)""".stripMargin
+    }
+    val lutJoins = (0 until m).map { s =>
+      if (s == 0) s"JOIN lq0 l0 ON l0.cid = e0.code0"
+      else s"JOIN lq$s l$s ON l$s.cid = e$s.code$s AND l$s.qid = l0.qid"
+    }.mkString("\n       ")
+    val eJoins = (1 until m).map(s => s"JOIN e$s USING (id)").mkString(" ")
+    val dSum = (0 until m).map(s => s"l$s.d").mkString(" + ")
+    val adc =
+      s"""adc AS (
+         |  SELECT l0.qid AS query_id, e0.id AS neighbor_id,
+         |         CAST($dSum AS BIGINT) AS adc_dist
+         |  FROM e0 $eJoins
+         |       $lutJoins
+         |  WHERE e0.id <> l0.qid)""".stripMargin
+    s"""WITH ${(pyramids ++ encodes :+ adc).mkString(",\n")}
+       |SELECT query_id, neighbor_id, adc_dist,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+       |FROM adc
+       |QUALIFY rank <= $k""".stripMargin
+  }
+
+  /** IVF-PQ search (Jégou et al. 2011, the FAISS IVFx,PQy shape with
+    * by_residual=false) — the full billion-scale ANN serving stack:
+    * a coarse [[kmeansCentroidsMicro]] router partitions the corpus
+    * into `kCoarse` inverted lists, PQ codes compress every vector to
+    * `m` small codes, and a query scans ONLY the `nprobe` nearest
+    * lists' codes with the exact integer ADC sum. Work per query
+    * drops from |corpus|·O(m) ([[pqTopK]]) to
+    * ~|corpus|·nprobe/kCoarse·O(m) — the sublinear probe contract —
+    * at the standard recall trade (a true neighbor routed to an
+    * unprobed list is missed; that is IVF's contract, measured by the
+    * q_ann_recall idiom, not hidden). Everything is micro-unit
+    * integer, so the probe sets, codes, and ranks are engine-exact.
+    *
+    * Plan shape: router + codebooks are driver-sized literals
+    * (kCoarse·dim + dim·ksub longs); assignment + encode is ONE
+    * map-only codegen scan; search is an EQUI-JOIN of the code table
+    * against the broadcast (query × probe-list) pairs on the coarse
+    * cid — at scale the inverted lists are the cid partitions, so
+    * only probed partitions are touched. Top-k rides a
+    * candidate-only window. Ties break (dist, neighbor_id);
+    * probe ranking ties break (dist, cid).
+    */
+  def ivfPqTopK(corpus: DataFrame, queryIds: Seq[Long], idCol: String,
+      vecCol: String, dim: Int, kCoarse: Int, coarseRounds: Int,
+      nprobe: Int, m: Int, ksub: Int, rounds: Int, k: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= kCoarse,
+      s"need 1 <= nprobe <= kCoarse, got $nprobe / $kCoarse")
+    val subd = dim / m
+    val crows = kmeansCentroidsMicro(
+      corpus, idCol, vecCol, kCoarse, dim, coarseRounds).collect()
+    val coarse = Array.fill(kCoarse)(new Array[Long](dim))
+    crows.foreach(r => coarse(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val books = pqCodebooksMicro(corpus, idCol, vecCol, dim, m, ksub, rounds)
+    val q = graft.util.Parallelism.ensure(corpus)
+      .select(col(idCol).cast("long").as("id"),
+        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("q"))
+    def sqd(qs: Column, cw: Column): Column =
+      aggregate(zip_with(qs, cw, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    // Coarse assignment: argmin (dist, cid) over unrolled literals —
+    // the same map-only shape as the PQ encode below.
+    val gdists = (0 until kCoarse).map(c =>
+      sqd(col("q"), typedLit(coarse(c).toSeq)).as(s"__g$c"))
+    val gmin = least((0 until kCoarse).map(c => col(s"__g$c")): _*)
+    val assigned = q.select(col("id") +: col("q") +: gdists: _*)
+      .withColumn("cid", coalesce((0 until kCoarse).map(c =>
+        when(col(s"__g$c") === gmin, lit(c))): _*))
+      .drop((0 until kCoarse).map(c => s"__g$c"): _*)
+    val encoded = (0 until m).foldLeft(assigned) { (df, s) =>
+      val dists = (0 until ksub).map(c =>
+        sqd(slice(col("q"), s * subd + 1, subd),
+          typedLit(books(s)(c).toSeq)).as(s"__d${s}_$c"))
+      val withD = df.select(df.columns.map(col).toIndexedSeq ++ dists: _*)
+      val mind = least((0 until ksub).map(c => col(s"__d${s}_$c")): _*)
+      val code = coalesce((0 until ksub).map(c =>
+        when(col(s"__d${s}_$c") === mind, lit(c))): _*)
+      withD.withColumn(s"code$s", code)
+        .drop((0 until ksub).map(c => s"__d${s}_$c"): _*)
+    }
+    val codes = encoded.select(col("id").as("neighbor_id") +: col("cid") +:
+      (0 until m).map(s => col(s"code$s")): _*)
+    // Query probe lists: nprobe nearest coarse cids by (dist, cid).
+    val probeArr = array_sort(array((0 until kCoarse).map(c =>
+      struct(sqd(col("q"), typedLit(coarse(c).toSeq)).as("d"),
+        lit(c).as("c"))): _*))
+    val queries = q.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("q").as("__qq"),
+        explode(slice(probeArr, 1, nprobe)).as("__probe"))
+      .select(col("query_id"), col("__qq"), col("__probe.c").as("cid"))
+    val adc = (0 until m).map { s =>
+      val bookLit = typedLit(books(s).map(_.toSeq).toSeq)
+      sqd(slice(col("__qq"), s * subd + 1, subd),
+        get(bookLit, col(s"code$s")))
+    }.reduce(_ + _)
+    codes.join(broadcast(queries), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", adc)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(asc("adc_dist"), asc("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+  }
+
+  /** DuckDB mirror of [[ivfPqTopK]]: the coarse [[kmeansMicroSqlCtes]]
+    * pyramid (prefix `g`) + its final-round assignment, a per-query
+    * nprobe probe list ranked (dist, cid), the m PQ pyramids/encodes
+    * of [[pqOracleSql]], and the ADC join restricted to candidates
+    * whose coarse cid is probed by the query.
+    */
+  def ivfPqOracleSql(table: String, idExpr: String, vecExpr: String,
+      dim: Int, kCoarse: Int, coarseRounds: Int, nprobe: Int,
+      m: Int, ksub: Int, rounds: Int, nQueries: Int, k: Int): String = {
+    val subd = dim / m
+    val coarsePyr = kmeansMicroSqlCtes(
+      table, idExpr, vecExpr, kCoarse, dim, coarseRounds, "g")
+    val assign =
+      s"""gad AS MATERIALIZED (
+         |  SELECT gq.id, c.cid,
+         |    list_sum(list_transform(generate_series(1, $dim), i ->
+         |      (gq.q[i] - c.c[i]) * (gq.q[i] - c.c[i]))) AS d
+         |  FROM gq, gc$coarseRounds c),
+         |gam AS (SELECT id, min(d) AS md FROM gad GROUP BY 1),
+         |gas AS MATERIALIZED (
+         |  SELECT a.id, min(a.cid) AS cid
+         |  FROM gad a JOIN gam mm ON a.id = mm.id AND a.d = mm.md GROUP BY 1),
+         |gpr AS MATERIALIZED (
+         |  SELECT id AS qid, cid FROM (
+         |    SELECT id, cid,
+         |           row_number() OVER (PARTITION BY id ORDER BY d, cid) AS pr
+         |    FROM gad WHERE id < $nQueries)
+         |  WHERE pr <= $nprobe)""".stripMargin
+    val pyramids = (0 until m).map { s =>
+      kmeansMicroSqlCtes(table, idExpr,
+        s"($vecExpr)[${s * subd + 1}:${(s + 1) * subd}]",
+        ksub, subd, rounds, s"p$s")
+    }
+    val encodes = (0 until m).map { s =>
+      s"""ed$s AS (
+         |  SELECT pq.id, c.cid,
+         |    list_sum(list_transform(generate_series(1, $subd), i ->
+         |      (pq.q[i] - c.c[i]) * (pq.q[i] - c.c[i]))) AS d
+         |  FROM p${s}q pq, p${s}c$rounds c),
+         |em$s AS (SELECT id, min(d) AS md FROM ed$s GROUP BY 1),
+         |e$s AS MATERIALIZED (
+         |  SELECT a.id, min(a.cid) AS code$s
+         |  FROM ed$s a JOIN em$s m ON a.id = m.id AND a.d = m.md GROUP BY 1),
+         |lq$s AS MATERIALIZED (
+         |  SELECT id AS qid, cid, d FROM ed$s WHERE id < $nQueries)""".stripMargin
+    }
+    val lutJoins = (0 until m).map { s =>
+      if (s == 0) s"JOIN lq0 l0 ON l0.cid = e0.code0"
+      else s"JOIN lq$s l$s ON l$s.cid = e$s.code$s AND l$s.qid = l0.qid"
+    }.mkString("\n       ")
+    val eJoins = (1 until m).map(s => s"JOIN e$s USING (id)").mkString(" ")
+    val dSum = (0 until m).map(s => s"l$s.d").mkString(" + ")
+    val adc =
+      s"""adc AS (
+         |  SELECT l0.qid AS query_id, e0.id AS neighbor_id,
+         |         CAST($dSum AS BIGINT) AS adc_dist
+         |  FROM e0 $eJoins
+         |       $lutJoins
+         |       JOIN gas ON gas.id = e0.id
+         |       JOIN gpr ON gpr.qid = l0.qid AND gpr.cid = gas.cid
+         |  WHERE e0.id <> l0.qid)""".stripMargin
+    s"""WITH ${(coarsePyr +: assign +: (pyramids ++ encodes) :+ adc).mkString(",\n")}
+       |SELECT query_id, neighbor_id, adc_dist,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+       |FROM adc
+       |QUALIFY rank <= $k""".stripMargin
   }
 
   /** Mean squared cosine-distance to the assigned centroid — the
@@ -913,4 +1200,55 @@ object Similarity {
   /** [[ndcgGains]] as a DuckDB list literal — the SAME Scala-computed
     * constants the Spark side uses. */
   def ndcgGainsSql(k: Int): String = ndcgGains(k).mkString("[", ", ", "]")
+
+  /** Embedding-space decontamination — the SEMANTIC member of the
+    * decontamination family ([[graft.ops.Decontaminate]] catches
+    * verbatim/shingle overlap; this catches paraphrased benchmark
+    * leakage, the contamination n-grams miss). For every benchmark
+    * vector, count corpus vectors whose cosine clears
+    * `minCosPpm/1e6`, entirely in EXACT integers: components floor to
+    * micro-units, and the keep test is sqrt-free —
+    * {{{ dot > 0  ∧  ⌊dot²·10⁶ / (‖a‖²·‖b‖²)⌋ ≥ ⌊t_ppm²/10⁶⌋ }}}
+    * i.e. the floor-ppm of cos² clears the squared threshold, every
+    * operand in decimal(38,0) (micro dots stay ≤ ~10¹³ even for
+    * unnormalized inputs, so dot²·10⁶ ≤ ~10³² — inside the envelope
+    * with 6 digits to spare). Both engines floor the same integers,
+    * so the hit set and the reported `max_cos2_ppm` are hash-exact.
+    *
+    * Plan shape: the bench side is benchmark-sized (thousands) —
+    * BROADCAST it; the corpus side is ONE map-only scan with the
+    * quantization fused in, then a bench-keyed hash agg. The corpus
+    * never shuffles; this is the [[graft.ops.Decontaminate]] broadcast
+    * discipline in embedding space.
+    */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, minCosPpm: Long): DataFrame = {
+    require(minCosPpm > 0 && minCosPpm <= 1000000L,
+      s"minCosPpm must be in (0, 1e6], got $minCosPpm")
+    val dec = "decimal(38,0)"
+    def q(df: DataFrame, id: String, v: String, n: String) = df.select(
+      col(idCol).cast("long").as(id),
+      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as(v))
+      .withColumn(n, aggregate(col(v), lit(0L), (a, x) => a + x * x))
+    val c = q(graft.util.Parallelism.ensure(corpus), "corpus_id", "__vc", "__nc")
+    val b = q(bench, "bench_id", "__vb", "__nb")
+    val dot = aggregate(zip_with(col("__vc"), col("__vb"),
+      (x, y) => x * y), lit(0L), (a, x) => a + x)
+    val thr2Ppm = minCosPpm * minCosPpm / 1000000L
+    c.join(broadcast(b))
+      .filter(col("corpus_id") =!= col("bench_id"))
+      .withColumn("__d", dot)
+      .filter(col("__d") > 0)
+      .withColumn("__c2", {
+        val n = col("__d").cast(dec) * col("__d").cast(dec) * 1000000L
+        val den = col("__nc").cast(dec) * col("__nb").cast(dec)
+        ((n - n % den) / den).cast("long")
+      })
+      .filter(col("__c2") >= thr2Ppm)
+      .groupBy("bench_id")
+      .agg(count(lit(1)).as("n_contaminated"),
+        max("__c2").as("max_cos2_ppm"),
+        min("corpus_id").as("first_corpus_id"))
+  }
 }

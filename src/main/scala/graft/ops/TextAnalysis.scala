@@ -1090,4 +1090,234 @@ object TextAnalysis {
        |         md5(list_aggregate(chunk, 'string_agg', ' ')) AS chunk_hash
        |  FROM cs)""".stripMargin
   }
+
+  /** Heaps'-law vocabulary-growth curve — "how fast does the
+    * vocabulary grow as the corpus streams in", the pre-training
+    * diagnostic that sizes a tokenizer vocab and spots dedup failure
+    * (a duplicated corpus grows types far SLOWER than Heaps predicts).
+    * Fully distributed, no global sort: each token gets the stable
+    * stream index `idx = doc_id·maxDocTokens + pos` (doc-then-position
+    * order), a type's first sighting is `min(idx)` — ONE hash agg —
+    * and the curve is sampled at power-of-two index thresholds by
+    * banding `idx` to its binary length (`length(bin(idx))`, exact in
+    * both engines) and cumulating over the ≤64 bands. Output per
+    * band b: tokens and distinct types with idx < 2^b, and the exact
+    * type/token ppm. Contract: every document has fewer than
+    * `maxDocTokens` split positions (ids don't overlap).
+    */
+  def heapsLaw(docs: DataFrame, idCol: String, text: Column,
+      maxDocTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).cast("long").as("__id"),
+        posexplode(split(text, " ")).as(Seq("__pos", "__tok")))
+      .filter(col("__tok") =!= "")
+      .select((col("__id") * maxDocTokens + col("__pos")).as("__idx"),
+        col("__tok"))
+    val tokBands = toks
+      .select(length(bin(col("__idx"))).cast("int").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("__nt"))
+    val typeBands = toks.groupBy("__tok").agg(min("__idx").as("__fidx"))
+      .select(length(bin(col("__fidx"))).cast("int").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("__ny"))
+    val w = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokBands.join(typeBands, Seq("band"), "full")
+      .select(col("band"), coalesce(col("__nt"), lit(0L)).as("__nt"),
+        coalesce(col("__ny"), lit(0L)).as("__ny"))
+      .withColumn("n_tokens", sum("__nt").over(w))
+      .withColumn("n_types", sum("__ny").over(w))
+      .select(col("band"), col("n_tokens"), col("n_types"),
+        expr("(n_types * 1000000L) div n_tokens").as("type_token_ppm"))
+  }
+
+  /** DuckDB mirror of [[heapsLaw]] as CTEs ending in
+    * `heaps(band, n_tokens, n_types, type_token_ppm)`. */
+  def heapsLawSqlCtes(table: String, idExpr: String, textExpr: String,
+      maxDocTokens: Int): String =
+    s"""htk AS (
+       |  SELECT CAST($idExpr AS BIGINT) * $maxDocTokens + (u.i - 1) AS idx,
+       |         ts[u.i] AS tok
+       |  FROM (SELECT $idExpr, string_split($textExpr, ' ') AS ts FROM $table),
+       |       unnest(generate_series(1, len(ts))) AS u(i)
+       |  WHERE ts[u.i] <> ''),
+       |htb AS (SELECT length(bin(idx)) AS band, CAST(count(*) AS BIGINT) AS nt
+       |        FROM htk GROUP BY 1),
+       |hyb AS (SELECT length(bin(fidx)) AS band, CAST(count(*) AS BIGINT) AS ny
+       |        FROM (SELECT tok, min(idx) AS fidx FROM htk GROUP BY 1)
+       |        GROUP BY 1),
+       |hcum AS (
+       |  SELECT coalesce(htb.band, hyb.band) AS band,
+       |         coalesce(nt, 0) AS nt, coalesce(ny, 0) AS ny
+       |  FROM htb FULL JOIN hyb ON htb.band = hyb.band),
+       |heaps AS (
+       |  SELECT CAST(band AS INT) AS band,
+       |         CAST(sum(nt) OVER w AS BIGINT) AS n_tokens,
+       |         CAST(sum(ny) OVER w AS BIGINT) AS n_types,
+       |         (CAST(sum(ny) OVER w AS BIGINT) * 1000000)
+       |           // CAST(sum(nt) OVER w AS BIGINT) AS type_token_ppm
+       |  FROM hcum
+       |  WINDOW w AS (ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
+
+  /** Zipf's-law rank–frequency profile — [[heapsLaw]]'s companion
+    * diagnostic (the two laws are duals): under Zipf s≈1 the product
+    * `rank·freq` is near-constant, so a band where it collapses marks
+    * template/boilerplate flooding and a band where it explodes marks
+    * a truncated head. Over the TOP `topK` tokens only (rank is
+    * meaningless deep in the tail and a global rank would need a
+    * corpus-sized sort): per rank-OCTAVE band (band = bit-length of
+    * rank — ≤ log₂(topK)+1 rows out), the exact type count, total
+    * band mass, and the min/max of the Zipf invariant `rank·freq`.
+    *
+    * Plan shape: ONE corpus scan → token hash agg (the vocabulary
+    * shuffle every lexical op pays) → distributed top-K
+    * (TakeOrderedAndProject: map-side partial top-K, never a global
+    * sort) → a topK-row window + ≤16-row agg. The only corpus-sized
+    * stage is the token count.
+    */
+  def zipfProfile(docs: DataFrame, text: Column, topK: Int): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2, got $topK")
+    val freqs = docs.select(explode(split(text, " ")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy("__tok").agg(count(lit(1)).as("__f"))
+      .orderBy(col("__f").desc, col("__tok").asc)
+      .limit(topK)
+    freqs
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__f").desc, col("__tok").asc)).cast("long"))
+      .withColumn("band", length(bin(col("__r"))).cast("int"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_ranks"),
+        sum("__f").as("band_mass"),
+        min(col("__r") * col("__f")).as("rf_min"),
+        max(col("__r") * col("__f")).as("rf_max"))
+  }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010) — the
+    * stopword-delimited phrase scorer: candidate phrases are maximal
+    * runs of non-stopword tokens, each word scores `degree/freq`
+    * (degree = Σ length of phrases containing it — co-occurrence
+    * count including self; freq = its phrase-token count), and a
+    * phrase scores the SUM of its words' scores. High-degree words
+    * riding long multiword phrases win over bare high-frequency
+    * words — that is RAKE's whole trick. All integer: per-word score
+    * is floor-ppm `deg·1e6 div freq` in decimal(38,0), phrase score
+    * the exact sum. Identical phrase TEXTS merge (same text ⇒ same
+    * word multiset ⇒ same score); top-K under (score desc, phrase).
+    *
+    * Plan shape: ONE posexplode scan → per-doc segment ids from a
+    * running stopword count (per-doc window, bounded partitions) →
+    * word hash agg (vocabulary-sized) joined back → phrase hash agg →
+    * text-keyed merge → TakeOrderedAndProject top-K + a K-row window
+    * for the rank. No global sort, no driver state.
+    */
+  def rakeKeyphrases(docs: DataFrame, idCol: String, text: Column,
+      stopwords: Seq[String], topK: Int): DataFrame = {
+    require(stopwords.nonEmpty && topK >= 1, "need stopwords and topK >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val stop = typedLit(stopwords)
+    val toks = docs
+      .select(col(idCol).cast("long").as("__id"),
+        posexplode(split(text, " ")).as(Seq("__pos", "__tok")))
+      .filter(col("__tok") =!= "")
+      .withColumn("__stop", array_contains(stop, col("__tok")))
+    val seg = toks
+      .withColumn("__seg", sum(when(col("__stop"), 1L).otherwise(0L))
+        .over(Window.partitionBy("__id").orderBy("__pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(!col("__stop"))
+      .withColumn("__plen", count(lit(1))
+        .over(Window.partitionBy("__id", "__seg")))
+    val words = seg.groupBy("__tok")
+      .agg(count(lit(1)).as("__freq"), sum("__plen").as("__deg"))
+      .withColumn("__wscore", {
+        val num = col("__deg").cast(dec) * 1000000L
+        val den = col("__freq").cast(dec)
+        ((num - num % den) / den).cast("long")
+      })
+    val phrases = seg.join(words.select("__tok", "__wscore"), Seq("__tok"))
+      .groupBy("__id", "__seg")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("phrase"),
+        count(lit(1)).as("__nw"),
+        sum("__wscore").as("__score"))
+    phrases.groupBy("phrase")
+      .agg(max("__nw").as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        max("__score").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase").asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_ppm").desc, col("phrase").asc))
+        .cast("long"))
+  }
+
+  /** DuckDB mirror of [[rakeKeyphrases]] as CTEs ending in
+    * `rake(phrase, n_words, n_occurrences, score_ppm, rank)` with
+    * rank already cut to `topK`. */
+  def rakeSqlCtes(table: String, idExpr: String, textExpr: String,
+      stopwords: Seq[String], topK: Int): String = {
+    val stopList = stopwords.mkString("['", "', '", "']")
+    s"""rtk AS (
+       |  SELECT CAST($idExpr AS BIGINT) AS id, u.i - 1 AS pos, ts[u.i] AS tok
+       |  FROM (SELECT $idExpr, string_split($textExpr, ' ') AS ts FROM $table),
+       |       unnest(generate_series(1, len(ts))) AS u(i)
+       |  WHERE ts[u.i] <> ''),
+       |rsg AS (
+       |  SELECT id, pos, tok, list_contains($stopList, tok) AS st,
+       |         sum(CASE WHEN list_contains($stopList, tok) THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY id ORDER BY pos
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+       |  FROM rtk),
+       |rwl AS (
+       |  SELECT id, seg, pos, tok,
+       |         count(*) OVER (PARTITION BY id, seg) AS plen
+       |  FROM rsg WHERE NOT st),
+       |rwd AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+       |         CAST(sum(plen) AS BIGINT) AS deg
+       |  FROM rwl GROUP BY 1),
+       |rws AS (SELECT tok, (CAST(deg AS HUGEINT) * 1000000) // freq AS wscore
+       |        FROM rwd),
+       |rsc AS (
+       |  SELECT rwl.id, rwl.seg,
+       |         string_agg(rwl.tok, ' ' ORDER BY rwl.pos) AS phrase,
+       |         CAST(count(*) AS BIGINT) AS nw,
+       |         CAST(sum(rws.wscore) AS BIGINT) AS score
+       |  FROM rwl JOIN rws USING (tok) GROUP BY 1, 2),
+       |rph AS (
+       |  SELECT phrase, CAST(max(nw) AS BIGINT) AS n_words,
+       |         CAST(count(*) AS BIGINT) AS n_occurrences,
+       |         CAST(max(score) AS BIGINT) AS score_ppm
+       |  FROM rsc GROUP BY 1),
+       |rake AS (
+       |  SELECT phrase, n_words, n_occurrences, score_ppm,
+       |         CAST(row_number() OVER (ORDER BY score_ppm DESC, phrase)
+       |           AS BIGINT) AS rank
+       |  FROM rph
+       |  QUALIFY rank <= $topK)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[zipfProfile]] as CTEs ending in
+    * `zipf(band, n_ranks, band_mass, rf_min, rf_max)`. */
+  def zipfProfileSqlCtes(table: String, textExpr: String, topK: Int): String =
+    s"""zf AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split($textExpr, ' ')) AS tok FROM $table)
+       |  WHERE tok <> '' GROUP BY 1),
+       |zr AS (
+       |  SELECT f, CAST(row_number() OVER (ORDER BY f DESC, tok) AS BIGINT) AS r
+       |  FROM zf
+       |  QUALIFY r <= $topK),
+       |zipf AS (
+       |  SELECT CAST(length(bin(r)) AS INT) AS band,
+       |         CAST(count(*) AS BIGINT) AS n_ranks,
+       |         CAST(sum(f) AS BIGINT) AS band_mass,
+       |         CAST(min(r * f) AS BIGINT) AS rf_min,
+       |         CAST(max(r * f) AS BIGINT) AS rf_max
+       |  FROM zr GROUP BY 1)""".stripMargin
 }

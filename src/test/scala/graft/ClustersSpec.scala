@@ -453,4 +453,27 @@ class ClustersSpec extends SparkSpec {
     assert(on == off, "telemetry changed the answer")
     assert(logs.nonEmpty)
   }
+
+  test("linkPredict: path graph predicts the closing pair, hub cap mutes hubs") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Graphs
+    // path 1-2-3: only (1,3) shares a neighbor; deg(1)=deg(3)=1 → pa=1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Graphs.linkPredict(path, maxDegree = 10, minCommon = 1L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 3L, 1L, 1L, 1L)))
+    // star 0-{1,2,3}: with the hub admitted, all 3 leaf pairs predicted
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val open = Graphs.linkPredict(star, maxDegree = 3, minCommon = 1L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(open == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // hub cap below the star's degree → no wedge middles → no rows
+    val capped = Graphs.linkPredict(star, maxDegree = 2, minCommon = 1L, k = 10)
+    assert(capped.count() == 0L)
+    // already-adjacent pairs are never predicted (anti join)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(Graphs.linkPredict(tri, maxDegree = 10, minCommon = 1L, k = 10)
+      .count() == 0L)
+  }
 }

@@ -201,4 +201,129 @@ class IvfSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     assert(got == expected && got.size == 6)
   }
+
+  test("pqTopK matches an independent driver-side PQ reference") {
+    val (dim, m, ksub, rounds, k) = (64, 4, 4, 2, 3)
+    val subd = dim / m
+    val queryIds = Seq(0L, 1L, 2L)
+    // Independent reference: quantize, train per-subspace codebooks
+    // with the same truncating-mean Lloyd's loop, encode by
+    // (dist, cid) argmin, rank by exact ADC sum.
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000000).toLong).toArray)
+      .sortBy(_._1)
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val books = (0 until m).map { s =>
+      val subs = vecs.map { case (id, v) => id -> v.slice(s * subd, (s + 1) * subd) }
+      var cents = subs.take(ksub).map(_._2.clone())
+      for (_ <- 0 until rounds) {
+        val assign = subs.map { case (_, q) =>
+          cents.zipWithIndex.map { case (c, cid) => (sq(c, q), cid) }.min._2 -> q
+        }
+        cents = cents.zipWithIndex.map { case (prev, cid) =>
+          val g = assign.filter(_._1 == cid)
+          if (g.isEmpty) prev
+          else Array.tabulate(subd) { i =>
+            val sm = g.map(_._2(i)).sum; val n = g.length
+            (sm - sm % n) / n
+          }
+        }
+      }
+      cents
+    }
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until m).map { s =>
+        val q = v.slice(s * subd, (s + 1) * subd)
+        books(s).zipWithIndex.map { case (c, cid) => (sq(c, q), cid) }.min._2
+      }
+    }.toMap
+    val expected = queryIds.flatMap { qid =>
+      val qv = vecs.find(_._1 == qid).get._2
+      vecs.filter(_._1 != qid).map { case (nid, _) =>
+        val d = (0 until m).map { s =>
+          sq(qv.slice(s * subd, (s + 1) * subd), books(s)(codes(nid)(s)))
+        }.sum
+        (qid, nid, d)
+      }.sortBy { case (_, nid, d) => (d, nid) }.take(k)
+        .zipWithIndex.map { case ((q2, n2, d2), i) => (q2, n2, d2, (i + 1).toLong) }
+    }.toSet
+    val got = Similarity.pqTopK(emb, queryIds, "vec_id", "embedding",
+        dim, m, ksub, rounds, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected && got.size == queryIds.size * k)
+  }
+
+  test("ivfPqTopK: nprobe = kCoarse is exactly the flat PQ scan") {
+    val qids = Seq(0L, 1L, 2L)
+    val full = Similarity.ivfPqTopK(emb, qids, "vec_id", "embedding",
+        dim = 64, kCoarse = 4, coarseRounds = 2, nprobe = 4,
+        m = 4, ksub = 4, rounds = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val flat = Similarity.pqTopK(emb, qids, "vec_id", "embedding",
+        dim = 64, m = 4, ksub = 4, rounds = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(full == flat && full.size == 15)
+  }
+
+  test("ivfPqTopK: probing fewer lists never improves a rank's distance") {
+    val qids = Seq(0L, 1L, 2L)
+    def run(np: Int) = Similarity.ivfPqTopK(emb, qids, "vec_id", "embedding",
+        dim = 64, kCoarse = 4, coarseRounds = 2, nprobe = np,
+        m = 4, ksub = 4, rounds = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(2)).toMap
+    val restricted = run(1)
+    val full = run(4)
+    assert(restricted.nonEmpty)
+    restricted.foreach { case (key, d) =>
+      // candidate pool shrinks monotonically → per-rank ADC distance
+      // can only rise
+      assert(d >= full(key))
+    }
+  }
+
+  test("semanticDecontaminate matches an independent integer-cos2 reference") {
+    import spark.implicits._
+    val minCosPpm = 500000L
+    val thr2 = minCosPpm * minCosPpm / 1000000L
+    // Hand vectors (floats, including a negative-dot and a sub-threshold
+    // case) + the planted near-dup of the bench vector.
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),    // bench (id % 4 == 0)
+      (1L, Array(0.9f, 0.1f, 0.0f)),    // near-dup → hit
+      (2L, Array(0.0f, 1.0f, 0.0f)),    // orthogonal, dot = 0
+      (3L, Array(-1.0f, 0.0f, 0.0f)),   // negative dot
+      (5L, Array(0.5f, 0.7f, 0.5f)))    // moderate cosine
+    val df = rows.toDF("vec_id", "embedding")
+    val bench = df.filter(col("vec_id") % 4 === 0)
+    val corpus = df.filter(col("vec_id") % 4 =!= 0)
+    // Independent reference on the same quantization.
+    def q(v: Array[Float]) = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    val qb = q(rows.head._2)
+    val nb = qb.map(x => x * x).sum
+    val expected = rows.tail.flatMap { case (id, v) =>
+      val qc = q(v); val nc = qc.map(x => x * x).sum
+      val d = qc.zip(qb).map { case (x, y) => x * y }.sum
+      if (d <= 0) None
+      else {
+        val c2 = (BigInt(d) * d * 1000000L / (BigInt(nc) * nb)).toLong
+        if (c2 >= thr2) Some(id -> c2) else None
+      }
+    }
+    val hits = expected.map(_._2)
+    val got = Similarity.semanticDecontaminate(
+      corpus, bench, "vec_id", "embedding", minCosPpm).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) == expected.length.toLong)
+    assert(r.getLong(2) == hits.max)
+    assert(r.getLong(3) == expected.map(_._1).min)
+    // non-hits really are excluded: orthogonal + negative dot never pass
+    assert(!expected.exists(e => e._1 == 2L || e._1 == 3L))
+  }
 }

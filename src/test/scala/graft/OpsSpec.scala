@@ -1199,4 +1199,114 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(again == first)
   }
+
+  test("heapsLaw hand golden: band cumulation and first-sighting types") {
+    // doc 0 = "a b a" (idx 0,1,2), doc 1 = "b c" (idx 4,5) at
+    // maxDocTokens=4. Bands by bin-length: {0,1}→1, {2}→2, {4,5}→3.
+    // Tokens cum: 2,3,5. First sightings: a@0,b@1 (band 1), c@5
+    // (band 3) → types cum 2,2,3.
+    val docs = Seq((0L, "a b a"), (1L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.heapsLaw(docs, "doc_id", col("text"), 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      1 -> (2L, 2L, 1000000L),
+      2 -> (3L, 2L, 666666L),
+      3 -> (5L, 3L, 600000L)))
+  }
+
+  test("heapsLaw: duplicated corpus grows types slower, tokens same rate") {
+    val base = (0L until 40L).map(i => (i, s"w${i % 29} w${(i * 7) % 29} x$i"))
+      .toDF("doc_id", "text")
+    val dup = (0L until 40L).map(i => (i, s"w${i % 29} w${(i * 7) % 29} x${i % 5}"))
+      .toDF("doc_id", "text")
+    def last(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.heapsLaw(df, "doc_id", col("text"), 8)
+        .orderBy(desc("band")).head()
+    val (b, d) = (last(base), last(dup))
+    assert(b.getLong(1) == d.getLong(1)) // same token count
+    assert(b.getLong(2) > d.getLong(2))  // near-dup corpus: fewer types
+  }
+
+  test("rakeKeyphrases hand golden: degree/freq scores, phrase merge, top order") {
+    // doc: "deep learning the deep net a net" with stop {the, a}
+    //   phrases: [deep learning] [deep net] [net]
+    //   freq: deep 2, learning 1, net 2
+    //   degree: deep 2+2=4, learning 2, net 2+1=3
+    //   wscore ppm: deep 2e6, learning 2e6, net 1.5e6
+    //   scores: "deep learning" 4e6, "deep net" 3.5e6, "net" 1.5e6
+    val docs = Seq((0L, "deep learning the deep net a net"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeyphrases(docs, "doc_id", col("text"),
+        Seq("the", "a"), topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("deep learning", 2L, 1L, 4000000L, 1L),
+      ("deep net", 2L, 1L, 3500000L, 2L),
+      ("net", 1L, 1L, 1500000L, 3L)))
+  }
+
+  test("rakeKeyphrases: identical phrases merge; rank ties break on text") {
+    val docs = Seq((0L, "x y the x y"), (1L, "x y the z z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeyphrases(docs, "doc_id", col("text"),
+        Seq("the"), topK = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(got("x y")._1 == 3L)                  // merged occurrences
+    assert(got.keySet == Set("x y", "z z"))
+  }
+
+  test("poissonBootstrap: exact md5-coin replay, point row, null-safe empty") {
+    import graft.ops.Sampling
+    val vals = (0L until 50L).map(i => (i, i * 10L))
+    val df = vals.toDF("k", "v")
+    def u(r: Int, k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"boot:$r:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000L
+    }
+    def w(r: Int, k: Long): Long =
+      Sampling.PoissonCdfPpm.count(_ <= u(r, k)).toLong
+    val got = Sampling.poissonBootstrap(df, col("k"), col("v"), 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(-1, 0, 1, 2, 3))
+    assert(got(-1) == (50L, vals.map(_._2).sum * 1000L / 50L))
+    (0 until 4).foreach { r =>
+      val neff = vals.map { case (k, _) => w(r, k) }.sum
+      val ws = vals.map { case (k, v) => w(r, k) * v }.sum
+      assert(got(r) == (neff, ws * 1000L / neff))
+    }
+    // replicate weights actually vary (the mechanism resamples)
+    assert((0 until 4).map(got(_)._1).distinct.size > 1)
+  }
+
+  test("zipfProfile hand golden: rank octaves and the rank*freq invariant") {
+    // freqs: a×8 b×4 c×2 d×1 e×1; topK=4 keeps a,b,c,d (tok asc at
+    // freq 1). Ranks 1..4 → bands {1}:a, {2,3}:b,c, {4}:d.
+    val docs = Seq((0L, "a a a a a a a a b b b b c c d e"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.zipfProfile(docs, col("text"), topK = 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      1 -> (1L, 8L, 8L, 8L),   // rank 1 × freq 8
+      2 -> (2L, 6L, 6L, 8L),   // 2×4=8, 3×2=6
+      3 -> (1L, 1L, 4L, 4L)))  // 4×1=4
+  }
+
+  test("zipfProfile: duplicated corpus doubles mass, keeps ranks") {
+    val base = (0L until 30L).map(i => (i, s"w${i % 7} w${(i * 3) % 7} z"))
+      .toDF("doc_id", "text")
+    val dup = base.unionByName(base.withColumn("doc_id", col("doc_id") + 100))
+    val g1 = TextAnalysis.zipfProfile(base, col("text"), 8)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val g2 = TextAnalysis.zipfProfile(dup, col("text"), 8)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(g1.keySet == g2.keySet)
+    g1.foreach { case (band, (n, mass)) =>
+      assert(g2(band) == (n, mass * 2)) // same shape, doubled counts
+    }
+  }
 }

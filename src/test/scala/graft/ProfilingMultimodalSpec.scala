@@ -295,4 +295,146 @@ class ProfilingMultimodalSpec extends SparkSpec {
     val h = Multimodal.imageDhash(recs).head()
     assert((h.width, h.height, h.d0, h.d1) == (-1, -1, 0L, 0L))
   }
+
+  test("rocAuc: perfect, random-tie, hand value, and degenerate inputs") {
+    // perfect separation: every positive outscores every negative
+    val perfect = Seq((10L, true), (9L, true), (1L, false), (0L, false))
+      .toDF("s", "y")
+    assert(Profiling.rocAuc(perfect, col("s"), col("y")).head().getLong(3)
+      == 1000000L)
+    // all scores tied → AUC is exactly 1/2 (ties count half)
+    val tied = Seq((5L, true), (5L, false), (5L, true), (5L, false))
+      .toDF("s", "y")
+    assert(Profiling.rocAuc(tied, col("s"), col("y")).head().getLong(3)
+      == 500000L)
+    // hand: pos {3,1}, neg {2,0} → wins 3 of 4 pairs → 750000
+    val hand = Seq((3L, true), (1L, true), (2L, false), (0L, false))
+      .toDF("s", "y")
+    val r = Profiling.rocAuc(hand, col("s"), col("y")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == (4L, 2L, 2L, 750000L))
+    // one empty class → NULL, not a crash
+    val onlyPos = Seq((1L, true), (2L, true)).toDF("s", "y")
+    assert(Profiling.rocAuc(onlyPos, col("s"), col("y")).head().isNullAt(3))
+  }
+
+  test("ksTest: identical, disjoint, and hand ECDF distance") {
+    val a = Seq(1L, 1L, 2L).toDF("v")
+    // identical samples → D = 0
+    assert(Profiling.ksTest(a, col("v"), a, col("v")).head().getLong(2) == 0L)
+    // disjoint supports → D = 1e6
+    val hi = Seq(10L, 11L).toDF("v")
+    assert(Profiling.ksTest(a, col("v"), hi, col("v")).head().getLong(2)
+      == 1000000L)
+    // hand: a={1,1,2}, b={2,3} → Fa(1)=2/3, Fb(1)=0 → D=666666 at v=1
+    val b = Seq(2L, 3L).toDF("v")
+    val r = Profiling.ksTest(a, col("v"), b, col("v")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == (3L, 2L, 666666L, 1L))
+  }
+
+  test("giniConcentration: uniform→0, concentrated, and hand value") {
+    val even = Seq(("a", 5L), ("b", 5L), ("c", 5L), ("d", 5L)).toDF("k", "w")
+    val e = Profiling.giniConcentration(even, col("k"), col("w")).head()
+    assert((e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3))
+      == (4L, 20L, 0L, 250000L))
+    // all mass on one of 4 keys → G = (n-1)/n = 750000
+    val onekey = Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 8L)).toDF("k", "w")
+    val o = Profiling.giniConcentration(onekey, col("k"), col("w")).head()
+    assert(o.getLong(2) == 750000L && o.getLong(3) == 1000000L)
+    // hand: weights 1,2,3,4 → G = 1/4, top share 4/10
+    val handg = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)).toDF("k", "w")
+    val h2 = Profiling.giniConcentration(handg, col("k"), col("w")).head()
+    assert(h2.getLong(2) == 250000L && h2.getLong(3) == 400000L)
+  }
+
+  test("randomizedResponse: exact md5 coins and the debias identity") {
+    val ids = 0L until 200L
+    val df = ids.map(i => (i, i % 4 == 0)).toDF("id", "x")
+      .withColumn("g", lit("all"))
+    def coin(i: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"rr:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000L
+    }
+    val p = 250000L
+    val nRep = ids.count(i => (i % 4 == 0) != (coin(i) < p)).toLong
+    val obs = nRep * 1000000L / 200L
+    val num = (obs - p) * 1000000L
+    val est = (num - num % 500000L) / 500000L
+    val r = Profiling.randomizedResponse(df, col("g"), col("x"), col("id"), p)
+      .head()
+    assert(r.getLong(1) == 200L && r.getLong(2) == nRep)
+    assert(r.getLong(3) == obs && r.getLong(4) == est)
+  }
+
+  test("prf1: hand confusion quadrants and floor-ppm P/R/F1") {
+    // scores 0..9, label = score >= 6 except one noisy row (score 8, neg)
+    val rows = (0L until 10L).map(s => (s, s >= 6 && s != 8))
+    val got = Profiling.prf1(rows.toDF("s", "y"), col("s"), col("y"),
+        Seq(5L, 100L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6),
+          if (r.isNullAt(7)) -1L else r.getLong(7))).toMap
+    // t=5: predicted {5..9}, actual {6,7,9} → tp=3 fp=2 fn=0 tn=5
+    assert(got(5L) == (3L, 2L, 0L, 5L, 600000L, 1000000L, 750000L))
+    // t=100: nothing predicted → precision NULL, recall 0, f1 0
+    assert(got(100L) == (0L, 0L, 3L, 7L, -1L, 0L, 0L))
+  }
+
+  test("mcnemar: hand discordant counts and chi2_milli") {
+    // truth all-true; A right on 0-7, B right on 4-7 → both=4,
+    // b (A-only) = 4, c (B-only) = 0, neither = 2
+    val rows = (0L until 10L).map { i =>
+      (true, i < 8, i >= 4 && i < 8) // A: 0-7, B: 4-7
+    }
+    val r = Profiling.mcnemar(rows.toDF("y", "pa", "pb"),
+      col("y"), col("pa"), col("pb")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (10L, 4L, 4L, 0L, 2L))
+    assert(r.getLong(5) == 4000L) // (4-0)^2*1000/4
+    // no disagreement → NULL statistic
+    val same = Seq((true, true, true), (false, true, true))
+      .toDF("y", "pa", "pb")
+    assert(Profiling.mcnemar(same, col("y"), col("pa"), col("pb"))
+      .head().isNullAt(5))
+  }
+
+  test("oddsRatioMH: hand 2x2 per stratum and the pooled estimate") {
+    // stratum s1: a=2 b=1 c=1 d=2 → OR = 4.0; n=6
+    // stratum s2: a=1 b=2 c=2 d=1 → OR = 0.25; n=6
+    val rows =
+      Seq.fill(2)(("s1", true, true)) ++ Seq(("s1", true, false)) ++
+      Seq(("s1", false, true)) ++ Seq.fill(2)(("s1", false, false)) ++
+      Seq(("s2", true, true)) ++ Seq.fill(2)(("s2", true, false)) ++
+      Seq.fill(2)(("s2", false, true)) ++ Seq(("s2", false, false))
+    val got = Profiling.oddsRatioMH(rows.toDF("g", "e", "o"),
+        col("g"), col("e"), col("o"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    assert(got("s1") == (2L, 1L, 1L, 2L, 4000000L))
+    assert(got("s2") == (1L, 2L, 2L, 1L, 250000L))
+    // pooled: sn = (2*2*1e6)//6 + (1*1*1e6)//6 = 666666+166666
+    //         sd = (1*1*1e6)//6 + (2*2*1e6)//6 = 166666+666666
+    // OR_MH = 833332*1e6 // 833332 = 1000000 (symmetric strata cancel)
+    assert(got("__pooled__") == (3L, 3L, 3L, 3L, 1000000L))
+  }
+
+  test("tCloseness: matching class→0, skewed classes→|Δcum|/(m-1)") {
+    // global: cats {0,1} at 4/4 (y's zeros balance z's ones).
+    // class "x": identical 50/50 mix → EMD 0; class "y": all cat 0 →
+    // |1e6-5e5| = 500000; class "z": all cat 1 → |0-5e5| = 500000.
+    val df = (Seq(("x", 0L), ("x", 1L), ("x", 0L), ("x", 1L)) ++
+      Seq(("y", 0L), ("y", 0L)) ++ Seq(("z", 1L), ("z", 1L))).toDF("g", "c")
+    val got = Profiling.tCloseness(df, Seq(col("g")), col("c"), tPpm = 200000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got("x") == (4L, 0L, false))
+    assert(got("y") == (2L, 500000L, true))
+    assert(got("z") == (2L, 500000L, true))
+  }
 }
