@@ -1094,6 +1094,92 @@ object SparkEntry {
       t(s, dir, "orders"), col("o_orderkey"),
       floor(col("o_totalprice") * 100).cast("long"), replicates = 16)
 
+  /** Multi-class confusion matrix
+    * ([[graft.ops.Profiling.confusionMatrix]]): 3-class labels from
+    * the md5 channel (`cls:` thirds), predictions right ~70% of the
+    * time and otherwise shifted by 1+coin%2 — so the matrix has a
+    * strong diagonal plus ASYMMETRIC off-diagonal mass. One 9-cell
+    * hash agg + two broadcast marginals; exact floor-ppm
+    * recall/precision per cell.
+    */
+  private def qConfusion(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "orders")
+      .select((mdChan("cls:") % 3).as("__y"), mdChan("flip:").as("__f"))
+      .select(concat(lit("c"), col("__y").cast("string")).as("label"),
+        concat(lit("c"), when(col("__f") < 700000L, col("__y"))
+          .otherwise((col("__y") + 1 + col("__f") % 2) % 3)
+          .cast("string")).as("pred"))
+    graft.ops.Profiling.confusionMatrix(df, col("label"), col("pred"))
+  }
+
+  /** Class-balanced downsampling
+    * ([[graft.ops.Sampling.classBalance]]): a 60/30/10 synthetic
+    * class skew (md5-channel thirds of the keyspace) thinned to the
+    * rare class's size by stable per-class ppm hash thresholds —
+    * map-only after one broadcast, never a per-class ordered window
+    * (a 100 TB class would be a single-reducer sort). Output: per
+    * class, the pre-balance count, the keep threshold, the selected
+    * count, and a key checksum proving the exact kept SET.
+    */
+  private def qClassBalance(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        when(mdChan("cbc:") < 600000L, "common")
+          .when(mdChan("cbc:") < 900000L, "mid")
+          .otherwise("rare").as("cls"))
+    graft.ops.Sampling.classBalance(df, col("cls"),
+        concat(lit("cbk:"), col("o_orderkey").cast("string")))
+      .groupBy("class", "n_class", "keep_ppm")
+      .agg(count(lit(1)).as("n_selected"), sum("o_orderkey").as("key_checksum"))
+      .select(col("class"), col("n_class"), col("keep_ppm"),
+        col("n_selected"), col("key_checksum"))
+  }
+
+  /** Trailing-7 rolling lower median
+    * ([[graft.ops.Windows.rollingMedian]]) of the scale-free daily
+    * revenue series — the robust smoother next to q_cusum's
+    * change detector and q_autocorr's seasonality probe; the planted
+    * 1/3/5 weekly cycle pins the median to the mid factor once the
+    * frame fills. Ordered window over the calendar-bounded series.
+    */
+  private def qRollingMedian(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.rollingMedian(
+      dailyRevSeries(s, dir), Seq.empty, col("t"), col("x"), k = 7)
+
+  /** Theil–Sen robust trend ([[graft.ops.Profiling.theilSen]]) of
+    * each priority's weekly milli-mean revenue series: the median
+    * pairwise slope in exact micro-units — outlier-proof where a
+    * least-squares line is not. The weekly series is scale-free
+    * (wc·nw·1000 div tc per priority, the q_cusum discipline) and
+    * calendar-bounded, so the per-group pair set (~weeks²/2) is the
+    * same size at every sf.
+    */
+  private def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val weekly = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "orders")
+        .agg(min(col("o_orderdate")).as("__d0"))))
+      .select(col("o_orderpriority"),
+        expr("CAST(datediff(o_orderdate, __d0) AS BIGINT) div 7").as("w"),
+        floor(col("o_totalprice") * 100).cast("long").as("__cents"))
+      .groupBy("o_orderpriority", "w").agg(sum("__cents").as("__wc"))
+    val tot = weekly.groupBy("o_orderpriority")
+      .agg(sum("__wc").as("__tc"), count(lit(1)).as("__nw"))
+    val ser = weekly.join(broadcast(tot), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("w"),
+        expr("(__wc * __nw * 1000) div __tc").as("x"))
+    graft.ops.Profiling.theilSen(ser, Seq("o_orderpriority"), col("w"), col("x"))
+  }
+
+  /** Mutual information ([[graft.ops.Profiling.mutualInfo]]) between
+    * order priority and order status in exact micro-nats·n — the
+    * feature-redundancy / label-leakage probe; these two synthetic
+    * columns are independent, so mi_unat lands within floor noise of
+    * 0 (each of the ~15 cell terms floors before summing).
+    */
+  private def qMutualInfo(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.mutualInfo(
+      t(s, dir, "orders"), col("o_orderpriority"), col("o_orderstatus"))
+
   // ---- wave 5: temporal + skew-aware joins -------------------------
 
   /** As-of join: each event attached to the user's latest order at or
@@ -3971,6 +4057,11 @@ object SparkEntry {
     "q_semantic_decontaminate" -> (qSemanticDecontaminate _),
     "q_rake" -> (qRake _),
     "q_bootstrap" -> (qBootstrap _),
+    "q_confusion" -> (qConfusion _),
+    "q_class_balance" -> (qClassBalance _),
+    "q_rolling_median" -> (qRollingMedian _),
+    "q_theil_sen" -> (qTheilSen _),
+    "q_mutual_info" -> (qMutualInfo _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_two_table_link" -> (qTwoTableLink _),
     "q_sessionize" -> (qSessionize _),
@@ -4917,6 +5008,102 @@ object SparkEntry {
          |       CASE WHEN n_eff = 0 THEN NULL
          |            ELSE CAST((ws * 1000) // n_eff AS BIGINT) END AS mean_milli
          |FROM g""".stripMargin,
+    // Confusion-matrix mirror: same md5 class/flip channels, same
+    // cell agg + marginals, same floor-ppm recall/precision.
+    "q_confusion" ->
+      """WITH base AS (
+        |  SELECT 'c' || CAST(y AS VARCHAR) AS label,
+        |         'c' || CAST(CASE WHEN f < 700000 THEN y
+        |                          ELSE (y + 1 + f % 2) % 3 END AS VARCHAR) AS pred
+        |  FROM (SELECT
+        |          CAST(('0x' || substr(md5('cls:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 % 3 AS y,
+        |          CAST(('0x' || substr(md5('flip:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS f
+        |        FROM orders)),
+        |cells AS (SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+        |          FROM base GROUP BY 1, 2),
+        |rm AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_label FROM cells GROUP BY 1),
+        |cm AS (SELECT pred, CAST(sum(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1)
+        |SELECT c.label, c.pred, c.n, rm.n_label, cm.n_pred,
+        |  CAST((c.n * 1000000) // rm.n_label AS BIGINT) AS recall_ppm,
+        |  CAST((c.n * 1000000) // cm.n_pred AS BIGINT) AS precision_ppm
+        |FROM cells c JOIN rm USING (label) JOIN cm USING (pred)""".stripMargin,
+    // Class-balance mirror: same md5 class skew and keep channels,
+    // same min-class ppm thresholds, same kept set (checksummed).
+    "q_class_balance" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN ch < 600000 THEN 'common'
+        |         WHEN ch < 900000 THEN 'mid' ELSE 'rare' END AS class,
+        |    CAST(('0x' || substr(md5('cbk:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS bk
+        |  FROM (SELECT o_orderkey,
+        |          CAST(('0x' || substr(md5('cbc:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS ch
+        |        FROM orders)),
+        |cnt AS (SELECT class, CAST(count(*) AS BIGINT) AS n_class FROM base GROUP BY 1),
+        |m AS (SELECT min(n_class) AS mn FROM cnt),
+        |th AS (SELECT class, n_class,
+        |              CAST((m.mn * 1000000) // n_class AS BIGINT) AS keep_ppm
+        |       FROM cnt, m),
+        |kept AS (SELECT b.class, t.n_class, t.keep_ppm, b.o_orderkey
+        |         FROM base b JOIN th t USING (class) WHERE b.bk < t.keep_ppm)
+        |SELECT class, n_class, keep_ppm,
+        |       CAST(count(*) AS BIGINT) AS n_selected,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+        |FROM kept GROUP BY 1, 2, 3""".stripMargin,
+    // Rolling-median mirror: quantile_disc(0.5) over the identical
+    // trailing-7 frame picks the identical lower-median ELEMENT.
+    "q_rolling_median" ->
+      s"""WITH $DailySeriesCtes
+         |SELECT t, x,
+         |  quantile_disc(x, 0.5) OVER
+         |    (ORDER BY t ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med
+         |FROM ser""".stripMargin,
+    // Theil–Sen mirror: same scale-free weekly series, same
+    // truncating micro-slope (Spark div ≡ DuckDB // on negatives),
+    // same lower-median rank under (s, wa, wb).
+    "q_theil_sen" ->
+      """WITH d0 AS (SELECT min(o_orderdate) AS v FROM orders),
+        |wk AS (SELECT o_orderpriority,
+        |              CAST(datediff('day', d0.v, o_orderdate) AS BIGINT) // 7 AS w,
+        |              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |       FROM orders, d0),
+        |weekly AS (SELECT o_orderpriority, w, CAST(sum(cents) AS BIGINT) AS wc
+        |           FROM wk GROUP BY 1, 2),
+        |tot AS (SELECT o_orderpriority, CAST(sum(wc) AS BIGINT) AS tc,
+        |               CAST(count(*) AS BIGINT) AS nw
+        |        FROM weekly GROUP BY 1),
+        |ser AS (SELECT weekly.o_orderpriority, w, (wc * nw * 1000) // tc AS x
+        |        FROM weekly JOIN tot USING (o_orderpriority)),
+        |pairs AS (SELECT a.o_orderpriority, a.w AS wa, b.w AS wb,
+        |                 ((b.x - a.x) * 1000000) // (b.w - a.w) AS s
+        |          FROM ser a JOIN ser b
+        |            ON a.o_orderpriority = b.o_orderpriority AND a.w < b.w),
+        |rk AS (SELECT *,
+        |         row_number() OVER (PARTITION BY o_orderpriority ORDER BY s, wa, wb) AS rnk,
+        |         count(*) OVER (PARTITION BY o_orderpriority) AS np
+        |       FROM pairs)
+        |SELECT o_orderpriority, CAST(np AS BIGINT) AS n_pairs,
+        |       CAST(s AS BIGINT) AS slope_micro
+        |FROM rk WHERE rnk = (np + 1) // 2""".stripMargin,
+    // Mutual-information mirror: four sums of the proven q_entropy
+    // floor-primitive ⌊c·ln(c)·10⁶⌋, combined identically.
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |cs AS (SELECT
+        |         CAST(sum(CAST(floor(ln(CAST(c AS DOUBLE)) * c * 1000000) AS BIGINT)) AS BIGINT) AS hc,
+        |         CAST(count(*) AS BIGINT) AS n_cells,
+        |         CAST(sum(c) AS BIGINT) AS n
+        |       FROM cells),
+        |am AS (SELECT CAST(sum(CAST(floor(ln(CAST(ca AS DOUBLE)) * ca * 1000000) AS BIGINT)) AS BIGINT) AS ha
+        |       FROM (SELECT CAST(sum(c) AS BIGINT) AS ca FROM cells GROUP BY a)),
+        |bm AS (SELECT CAST(sum(CAST(floor(ln(CAST(cb AS DOUBLE)) * cb * 1000000) AS BIGINT)) AS BIGINT) AS hb
+        |       FROM (SELECT CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY b))
+        |SELECT n, n_cells,
+        |  hc + CAST(floor(ln(CAST(n AS DOUBLE)) * n * 1000000) AS BIGINT) - ha - hb
+        |    AS mi_unat
+        |FROM cs, am, bm""".stripMargin,
     // Zipf mirror: same top-1024 total order, same rank-octave bands
     // and rank*freq invariant bounds.
     "q_zipf" ->

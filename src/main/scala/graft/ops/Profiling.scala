@@ -1225,4 +1225,102 @@ object Profiling {
         fdiv(col("__sn") * 1000000L, col("__sd")).as("or_ppm"))
     perStratum.unionByName(pooled)
   }
+
+  /** Multi-class confusion matrix with per-cell diagnostics — the
+    * classifier-eval view that [[cohenKappa]] (agreement) and
+    * [[prf1]] (binary operating points) don't give: WHICH classes
+    * confuse with which. One row per observed (label, pred) cell with
+    * the cell count, both marginals, and exact floor-ppm
+    * `recall_ppm = n·10⁶ div n_label` / `precision_ppm = n·10⁶ div
+    * n_pred` (meaningful on the diagonal; off-diagonal they read as
+    * "share of this true class leaking into that prediction").
+    *
+    * Plan shape: one (label, pred) hash agg — class-cardinality²
+    * cells, never row-sized — two marginal aggs FROM the cells, both
+    * broadcast back. No window, no row-sized shuffle beyond the
+    * first agg.
+    */
+  def confusionMatrix(df: DataFrame, label: Column, pred: Column): DataFrame = {
+    val cells = df.select(label.cast("string").as("label"),
+        pred.cast("string").as("pred"))
+      .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+    val rowM = cells.groupBy("label").agg(sum("n").as("n_label"))
+    val colM = cells.groupBy("pred").agg(sum("n").as("n_pred"))
+    cells.join(broadcast(rowM), Seq("label"))
+      .join(broadcast(colM), Seq("pred"))
+      .select(col("label"), col("pred"), col("n"),
+        col("n_label"), col("n_pred"),
+        expr("n * 1000000L div n_label").as("recall_ppm"),
+        expr("n * 1000000L div n_pred").as("precision_ppm"))
+  }
+
+  /** Theil–Sen robust trend per group: the MEDIAN of all pairwise
+    * slopes `(x_j−x_i)/(t_j−t_i)`, i<j — immune to the outlier days
+    * that wreck a least-squares line (up to ~29% contamination).
+    * Slopes are exact micro-units (`Δx·10⁶ div Δt` — truncating
+    * integer division, identical in Spark `div` and DuckDB `//`
+    * including negatives), and the median is the LOWER median (rank
+    * ⌈n/2⌉ under (slope, t_i, t_j) order — fully deterministic under
+    * slope ties).
+    *
+    * Scale shape: the pairwise self-join is per-group over the
+    * SERIES (calendar-bounded — weeks/days — never row-sized; the
+    * caller aggregates raw rows to the series first), so pairs/group
+    * is O(series²) regardless of corpus size; rank + count are one
+    * window pass over the pairs.
+    */
+  def theilSen(df: DataFrame, groupCols: Seq[String], t: Column,
+      x: Column): DataFrame = {
+    val base = df.select(groupCols.map(col) :+ t.cast("long").as("__t")
+      :+ x.cast("long").as("__x"): _*)
+    val a = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"${c}_a"))
+    val b = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"${c}_b"))
+    val onGroup = groupCols.map(g => a(s"${g}_a") === b(s"${g}_b"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val pairs = a.join(b, onGroup && a("__t_a") < b("__t_b"))
+      .select(groupCols.map(g => a(s"${g}_a").as(g))
+        :+ a("__t_a") :+ b("__t_b")
+        :+ expr("(__x_b - __x_a) * 1000000L div (__t_b - __t_a)").as("__s"): _*)
+    val wRank = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__s"), col("__t_a"), col("__t_b"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    pairs
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("__np", count(lit(1)).over(wAll))
+      .filter(col("__rk") === expr("(__np + 1) div 2"))
+      .select(groupCols.map(col)
+        :+ col("__np").as("n_pairs") :+ col("__s").as("slope_micro"): _*)
+  }
+
+  /** Mutual information between two categorical columns in
+    * micro-nats·n — the feature-redundancy / leakage probe ("does
+    * this metadata column give away the label"). Decomposed into four
+    * independent sums of the [[TextAnalysis.tokenEntropy]] primitive
+    * `Σ ⌊c·ln(c)·10⁶⌋` (each term floored BEFORE its sum, so every
+    * aggregate is order-independent and engine-exact):
+    * {{{ mi_unat = Σ_cells ⌊c·ln c·10⁶⌋ + ⌊n·ln n·10⁶⌋
+    *             − Σ_a ⌊c·ln c·10⁶⌋ − Σ_b ⌊c·ln c·10⁶⌋ }}}
+    * ≈ n·MI·10⁶ (each floor errs < 1 µnat per term). MI in nats is
+    * `mi_unat / (10⁶·n)`; 0 ⇔ independent.
+    *
+    * Plan shape: one (a,b) cell hash agg; marginals and the total
+    * fold FROM the cells (cardinality-sized); two broadcast 1-row
+    * joins. No window, no second pass over rows.
+    */
+  def mutualInfo(df: DataFrame, a: Column, b: Column): DataFrame = {
+    def clogc(c: Column): Column =
+      floor(log(c.cast("double")) * c * 1e6).cast("long")
+    val cells = df.select(a.cast("string").as("__a"), b.cast("string").as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+    val cellSum = cells.agg(sum(clogc(col("__c"))).as("__hc"),
+      count(lit(1)).as("n_cells"), sum("__c").as("n"))
+    val aSum = cells.groupBy("__a").agg(sum("__c").as("__ca"))
+      .agg(sum(clogc(col("__ca"))).as("__ha"))
+    val bSum = cells.groupBy("__b").agg(sum("__c").as("__cb"))
+      .agg(sum(clogc(col("__cb"))).as("__hb"))
+    cellSum.join(broadcast(aSum)).join(broadcast(bSum))
+      .select(col("n"), col("n_cells"),
+        (col("__hc") + clogc(col("n")) - col("__ha") - col("__hb"))
+          .as("mi_unat"))
+  }
 }

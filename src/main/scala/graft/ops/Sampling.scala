@@ -33,6 +33,43 @@ object Sampling {
   def hashBucketSql(keyExpr: String): String =
     s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
 
+  /** The row's stable bucket in [0, 10⁶) — ppm resolution, for
+    * thresholds finer than [[hashBucket]]'s permille grid. */
+  def hashBucketPpm(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % 1000000L
+
+  /** DuckDB mirror of [[hashBucketPpm]]. */
+  def hashBucketPpmSql(keyExpr: String): String =
+    s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+
+  /** Class-balanced downsampling — thin every class to (about) the
+    * size of the RAREST class, the standard rebalance before training
+    * a classifier on skewed labels. Deliberately NOT an exact
+    * per-class row_number ≤ m cut: that needs one ordered window per
+    * class, and a 100 TB class is a single-reducer sort. Instead each
+    * class keeps rows whose stable [[hashBucketPpm]] falls under
+    * `keep_ppm = m·10⁶ div n_class` — map-only after one
+    * class-cardinality-sized broadcast, deterministic forever (a row
+    * never flips in or out between runs), balanced to binomial noise
+    * (exactly the [[hashSample]] contract, per class).
+    *
+    * Output: the kept rows with `class` and their class's `keep_ppm`
+    * attached. Plan shape: one class-count hash agg + 1-row min fold,
+    * broadcast back; the keep filter is codegen map-side.
+    */
+  def classBalance(df: DataFrame, classCol: Column, key: Column): DataFrame = {
+    val tagged = df.withColumn("class", classCol.cast("string"))
+      .withColumn("__bk", hashBucketPpm(key))
+    val counts = tagged.groupBy("class").agg(count(lit(1)).as("__nc"))
+    val minN = counts.agg(min("__nc").as("__m"))
+    val thresholds = counts.crossJoin(broadcast(minN))
+      .select(col("class"), col("__nc").as("n_class"),
+        expr("__m * 1000000L div __nc").as("keep_ppm"))
+    tagged.join(broadcast(thresholds), Seq("class"))
+      .filter(col("__bk") < col("keep_ppm"))
+      .drop("__bk")
+  }
+
   /** Deterministic train/valid/test split assignment: the row's
     * stable [[hashBucket]] lands in consecutive permille ranges, one
     * per split — the same row gets the same split everywhere, forever,

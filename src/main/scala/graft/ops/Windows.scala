@@ -581,4 +581,28 @@ object Windows {
         sum("__len").as("sum_tokens"))
       .withColumn("pad_waste", col("n_seqs") * col("max_len") - col("sum_tokens"))
   }
+
+  /** Trailing-`k` rolling LOWER median of an integer series — the
+    * robust smoother (a single spike day moves a rolling mean by
+    * spike/k but the rolling median not at all). Lower median = the
+    * ⌈n/2⌉-th smallest of the ≤k frame values — an ELEMENT of the
+    * input, so it stays integral and engine-exact; DuckDB's
+    * `quantile_disc(0.5) OVER` picks the identical element.
+    *
+    * Shape: one ordered window over the SERIES (calendar-bounded —
+    * the caller aggregates raw rows to the series first), sorting k
+    * elements per row; no join, no second pass. Optional `keys`
+    * partition the window so no global single-partition sort forms.
+    */
+  def rollingMedian(df: DataFrame, keys: Seq[String], orderCol: Column,
+      x: Column, k: Int): DataFrame = {
+    require(k >= 1, s"window size must be >= 1, got $k")
+    val w0 = if (keys.isEmpty) Window.orderBy(orderCol)
+             else Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+    val w = w0.rowsBetween(-(k - 1), Window.currentRow)
+    df.withColumn("__fr", array_sort(collect_list(x).over(w)))
+      .withColumn("med",
+        element_at(col("__fr"), expr("CAST((size(__fr) + 1) div 2 AS INT)")))
+      .drop("__fr")
+  }
 }

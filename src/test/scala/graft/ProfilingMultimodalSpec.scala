@@ -437,4 +437,74 @@ class ProfilingMultimodalSpec extends SparkSpec {
     assert(got("y") == (2L, 500000L, true))
     assert(got("z") == (2L, 500000L, true))
   }
+
+  test("confusionMatrix: hand cells, marginals, floor-ppm recall/precision") {
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"),
+      ("c", "a")).toDF("y", "p")
+    val got = Profiling.confusionMatrix(df, col("y"), col("p"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got.size == 4)
+    assert(got(("a", "a")) == (2L, 3L, 3L, 666666L, 666666L))
+    assert(got(("a", "b")) == (1L, 3L, 3L, 333333L, 333333L))
+    assert(got(("b", "b")) == (2L, 2L, 3L, 1000000L, 666666L))
+    assert(got(("c", "a")) == (1L, 1L, 3L, 1000000L, 333333L))
+  }
+
+  test("theilSen: outlier-proof median slope, negatives, truncation") {
+    val df = (Seq((0L, 0L), (1L, 10L), (2L, 20L), (3L, 1000L)).map(("g1", _)) ++
+      Seq((0L, 10L), (1L, 7L), (2L, 4L)).map(("g2", _)) ++
+      Seq((0L, 0L), (3L, -7L)).map(("g3", _)))
+      .map { case (g, (t, x)) => (g, t, x) }.toDF("g", "t", "x")
+    val got = Profiling.theilSen(df, Seq("g"), col("t"), col("x"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // g1: one wild outlier day; the median slope ignores it entirely
+    assert(got("g1") == (6L, 10000000L))
+    // g2: clean negative trend
+    assert(got("g2") == (3L, -3000000L))
+    // g3: -7e6 div 3 truncates toward zero (both engines) → -2333333
+    assert(got("g3") == (1L, -2333333L))
+  }
+
+  test("mutualInfo matches the local floor-primitive decomposition") {
+    def f(c: Long): Long = math.floor(math.log(c.toDouble) * c * 1e6).toLong
+    val rows = Seq.fill(3)(("x", "p")) ++ Seq(("x", "q")) ++
+      Seq.fill(4)(("y", "q"))
+    val r = Profiling.mutualInfo(rows.toDF("a", "b"), col("a"), col("b")).head()
+    val expected = (f(3) + f(1) + f(4)) + f(8) - (f(4) + f(4)) - (f(3) + f(5))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (8L, 3L, expected))
+    assert(expected > 0L) // a and b are correlated
+    // independent 2x2 uniform → zero up to the per-term floor noise
+    // (f(4) − 4·f(2) = 1 µnat exactly: ⌊4ln4·10⁶⌋ − 4⌊2ln2·10⁶⌋)
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+    assert(Profiling.mutualInfo(ind.toDF("a", "b"), col("a"), col("b"))
+      .head().getLong(2) == f(4) - 4 * f(2))
+  }
+
+  test("rollingMedian: lower median over a trailing-3 frame") {
+    val df = Seq((0L, 5L), (1L, 1L), (2L, 4L), (3L, 2L), (4L, 3L), (5L, 9L))
+      .toDF("t", "x")
+    val got = graft.ops.Windows.rollingMedian(df, Seq.empty, col("t"), col("x"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> 5L, 1L -> 1L, 2L -> 4L, 3L -> 2L, 4L -> 3L,
+      5L -> 3L))
+  }
+
+  test("classBalance: rare class fully kept, thresholds exact, deterministic") {
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 110).map(i => (i.toLong, "b"))).toDF("id", "cls")
+    def run() = graft.ops.Sampling.classBalance(df, col("cls"),
+      concat(lit("k:"), col("id").cast("string")))
+    val kept = run().collect()
+    val byClass = kept.groupBy(_.getAs[String]("class"))
+    // thresholds: m=10 → a keeps at 100000 ppm, b at 1000000 ppm (all)
+    assert(kept.forall(r => r.getAs[Long]("keep_ppm") ==
+      (if (r.getAs[String]("class") == "a") 100000L else 1000000L)))
+    assert(byClass("b").length == 10)
+    assert(byClass.getOrElse("a", Array.empty).length < 100)
+    // stable: the kept SET never changes between runs
+    assert(run().collect().map(_.getAs[Long]("id")).sorted.toSeq ==
+      kept.map(_.getAs[Long]("id")).sorted.toSeq)
+  }
 }
