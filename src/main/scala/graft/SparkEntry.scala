@@ -1180,6 +1180,70 @@ object SparkEntry {
     graft.ops.Profiling.mutualInfo(
       t(s, dir, "orders"), col("o_orderpriority"), col("o_orderstatus"))
 
+  /** Grid-density clustering ([[graft.ops.Clusters.gridCluster]]) of
+    * the embedding cloud projected to dims 1–2: 0.05-wide cells, core
+    * at ≥4 points, components over 8-neighborhood adjacency — the
+    * cell-DBSCAN that finds the synthetic centroid blobs without any
+    * per-point O(n²) neighborhood query; the CC rounds run on the
+    * GRID (≈10² cells), never the points.
+    */
+  private def qGridCluster(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Clusters.gridCluster(
+      t(s, dir, "embeddings"),
+      element_at(col("embedding"), 1), element_at(col("embedding"), 2),
+      cellMicro = 50000L, minPts = 4L)
+
+  /** Cross-split perplexity drift: the held-out LM health check —
+    * train the add-one unigram LM ([[graft.ops.TextAnalysis
+    * .lmUnigramScore]]) on the train split only, score EVERY split
+    * under it, and compare mean per-token log-probability; val/test
+    * scoring below train by more than sampling noise means the split
+    * leaked or the corpus drifted. Complements q_oov_rate (type
+    * coverage) with the probability-mass view.
+    */
+  private def qSplitPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val sp = graft.ops.Sampling.assignSplit(
+      t(s, dir, "documents"), concat(lit("split:"), col("doc_id").cast("string")),
+      Seq(("train", 800), ("val", 100), ("test", 100)))
+    val scored = graft.ops.TextAnalysis.lmUnigramScore(
+      sp, "doc_id", col("text"), sp.filter(col("split") === "train"), col("text"))
+    scored.join(sp.select("doc_id", "split"), Seq("doc_id"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("logprob_unat").as("logprob_unat"))
+      .select(col("split"), col("n_docs"), col("n_tokens"), col("logprob_unat"),
+        expr("logprob_unat div n_tokens").as("per_token_unat"))
+  }
+
+  /** Truncated-exponential moving average
+    * ([[graft.ops.Windows.ewmaTrunc]], α=½ over 6 lags) of the
+    * scale-free daily revenue series — the recency-weighted smoother
+    * between q_rolling_median (robust, unweighted) and q_decayed
+    * (per-key decayed sums); exact integer weights 32/16/…/1 with
+    * warm-up renormalization.
+    */
+  private def qEwma(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.ewmaTrunc(
+      dailyRevSeries(s, dir), Seq.empty, col("t"), col("x"), k = 6)
+
+  /** Information-gain feature ranking
+    * ([[graft.ops.Profiling.infoGain]]): four candidate features
+    * scored against the big-order label (total ≥ 300k) in one stacked
+    * scan — price_band CONTAINS the label boundary so it tops the
+    * ranking at ≈ n·H(Y), while priority/status/year are independent
+    * of it and land within floor noise of 0. The leakage detector a
+    * feature pipeline runs before training.
+    */
+  private def qInfoGain(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.infoGain(
+      t(s, dir, "orders"),
+      when(col("o_totalprice") >= 300000, "big").otherwise("small"),
+      Seq(
+        "priority" -> col("o_orderpriority"),
+        "status" -> col("o_orderstatus"),
+        "price_band" -> floor(col("o_totalprice") / 100000).cast("long"),
+        "year" -> year(col("o_orderdate"))))
+
   // ---- wave 5: temporal + skew-aware joins -------------------------
 
   /** As-of join: each event attached to the user's latest order at or
@@ -4062,6 +4126,10 @@ object SparkEntry {
     "q_rolling_median" -> (qRollingMedian _),
     "q_theil_sen" -> (qTheilSen _),
     "q_mutual_info" -> (qMutualInfo _),
+    "q_grid_cluster" -> (qGridCluster _),
+    "q_split_perplexity" -> (qSplitPerplexity _),
+    "q_ewma" -> (qEwma _),
+    "q_info_gain" -> (qInfoGain _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_two_table_link" -> (qTwoTableLink _),
     "q_sessionize" -> (qSessionize _),
@@ -5084,6 +5152,96 @@ object SparkEntry {
         |SELECT o_orderpriority, CAST(np AS BIGINT) AS n_pairs,
         |       CAST(s AS BIGINT) AS slope_micro
         |FROM rk WHERE rnk = (np + 1) // 2""".stripMargin,
+    // Grid-cluster mirror: same micro-quantized floor cells, same
+    // core threshold, recursive min-reach over 8-neighbor adjacency.
+    "q_grid_cluster" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT (CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) + 1000000) // 50000 AS cell_x,
+        |         (CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) + 1000000) // 50000 AS cell_y
+        |  FROM embeddings),
+        |cells AS (SELECT cell_x, cell_y, CAST(count(*) AS BIGINT) AS n_points
+        |          FROM pts GROUP BY 1, 2),
+        |core AS (SELECT *, cell_x * 1000000 + cell_y AS cid
+        |         FROM cells WHERE n_points >= 4),
+        |edges AS (
+        |  SELECT a.cid AS a, b.cid AS b FROM core a JOIN core b
+        |  ON abs(a.cell_x - b.cell_x) <= 1 AND abs(a.cell_y - b.cell_y) <= 1
+        |     AND a.cid <> b.cid),
+        |reach AS (
+        |  SELECT cid AS id, cid AS r FROM core
+        |  UNION
+        |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a)
+        |SELECT c.cell_x, c.cell_y, c.n_points, m.cluster_id
+        |FROM core c JOIN (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1) m
+        |  ON m.id = c.cid""".stripMargin,
+    // Split-perplexity mirror: same hashBucket split, same add-one
+    // unigram micro-nat scoring trained on the train split only.
+    "q_split_perplexity" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, text,
+         |          ${graft.ops.Sampling.hashBucketSql(
+                      "'split:' || CAST(doc_id AS VARCHAR)")} AS b
+         |        FROM documents)),
+         |ref AS (SELECT unnest(string_split(text, ' ')) AS tok
+         |        FROM sp WHERE split = 'train'),
+         |vocab AS (SELECT tok, count(*) AS cnt FROM ref WHERE tok <> '' GROUP BY 1),
+         |st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS v FROM vocab),
+         |tk AS (SELECT doc_id, split, unnest(string_split(text, ' ')) AS tok FROM sp),
+         |j AS (
+         |  SELECT t.doc_id, t.split,
+         |         CAST(floor(ln(CAST(coalesce(vb.cnt, 0) + 1 AS DOUBLE) /
+         |           CAST(st.total + st.v AS DOUBLE)) * 1000000) AS BIGINT) AS unat
+         |  FROM tk t LEFT JOIN vocab vb USING (tok), st WHERE t.tok <> ''),
+         |d AS (SELECT doc_id, split, CAST(count(*) AS BIGINT) AS nt,
+         |             CAST(sum(unat) AS BIGINT) AS lp
+         |      FROM j GROUP BY 1, 2)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |       CAST(sum(lp) AS BIGINT) AS logprob_unat,
+         |       CAST(sum(lp) // sum(nt) AS BIGINT) AS per_token_unat
+         |FROM d GROUP BY 1""".stripMargin,
+    // EWMA mirror: byte-identical lag-weight expression emitted by
+    // ewmaTruncSql over the shared daily-series CTEs.
+    "q_ewma" ->
+      s"""WITH $DailySeriesCtes
+         |SELECT t, x,
+         |  ${graft.ops.Windows.ewmaTruncSql("x", "t", 6)} AS ewma_milli
+         |FROM ser""".stripMargin,
+    // Info-gain mirror: same stacked feature cells (UNION ALL vs
+    // explode(map)), same four floor-primitive sums per feature.
+    "q_info_gain" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN o_totalprice >= 300000 THEN 'big' ELSE 'small' END AS y,
+        |         o_orderpriority AS pri, o_orderstatus AS sta,
+        |         CAST(CAST(floor(o_totalprice / 100000) AS BIGINT) AS VARCHAR) AS band,
+        |         CAST(year(o_orderdate) AS VARCHAR) AS yr
+        |  FROM orders),
+        |stacked AS (
+        |  SELECT 'priority' AS feature, pri AS v, y FROM base
+        |  UNION ALL SELECT 'status', sta, y FROM base
+        |  UNION ALL SELECT 'price_band', band, y FROM base
+        |  UNION ALL SELECT 'year', yr, y FROM base),
+        |cells AS (SELECT feature, v, y, CAST(count(*) AS BIGINT) AS c
+        |          FROM stacked GROUP BY 1, 2, 3),
+        |cs AS (SELECT feature,
+        |         CAST(sum(CAST(floor(ln(CAST(c AS DOUBLE)) * c * 1000000) AS BIGINT)) AS BIGINT) AS hc,
+        |         CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(c) AS BIGINT) AS n
+        |       FROM cells GROUP BY 1),
+        |va AS (SELECT feature,
+        |         CAST(sum(CAST(floor(ln(CAST(cv AS DOUBLE)) * cv * 1000000) AS BIGINT)) AS BIGINT) AS ha
+        |       FROM (SELECT feature, v, CAST(sum(c) AS BIGINT) AS cv
+        |             FROM cells GROUP BY 1, 2) GROUP BY 1),
+        |ya AS (SELECT feature,
+        |         CAST(sum(CAST(floor(ln(CAST(cy AS DOUBLE)) * cy * 1000000) AS BIGINT)) AS BIGINT) AS hb
+        |       FROM (SELECT feature, y, CAST(sum(c) AS BIGINT) AS cy
+        |             FROM cells GROUP BY 1, 2) GROUP BY 1)
+        |SELECT cs.feature, n, n_cells,
+        |       hc + CAST(floor(ln(CAST(n AS DOUBLE)) * n * 1000000) AS BIGINT) - ha - hb
+        |         AS mi_unat
+        |FROM cs JOIN va USING (feature) JOIN ya USING (feature)""".stripMargin,
     // Mutual-information mirror: four sums of the proven q_entropy
     // floor-primitive ⌊c·ln(c)·10⁶⌋, combined identically.
     "q_mutual_info" ->

@@ -243,4 +243,60 @@ object Clusters {
     labeled.groupBy(col(clusterCol))
       .agg(count(lit(1)).as("n_members"), aggs: _*)
   }
+
+  /** Grid-density clustering (the grid/cell form of DBSCAN, cf.
+    * GRIDCLUS / DenClue): quantize 2-D points to `cellMicro`-wide
+    * cells, call a cell CORE when it holds ≥ `minPts` points, and
+    * label core cells by connected components over 8-neighborhood
+    * adjacency. Sparse cells are noise by construction — the density
+    * threshold IS the cell filter, so no per-point neighborhood query
+    * (the O(n²) part of point-DBSCAN) ever runs.
+    *
+    * Coordinates are floored to integer micro-units then shifted +10⁶
+    * (embeddings live in [−1, 1]) so the truncating integer division
+    * both engines share IS floor division. Cell ids pack as
+    * `cell_x·10⁶ + cell_y` — unique while cellMicro ≥ 10.
+    *
+    * Scale shape: one (cell_x, cell_y) hash agg over the points —
+    * map-side partial, GRID-sized output (bounded by the coordinate
+    * extent, not the row count); the 8-neighbor self-join and the
+    * [[connectedComponents]] rounds run on the grid, never the
+    * points. Output: (cell_x, cell_y, n_points, cluster_id) per core
+    * cell, cluster_id = the component's minimum cell id.
+    */
+  def gridCluster(df: DataFrame, x: Column, y: Column, cellMicro: Long,
+      minPts: Long, maxRounds: Int = 25): DataFrame = {
+    require(cellMicro >= 10, s"cellMicro must be >= 10, got $cellMicro")
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val cells = df.select(
+        (floor(x.cast("double") * 1e6).cast("long") + 1000000L).as("__xm"),
+        (floor(y.cast("double") * 1e6).cast("long") + 1000000L).as("__ym"))
+      .select(expr(s"__xm div $cellMicro").as("cell_x"),
+        expr(s"__ym div $cellMicro").as("cell_y"))
+      .groupBy("cell_x", "cell_y").agg(count(lit(1)).as("n_points"))
+    // eager checkpoint: the core grid feeds the probe explode, the
+    // build side, AND the final label join — without it the full
+    // point agg re-executes per consumer.
+    val core = cells.filter(col("n_points") >= minPts)
+      .withColumn("cid", col("cell_x") * 1000000L + col("cell_y"))
+      .localCheckpoint(true)
+    val offsets = for { dx <- -1L to 1L; dy <- -1L to 1L if (dx, dy) != ((0L, 0L)) }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val probe = core.select(col("cid").as("id_a"),
+        explode(array(offsets: _*)).as("__o"),
+        col("cell_x"), col("cell_y"))
+      .select(col("id_a"), (col("cell_x") + col("__o.dx")).as("cell_x"),
+        (col("cell_y") + col("__o.dy")).as("cell_y"))
+    val edges = probe.join(core.select(col("cell_x"), col("cell_y"),
+        col("cid").as("id_b")), Seq("cell_x", "cell_y"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    // the label table derives from `core` itself — rename its key so
+    // the join back is unambiguous
+    val labels = resolveDuplicates(core.select(col("cid")), "cid", edges,
+        maxRounds = maxRounds)
+      .select(col("cid").as("__lcid"), col("cluster_id"))
+    core.join(labels, col("cid") === col("__lcid"))
+      .select(col("cell_x"), col("cell_y"), col("n_points"), col("cluster_id"))
+  }
 }

@@ -1310,8 +1310,11 @@ object Profiling {
   def mutualInfo(df: DataFrame, a: Column, b: Column): DataFrame = {
     def clogc(c: Column): Column =
       floor(log(c.cast("double")) * c * 1e6).cast("long")
+    // eager checkpoint: three consumers (cell fold + two marginals)
+    // would each re-execute the corpus-sized cell agg otherwise.
     val cells = df.select(a.cast("string").as("__a"), b.cast("string").as("__b"))
       .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val cellSum = cells.agg(sum(clogc(col("__c"))).as("__hc"),
       count(lit(1)).as("n_cells"), sum("__c").as("n"))
     val aSum = cells.groupBy("__a").agg(sum("__c").as("__ca"))
@@ -1320,6 +1323,41 @@ object Profiling {
       .agg(sum(clogc(col("__cb"))).as("__hb"))
     cellSum.join(broadcast(aSum)).join(broadcast(bSum))
       .select(col("n"), col("n_cells"),
+        (col("__hc") + clogc(col("n")) - col("__ha") - col("__hb"))
+          .as("mi_unat"))
+  }
+
+  /** Information-gain feature ranking: [[mutualInfo]] of every
+    * candidate feature against the label (IG(F;Y) ≡ MI(F;Y) — same
+    * floor-primitive decomposition, same micro-nats·n units), in ONE
+    * corpus scan: the features stack via `explode(map(...))` into
+    * (feature, value, label) rows, so one hash agg builds every
+    * feature's cell table simultaneously — F features never cost F
+    * scans. One row per feature; rank by `mi_unat` desc to pick
+    * predictors / catch label leakage (a feature with mi_unat ≈
+    * n·H(Y)·10⁶ IS the label).
+    */
+  def infoGain(df: DataFrame, label: Column,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "infoGain needs at least one feature")
+    def clogc(c: Column): Column =
+      floor(log(c.cast("double")) * c * 1e6).cast("long")
+    val kv = map(features.flatMap { case (n, c) =>
+      Seq(lit(n), c.cast("string")) }: _*)
+    // eager checkpoint: three consumers (fold + two marginal chains)
+    // would each re-execute the corpus-sized stacked agg otherwise.
+    val cells = df.select(explode(kv).as(Seq("feature", "__v")),
+        label.cast("string").as("__y"))
+      .groupBy("feature", "__v", "__y").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val cs = cells.groupBy("feature").agg(sum(clogc(col("__c"))).as("__hc"),
+      count(lit(1)).as("n_cells"), sum("__c").as("n"))
+    val va = cells.groupBy("feature", "__v").agg(sum("__c").as("__cv"))
+      .groupBy("feature").agg(sum(clogc(col("__cv"))).as("__ha"))
+    val ya = cells.groupBy("feature", "__y").agg(sum("__c").as("__cy"))
+      .groupBy("feature").agg(sum(clogc(col("__cy"))).as("__hb"))
+    cs.join(broadcast(va), Seq("feature")).join(broadcast(ya), Seq("feature"))
+      .select(col("feature"), col("n"), col("n_cells"),
         (col("__hc") + clogc(col("n")) - col("__ha") - col("__hb"))
           .as("mi_unat"))
   }

@@ -605,4 +605,51 @@ object Windows {
         element_at(col("__fr"), expr("CAST((size(__fr) + 1) div 2 AS INT)")))
       .drop("__fr")
   }
+
+  /** Truncated exponential moving average — EWMA with α = ½ cut off
+    * after `k` lags so it stays EXACT integer arithmetic: the value
+    * `i` steps back weighs `2^(k−1−i)`, and
+    * `ewma_milli = 10³·Σ wᵢ·x_{t−i} div Σ wᵢ` over the lags that
+    * exist (warm-up rows renormalize over the available history
+    * instead of decaying a phantom zero). Truncating division is
+    * engine-shared (Spark `div` ≡ DuckDB `//`, negatives included).
+    * [[ewmaTruncSql]] emits the byte-identical DuckDB form.
+    *
+    * Shape: k `lag()` columns over ONE ordered window pass — no
+    * frame materialization, no join; partition by `keys` so no
+    * global single-partition sort forms when series are per-key.
+    */
+  def ewmaTrunc(df: DataFrame, keys: Seq[String], orderCol: Column,
+      x: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 62, s"k must be in [1, 62], got $k")
+    val w = if (keys.isEmpty) Window.orderBy(orderCol)
+            else Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+    val terms = (0 until k).map { i =>
+      val wt = 1L << (k - 1 - i)
+      val v = if (i == 0) x else lag(x, i).over(w)
+      (coalesce(v * wt, lit(0L)), when(v.isNotNull, lit(wt)).otherwise(lit(0L)))
+    }
+    df.withColumn("__num", terms.map(_._1).reduce(_ + _))
+      .withColumn("__den", terms.map(_._2).reduce(_ + _))
+      .withColumn("ewma_milli", expr("(__num * 1000) div __den"))
+      .drop("__num", "__den")
+  }
+
+  /** DuckDB mirror of [[ewmaTrunc]]'s `ewma_milli` as a single SELECT
+    * expression (same lag weights, same warm-up renormalization,
+    * same truncating division). */
+  def ewmaTruncSql(xExpr: String, orderExpr: String, k: Int,
+      partitionExpr: Option[String] = None): String = {
+    val over = partitionExpr match {
+      case Some(p) => s"OVER (PARTITION BY $p ORDER BY $orderExpr)"
+      case None => s"OVER (ORDER BY $orderExpr)"
+    }
+    val terms = (0 until k).map { i =>
+      val wt = 1L << (k - 1 - i)
+      val v = if (i == 0) s"($xExpr)" else s"lag($xExpr, $i) $over"
+      (s"coalesce(($v) * $wt, 0)", s"CASE WHEN ($v) IS NULL THEN 0 ELSE $wt END")
+    }
+    s"((${terms.map(_._1).mkString(" + ")}) * 1000) // " +
+      s"(${terms.map(_._2).mkString(" + ")})"
+  }
 }

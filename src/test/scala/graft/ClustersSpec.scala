@@ -476,4 +476,25 @@ class ClustersSpec extends SparkSpec {
     assert(Graphs.linkPredict(tri, maxDegree = 10, minCommon = 1L, k = 10)
       .count() == 0L)
   }
+
+  test("gridCluster: adjacent core cells merge, sparse cells are noise") {
+    import org.apache.spark.sql.functions.col
+    // cellMicro=50000 after the +1e6 shift: 0.01→cell 20, 0.06→21,
+    // 0.5→30, -0.3→14
+    val pts = (Seq.fill(4)((0.011, 0.011)) ++ Seq.fill(4)((0.061, 0.011)) ++
+      Seq.fill(4)((0.51, 0.51)) ++ Seq.fill(2)((-0.29, -0.29)))
+      .toDF("x", "y")
+    val got = Clusters.gridCluster(pts, col("x"), col("y"),
+        cellMicro = 50000L, minPts = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // the 2-point cell never becomes core
+    assert(got.size == 3)
+    // blob cells (20,20) and (21,20) are 8-adjacent → one cluster
+    // labeled by the smaller cell id
+    assert(got((20L, 20L)) == (4L, 20L * 1000000L + 20L))
+    assert(got((21L, 20L)) == (4L, 20L * 1000000L + 20L))
+    // the far cell is its own singleton cluster
+    assert(got((30L, 30L)) == (4L, 30L * 1000000L + 30L))
+  }
 }

@@ -491,6 +491,36 @@ class ProfilingMultimodalSpec extends SparkSpec {
       5L -> 3L))
   }
 
+  test("ewmaTrunc: exact lag weights with warm-up renormalization") {
+    val df = Seq((0L, 10L), (1L, 20L), (2L, 30L)).toDF("t", "x")
+    val got = graft.ops.Windows.ewmaTrunc(df, Seq.empty, col("t"), col("x"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // k=3 weights 4/2/1: t0 40/4, t1 (80+20)/6, t2 (120+40+10)/7
+    assert(got == Map(0L -> 10000L, 1L -> 16666L, 2L -> 24285L))
+    // negative values truncate toward zero, same as the oracle's //
+    val neg = graft.ops.Windows.ewmaTrunc(
+      Seq((0L, -7L), (1L, -7L)).toDF("t", "x"), Seq.empty, col("t"), col("x"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(neg == Map(0L -> -7000L, 1L -> -7000L))
+  }
+
+  test("infoGain agrees with per-feature mutualInfo; leaky feature tops") {
+    val df = (1 to 60).map { i =>
+      (i % 2 == 0, s"band${i % 2}", s"pri${i % 5}") }
+      .toDF("y", "leaky", "noise")
+    val ig = Profiling.infoGain(df, col("y"),
+        Seq("leaky" -> col("leaky"), "noise" -> col("noise")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for ((name, c) <- Seq("leaky" -> col("leaky"), "noise" -> col("noise"))) {
+      val mi = Profiling.mutualInfo(df, c, col("y")).head()
+      assert(ig(name) == ((mi.getLong(0), mi.getLong(1), mi.getLong(2))))
+    }
+    // the label-equivalent feature carries ~n·H(y)·1e6 ≈ 60·ln2·1e6
+    assert(ig("leaky")._3 > 40000000L)
+    assert(math.abs(ig("noise")._3) < 100L)
+  }
+
   test("classBalance: rare class fully kept, thresholds exact, deterministic") {
     val df = ((1 to 100).map(i => (i.toLong, "a")) ++
       (101 to 110).map(i => (i.toLong, "b"))).toDF("id", "cls")
