@@ -235,7 +235,26 @@ object ScaleProbe {
     // rake: per-doc windows + vocabulary agg (docs ×10 → linear);
     // bootstrap: map-only 16× explode + 17-key agg (rows ×10 →
     // linear).
-    "q_rake", "q_bootstrap")
+    "q_rake", "q_bootstrap",
+    // round-8 batches 5-7: confusion/class_balance/mutual_info/
+    // info_gain are map-only md5 or column channels + cardinality-
+    // sized cell aggs (orders ×10 → linear); rolling_median/ewma/
+    // theil_sen ride the CONSTANT-length daily/weekly series fed by
+    // ×10 orders (the cusum bounded-series contract — window cost
+    // flat, feeding agg linear); grid_cluster's grid is EXTENT-
+    // bounded: the point agg is the only corpus-sized stage and the
+    // CC rounds run on the grid; split_perplexity rides the token-
+    // salted documents (vocab AND tokens ×10 — the lm_score
+    // shuffle-join contract); burstiness is two hash aggs + a
+    // constant top-50 (salted vocab ×10 → linear); assortativity/
+    // reciprocity ride the lineitem replicas (degree joins + 5-sum
+    // fold / reversed-pair hash join — linear in edges; reciprocity's
+    // %2000 residue key space SATURATES, so distinct edges grow
+    // sublinearly by construction).
+    "q_confusion", "q_class_balance", "q_mutual_info", "q_info_gain",
+    "q_rolling_median", "q_ewma", "q_theil_sen", "q_grid_cluster",
+    "q_split_perplexity", "q_burstiness", "q_assortativity",
+    "q_reciprocity")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a

@@ -1244,6 +1244,39 @@ object SparkEntry {
         "price_band" -> floor(col("o_totalprice") / 100000).cast("long"),
         "year" -> year(col("o_orderdate"))))
 
+  /** Token burstiness ([[graft.ops.TextAnalysis.burstiness]]): top-50
+    * tokens by exact Fano factor (per-doc count variance ÷ mean over
+    * occurring docs) — topical/template tokens concentrate (≫10⁶ ppm),
+    * function words sit near Poisson (≈10⁶) — the content-vs-glue
+    * separation TF-IDF approximates, measured directly.
+    */
+  private def qBurstiness(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.burstiness(
+      t(s, dir, "documents"), "doc_id", col("text"), minDf = 5L, topK = 50)
+
+  /** Degree assortativity ([[graft.ops.Graphs.assortativity]]) of the
+    * high-quantity lineitem order–supplier graph (the q_kcore edge
+    * construction): exact r²-ppm + sign over every directed stub —
+    * "do hubs attach to hubs" in one corr fold, never nodes².
+    */
+  private def qAssortativity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.assortativity(
+      t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("a"), (-col("l_suppkey")).as("b")),
+      "a", "b")
+
+  /** Edge reciprocity ([[graft.ops.Graphs.reciprocity]]) of the
+    * directed order→part residue graph: share of edges whose reverse
+    * exists, exact floor-ppm — the broadcast-vs-conversational
+    * network diagnostic.
+    */
+  private def qReciprocity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.reciprocity(
+      t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 2000).as("src"),
+          (col("l_partkey") % 2000).as("dst")),
+      "src", "dst")
+
   // ---- wave 5: temporal + skew-aware joins -------------------------
 
   /** As-of join: each event attached to the user's latest order at or
@@ -4130,6 +4163,9 @@ object SparkEntry {
     "q_split_perplexity" -> (qSplitPerplexity _),
     "q_ewma" -> (qEwma _),
     "q_info_gain" -> (qInfoGain _),
+    "q_burstiness" -> (qBurstiness _),
+    "q_assortativity" -> (qAssortativity _),
+    "q_reciprocity" -> (qReciprocity _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_two_table_link" -> (qTwoTableLink _),
     "q_sessionize" -> (qSessionize _),
@@ -5152,6 +5188,62 @@ object SparkEntry {
         |SELECT o_orderpriority, CAST(np AS BIGINT) AS n_pairs,
         |       CAST(s AS BIGINT) AS slope_micro
         |FROM rk WHERE rnk = (np + 1) // 2""".stripMargin,
+    // Burstiness mirror: same (doc, token) counts, same HUGEINT Fano
+    // identity, same (fano desc, token) top-50.
+    "q_burstiness" ->
+      """WITH tc AS (
+        |  SELECT doc_id, tok AS token, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |st AS (SELECT token, CAST(count(*) AS BIGINT) AS df_docs,
+        |              CAST(sum(c) AS BIGINT) AS n_occ,
+        |              sum(CAST(c AS HUGEINT) * c) AS ss
+        |       FROM tc GROUP BY 1 HAVING count(*) >= 5),
+        |f AS (SELECT token, df_docs, n_occ,
+        |        CAST(((CAST(df_docs AS HUGEINT) * ss
+        |               - CAST(n_occ AS HUGEINT) * n_occ) * 1000000)
+        |          // (CAST(n_occ AS HUGEINT) * df_docs) AS BIGINT) AS fano_ppm
+        |      FROM st),
+        |r AS (SELECT *, row_number() OVER (ORDER BY fano_ppm DESC, token) AS rnk
+        |      FROM f)
+        |SELECT token, df_docs, n_occ, fano_ppm FROM r WHERE rnk <= 50""".stripMargin,
+    // Assortativity mirror: same stub construction, same exact
+    // 5-sum corr identity in HUGEINT, same r2-ppm + sign outputs.
+    "q_assortativity" ->
+      """WITH e0 AS (SELECT DISTINCT l_orderkey AS a, -l_suppkey AS b
+        |            FROM lineitem WHERE l_quantity >= 45),
+        |sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+        |stubs AS (SELECT da.d AS x, db.d AS y
+        |          FROM sym s JOIN deg da ON da.a = s.a JOIN deg db ON db.a = s.b),
+        |st AS (SELECT count(*) AS n,
+        |              sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |              sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |              sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |              sum(CAST(y AS HUGEINT) * y) AS syy
+        |       FROM stubs),
+        |fin AS (SELECT n, n * sxy - sx * sy AS num,
+        |               n * sxx - sx * sx AS den1, n * syy - sy * sy AS den2
+        |        FROM st)
+        |SELECT CAST(n AS BIGINT) AS n_stubs,
+        |  CASE WHEN den1 = 0 OR den2 = 0 THEN NULL
+        |       ELSE CAST((1000000 * num * num) // (den1 * den2) AS BIGINT) END
+        |    AS r2_ppm,
+        |  CASE WHEN den1 = 0 OR den2 = 0 THEN NULL
+        |       ELSE CAST(sign(num) AS INT) END AS corr_sign
+        |FROM fin""".stripMargin,
+    // Reciprocity mirror: same distinct residue edges, same reversed
+    // self-join, same floor-ppm share.
+    "q_reciprocity" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey % 2000 AS a, l_partkey % 2000 AS b
+        |           FROM lineitem WHERE l_orderkey % 2000 <> l_partkey % 2000),
+        |j AS (SELECT e1.a, e1.b, e2.a IS NOT NULL AS rec
+        |      FROM e e1 LEFT JOIN e e2 ON e2.a = e1.b AND e2.b = e1.a)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(sum(CASE WHEN rec THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal,
+        |  CAST((sum(CASE WHEN rec THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
+        |    AS reciprocity_ppm
+        |FROM j""".stripMargin,
     // Grid-cluster mirror: same micro-quantized floor cells, same
     // core threshold, recursive min-reach over 8-neighbor adjacency.
     "q_grid_cluster" ->

@@ -930,4 +930,53 @@ object Graphs {
         when(den === 0, lit(null).cast("long"))
           .otherwise(((num - num % den) / den).cast("long")).as("q_ppm"))
   }
+
+  /** Degree assortativity — Pearson correlation of endpoint degrees
+    * over every directed stub of an undirected graph (Newman 2002):
+    * positive = hubs attach to hubs (social nets), negative = hubs
+    * attach to leaves (tech/bio nets). The coefficient is delegated
+    * to [[Profiling.groupCorr]]'s exact integral form, so the output
+    * is `(n_stubs, r2_ppm, corr_sign)` — r = sign·√(r²) — and the
+    * decimal(38,0) envelope guard applies (degrees are small ints, so
+    * it holds far past 10⁹ edges).
+    *
+    * Shape: edge dedup + one degree hash agg + two degree joins
+    * keyed by node (shuffle hash joins at scale) + the 5-sum corr
+    * fold. Never materializes anything node²-sized.
+    */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .filter(col("__a") =!= col("__b")).distinct()
+    val sym = e.union(e.select(col("__b").as("__a"), col("__a").as("__b")))
+      .localCheckpoint(true) // feeds the degree agg AND the stub join
+    val deg = sym.groupBy("__a").agg(count(lit(1)).as("__d"))
+    val stubs = sym.select(col("__a").as("__n1"), col("__b").as("__n2"))
+      .join(deg.select(col("__a").as("__n1"), col("__d").as("__da")), Seq("__n1"))
+      .join(deg.select(col("__a").as("__n2"), col("__d").as("__db")), Seq("__n2"))
+    Profiling.groupCorr(stubs.withColumn("__g", lit("all")), Seq("__g"),
+        col("__da"), col("__db"))
+      .select(col("n").as("n_stubs"), col("r2_ppm"), col("corr_sign"))
+  }
+
+  /** Edge reciprocity of a DIRECTED graph: the share of edges whose
+    * reverse also exists — the "is this network conversational or
+    * broadcast" diagnostic (and a sanity check before treating a
+    * directed edge list as undirected). Exact floor-ppm.
+    *
+    * Shape: distinct edges, one self-join keyed by the reversed pair
+    * (hash join — never nodes²), one 1-row fold.
+    */
+  def reciprocity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .filter(col("__a") =!= col("__b")).distinct()
+      .localCheckpoint(true) // probe side AND (reversed) build side
+    val rev = e.select(col("__b").as("__ra"), col("__a").as("__rb"),
+      lit(true).as("__r"))
+    e.join(rev, col("__a") === col("__ra") && col("__b") === col("__rb"),
+        "left")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("__r"), 1L).otherwise(0L)).as("n_reciprocal"))
+      .select(col("n_edges"), col("n_reciprocal"),
+        expr("n_reciprocal * 1000000L div n_edges").as("reciprocity_ppm"))
+  }
 }

@@ -1320,4 +1320,40 @@ object TextAnalysis {
        |         CAST(min(r * f) AS BIGINT) AS rf_min,
        |         CAST(max(r * f) AS BIGINT) AS rf_max
        |  FROM zr GROUP BY 1)""".stripMargin
+
+  /** Token burstiness — the Fano factor (variance/mean) of a token's
+    * per-document counts over the documents it OCCURS in (Church &
+    * Gale 1995): ≈1 ppm-million for Poisson "function-word" behavior,
+    * ≫1 for topical/bursty tokens that dump many occurrences into few
+    * docs — the signal that separates content words from glue and
+    * flags template flooding. Exact integral form over per-doc counts
+    * `c₁…c_k` (k = doc frequency, S = Σc, SS = Σc²):
+    * {{{ fano_ppm = ⌊(k·SS − S²)·10⁶ / (S·k)⌋ }}}
+    * (population variance over occurring docs ÷ mean; k·SS ≥ S² by
+    * Cauchy–Schwarz so the value is ≥ 0), in decimal(38,0) so the
+    * identity holds past 10¹⁵ occurrences. Top-`topK` by
+    * (fano desc, token) — deterministic under ties.
+    *
+    * Shape: one (doc, token) hash agg, one vocabulary-sized token
+    * agg, a distributed top-K. No window over the corpus, no join.
+    */
+  def burstiness(df: DataFrame, idCol: String, text: Column,
+      minDf: Long, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val dec = "decimal(38,0)"
+    val tc = df.select(col(idCol).as("__id"), explode(tokensWs(text)).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("__id", "token").agg(count(lit(1)).as("__c"))
+    val st = tc.groupBy("token")
+      .agg(count(lit(1)).as("df_docs"), sum("__c").as("n_occ"),
+        sum(col("__c") * col("__c")).as("__ss"))
+      .filter(col("df_docs") >= minDf)
+    val num = (col("df_docs").cast(dec) * col("__ss").cast(dec) -
+      col("n_occ").cast(dec) * col("n_occ").cast(dec)) * lit(1000000L).cast(dec)
+    val den = col("n_occ").cast(dec) * col("df_docs").cast(dec)
+    st.select(col("token"), col("df_docs"), col("n_occ"),
+        ((num - num % den) / den).cast("long").as("fano_ppm"))
+      .orderBy(col("fano_ppm").desc, col("token").asc_nulls_last)
+      .limit(topK)
+  }
 }

@@ -477,6 +477,31 @@ class ClustersSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("assortativity: star is perfectly disassortative; uniform degrees null") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Graphs
+    // star 0-{1,2,3}: every stub pairs degree 3 with degree 1 → r = −1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val r = Graphs.assortativity(star, "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getInt(2)) == (6L, 1000000L, -1))
+    // two disjoint edges: all degrees equal → zero variance → NULL r²
+    val flat = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val f = Graphs.assortativity(flat, "a", "b").head()
+    assert(f.isNullAt(1) && f.isNullAt(2) && f.getLong(0) == 4L)
+  }
+
+  test("reciprocity: exact ppm share of mutual edges") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Graphs
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("s", "d")
+    val r = Graphs.reciprocity(e, "s", "d").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (3L, 2L, 666666L))
+    // self-loops and duplicates are dropped before the measure
+    val messy = Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L)).toDF("s", "d")
+    val m = Graphs.reciprocity(messy, "s", "d").head()
+    assert((m.getLong(0), m.getLong(1), m.getLong(2)) == (2L, 2L, 1000000L))
+  }
+
   test("gridCluster: adjacent core cells merge, sparse cells are noise") {
     import org.apache.spark.sql.functions.col
     // cellMicro=50000 after the +1e6 shift: 0.01→cell 20, 0.06→21,

@@ -1309,4 +1309,17 @@ class OpsSpec extends SparkSpec {
       assert(g2(band) == (n, mass * 2)) // same shape, doubled counts
     }
   }
+
+  test("burstiness: exact Fano, Poisson-flat vs bursty, minDf gate") {
+    val docs = Seq((1L, "b b b b u x"), (2L, "b u"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.burstiness(docs, "doc_id", col("text"),
+        minDf = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // b: k=2 docs, S=5, SS=17 → (2·17−25)·1e6/(5·2) = 900000 (bursty)
+    // u: k=2, S=2, SS=2 → 0 (one per doc — sub-Poisson flat)
+    // x, z fail minDf=2 and never appear
+    assert(got.toSeq == Seq(("b", 2L, 5L, 900000L), ("u", 2L, 2L, 0L)))
+  }
 }
