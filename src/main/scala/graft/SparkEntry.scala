@@ -1277,6 +1277,47 @@ object SparkEntry {
           (col("l_partkey") % 2000).as("dst")),
       "src", "dst")
 
+  /** Sample-ratio mismatch
+    * ([[graft.ops.Profiling.sampleRatioMismatch]]): the md5-split A/B
+    * assignment checked against its intended 1:1 weights — exact
+    * milli chi-square goodness-of-fit, the guardrail every
+    * experimentation pipeline runs before reading any metric (a
+    * biased split invalidates the whole experiment).
+    */
+  private def qSrm(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.sampleRatioMismatch(
+      t(s, dir, "orders"),
+      when(mdChan("srm:") < 500000L, "A").otherwise("B"),
+      Seq("A" -> 1L, "B" -> 1L))
+
+  /** CUPED variance reduction ([[graft.ops.Profiling.cuped]]): order
+    * value adjusted by its dollar-truncated pre-estimate — a
+    * covariate correlated ≈1 with the metric, so θ lands near 10⁶ ppm
+    * and the adjusted variant means collapse toward each other while
+    * the raw means carry the split's sampling noise. Exact integer θ
+    * (5-sum decimal identities) and milli means.
+    */
+  private def qCuped(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.cuped(
+      t(s, dir, "orders"),
+      when(mdChan("cup:") < 500000L, "A").otherwise("B"),
+      floor(col("o_totalprice") * 100).cast("long"),
+      floor(col("o_totalprice")).cast("long") * 100)
+
+  /** Linear-weighted Cohen's kappa
+    * ([[graft.ops.Profiling.weightedKappa]]): two synthetic ordinal
+    * raters on a 0–4 scale, the second off by +1 on a 20% md5 coin —
+    * near-misses cost 1/4 of a gross miss, so κ_w sits well above the
+    * unweighted κ the q_kappa row would report for the same data.
+    */
+  private def qWeightedKappa(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "orders")
+      .select((mdChan("wka:") % 5).as("__a"), mdChan("wkf:").as("__f"))
+      .select(col("__a"),
+        least(col("__a") + expr("__f div 800000"), lit(4L)).as("__b"))
+    graft.ops.Profiling.weightedKappa(df, col("__a"), col("__b"))
+  }
+
   // ---- wave 5: temporal + skew-aware joins -------------------------
 
   /** As-of join: each event attached to the user's latest order at or
@@ -4166,6 +4207,9 @@ object SparkEntry {
     "q_burstiness" -> (qBurstiness _),
     "q_assortativity" -> (qAssortativity _),
     "q_reciprocity" -> (qReciprocity _),
+    "q_srm" -> (qSrm _),
+    "q_cuped" -> (qCuped _),
+    "q_weighted_kappa" -> (qWeightedKappa _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_two_table_link" -> (qTwoTableLink _),
     "q_sessionize" -> (qSessionize _),
@@ -5188,6 +5232,81 @@ object SparkEntry {
         |SELECT o_orderpriority, CAST(np AS BIGINT) AS n_pairs,
         |       CAST(s AS BIGINT) AS slope_micro
         |FROM rk WHERE rnk = (np + 1) // 2""".stripMargin,
+    // SRM mirror: same md5 split, same cleared-fraction chi-square
+    // terms floored to milli per cell before the 2-cell sum.
+    "q_srm" ->
+      """WITH obs AS (
+        |  SELECT CASE WHEN ch < 500000 THEN 'A' ELSE 'B' END AS v, count(*) AS o
+        |  FROM (SELECT CAST(('0x' || substr(md5('srm:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS ch
+        |        FROM orders) GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES ('A', 1), ('B', 1)) AS t(v, w)),
+        |cells AS (SELECT w.v, CAST(w.w AS BIGINT) AS w,
+        |                 CAST(coalesce(o.o, 0) AS BIGINT) AS o
+        |          FROM w LEFT JOIN obs o ON o.v = w.v),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |terms AS (
+        |  SELECT o, w, n,
+        |    CASE WHEN n * w * 2 = 0 THEN 0
+        |         ELSE CAST(((CAST(o AS HUGEINT) * 2 - CAST(n AS HUGEINT) * w)
+        |                    * (CAST(o AS HUGEINT) * 2 - CAST(n AS HUGEINT) * w)
+        |                    * 1000)
+        |           // (CAST(n AS HUGEINT) * w * 2) AS BIGINT) END AS t
+        |  FROM cells, tot)
+        |SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+        |       CAST(count(*) - 1 AS BIGINT) AS df,
+        |       CAST(sum(t) AS BIGINT) AS chi2_milli
+        |FROM terms""".stripMargin,
+    // CUPED mirror: same md5 split, same 5-sum HUGEINT theta, same
+    // fixed-order truncating milli means and adjustment.
+    "q_cuped" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN ch < 500000 THEN 'A' ELSE 'B' END AS variant,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS y,
+        |         CAST(floor(o_totalprice) AS BIGINT) * 100 AS x
+        |  FROM (SELECT o_totalprice,
+        |          CAST(('0x' || substr(md5('cup:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS ch
+        |        FROM orders)),
+        |per AS (SELECT variant, CAST(count(*) AS BIGINT) AS nv,
+        |               CAST(sum(y) AS BIGINT) AS syv, CAST(sum(x) AS BIGINT) AS sxv
+        |        FROM v GROUP BY 1),
+        |pooled AS (SELECT count(*) AS n,
+        |                  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |                  sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |                  sum(CAST(x AS HUGEINT) * x) AS sxx
+        |           FROM v),
+        |th AS (SELECT
+        |         CASE WHEN n * sxx - sx * sx = 0 THEN 0
+        |              ELSE CAST(((n * sxy - sx * sy) * 1000000)
+        |                // (n * sxx - sx * sx) AS BIGINT) END AS theta_ppm,
+        |         CAST((sx * 1000) // n AS BIGINT) AS mx_milli
+        |       FROM pooled)
+        |SELECT variant, nv AS n,
+        |       CAST((syv * 1000) // nv AS BIGINT) AS mean_y_milli, theta_ppm,
+        |       CAST((syv * 1000) // nv
+        |            - (theta_ppm * ((sxv * 1000) // nv - mx_milli)) // 1000000
+        |         AS BIGINT) AS adj_mean_y_milli
+        |FROM per, th""".stripMargin,
+    // Weighted-kappa mirror: same md5 ordinal raters, same
+    // cells×cells |a−b| distance fold in HUGEINT, same ppm division.
+    "q_weighted_kappa" ->
+      """WITH r AS (
+        |  SELECT ca % 5 AS a, least(ca % 5 + cf // 800000, 4) AS b
+        |  FROM (SELECT
+        |          CAST(('0x' || substr(md5('wka:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS ca,
+        |          CAST(('0x' || substr(md5('wkf:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS cf
+        |        FROM orders)),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1, 2),
+        |ra AS (SELECT a AS c, CAST(sum(n) AS BIGINT) AS ra FROM cells GROUP BY 1),
+        |cb AS (SELECT b AS c2, CAST(sum(n) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |den AS (SELECT sum(CAST(ra AS HUGEINT) * cb * abs(c - c2)) AS e FROM ra, cb),
+        |obs AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+        |               sum(CAST(n AS HUGEINT) * abs(a - b)) AS d
+        |        FROM cells)
+        |SELECT t AS n, CAST(d AS BIGINT) AS sum_dist,
+        |  CASE WHEN e = 0 THEN NULL
+        |       ELSE CAST(((e - CAST(t AS HUGEINT) * d) * 1000000) // e AS BIGINT) END
+        |    AS kappa_w_ppm
+        |FROM obs, den""".stripMargin,
     // Burstiness mirror: same (doc, token) counts, same HUGEINT Fano
     // identity, same (fano desc, token) top-50.
     "q_burstiness" ->

@@ -1327,6 +1327,127 @@ object Profiling {
           .as("mi_unat"))
   }
 
+  /** Sample-ratio mismatch (SRM) — the first thing an experimentation
+    * pipeline checks: did the variant split actually land at its
+    * intended weights? Goodness-of-fit chi-square against expected
+    * integer `weights`, each cell's term floored to MILLI units
+    * before the (cell-bounded) sum — engine-exact:
+    * {{{ term_i = ⌊(o_i·S − n·w_i)²·1000 / (n·w_i·S)⌋,  S = Σw }}}
+    * (the textbook (o−e)²/e with e_i = n·wᵢ/S, cleared of the
+    * fraction). df = cells − 1; compare chi2_milli against the
+    * χ²(df) tail at your alert level. Missing variants count as
+    * observed 0 (they still contribute their expected mass).
+    *
+    * Shape: one variant hash agg (cardinality-sized) + a broadcast
+    * 1-row total; the expected weights ride a literal array join.
+    */
+  def sampleRatioMismatch(df: DataFrame, variant: Column,
+      weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive, got $weights")
+    val s = weights.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = spark.createDataset(weights).toDF("__v", "__w")
+    val obs = df.select(variant.cast("string").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__o"))
+    val cells = w.join(obs, Seq("__v"), "left")
+      .select(col("__v"), col("__w"), coalesce(col("__o"), lit(0L)).as("__o"))
+    val tot = cells.agg(sum("__o").as("__n"))
+    val dec = "decimal(38,0)"
+    cells.crossJoin(broadcast(tot))
+      .select(col("__v"), col("__o"), col("__w"), col("__n"), {
+        val num = (col("__o").cast(dec) * s - col("__n").cast(dec) * col("__w"))
+        val num2 = num * num * 1000L
+        val den = col("__n").cast(dec) * col("__w") * s
+        when(den === 0, lit(0L))
+          .otherwise(((num2 - num2 % den) / den).cast("long")).as("__t")
+      })
+      .agg(max("__n").as("n"), count(lit(1)).as("n_cells"),
+        sum("__t").as("chi2_milli"))
+      .select(col("n"), col("n_cells"),
+        (col("n_cells") - 1).as("df"), col("chi2_milli"))
+  }
+
+  /** CUPED variance reduction (Deng et al., WSDM'13) — adjust each
+    * variant's metric mean by the pooled pre-period covariate:
+    * {{{ θ = cov(x,y)/var(x),   ŷ_v = μy_v − θ·(μx_v − μx) }}}
+    * computed ENTIRELY in exact integer arithmetic: θ in ppm from the
+    * 5-sum decimal(38,0) identities (n·Σxy − ΣxΣy over n·Σxx − Σx²,
+    * truncating division), means in milli units, the adjustment as
+    * `θ_ppm·Δx_milli div 10⁶`. Every division truncates toward zero
+    * in a fixed order, so the output hashes identically on any
+    * engine. Output: one row per variant with raw and adjusted
+    * means plus the pooled theta.
+    *
+    * Shape: one variant hash agg carrying 5 sums + a broadcast 1-row
+    * pooled fold — two passes of nothing; the corpus is scanned once.
+    */
+  def cuped(df: DataFrame, variant: Column, metric: Column,
+      covariate: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = df.select(variant.cast("string").as("variant"),
+      metric.cast("long").as("__y"), covariate.cast("long").as("__x"))
+    val per = v.groupBy("variant").agg(count(lit(1)).as("__nv"),
+      sum("__y").as("__syv"), sum("__x").as("__sxv"))
+    val pooled = v.agg(count(lit(1)).cast(dec).as("__n"),
+      sum(col("__x")).cast(dec).as("__sx"), sum(col("__y")).cast(dec).as("__sy"),
+      sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"),
+      sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"))
+    def tdiv(num: Column, den: Column): Column = (num - num % den) / den
+    val covn = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val varn = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val withTheta = pooled.select(
+      when(varn === 0, lit(0L))
+        .otherwise(tdiv(covn * 1000000L, varn).cast("long")).as("theta_ppm"),
+      tdiv(col("__sx") * 1000L, col("__n")).cast("long").as("__mx_milli"))
+    per.crossJoin(broadcast(withTheta))
+      .select(col("variant"), col("__nv").as("n"), {
+        val my = expr("(__syv * 1000) div __nv")
+        my.as("mean_y_milli")
+      }, col("theta_ppm"), {
+        val my = expr("(__syv * 1000) div __nv")
+        val mxv = expr("(__sxv * 1000) div __nv")
+        (my - expr(s"(theta_ppm * ((__sxv * 1000) div __nv - __mx_milli)) div 1000000"))
+          .as("adj_mean_y_milli")
+      })
+  }
+
+  /** Linear-weighted Cohen's kappa — ordinal agreement where a
+    * near-miss (4 vs 5) costs less than a gross miss (1 vs 5): with
+    * distance d(a,b) = |a−b| over integer categories,
+    * {{{ κ_w = 1 − Σ o_ab·d(a,b) / (Σ r_a·c_b·d(a,b) / n) }}}
+    * in exact ppm via decimal(38,0): `(den − n·Σo·d)·10⁶ div den`,
+    * den = Σ r_a·c_b·d. The ordinal upgrade of [[cohenKappa]] (which
+    * this reduces to under 0/1 distance). Null when den = 0 (all mass
+    * in one cell pair).
+    *
+    * Shape: one (a,b) cell agg, marginals FROM the cells, a
+    * cells×cells distance fold — all label-cardinality-sized.
+    */
+  def weightedKappa(df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(labelA.cast("long").as("__a"),
+        labelB.cast("long").as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // three cardinality-sized consumers
+    val ra = cells.groupBy(col("__a").as("__c")).agg(sum("__n").as("__ra"))
+    val cb = cells.groupBy(col("__b").as("__c2")).agg(sum("__n").as("__cb"))
+    val den = ra.crossJoin(cb)
+      .agg(sum(col("__ra").cast(dec) * col("__cb").cast(dec) *
+        abs(col("__c") - col("__c2")).cast(dec)).as("__e"))
+    val obs = cells.agg(sum("__n").cast(dec).as("__t"),
+      sum(col("__n").cast(dec) * abs(col("__a") - col("__b")).cast(dec))
+        .as("__d"))
+    val num = (col("__e") - col("__t") * col("__d")) * lit(1000000L).cast(dec)
+    obs.join(broadcast(den))
+      .select(col("__t").cast("long").as("n"),
+        col("__d").cast("long").as("sum_dist"),
+        when(col("__e") === 0, lit(null).cast("long"))
+          .otherwise(((num - num % col("__e")) / col("__e")).cast("long"))
+          .as("kappa_w_ppm"))
+  }
+
   /** Information-gain feature ranking: [[mutualInfo]] of every
     * candidate feature against the label (IG(F;Y) ≡ MI(F;Y) — same
     * floor-primitive decomposition, same micro-nats·n units), in ONE

@@ -521,6 +521,46 @@ class ProfilingMultimodalSpec extends SparkSpec {
     assert(math.abs(ig("noise")._3) < 100L)
   }
 
+  test("sampleRatioMismatch: hand chi-square, missing variant counts as 0") {
+    val df = (Seq.fill(60)("A") ++ Seq.fill(40)("B")).toDF("v")
+    val r = Profiling.sampleRatioMismatch(df, col("v"),
+      Seq("A" -> 1L, "B" -> 1L)).head()
+    // e=50 per cell: ((60-50)^2/50 + (40-50)^2/50) = 4.0 → 4000 milli
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (100L, 2L, 1L, 4000L))
+    // all mass in A, B expected but absent → chi2 = 10.0
+    val onlyA = Seq.fill(10)("A").toDF("v")
+    val m = Profiling.sampleRatioMismatch(onlyA, col("v"),
+      Seq("A" -> 1L, "B" -> 1L)).head()
+    assert((m.getLong(0), m.getLong(3)) == (10L, 10000L))
+  }
+
+  test("cuped: perfectly-correlated covariate equalizes variant means") {
+    val df = Seq(("A", 20L, 10L), ("A", 40L, 20L), ("B", 60L, 30L))
+      .toDF("v", "y", "x")
+    val got = Profiling.cuped(df, col("v"), col("y"), col("x"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // y = 2x exactly → theta = 2e6 ppm; both variants adjust to the
+    // pooled mean 40000 milli
+    assert(got("A") == (2L, 30000L, 2000000L, 40000L))
+    assert(got("B") == (1L, 60000L, 2000000L, 40000L))
+  }
+
+  test("weightedKappa: perfect agreement 1e6, total gross miss -1e6") {
+    val agree = Seq((0L, 0L), (0L, 0L), (4L, 4L), (4L, 4L)).toDF("a", "b")
+    val a = Profiling.weightedKappa(agree, col("a"), col("b")).head()
+    assert((a.getLong(0), a.getLong(1), a.getLong(2)) == (4L, 0L, 1000000L))
+    val miss = Seq((0L, 4L), (4L, 0L)).toDF("a", "b")
+    val m = Profiling.weightedKappa(miss, col("a"), col("b")).head()
+    assert((m.getLong(0), m.getLong(1), m.getLong(2)) == (2L, 8L, -1000000L))
+    // near-misses hurt less: off-by-one on a 0-4 scale keeps kappa_w
+    // far above the all-gross-miss floor
+    val near = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val n = Profiling.weightedKappa(near, col("a"), col("b")).head()
+    assert(n.getLong(2) > 0L)
+  }
+
   test("classBalance: rare class fully kept, thresholds exact, deterministic") {
     val df = ((1 to 100).map(i => (i.toLong, "a")) ++
       (101 to 110).map(i => (i.toLong, "b"))).toDF("id", "cls")
