@@ -985,18 +985,19 @@ object TextAnalysis {
       window: Int, divisor: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
-    val pows = typedLit((0 until window).map(j => math.pow(31.0, j).toLong))
+    // Boundary scan = graft.expr.CdcExprs.cdcBounds, a codegen'd
+    // one-pass rolling-hash kernel. The declarative equivalent —
+    // filter(sequence(w, n), p => aggregate(zip_with(slice(__hs,
+    // p−w+1, w), [31⁰..31^{w−1}], _*_), 0, _+_) % divisor == 0) —
+    // computes the identical positions but in the interpreted HOF
+    // evaluator, allocating slice+zip+closure per POSITION (~90% of
+    // the old 15 s/query at sf0.1); equality is spec-asserted.
     df.select(col(idCol), filter(tokensWs(text), t => t =!= "").as("__ts"))
       .filter(size(col("__ts")) >= 1)
       .withColumn("__hs", transform(col("__ts"), t =>
         conv(substring(md5(t), 1, 15), 16, 10).cast("long") % 1000000L))
       .withColumn("__bounds",
-        filter(sequence(lit(window), greatest(size(col("__ts")), lit(window))),
-          p => p <= size(col("__ts")) &&
-            aggregate(
-              zip_with(slice(col("__hs"), p - (window - 1), lit(window)), pows,
-                (a, b) => a * b),
-              lit(0L), (acc, x) => acc + x) % divisor === 0))
+        graft.expr.CdcExprs.cdcBoundsCol(col("__hs"), window, divisor))
       .withColumn("__cuts",
         array_distinct(concat(col("__bounds"), array(size(col("__ts"))))))
       .select(col(idCol), posexplode(

@@ -1310,6 +1310,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("cdcBounds kernel equals the direct slice-product definition") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def direct(hs: Array[Long], w: Int, d: Int): Seq[Int] =
+      (w to hs.length).filter { p =>
+        val slice = hs.slice(p - w, p)
+        slice.zipWithIndex.map { case (h, j) =>
+          h * math.pow(31.0, j).toLong }.sum % d == 0
+      }
+    val rng = new scala.util.Random(7)
+    for (n <- Seq(0, 1, 7, 8, 9, 40, 300); d <- Seq(2, 17, 64)) {
+      val hs = Array.fill(n)(rng.nextInt(1000000).toLong)
+      val got = graft.expr.CdcExprs
+        .cdcBounds(new GenericArrayData(hs), 8, d)
+        .toIntArray().toSeq
+      assert(got == direct(hs, 8, d), s"n=$n d=$d")
+    }
+    // degenerate windows
+    val one = Array(0L, 5L, 34L)
+    assert(graft.expr.CdcExprs.cdcBounds(new GenericArrayData(one), 1, 17)
+      .toIntArray().toSeq == direct(one, 1, 17))
+  }
+
   test("burstiness: exact Fano, Poisson-flat vs bursty, minDf gate") {
     val docs = Seq((1L, "b b b b u x"), (2L, "b u"), (3L, "z"))
       .toDF("doc_id", "text")
