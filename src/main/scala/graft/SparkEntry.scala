@@ -1318,6 +1318,44 @@ object SparkEntry {
     graft.ops.Profiling.weightedKappa(df, col("__a"), col("__b"))
   }
 
+  /** ε-DP histogram ([[graft.ops.Profiling.dpGeometricHistogram]],
+    * geometric mechanism at ε = ln 2): market-segment counts with
+    * reproducible two-sided-geometric integer noise from md5
+    * trailing-bit draws — the privacy-preserving release next to the
+    * q_k_anonymity / q_l_diversity / q_t_closeness suppression checks
+    * and q_randomized_response's local mechanism.
+    */
+  private def qDpHist(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.dpGeometricHistogram(
+      t(s, dir, "customer"), col("c_mktsegment"), seed = "dp8:")
+
+  /** Funnel time-to-convert ([[graft.ops.Windows.funnelLatency]] →
+    * [[graft.ops.Profiling.exactPercentiles]]): p50/p90/p99 seconds
+    * from a user's first `view` to their first `purchase` at-or-after
+    * it — the latency view that completes q_funnel's count view.
+    */
+  private def qFunnelTime(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val lat = graft.ops.Windows.funnelLatency(
+      ev.select(col("user_id"), col("event_type"),
+        tsMicros(ev, "ts").as("tsm")),
+      "user_id", "event_type", "tsm", "view", "purchase")
+    graft.ops.Profiling.exactPercentiles(
+        lat.withColumn("__g", lit("all")), Seq("__g"),
+        expr("latency div 1000000"), Seq(50, 90, 99))
+      .select(col("p"), col("value"))
+  }
+
+  /** Cross-source quantile normalization
+    * ([[graft.ops.Profiling.quantileNormalize]]): every source's
+    * document-length distribution mapped onto the pooled per-rank
+    * profile — the batch-effect remover run before mixing sources
+    * whose length (or score) scales differ.
+    */
+  private def qQuantileNorm(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.quantileNormalize(
+      t(s, dir, "documents"), "source", "doc_id", col("n_chars"))
+
   // ---- wave 5: temporal + skew-aware joins -------------------------
 
   /** As-of join: each event attached to the user's latest order at or
@@ -4210,6 +4248,9 @@ object SparkEntry {
     "q_srm" -> (qSrm _),
     "q_cuped" -> (qCuped _),
     "q_weighted_kappa" -> (qWeightedKappa _),
+    "q_dp_hist" -> (qDpHist _),
+    "q_funnel_time" -> (qFunnelTime _),
+    "q_quantile_norm" -> (qQuantileNorm _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_two_table_link" -> (qTwoTableLink _),
     "q_sessionize" -> (qSessionize _),
@@ -5232,6 +5273,53 @@ object SparkEntry {
         |SELECT o_orderpriority, CAST(np AS BIGINT) AS n_pairs,
         |       CAST(s AS BIGINT) AS slope_micro
         |FROM rk WHERE rnk = (np + 1) // 2""".stripMargin,
+    // DP-histogram mirror: same md5 channels, same trailing-ones
+    // geometric draws via bit_count(x XOR (x+1)) - 1, same clamp.
+    "q_dp_hist" ->
+      """WITH h AS (SELECT c_mktsegment AS key, CAST(count(*) AS BIGINT) AS n
+        |           FROM customer GROUP BY 1),
+        |ch AS (SELECT key, n,
+        |         CAST(('0x' || substr(md5('dp8:a:' || key), 1, 15)) AS BIGINT) AS ca,
+        |         CAST(('0x' || substr(md5('dp8:b:' || key), 1, 15)) AS BIGINT) AS cb
+        |       FROM h)
+        |SELECT key, n,
+        |  CAST((bit_count(xor(ca, ca + 1)) - 1)
+        |       - (bit_count(xor(cb, cb + 1)) - 1) AS BIGINT) AS noise,
+        |  greatest(n + (bit_count(xor(ca, ca + 1)) - 1)
+        |             - (bit_count(xor(cb, cb + 1)) - 1), 0) AS dp_n
+        |FROM ch""".stripMargin,
+    // Funnel-latency mirror: same first-view/first-purchase-after
+    // min-aggs in epoch micros, same type-1 rank percentiles.
+    "q_funnel_time" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts)) AS t0
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |lat AS (
+        |  SELECT e.user_id, (min(epoch_us(e.ts)) - f.t0) // 1000000 AS val
+        |  FROM events e JOIN f ON f.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= f.t0
+        |  GROUP BY e.user_id, f.t0),
+        |v AS (SELECT CAST(val AS BIGINT) AS val FROM lat),
+        |rk AS (
+        |  SELECT val, row_number() OVER (ORDER BY val) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM v),
+        |ps AS (SELECT unnest([50, 90, 99]) AS p)
+        |SELECT CAST(p AS INT) AS p, val AS value
+        |FROM rk, ps WHERE rk = ((n - 1) * p) // 100 + 1""".stripMargin,
+    // Quantile-normalization mirror: same (value, id) total-order
+    // ranks per source, same truncating per-rank pooled mean.
+    "q_quantile_norm" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS value,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents),
+        |prof AS (SELECT rk,
+        |           CAST(sum(CAST(value AS HUGEINT)) // count(*) AS BIGINT)
+        |             AS norm_value
+        |         FROM ranked GROUP BY 1)
+        |SELECT source, doc_id, value, norm_value
+        |FROM ranked JOIN prof USING (rk)""".stripMargin,
     // SRM mirror: same md5 split, same cleared-fraction chi-square
     // terms floored to milli per cell before the 2-cell sum.
     "q_srm" ->

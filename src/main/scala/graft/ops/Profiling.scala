@@ -1327,6 +1327,66 @@ object Profiling {
           .as("mi_unat"))
   }
 
+  /** Differentially-private histogram via the GEOMETRIC MECHANISM
+    * (Ghosh–Roughgarden–Sundararajan 2009 — the discrete, utility-
+    * optimal Laplace): each cell count is perturbed by
+    * `noise = G₁ − G₂` where G ~ Geometric(½), giving the two-sided
+    * geometric distribution that is ε-DP for counting queries at
+    * ε = ln 2 per release. The geometric draws are PURELY INTEGER and
+    * reproducible: G = number of trailing one-bits of a 60-bit md5
+    * channel keyed by (seed, cell) — P(t trailing ones) = 2^−(t+1)
+    * exactly — so the identical noise derives in any engine and the
+    * release never needs RNG state (`trailing_ones(x) =
+    * bit_count(x XOR (x+1)) − 1`). `dp_n` clamps at 0 (postprocessing
+    * preserves DP).
+    *
+    * Shape: one key hash agg, then map-only noise — nothing beyond
+    * the histogram itself.
+    */
+  def dpGeometricHistogram(df: DataFrame, key: Column, seed: String): DataFrame = {
+    def chan(tag: String): Column =
+      conv(substring(md5(concat(lit(seed + tag), col("key"))), 1, 15), 16, 10)
+        .cast("long")
+    def tOnes(c: Column): Column =
+      (bit_count(c.bitwiseXOR(c + 1)) - 1).cast("long")
+    df.select(key.cast("string").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .select(col("key"), col("n"),
+        (tOnes(chan("a:")) - tOnes(chan("b:"))).as("noise"))
+      .withColumn("dp_n", greatest(col("n") + col("noise"), lit(0L)))
+  }
+
+  /** Cross-group quantile normalization — map every group's value
+    * distribution onto the POOLED per-rank profile (the batch-effect
+    * remover from bioinformatics, equally at home normalizing
+    * per-source document-length or score distributions before
+    * mixing): rank within group by (value, id) — total order, so ties
+    * are deterministic — then replace each value with the truncating
+    * integer MEAN of all groups' values at that rank. Groups of
+    * unequal size average over the groups that reach the rank.
+    * Output: (group, id, value, norm_value).
+    *
+    * Shape: one ordered window per group (a distributed range sort —
+    * Spark's sort scales; nothing funnels to one task), one
+    * rank-keyed hash agg (rank cardinality = max group size), one
+    * rank-keyed join back.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+      value: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"), col(idCol))
+    val ranked = df.select(col(groupCol), col(idCol), value.cast("long").as("__v"))
+      .withColumn("__rk", row_number().over(w))
+    val profile = ranked.groupBy("__rk")
+      .agg(sum(col("__v").cast(dec)).as("__s"), count(lit(1)).cast(dec).as("__c"))
+      .select(col("__rk"),
+        ((col("__s") - col("__s") % col("__c")) / col("__c")).cast("long")
+          .as("norm_value"))
+    ranked.join(profile, Seq("__rk"))
+      .select(col(groupCol), col(idCol), col("__v").as("value"),
+        col("norm_value"))
+  }
+
   /** Sample-ratio mismatch (SRM) — the first thing an experimentation
     * pipeline checks: did the variant split actually land at its
     * intended weights? Goodness-of-fit chi-square against expected

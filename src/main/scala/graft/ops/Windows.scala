@@ -582,6 +582,31 @@ object Windows {
       .withColumn("pad_waste", col("n_seqs") * col("max_len") - col("sum_tokens"))
   }
 
+  /** Funnel time-to-convert: for every user who reached `toType`
+    * AFTER first touching `fromType`, the latency between the FIRST
+    * `fromType` event and the FIRST `toType` event at-or-after it —
+    * the distribution product analytics reads next to the [[funnel]]
+    * counts ("how many convert" vs "how long it takes"). `tsCol` is
+    * an integer time (epoch micros); output
+    * `(user, t_from, latency)` — feed [[Profiling.exactPercentiles]]
+    * for the p50/p90/p99 view.
+    *
+    * Shape: two filtered per-user min-aggs and one user-keyed join —
+    * all hash-partitioned on the user, no window, no ordering.
+    */
+  def funnelLatency(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, fromType: String, toType: String): DataFrame = {
+    val first = df.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t_from"))
+    df.filter(col(typeCol) === toType)
+      .join(first, Seq(userCol))
+      .filter(col(tsCol) >= col("t_from"))
+      .groupBy(col(userCol), col("t_from"))
+      .agg(min(col(tsCol)).as("__t1"))
+      .select(col(userCol), col("t_from"),
+        (col("__t1") - col("t_from")).as("latency"))
+  }
+
   /** Trailing-`k` rolling LOWER median of an integer series — the
     * robust smoother (a single spike day moves a rolling mean by
     * spike/k but the rolling median not at all). Lower median = the

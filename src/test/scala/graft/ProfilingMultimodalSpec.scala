@@ -561,6 +561,56 @@ class ProfilingMultimodalSpec extends SparkSpec {
     assert(n.getLong(2) > 0L)
   }
 
+  test("dpGeometricHistogram: geometric trailing-ones noise, clamped, stable") {
+    val df = (Seq.fill(7)("x") ++ Seq.fill(2)("y")).toDF("k")
+    def run() = Profiling.dpGeometricHistogram(df, col("k"), "t:")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = run()
+    // reproducible: the noise is a pure function of (seed, cell)
+    assert(run() == got)
+    got.foreach { case (_, (n, noise, dpN)) =>
+      assert(dpN == math.max(n + noise, 0L))
+      assert(noise > -60 && noise < 60) // trailing-ones of a 60-bit word
+    }
+    assert(got("x")._1 == 7L && got("y")._1 == 2L)
+    // different seed → (almost surely) different draw for some cell;
+    // at minimum it must still satisfy the clamp identity
+    val other = Profiling.dpGeometricHistogram(df, col("k"), "u:")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    other.foreach { case (n, noise, dpN) =>
+      assert(dpN == math.max(n + noise, 0L)) }
+  }
+
+  test("quantileNormalize: groups map onto the pooled per-rank profile") {
+    val df = (Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L)) ++
+      Seq(("b", 4L, 100L), ("b", 5L, 200L), ("b", 6L, 300L)))
+      .toDF("g", "id", "v")
+    val got = Profiling.quantileNormalize(df, "g", "id", col("v"))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // rank profile: (10+100)/2=55, (20+200)/2=110, (30+300)/2=165
+    assert(got == Map(1L -> 55L, 4L -> 55L, 2L -> 110L, 5L -> 110L,
+      3L -> 165L, 6L -> 165L))
+    // unequal sizes: the extra rank averages over the one group that has it
+    val uneq = (Seq(("a", 1L, 10L)) ++ Seq(("b", 2L, 100L), ("b", 3L, 300L)))
+      .toDF("g", "id", "v")
+    val g2 = Profiling.quantileNormalize(uneq, "g", "id", col("v"))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(g2 == Map(1L -> 55L, 2L -> 55L, 3L -> 300L))
+  }
+
+  test("funnelLatency: first-from to first-to-after, non-converters absent") {
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "view", 900L), (1L, "purchase", 400L),
+      (2L, "purchase", 50L), (2L, "view", 80L), // purchase BEFORE view only
+      (3L, "view", 10L)) // never purchases
+      .toDF("u", "t", "ts")
+    val got = graft.ops.Windows.funnelLatency(ev, "u", "t", "ts",
+        "view", "purchase")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (100L, 300L)))
+  }
+
   test("classBalance: rare class fully kept, thresholds exact, deterministic") {
     val df = ((1 to 100).map(i => (i.toLong, "a")) ++
       (101 to 110).map(i => (i.toLong, "b"))).toDF("id", "cls")
