@@ -1356,6 +1356,46 @@ object SparkEntry {
     graft.ops.Profiling.quantileNormalize(
       t(s, dir, "documents"), "source", "doc_id", col("n_chars"))
 
+  /** Language-ID evaluation: the [[graft.ops.TextAnalysis.languageId]]
+    * heuristic scored against the documents table's ground-truth
+    * `lang` column via [[graft.ops.Profiling.confusionMatrix]] —
+    * which languages the marker-word cascade confuses, with exact
+    * per-cell recall/precision. The eval loop a language filter runs
+    * before trusting the detector on an unlabeled corpus.
+    */
+  private def qLangidEval(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.confusionMatrix(
+      t(s, dir, "documents"), col("lang"),
+      graft.ops.TextAnalysis.languageId(col("text")))
+
+  /** Top navigation paths ([[graft.ops.Windows.sessionPaths]]): the
+    * 20 most common first-5-event session paths at the q_sessionize
+    * gap (30 min) — where users actually go, next to q_funnel's
+    * fixed-order counts; event_id tie-break makes paths total-order
+    * deterministic.
+    */
+  private def qSessionPath(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.ops.Windows.sessionPaths(
+      ev.select(col("user_id"), col("event_type"), col("event_id"),
+        tsMicros(ev, "ts").as("t_us")),
+      "user_id", "event_type", "t_us", "event_id",
+      maxGap = 1800000000L, pathLen = 5, topK = 20)
+  }
+
+  /** Cohort lifetime value ([[graft.ops.Windows.cohortLtv]]):
+    * first-seen-week cohorts accumulating event revenue over cohort
+    * age — the payback curve next to q_retention's activity matrix;
+    * exact cents, cumulative window over the calendar-bounded
+    * (cohort, age) grid.
+    */
+  private def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.ops.Windows.cohortLtv(
+      ev.select(col("user_id"), col("value"), tsMicros(ev, "ts").as("t_us")),
+      "user_id", "t_us", floor(col("value") * 100).cast("long"))
+  }
+
   // ---- wave 5: temporal + skew-aware joins -------------------------
 
   /** As-of join: each event attached to the user's latest order at or
@@ -4251,6 +4291,9 @@ object SparkEntry {
     "q_dp_hist" -> (qDpHist _),
     "q_funnel_time" -> (qFunnelTime _),
     "q_quantile_norm" -> (qQuantileNorm _),
+    "q_langid_eval" -> (qLangidEval _),
+    "q_session_path" -> (qSessionPath _),
+    "q_cohort_ltv" -> (qCohortLtv _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_two_table_link" -> (qTwoTableLink _),
     "q_sessionize" -> (qSessionize _),
@@ -5273,6 +5316,60 @@ object SparkEntry {
         |SELECT o_orderpriority, CAST(np AS BIGINT) AS n_pairs,
         |       CAST(s AS BIGINT) AS slope_micro
         |FROM rk WHERE rnk = (np + 1) // 2""".stripMargin,
+    // Langid-eval mirror: the literal languageIdSql cascade against
+    // the truth column, through the q_confusion cell/marginal SQL.
+    "q_langid_eval" ->
+      s"""WITH base AS (
+         |  SELECT lang AS label, ${graft.ops.TextAnalysis.languageIdSql("text")} AS pred
+         |  FROM documents),
+         |cells AS (SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+         |          FROM base GROUP BY 1, 2),
+         |rm AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_label FROM cells GROUP BY 1),
+         |cm AS (SELECT pred, CAST(sum(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1)
+         |SELECT c.label, c.pred, c.n, rm.n_label, cm.n_pred,
+         |  CAST((c.n * 1000000) // rm.n_label AS BIGINT) AS recall_ppm,
+         |  CAST((c.n * 1000000) // cm.n_pred AS BIGINT) AS precision_ppm
+         |FROM cells c JOIN rm USING (label) JOIN cm USING (pred)""".stripMargin,
+    // Session-path mirror: the q_sessionize session CTE, ordered
+    // list agg with the event_id tie-break, same top-20 order.
+    "q_session_path" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us
+        |           FROM events),
+        |flags AS (
+        |  SELECT user_id, event_id, event_type, t_us,
+        |    CASE WHEN lag(t_us) OVER w IS NULL
+        |           OR t_us - lag(t_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS sess_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+        |sessions AS (
+        |  SELECT user_id, event_id, event_type, t_us,
+        |    CAST(sum(sess_start) OVER (PARTITION BY user_id ORDER BY t_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flags),
+        |paths AS (
+        |  SELECT array_to_string(
+        |           (list(event_type ORDER BY t_us, event_id))[1:5], '>') AS path
+        |  FROM sessions GROUP BY user_id, session_id),
+        |cnt AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |        FROM paths GROUP BY 1),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS r
+        |       FROM cnt)
+        |SELECT path, n_sessions FROM rk WHERE r <= 20""".stripMargin,
+    // Cohort-LTV mirror: same epoch-micro week grid, same exact
+    // cents, same cumulative window over (cohort, age).
+    "q_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t_us,
+        |                  CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |t0 AS (SELECT min(t_us) AS v0 FROM e),
+        |wk AS (SELECT user_id, (t_us - t0.v0) // 604800000000 AS w, v FROM e, t0),
+        |fw AS (SELECT user_id, min(w) AS cohort_w FROM wk GROUP BY 1),
+        |grid AS (SELECT cohort_w, w - cohort_w AS age_w,
+        |                CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_users,
+        |                CAST(sum(v) AS BIGINT) AS cents
+        |         FROM wk JOIN fw USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_w, age_w, n_users, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY cohort_w ORDER BY age_w
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |FROM grid""".stripMargin,
     // DP-histogram mirror: same md5 channels, same trailing-ones
     // geometric draws via bit_count(x XOR (x+1)) - 1, same clamp.
     "q_dp_hist" ->

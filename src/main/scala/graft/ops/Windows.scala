@@ -607,6 +607,60 @@ object Windows {
         (col("__t1") - col("t_from")).as("latency"))
   }
 
+  /** Top navigation paths: sessionize, concatenate each session's
+    * first `pathLen` event types in (time, tie) order, and count
+    * sessions per path — "how do users actually move through the
+    * product", the qualitative companion to [[funnel]]'s fixed-order
+    * counts. `tieCol` (a unique event id) makes same-timestamp
+    * ordering total, so the path strings are deterministic on every
+    * engine and layout.
+    *
+    * Shape: the [[sessionize]] keyed window, one session hash agg
+    * whose per-session state is ≤ session length, a path hash agg,
+    * and a distributed top-K — no corpus-wide ordering.
+    */
+  def sessionPaths(df: DataFrame, userCol: String, typeCol: String,
+      timeCol: String, tieCol: String, maxGap: Long, pathLen: Int,
+      topK: Int): DataFrame = {
+    require(pathLen >= 1, s"pathLen must be >= 1, got $pathLen")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val sess = sessionize(df, Seq(userCol), timeCol, maxGap)
+    sess.groupBy(col(userCol), col("session_id"))
+      .agg(sort_array(collect_list(struct(col(timeCol).as("t"),
+        col(tieCol).as("i"), col(typeCol).as("e")))).as("__evs"))
+      .select(concat_ws(">",
+        slice(transform(col("__evs"), e => e.getField("e")), 1, pathLen))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc_nulls_last)
+      .limit(topK)
+  }
+
+  /** Cohort lifetime value: users bucketed by first-seen week, each
+    * cohort's per-week revenue accumulated over cohort AGE — the
+    * "when does a cohort pay back" curve next to [[cohortRetention]]'s
+    * activity view. Integer cents throughout; the cumulative window
+    * runs over the (cohort, age) GRID (weeks², calendar-bounded),
+    * never the events.
+    */
+  def cohortLtv(df: DataFrame, userCol: String, timeCol: String,
+      valueCents: Column, weekMicros: Long = 7L * 86400L * 1000000L): DataFrame = {
+    val t0 = df.agg(min(col(timeCol)).as("__t0"))
+    val wk = df.select(col(userCol), col(timeCol), valueCents.as("__v"))
+      .join(broadcast(t0))
+      .select(col(userCol),
+        expr(s"(${timeCol} - __t0) div $weekMicros").as("__w"), col("__v"))
+    val firstW = wk.groupBy(col(userCol)).agg(min("__w").as("cohort_w"))
+    val grid = wk.join(firstW, Seq(userCol))
+      .groupBy(col("cohort_w"), (col("__w") - col("cohort_w")).as("age_w"))
+      .agg(countDistinct(col(userCol)).as("n_users"), sum("__v").as("__cents"))
+    val w = Window.partitionBy("cohort_w").orderBy("age_w")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("cum_cents", sum("__cents").over(w))
+      .select(col("cohort_w"), col("age_w"), col("n_users"),
+        col("__cents").as("cents"), col("cum_cents"))
+  }
+
   /** Trailing-`k` rolling LOWER median of an integer series — the
     * robust smoother (a single spike day moves a rolling mean by
     * spike/k but the rolling median not at all). Lower median = the

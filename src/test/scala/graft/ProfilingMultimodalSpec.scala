@@ -611,6 +611,36 @@ class ProfilingMultimodalSpec extends SparkSpec {
     assert(got == Map(1L -> (100L, 300L)))
   }
 
+  test("sessionPaths: gap splits sessions, tie-broken order, top-k") {
+    val ev = Seq(
+      // user 1, one session: a>b>c (ties on t=20 broken by id 21<22)
+      (1L, "a", 10L, 11L), (1L, "b", 20L, 21L), (1L, "c", 20L, 22L),
+      // user 1, second session after the gap: a>b
+      (1L, "a", 500L, 31L), (1L, "b", 510L, 32L),
+      // user 2: a>b
+      (2L, "a", 5L, 41L), (2L, "b", 6L, 42L))
+      .toDF("u", "e", "t", "i")
+    val got = graft.ops.Windows.sessionPaths(ev, "u", "e", "t", "i",
+        maxGap = 100L, pathLen = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a>b", 2L), ("a>b>c", 1L)))
+  }
+
+  test("cohortLtv: exact cents accumulate over cohort age") {
+    val week = 7L * 86400L * 1000000L
+    val ev = Seq(
+      (1L, 0L, 100L), (1L, week + 1L, 50L),        // cohort 0, ages 0 and 1
+      (2L, week + 2L, 30L), (2L, week + 3L, 20L))  // cohort 1, age 0
+      .toDF("u", "t", "cents")
+    val got = graft.ops.Windows.cohortLtv(ev, "u", "t", col("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      (0L, 0L) -> (1L, 100L, 100L),
+      (0L, 1L) -> (1L, 50L, 150L),
+      (1L, 0L) -> (1L, 50L, 50L)))
+  }
+
   test("classBalance: rare class fully kept, thresholds exact, deterministic") {
     val df = ((1 to 100).map(i => (i.toLong, "a")) ++
       (101 to 110).map(i => (i.toLong, "b"))).toDF("id", "cls")
