@@ -127,6 +127,28 @@ object CorpusDemo {
     val jsdNats = jsd.getLong(3) / 2e12
     val chi = graft.ops.Profiling.chiSquare(split, col("split"), col("lang")).head
     val chiPerDof = chi.getLong(4) / 1e6 / math.max(chi.getLong(3), 1L)
+    // (c) cross-split perplexity drift: the add-one unigram LM trained
+    //     on the train split scores train vs valid; per-token mean
+    //     micro-nats should sit close (valid is held-out, so somewhat
+    //     lower is expected — a LARGE gap means leakage or drift).
+    val lmScored = graft.ops.TextAnalysis.lmUnigramScore(
+        split, "doc_id", col("text"),
+        split.filter(col("split") === "train"), col("text"))
+      .join(split.select("doc_id", "split"), Seq("doc_id"))
+      .groupBy("split")
+      .agg(expr("sum(logprob_unat) div sum(n_tokens)").as("per_tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ppxGapUnat = lmScored("train") - lmScored.getOrElse("valid", lmScored("train"))
+    // (d) info-gain leakage probe: IG(split; source/lang) in
+    //     micro-nats·n — a hash split must carry (near) zero
+    //     information about any data column.
+    // finite-sample MI bias is ≈ (K−1)(L−1)/(2n) nats even for a
+    // perfectly independent split, so the gate scales with 1/n
+    val ig = graft.ops.Profiling.infoGain(split, col("split"),
+        Seq("lang" -> col("lang"), "source" -> col("source")))
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(1))).toMap
+    val igMaxNats = ig.values.map { case (u, n) => math.abs(u) / 1e6 / n }.max
+    val igGate = 0.02 + 60.0 / ig.values.head._2
     val tGates = lap()
 
     val mixed = graft.ops.Sampling.repeatByWeight(
@@ -137,6 +159,12 @@ object CorpusDemo {
       f"train/valid token JSD $jsdNats%.3f nats — split is distribution-skewed")
     require(chiPerDof < 3.0,
       f"split×lang chi2/dof $chiPerDof%.2f — split correlates with language")
+    // held-out text must score LOWER (ppxGapUnat >= ~0) but not absurdly so
+    require(ppxGapUnat > -100000 && ppxGapUnat < 2000000,
+      s"train-vs-valid per-token LM gap $ppxGapUnat unat — leakage or drift")
+    require(igMaxNats < igGate,
+      f"split carries $igMaxNats%.4f nats about a data column " +
+        f"(gate $igGate%.4f) — split is biased")
     val nMixed = mixed.count()
     val packed = graft.ops.Windows.packChunks(
       mixed.select(col("lang"), (col("doc_id") * 10 + col("rep")).as("seq_id"),
@@ -213,6 +241,8 @@ object CorpusDemo {
     println(f"[corpus] decontaminated  $nClean%6d  (-${nQuality - nClean}%d benchmark-tainted)")
     println(s"[corpus] split           " + Seq("train", "valid", "test")
       .map(k => s"$k=${splitCounts.getOrElse(k, 0L)}").mkString(" "))
+    println(f"[corpus] split QA (r8)   per-token LM gap $ppxGapUnat%d unat; " +
+      f"max split-IG $igMaxNats%.5f nats (both gated)")
     println(f"[corpus] split QA        train/valid JSD $jsdNats%.4f nats; " +
       f"split×lang chi2/dof $chiPerDof%.2f (both gated)")
     println(f"[corpus] train mixed     $nMixed%6d rows after non-en x2 upsampling")
