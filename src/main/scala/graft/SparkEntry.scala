@@ -1396,6 +1396,50 @@ object SparkEntry {
       "user_id", "t_us", floor(col("value") * 100).cast("long"))
   }
 
+  /** Empirical-Bayes smoothed click rates
+    * ([[graft.ops.Profiling.smoothedRates]], Beta(5, 95) prior): 200
+    * synthetic "pages" (user-id residues) ranked by shrunk
+    * click-vs-view rate — the estimator that stops a 1/1 page from
+    * outranking a steady performer; top-20 with raw and smoothed ppm
+    * side by side.
+    */
+  private def qSmoothedRates(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.smoothedRates(
+        t(s, dir, "events")
+          .filter(col("event_type").isin("view", "click")),
+        concat(lit("p"), (col("user_id") % 200).cast("string")),
+        col("event_type") === "click", alpha = 5L, beta = 95L)
+      .filter(col("rank") <= 20)
+
+  /** Seasonal-naive MASE ([[graft.ops.Profiling.seasonalNaiveMase]])
+    * of the daily revenue series at period 7: the planted 1/3/5
+    * weekly cycle makes the week-ago forecast far better than
+    * yesterday's value, so mase_ppm lands well under 10⁶ — the
+    * forecast-accuracy number that quantifies q_autocorr's lag-7
+    * spike.
+    */
+  private def qSeasonalNaive(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.seasonalNaiveMase(
+      dailyRevSeries(s, dir), col("t"), col("x"), period = 7)
+
+  /** Capture–recapture dedup audit
+    * ([[graft.ops.Dedup.captureRecapture]]): MinHash-LSH and SimHash
+    * pair sets over the same corpus → Chapman estimate of the TRUE
+    * duplicate-pair population and each detector's implied recall —
+    * the "how much duplication are we missing" number when no
+    * planted truth exists (q_minhash_recall's complement).
+    */
+  private def qDedupCapture(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.Dedup.captureRecapture(
+      graft.ops.Dedup.minhashLshCandidates(
+        docs, "doc_id", col("text"), n = 3, k = 8, bands = 4,
+        maxBucketSize = Some(LshCap)),
+      graft.ops.Dedup.simhashNearDups(
+        docs, "doc_id", col("text"), maxHamming = 5, bits = 60,
+        maxBucketSize = Some(LshCap)))
+  }
+
   // ---- wave 5: temporal + skew-aware joins -------------------------
 
   /** As-of join: each event attached to the user's latest order at or
@@ -4294,6 +4338,9 @@ object SparkEntry {
     "q_langid_eval" -> (qLangidEval _),
     "q_session_path" -> (qSessionPath _),
     "q_cohort_ltv" -> (qCohortLtv _),
+    "q_smoothed_rates" -> (qSmoothedRates _),
+    "q_seasonal_naive" -> (qSeasonalNaive _),
+    "q_dedup_capture" -> (qDedupCapture _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_two_table_link" -> (qTwoTableLink _),
     "q_sessionize" -> (qSessionize _),
@@ -5316,6 +5363,66 @@ object SparkEntry {
         |SELECT o_orderpriority, CAST(np AS BIGINT) AS n_pairs,
         |       CAST(s AS BIGINT) AS slope_micro
         |FROM rk WHERE rnk = (np + 1) // 2""".stripMargin,
+    // Smoothed-rates mirror: same key agg, same Beta(5,95) shrink,
+    // same (smoothed desc, key) rank, same top-20.
+    "q_smoothed_rates" ->
+      """WITH e AS (SELECT 'p' || CAST(user_id % 200 AS VARCHAR) AS key,
+        |                  event_type = 'click' AS p
+        |           FROM events WHERE event_type IN ('view', 'click')),
+        |agg AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |        FROM e GROUP BY 1),
+        |sc AS (SELECT key, n, pos,
+        |         CAST((pos * 1000000) // n AS BIGINT) AS rate_ppm,
+        |         CAST(((pos + 5) * 1000000) // (n + 100) AS BIGINT) AS smoothed_ppm
+        |       FROM agg),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY smoothed_ppm DESC, key) AS rank
+        |       FROM sc)
+        |SELECT key, n, pos, rate_ppm, smoothed_ppm, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 20""".stripMargin,
+    // Seasonal-naive-MASE mirror: same daily series, same lag
+    // windows, same decimal cross-multiplied floor-ppm.
+    "q_seasonal_naive" ->
+      s"""WITH $DailySeriesCtes,
+         |e AS (SELECT x,
+         |        abs(x - lag(x, 7) OVER (ORDER BY t)) AS ep,
+         |        abs(x - lag(x, 1) OVER (ORDER BY t)) AS e1
+         |      FROM ser)
+         |SELECT
+         |  CAST(sum(CASE WHEN ep IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seasonal,
+         |  CAST(coalesce(sum(ep), 0) AS BIGINT) AS sum_abs_seasonal,
+         |  CAST(sum(CASE WHEN e1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_naive,
+         |  CAST(coalesce(sum(e1), 0) AS BIGINT) AS sum_abs_naive,
+         |  CASE WHEN coalesce(sum(e1), 0) = 0
+         |         OR sum(CASE WHEN ep IS NOT NULL THEN 1 ELSE 0 END) = 0 THEN NULL
+         |       ELSE CAST((CAST(sum(ep) AS HUGEINT)
+         |                  * sum(CASE WHEN e1 IS NOT NULL THEN 1 ELSE 0 END)
+         |                  * 1000000)
+         |         // (CAST(sum(e1) AS HUGEINT)
+         |             * sum(CASE WHEN ep IS NOT NULL THEN 1 ELSE 0 END)) AS BIGINT)
+         |  END AS mase_ppm
+         |FROM e""".stripMargin,
+    // Capture-recapture mirror: both detector CTE chains (disjoint
+    // names), canonical distinct pairs, Chapman's estimator.
+    "q_dedup_capture" ->
+      s"""WITH ${minhashCandCtes(8, 4, Some(LshCap))},
+         |${graft.ops.Dedup.simhashFpCtesSql("documents", "doc_id", "text", 60)},
+         |${graft.ops.Dedup.simhashPairsSql(5, 60, Some(LshCap))},
+         |pa AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b FROM cand),
+         |pb AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b FROM pairs),
+         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM pa),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM pb),
+         |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+         |       FROM pa JOIN pb USING (a, b)),
+         |est AS (SELECT n_a, n_b, n_both,
+         |          ((n_a + 1) * (n_b + 1)) // (n_both + 1) - 1 AS est_total
+         |        FROM na, nb, nm)
+         |SELECT n_a, n_b, n_both, est_total,
+         |  CASE WHEN est_total <= 0 THEN NULL
+         |       ELSE CAST((n_a * 1000000) // est_total AS BIGINT) END AS recall_a_ppm,
+         |  CASE WHEN est_total <= 0 THEN NULL
+         |       ELSE CAST((n_b * 1000000) // est_total AS BIGINT) END AS recall_b_ppm
+         |FROM est""".stripMargin,
     // Langid-eval mirror: the literal languageIdSql cascade against
     // the truth column, through the q_confusion cell/marginal SQL.
     "q_langid_eval" ->

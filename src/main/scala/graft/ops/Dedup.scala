@@ -892,4 +892,43 @@ object Dedup {
        |SELECT $idExpr, count(*) AS n_tokens, count(cpos) AS n_dup_tokens,
        |       coalesce(string_agg(CASE WHEN cpos IS NULL THEN tok END, ' ' ORDER BY pos), '') AS clean_text
        |FROM m GROUP BY $idExpr""".stripMargin
+
+  /** Capture–recapture audit of dedup coverage (Chapman's estimator):
+    * run TWO independent near-dup detectors over the same corpus and
+    * estimate, from their overlap, how many true duplicate pairs
+    * exist IN TOTAL — including the ones neither detector caught:
+    * {{{ N̂ = (a+1)(b+1) div (m+1) − 1 }}}
+    * (a, b = each detector's pair count, m = pairs both found; the
+    * +1s are Chapman's bias correction, exact in integers). Each
+    * detector's estimated recall is `count·10⁶ div N̂`. The standard
+    * ecology trick applied to the "how much duplication is my
+    * pipeline MISSING" question a dedup audit actually asks —
+    * q_minhash_recall measures recall against planted truth; this
+    * estimates it when no truth exists, assuming detector
+    * independence (minhash = shingle overlap, simhash = token-
+    * frequency profile — different failure modes).
+    *
+    * Shape: canonicalize + distinct both pair tables, one pair-keyed
+    * join for the overlap, three 1-row counts folded via cross joins
+    * of broadcast singletons. Pairs, never corpus².
+    */
+  def captureRecapture(pairsA: DataFrame, pairsB: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.select(least(col(idA), col(idB)).as("a"),
+        greatest(col(idA), col(idB)).as("b")).distinct()
+    val ca = canon(pairsA).localCheckpoint(true) // count + overlap probe
+    val cb = canon(pairsB).localCheckpoint(true)
+    val na = ca.agg(count(lit(1)).as("n_a"))
+    val nb = cb.agg(count(lit(1)).as("n_b"))
+    val nm = ca.join(cb, Seq("a", "b")).agg(count(lit(1)).as("n_both"))
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(nm))
+      .select(col("n_a"), col("n_b"), col("n_both"),
+        (expr("(n_a + 1) * (n_b + 1) div (n_both + 1)") - 1).as("est_total"))
+      .select(col("n_a"), col("n_b"), col("n_both"), col("est_total"),
+        when(col("est_total") <= 0, lit(null).cast("long"))
+          .otherwise(expr("n_a * 1000000L div est_total")).as("recall_a_ppm"),
+        when(col("est_total") <= 0, lit(null).cast("long"))
+          .otherwise(expr("n_b * 1000000L div est_total")).as("recall_b_ppm"))
+  }
 }

@@ -1387,6 +1387,68 @@ object Profiling {
         col("norm_value"))
   }
 
+  /** Empirical-Bayes smoothed rates — per-key success rates shrunk
+    * toward a Beta(α, β) prior: `(pos + α)·10⁶ div (n + α + β)`. The
+    * estimator every ranking-by-rate job needs: a 1/1 key must NOT
+    * outrank a 980/1000 key, which the raw rate does and the
+    * shrunk rate never does (low-n keys collapse toward the prior
+    * mean α/(α+β)). Output per key: n, pos, raw and smoothed
+    * floor-ppm, and the smoothed-desc rank (ties → key asc).
+    *
+    * Shape: one key hash agg + one key-cardinality window for the
+    * rank. Nothing row-sized after the agg.
+    */
+  def smoothedRates(df: DataFrame, key: Column, positive: Column,
+      alpha: Long, beta: Long): DataFrame = {
+    require(alpha >= 0 && beta >= 0 && alpha + beta > 0,
+      s"need alpha + beta > 0, got alpha=$alpha beta=$beta")
+    val agg = df.select(key.cast("string").as("key"),
+        positive.cast("boolean").as("__p"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("pos"))
+      .select(col("key"), col("n"), col("pos"),
+        expr("pos * 1000000L div n").as("rate_ppm"),
+        expr(s"(pos + $alpha) * 1000000L div (n + ${alpha + beta})")
+          .as("smoothed_ppm"))
+    agg.withColumn("rank",
+      row_number().over(Window.orderBy(col("smoothed_ppm").desc,
+        col("key").asc_nulls_last)).cast("long"))
+  }
+
+  /** Seasonal-naive forecast accuracy (MASE, Hyndman & Koehler 2006):
+    * forecast x̂_t = x_{t−period}, scaled by the in-sample MAE of the
+    * one-step naive forecast —
+    * {{{ MASE = mean|x_t − x_{t−p}| / mean|x_t − x_{t−1}| }}}
+    * in exact floor-ppm via decimal cross-multiplication
+    * (`s_p·n_1·10⁶ div s_1·n_p`). < 10⁶ means the seasonal pattern is
+    * real (the period-p forecast beats naive); the quantitative
+    * companion to [[autocorr]]'s lag spike. One ordered window over
+    * the calendar-bounded series, one 1-row fold.
+    */
+  def seasonalNaiveMase(series: DataFrame, t: Column, x: Column,
+      period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val dec = "decimal(38,0)"
+    val e = series.select(t.as("__t"), x.cast("long").as("__x"))
+      .withColumn("__ep", abs(col("__x") - lag(col("__x"), period).over(
+        Window.orderBy(col("__t")))))
+      .withColumn("__e1", abs(col("__x") - lag(col("__x"), 1).over(
+        Window.orderBy(col("__t")))))
+    val agg = e.agg(
+      sum(when(col("__ep").isNotNull, 1L).otherwise(0L)).as("n_seasonal"),
+      coalesce(sum("__ep"), lit(0L)).as("sum_abs_seasonal"),
+      sum(when(col("__e1").isNotNull, 1L).otherwise(0L)).as("n_naive"),
+      coalesce(sum("__e1"), lit(0L)).as("sum_abs_naive"))
+    val num = col("sum_abs_seasonal").cast(dec) * col("n_naive").cast(dec) *
+      lit(1000000L).cast(dec)
+    val den = col("sum_abs_naive").cast(dec) * col("n_seasonal").cast(dec)
+    agg.select(col("n_seasonal"), col("sum_abs_seasonal"),
+      col("n_naive"), col("sum_abs_naive"),
+      when(den === 0, lit(null).cast("long"))
+        .otherwise(((num - num % den) / den).cast("long")).as("mase_ppm"))
+  }
+
   /** Sample-ratio mismatch (SRM) — the first thing an experimentation
     * pipeline checks: did the variant split actually land at its
     * intended weights? Goodness-of-fit chi-square against expected

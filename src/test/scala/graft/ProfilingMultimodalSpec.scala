@@ -641,6 +641,50 @@ class ProfilingMultimodalSpec extends SparkSpec {
       (1L, 0L) -> (1L, 50L, 50L)))
   }
 
+  test("smoothedRates: shrinkage reorders low-n keys below steady ones") {
+    // raw: lucky 1/1 = 1e6 ppm beats steady 98/100; smoothed with
+    // Beta(5,95) it must NOT
+    val df = (Seq(("lucky", true)) ++
+      Seq.fill(98)(("steady", true)) ++ Seq.fill(2)(("steady", false)))
+      .toDF("k", "p")
+    val got = Profiling.smoothedRates(df, col("k"), col("p"), 5L, 95L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got("lucky") == (1L, 1L, 1000000L, 6L * 1000000L / 101L, 2L))
+    assert(got("steady") == (100L, 98L, 980000L, 103L * 1000000L / 200L, 1L))
+  }
+
+  test("seasonalNaiveMase: planted period beats naive; flat series ties") {
+    // x = 1,3,5 repeating with period 3: seasonal errors are all 0
+    val per = (0L until 12L).map(t => (t, 1L + (t % 3) * 2L)).toDF("t", "x")
+    val r = Profiling.seasonalNaiveMase(per, col("t"), col("x"), 3).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(4)) == (9L, 0L, 0L))
+    // strictly linear series: |x_t - x_{t-p}| = p, |x_t - x_{t-1}| = 1
+    // over equal-length supports → MASE = p
+    val lin = (0L until 20L).map(t => (t, t * 10L)).toDF("t", "x")
+    val l = Profiling.seasonalNaiveMase(lin, col("t"), col("x"), 4).head()
+    // sums: seasonal 640 over 16 pts, naive 190 over 19 pts →
+    // (640·19·1e6) div (190·16) = exactly 4e6 = the period, as theory says
+    assert((l.getLong(0), l.getLong(1), l.getLong(2), l.getLong(3),
+      l.getLong(4)) == (16L, 640L, 19L, 190L, 4000000L))
+  }
+
+  test("captureRecapture: Chapman estimate and implied recalls") {
+    import graft.ops.Dedup
+    // truth: 6 pairs; A catches 4, B catches 3, overlap 2
+    val a = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("id_a", "id_b")
+    val b = Seq((2L, 1L), (3L, 4L), (9L, 10L)).toDF("id_a", "id_b")
+    val r = Dedup.captureRecapture(a, b).head()
+    // Chapman: (5*4) div 3 - 1 = 5
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (4L, 3L, 2L, 5L))
+    assert((r.getLong(4), r.getLong(5)) == (800000L, 600000L))
+    // duplicates + reversed orientation collapse before counting
+    val messy = Seq((2L, 1L), (1L, 2L), (1L, 2L)).toDF("id_a", "id_b")
+    assert(Dedup.captureRecapture(messy, messy).head().getLong(2) == 1L)
+  }
+
   test("classBalance: rare class fully kept, thresholds exact, deterministic") {
     val df = ((1 to 100).map(i => (i.toLong, "a")) ++
       (101 to 110).map(i => (i.toLong, "b"))).toDF("id", "cls")
