@@ -254,7 +254,23 @@ object ScaleProbe {
     "q_confusion", "q_class_balance", "q_mutual_info", "q_info_gain",
     "q_rolling_median", "q_ewma", "q_theil_sen", "q_grid_cluster",
     "q_split_perplexity", "q_burstiness", "q_assortativity",
-    "q_reciprocity")
+    "q_reciprocity",
+    // round-8 batches 8-11: srm/cuped/weighted_kappa are map-only md5
+    // channels + cardinality-sized aggs over ×10 orders (linear);
+    // dp_hist is one key agg + map-only noise (customer ×10, 5 cells
+    // constant); funnel_time/cohort_ltv/session_path ride events
+    // (users ×10 — per-user min-aggs / calendar-bounded grids /
+    // session-bounded list aggs, all keyed → linear); smoothed_rates
+    // is a 200-key agg + key-sized rank window; langid_eval is
+    // map-only detection + cell agg over ×10 docs; quantile_norm's
+    // per-source rank window is a distributed range sort (rows ×10 →
+    // linear, rank table = max group size); seasonal_naive rides the
+    // CONSTANT daily series; dedup_capture composes the two capped
+    // pair pipelines (both individually probed linear) + one
+    // pair-keyed join.
+    "q_srm", "q_cuped", "q_weighted_kappa", "q_dp_hist", "q_funnel_time",
+    "q_cohort_ltv", "q_session_path", "q_smoothed_rates", "q_langid_eval",
+    "q_quantile_norm", "q_seasonal_naive", "q_dedup_capture")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a
