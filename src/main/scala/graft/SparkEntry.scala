@@ -1440,6 +1440,50 @@ object SparkEntry {
         maxBucketSize = Some(LshCap)))
   }
 
+  /** Measured Bloom false-positive rate: probe the
+    * [[graft.ops.Sketches.bloomIndex]] (16 Kbit/file here — sized so
+    * the sf0.01 load sits near the design point) with 2,000 keys
+    * GUARANTEED absent (negative custkeys) — every maybe is a false
+    * positive, so `fpr_ppm` is the filter's real error rate per file,
+    * the measurement that validates the `(1 − e^{−kn/m})^k` sizing
+    * math before a reader trusts the skip decisions.
+    */
+  private def qBloomFpr(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select((col("o_orderkey") % 8).as("file"), col("o_custkey"))
+    val idx = graft.ops.Sketches.bloomIndex(
+      o, col("file"), col("o_custkey"), mBits = 16384, k = 3)
+    val probes = s.range(1, 2001).select((-col("id")).as("probe_key"))
+    graft.ops.Sketches.bloomMaybe(idx, probes, "probe_key", 16384, 3)
+      .groupBy("file")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_false_pos"))
+      .select(col("file"), col("n_probes"), col("n_false_pos"),
+        expr("n_false_pos * 1000000L div n_probes").as("fpr_ppm"))
+  }
+
+  /** Weekly churn ([[graft.ops.Windows.weeklyChurn]]): of each week's
+    * active users, the share never seen the following week — the
+    * calendar-time complement of q_retention's cohort matrix; the
+    * unfinished last week is excluded.
+    */
+  private def qWeeklyChurn(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.ops.Windows.weeklyChurn(
+      ev.select(col("user_id"), tsMicros(ev, "ts").as("t_us")),
+      "user_id", "t_us")
+  }
+
+  /** Lorenz-curve deciles ([[graft.ops.Profiling.lorenzCurve]]) of
+    * customer revenue — WHERE the concentration sits when q_gini's
+    * scalar says "concentrated": cumulative revenue share of the
+    * bottom d/10 of customers, exact decimal ppm.
+    */
+  private def qLorenz(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.lorenzCurve(
+      t(s, dir, "orders"), col("o_custkey"),
+      floor(col("o_totalprice") * 100).cast("long"), points = 10)
+
   // ---- wave 5: temporal + skew-aware joins -------------------------
 
   /** As-of join: each event attached to the user's latest order at or
@@ -4341,6 +4385,9 @@ object SparkEntry {
     "q_smoothed_rates" -> (qSmoothedRates _),
     "q_seasonal_naive" -> (qSeasonalNaive _),
     "q_dedup_capture" -> (qDedupCapture _),
+    "q_bloom_fpr" -> (qBloomFpr _),
+    "q_weekly_churn" -> (qWeeklyChurn _),
+    "q_lorenz" -> (qLorenz _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_two_table_link" -> (qTwoTableLink _),
     "q_sessionize" -> (qSessionize _),
@@ -5363,6 +5410,70 @@ object SparkEntry {
         |SELECT o_orderpriority, CAST(np AS BIGINT) AS n_pairs,
         |       CAST(s AS BIGINT) AS slope_micro
         |FROM rk WHERE rnk = (np + 1) // 2""".stripMargin,
+    // Bloom-FPR mirror: the q_bloom_index bit machinery at 16 Kbit,
+    // probed with guaranteed-absent negative keys.
+    "q_bloom_fpr" -> {
+      def arms(keyExpr: String) = (0 until 3).map(i =>
+        s"WHEN gs.i = $i THEN ${graft.ops.Sketches.bloomBitSql(keyExpr, i, 16384)}")
+        .mkString("CASE ", " ", " END")
+      s"""WITH o AS (SELECT o_orderkey % 8 AS file, o_custkey FROM orders),
+         |bitsrc AS (
+         |  SELECT file, ${arms("o_custkey")} AS bit
+         |  FROM o, generate_series(0, 2) gs(i)),
+         |idx AS (
+         |  SELECT file, bit // 32 AS word,
+         |         bit_or(1::BIGINT << (bit % 32)::INT) AS bits
+         |  FROM bitsrc GROUP BY 1, 2),
+         |probes AS (SELECT -u.x AS probe_key
+         |           FROM (SELECT unnest(generate_series(1, 2000)) AS x) u),
+         |pb AS (
+         |  SELECT probe_key, f.file, ${arms("probe_key")} AS bit
+         |  FROM probes, (SELECT DISTINCT file FROM o) f, generate_series(0, 2) gs(i)),
+         |hit AS (
+         |  SELECT pb.probe_key, pb.file,
+         |    CASE WHEN (coalesce(idx.bits, 0) & (1::BIGINT << (pb.bit % 32)::INT))
+         |              = (1::BIGINT << (pb.bit % 32)::INT) THEN 1 ELSE 0 END AS h
+         |  FROM pb LEFT JOIN idx ON idx.file = pb.file AND idx.word = pb.bit // 32),
+         |mb AS (SELECT probe_key, file, sum(h) = 3 AS maybe FROM hit GROUP BY 1, 2)
+         |SELECT file, CAST(count(*) AS BIGINT) AS n_probes,
+         |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+         |  CAST((sum(CASE WHEN maybe THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
+         |    AS fpr_ppm
+         |FROM mb GROUP BY 1""".stripMargin
+    },
+    // Weekly-churn mirror: same epoch-micro weeks, same (user, w+1)
+    // self-join, same last-week exclusion.
+    "q_weekly_churn" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t_us FROM events),
+        |t0 AS (SELECT min(t_us) AS v0 FROM e),
+        |uw AS (SELECT DISTINCT user_id, (t_us - t0.v0) // 604800000000 AS w
+        |       FROM e, t0),
+        |mx AS (SELECT max(w) AS mw FROM uw),
+        |j AS (SELECT a.w, a.user_id, b.user_id IS NOT NULL AS ret
+        |      FROM uw a LEFT JOIN uw b
+        |        ON b.user_id = a.user_id AND b.w = a.w + 1)
+        |SELECT w, CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN ret THEN 0 ELSE 1 END) AS BIGINT) AS n_churned,
+        |  CAST((sum(CASE WHEN ret THEN 0 ELSE 1 END) * 1000000) // count(*) AS BIGINT)
+        |    AS churn_ppm
+        |FROM j, mx WHERE w < mw GROUP BY 1""".stripMargin,
+    // Lorenz mirror: same (weight, key) total-order ranks, same
+    // decile rank selection, same truncating cumulative-share ppm.
+    "q_lorenz" ->
+      """WITH k AS (SELECT CAST(o_custkey AS VARCHAR) AS kk,
+        |                  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS kw
+        |           FROM orders GROUP BY 1),
+        |r AS (SELECT kk, kw, row_number() OVER (ORDER BY kw, kk) AS rk,
+        |             sum(kw) OVER (ORDER BY kw, kk
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM k),
+        |tot AS (SELECT max(rk) AS n, sum(kw) AS t FROM r),
+        |d AS (SELECT unnest(generate_series(1, 10)) AS decile)
+        |SELECT CAST(d.decile AS BIGINT) AS decile,
+        |       CAST(r.rk AS BIGINT) AS n_keys_cum,
+        |       CAST((CAST(r.cum AS HUGEINT) * 1000000) // tot.t AS BIGINT)
+        |         AS cum_weight_ppm
+        |FROM r, tot, d WHERE r.rk = (tot.n * d.decile) // 10""".stripMargin,
     // Smoothed-rates mirror: same key agg, same Beta(5,95) shrink,
     // same (smoothed desc, key) rank, same top-20.
     "q_smoothed_rates" ->

@@ -1387,6 +1387,40 @@ object Profiling {
         col("norm_value"))
   }
 
+  /** Lorenz-curve points — the cumulative-share curve behind
+    * [[giniConcentration]]'s scalar: after ranking keys by weight
+    * ascending (ties → key asc, total order), emit the cumulative
+    * weight share at each of `points` evenly-spaced rank quantiles.
+    * Reading: `(decile 9, cum 420000)` means the bottom 90% of keys
+    * hold 42% of the mass — i.e. the top decile holds 58%. The
+    * curve a mixing pipeline inspects when the Gini scalar says
+    * "concentrated" and someone asks "where exactly".
+    *
+    * Shape: one key hash agg, one ordered window over the KEY table
+    * (bounded: distinct keys, not rows), a 1-row totals broadcast.
+    */
+  def lorenzCurve(df: DataFrame, key: Column, weight: Column,
+      points: Int = 10): DataFrame = {
+    require(points >= 1, s"points must be >= 1, got $points")
+    val k = df.select(key.cast("string").as("__k"), weight.cast("long").as("__w"))
+      .groupBy("__k").agg(sum("__w").as("__kw"))
+    val wOrd = Window.orderBy(col("__kw"), col("__k"))
+    val ranked = k
+      .withColumn("__rk", row_number().over(wOrd).cast("long"))
+      .withColumn("__cum", sum("__kw").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = ranked.agg(max("__rk").as("__n"), sum("__kw").as("__t"))
+    val dec = "decimal(38,0)"
+    val num = col("__cum").cast(dec) * lit(1000000L).cast(dec)
+    val den = col("__t").cast(dec)
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", explode(array((1 to points).map(lit): _*)))
+      .filter(col("__rk") === expr(s"(__n * decile) div $points"))
+      .select(col("decile").cast("long").as("decile"),
+        col("__rk").as("n_keys_cum"),
+        ((num - num % den) / den).cast("long").as("cum_weight_ppm"))
+  }
+
   /** Empirical-Bayes smoothed rates — per-key success rates shrunk
     * toward a Beta(α, β) prior: `(pos + α)·10⁶ div (n + α + β)`. The
     * estimator every ranking-by-rate job needs: a 1/1 key must NOT

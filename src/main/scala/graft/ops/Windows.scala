@@ -661,6 +661,38 @@ object Windows {
         col("__cents").as("cents"), col("cum_cents"))
   }
 
+  /** Weekly churn: of the users active in week `w`, how many never
+    * appear in week `w+1` — the retention complement
+    * [[cohortRetention]] reads by cohort, read here by calendar week
+    * (the "are we bleeding users right now" number). The last
+    * observed week is excluded (its churn is not yet observable).
+    *
+    * Shape: one distinct (user, week) agg, one self-join on
+    * (user, week+1) — both hash-partitioned on the user — and a
+    * week-keyed fold. No windows, nothing row-sized after the
+    * distinct.
+    */
+  def weeklyChurn(df: DataFrame, userCol: String, timeCol: String,
+      weekMicros: Long = 7L * 86400L * 1000000L): DataFrame = {
+    val t0 = df.agg(min(col(timeCol)).as("__t0"))
+    val uw = df.select(col(userCol), col(timeCol))
+      .join(broadcast(t0))
+      .select(col(userCol), expr(s"($timeCol - __t0) div $weekMicros").as("w"))
+      .distinct()
+      .localCheckpoint(true) // probe side, shifted build side, max fold
+    val nxt = uw.select(col(userCol), (col("w") - 1).as("w"),
+      lit(true).as("__ret"))
+    val maxW = uw.agg(max("w").as("__maxw"))
+    uw.join(nxt, Seq(userCol, "w"), "left")
+      .join(broadcast(maxW))
+      .filter(col("w") < col("__maxw"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("__ret").isNull, 1L).otherwise(0L)).as("n_churned"))
+      .select(col("w"), col("n_active"), col("n_churned"),
+        expr("n_churned * 1000000L div n_active").as("churn_ppm"))
+  }
+
   /** Trailing-`k` rolling LOWER median of an integer series — the
     * robust smoother (a single spike day moves a rolling mean by
     * spike/k but the rolling median not at all). Lower median = the

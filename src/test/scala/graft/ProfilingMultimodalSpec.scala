@@ -685,6 +685,35 @@ class ProfilingMultimodalSpec extends SparkSpec {
     assert(Dedup.captureRecapture(messy, messy).head().getLong(2) == 1L)
   }
 
+  test("lorenzCurve: uniform weights are the diagonal; planted skew bends it") {
+    val even = (1 to 100).map(i => (s"k$i", 10L)).toDF("k", "w")
+    val g1 = Profiling.lorenzCurve(even, col("k"), col("w"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (1 to 10).foreach(d => assert(g1(d.toLong) == d * 100000L))
+    // one key holds half the mass → bottom 9 deciles hold ~50%·(9/10 of rest)
+    val skew = ((1 to 99).map(i => (s"k$i", 10L)) :+ ("big", 990L)).toDF("k", "w")
+    val g2 = Profiling.lorenzCurve(skew, col("k"), col("w"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(g2(10L) == 1000000L)
+    assert(g2(9L) == 900L * 1000000L / 1980L) // bottom 90 keys: 900 of 1980
+  }
+
+  test("weeklyChurn: exact per-week churn, last week excluded") {
+    val wk = 7L * 86400L * 1000000L
+    val ev = Seq(
+      (1L, 0L), (1L, wk), (1L, 2 * wk), // survives every week
+      (2L, 0L),                         // churns after week 0
+      (3L, 0L), (3L, wk))               // churns after week 1
+      .toDF("u", "t")
+    val got = graft.ops.Windows.weeklyChurn(ev, "u", "t")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // week 2 (the max week) must be absent — churn not yet observable
+    assert(got == Map(
+      0L -> (3L, 1L, 333333L),
+      1L -> (2L, 1L, 500000L)))
+  }
+
   test("classBalance: rare class fully kept, thresholds exact, deterministic") {
     val df = ((1 to 100).map(i => (i.toLong, "a")) ++
       (101 to 110).map(i => (i.toLong, "b"))).toDF("id", "cls")
