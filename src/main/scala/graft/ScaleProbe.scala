@@ -270,7 +270,14 @@ object ScaleProbe {
     // pair-keyed join.
     "q_srm", "q_cuped", "q_weighted_kappa", "q_dp_hist", "q_funnel_time",
     "q_cohort_ltv", "q_session_path", "q_smoothed_rates", "q_langid_eval",
-    "q_quantile_norm", "q_seasonal_naive", "q_dedup_capture")
+    "q_quantile_norm", "q_seasonal_naive", "q_dedup_capture",
+    // round-8 batch 12: bloom_fpr builds the per-file index at ×10
+    // keys (bit_or agg, bounded words/file) and probes a CONSTANT
+    // 2000-key set (linear build, flat probe); weekly_churn is one
+    // distinct (user, week) agg + a user-keyed self-join (users ×10 →
+    // linear); lorenz is a key agg + a key-table window (keys ×10 →
+    // linear in keys, constant 10-row output).
+    "q_bloom_fpr", "q_weekly_churn", "q_lorenz")
 
   private def buildFixture(spark: SparkSession): Unit = {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a
