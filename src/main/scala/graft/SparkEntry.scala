@@ -1484,6 +1484,29 @@ object SparkEntry {
       t(s, dir, "orders"), col("o_custkey"),
       floor(col("o_totalprice") * 100).cast("long"), points = 10)
 
+  /** Near-duplicate rate BY SOURCE: the share of each source's
+    * documents that participate in at least one MinHash-LSH candidate
+    * pair — the slice that turns the corpus-wide dedup number into a
+    * per-source quality verdict ("which feed is flooding us with
+    * copies"); read next to q_source_overlap's cross-source matrix.
+    * Pair explode → distinct members → source-keyed fold.
+    */
+  private def qDupRate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val members = graft.ops.Dedup.minhashLshCandidates(
+        docs, "doc_id", col("text"), n = 3, k = 8, bands = 4,
+        maxBucketSize = Some(LshCap))
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("__dup", lit(true))
+    docs.join(members, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_members"))
+      .select(col("source"), col("n_docs"), col("n_dup_members"),
+        expr("n_dup_members * 1000000L div n_docs").as("dup_ppm"))
+  }
+
   // ---- wave 5: temporal + skew-aware joins -------------------------
 
   /** As-of join: each event attached to the user's latest order at or
@@ -4388,6 +4411,7 @@ object SparkEntry {
     "q_bloom_fpr" -> (qBloomFpr _),
     "q_weekly_churn" -> (qWeeklyChurn _),
     "q_lorenz" -> (qLorenz _),
+    "q_dup_rate" -> (qDupRate _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_two_table_link" -> (qTwoTableLink _),
     "q_sessionize" -> (qSessionize _),
@@ -5410,6 +5434,20 @@ object SparkEntry {
         |SELECT o_orderpriority, CAST(np AS BIGINT) AS n_pairs,
         |       CAST(s AS BIGINT) AS slope_micro
         |FROM rk WHERE rnk = (np + 1) // 2""".stripMargin,
+    // Dup-rate mirror: the LSH candidate CTEs, pair-member explode,
+    // per-source floor-ppm.
+    "q_dup_rate" ->
+      s"""WITH ${minhashCandCtes(8, 4, Some(LshCap))},
+         |mem AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT id_a AS doc_id FROM cand
+         |  UNION ALL SELECT id_b FROM cand))
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_members,
+         |  CAST((sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS dup_ppm
+         |FROM documents d LEFT JOIN mem m ON m.doc_id = d.doc_id
+         |GROUP BY 1""".stripMargin,
     // Bloom-FPR mirror: the q_bloom_index bit machinery at 16 Kbit,
     // probed with guaranteed-absent negative keys.
     "q_bloom_fpr" -> {
