@@ -64,6 +64,15 @@ object CdcExprs {
 case class CdcBoundsExpr(child: Expression, window: Int, divisor: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(window >= 1, s"window must be >= 1, got $window")
+  // No-overflow envelope: the rolling sum H = Σ_{j<w} h[j]·31^j with
+  // h < 10⁶ is bounded by 10⁶·(31^w−1)/30 — 2.9·10¹⁶ at w = 8,
+  // 8.8·10¹⁷ at w = 9, but 2.7·10¹⁹ > 2⁶³ at w = 10. Plain JVM long
+  // arithmetic here wraps SILENTLY (unlike ANSI Column math), so an
+  // unguarded larger window would produce boundaries diverging from
+  // the declarative form and the oracle instead of failing loudly;
+  // enforce the documented w ≤ 8 envelope (300× headroom).
+  require(window <= 8,
+    s"window must be <= 8 (rolling-hash no-overflow envelope), got $window")
   require(divisor >= 2, s"divisor must be >= 2, got $divisor")
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))

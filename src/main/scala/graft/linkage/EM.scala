@@ -65,11 +65,26 @@ object EM {
   }
 
   /** Collect a [[Pairs.patternCounts]] result into driver-side patterns.
-    * Safe to collect: row count is bounded by the product of per-field
-    * level counts, not by pair count.
+    * Safe to collect ONLY because row count is bounded by the product
+    * of per-field level counts, not by pair count — and that contract
+    * is ENFORCED here, not assumed: a comparator family that leaks
+    * high-cardinality levels (raw strings instead of banded levels, a
+    * continuous score column) would otherwise silently collect a
+    * corpus-sized table onto the driver. The guard probes via
+    * `limit(max+1).count()` — O(max) rows scanned, never the full
+    * table — and fails loudly with the fix (band the comparator) in
+    * the message.
     */
-  def collectPatterns(patternCounts: DataFrame): Seq[Pattern] = {
+  def collectPatterns(patternCounts: DataFrame,
+      maxPatterns: Int = 100000): Seq[Pattern] = {
     val fields = patternCounts.columns.filterNot(_ == "n").toSeq
+    val probe = patternCounts.limit(maxPatterns + 1).count()
+    require(probe <= maxPatterns,
+      s"collectPatterns: pattern-count table exceeds $maxPatterns rows — " +
+        s"the driver-side EM contract (rows <= product of per-field level " +
+        s"counts, fields = ${fields.mkString(",")}) is broken. A comparator " +
+        "is emitting high-cardinality levels (raw values instead of a " +
+        "small banded set); band it before running EM.")
     patternCounts.collect().toSeq.map { row =>
       Pattern(
         fields.map(f => f -> Option(row.getAs[String](f))).toMap,

@@ -1366,17 +1366,25 @@ object Profiling {
     * unequal size average over the groups that reach the rank.
     * Output: (group, id, value, norm_value).
     *
-    * Shape: one ordered window per group (a distributed range sort —
-    * Spark's sort scales; nothing funnels to one task), one
-    * rank-keyed hash agg (rank cardinality = max group size), one
-    * rank-keyed join back.
+    * Shape: within-group ranks via the two-phase pattern — ONE range
+    * exchange on (group, value, id) + partition-local numbering
+    * ([[graft.ops.Windows.denseIdsBy]]) minus a group-keyed offset
+    * (first global id per group, group-cardinality-sized broadcast) —
+    * so no group's row set ever sorts in a single task (a
+    * `partitionBy(group)` window would bound parallelism by the group
+    * count); then one rank-keyed hash agg (rank cardinality = max
+    * group size) and one rank-keyed join back.
     */
   def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
       value: Column): DataFrame = {
     val dec = "decimal(38,0)"
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"), col(idCol))
-    val ranked = df.select(col(groupCol), col(idCol), value.cast("long").as("__v"))
-      .withColumn("__rk", row_number().over(w))
+    val gids = graft.ops.Windows.denseIdsBy(
+      df.select(col(groupCol), col(idCol), value.cast("long").as("__v")),
+      Seq(col(groupCol).asc, col("__v").asc, col(idCol).asc), "__gid")
+    val starts = gids.groupBy(groupCol).agg(min("__gid").as("__g0"))
+    val ranked = gids.join(broadcast(starts), Seq(groupCol))
+      .withColumn("__rk", col("__gid") - col("__g0") + 1L)
+      .drop("__gid", "__g0")
     val profile = ranked.groupBy("__rk")
       .agg(sum(col("__v").cast(dec)).as("__s"), count(lit(1)).cast(dec).as("__c"))
       .select(col("__rk"),
@@ -1396,19 +1404,21 @@ object Profiling {
     * curve a mixing pipeline inspects when the Gini scalar says
     * "concentrated" and someone asks "where exactly".
     *
-    * Shape: one key hash agg, one ordered window over the KEY table
-    * (bounded: distinct keys, not rows), a 1-row totals broadcast.
+    * Shape: one key hash agg, then rank AND cumulative weight over the
+    * KEY table via [[graft.ops.Windows.orderedPrefixSum]] — one range
+    * exchange + partition-local numbering/prefix-sums with driver-side
+    * offsets (≤ #partitions rows collected), NOT a global unpartitioned
+    * window: keys grow linearly with the corpus (customers, domains),
+    * so a single-task global sort over them is only a constant factor
+    * better than sorting rows. A 1-row totals broadcast closes it.
     */
   def lorenzCurve(df: DataFrame, key: Column, weight: Column,
       points: Int = 10): DataFrame = {
     require(points >= 1, s"points must be >= 1, got $points")
     val k = df.select(key.cast("string").as("__k"), weight.cast("long").as("__w"))
       .groupBy("__k").agg(sum("__w").as("__kw"))
-    val wOrd = Window.orderBy(col("__kw"), col("__k"))
-    val ranked = k
-      .withColumn("__rk", row_number().over(wOrd).cast("long"))
-      .withColumn("__cum", sum("__kw").over(
-        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranked = graft.ops.Windows.orderedPrefixSum(
+      k, Seq(col("__kw").asc, col("__k").asc), "__kw", "__rk", "__cum")
     val tot = ranked.agg(max("__rk").as("__n"), sum("__kw").as("__t"))
     val dec = "decimal(38,0)"
     val num = col("__cum").cast(dec) * lit(1000000L).cast(dec)
@@ -1492,7 +1502,12 @@ object Profiling {
     * (the textbook (o−e)²/e with e_i = n·wᵢ/S, cleared of the
     * fraction). df = cells − 1; compare chi2_milli against the
     * χ²(df) tail at your alert level. Missing variants count as
-    * observed 0 (they still contribute their expected mass).
+    * observed 0 (they still contribute their expected mass); the
+    * CONVERSE — an observed assignment bucket with no expected
+    * weight, itself a classic SRM cause — raises loudly (full-outer
+    * join + raise_error) rather than silently dropping the bucket
+    * from n and chi2, which would let the guardrail report a clean
+    * split on a broken experiment.
     *
     * Shape: one variant hash agg (cardinality-sized) + a broadcast
     * 1-row total; the expected weights ride a literal array join.
@@ -1507,8 +1522,12 @@ object Profiling {
     val w = spark.createDataset(weights).toDF("__v", "__w")
     val obs = df.select(variant.cast("string").as("__v"))
       .groupBy("__v").agg(count(lit(1)).as("__o"))
-    val cells = w.join(obs, Seq("__v"), "left")
-      .select(col("__v"), col("__w"), coalesce(col("__o"), lit(0L)).as("__o"))
+    val cells = w.join(obs, Seq("__v"), "full")
+      .select(col("__v"),
+        when(col("__w").isNotNull, col("__w")).otherwise(raise_error(concat(
+          lit("sampleRatioMismatch: observed variant has no expected weight: "),
+          coalesce(col("__v"), lit("NULL"))))).as("__w"),
+        coalesce(col("__o"), lit(0L)).as("__o"))
     val tot = cells.agg(sum("__o").as("__n"))
     val dec = "decimal(38,0)"
     cells.crossJoin(broadcast(tot))

@@ -984,6 +984,9 @@ object TextAnalysis {
   def cdcChunks(df: DataFrame, idCol: String, text: Column,
       window: Int, divisor: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
+    require(window <= 8, // the CdcBoundsExpr no-overflow envelope,
+      // re-checked here so the API fails before plan construction
+      s"window must be <= 8 (rolling-hash no-overflow envelope), got $window")
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
     // Boundary scan = graft.expr.CdcExprs.cdcBounds, a codegen'd
     // one-pass rolling-hash kernel. The declarative equivalent —
@@ -1347,7 +1350,12 @@ object TextAnalysis {
       .groupBy("__id", "token").agg(count(lit(1)).as("__c"))
     val st = tc.groupBy("token")
       .agg(count(lit(1)).as("df_docs"), sum("__c").as("n_occ"),
-        sum(col("__c") * col("__c")).as("__ss"))
+        // SS accumulates in decimal(38,0) INSIDE the sum (the
+        // groupTrend/groupCorr idiom): the oracle sums c² in HUGEINT,
+        // so a LongType accumulator would ANSI-overflow near 2⁶³
+        // where the mirror keeps going — the "holds past 10¹⁵
+        // occurrences" claim must cover the accumulator itself.
+        sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__ss"))
       .filter(col("df_docs") >= minDf)
     val num = (col("df_docs").cast(dec) * col("__ss").cast(dec) -
       col("n_occ").cast(dec) * col("n_occ").cast(dec)) * lit(1000000L).cast(dec)

@@ -181,6 +181,49 @@ object Windows {
       .drop("__pid")
   }
 
+  /** [[denseIdsBy]] plus a GLOBAL running sum of `valueCol` in the
+    * same order, both via ONE range exchange — the distributed form of
+    * `row_number() OVER (ORDER BY …)` + `sum(v) OVER (ORDER BY …
+    * ROWS UNBOUNDED PRECEDING)` without the single-task global window
+    * (the W1 discipline). Per partition the driver folds (count, sum)
+    * into starting offsets (≤ #partitions rows collected), then a
+    * partition-LOCAL window numbers rows and prefix-sums values; the
+    * offsets make both global. `orderExprs` must be a total order.
+    */
+  def orderedPrefixSum(df: DataFrame, orderExprs: Seq[Column], valueCol: String,
+      rankName: String = "row_id", cumName: String = "cum_value",
+      numPartitions: Int = 0): DataFrame = {
+    require(orderExprs.nonEmpty, "orderedPrefixSum needs at least one order expression")
+    require(!df.columns.contains(rankName), s"column $rankName already exists")
+    require(!df.columns.contains(cumName), s"column $cumName already exists")
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, orderExprs: _*)
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint(true) // pin range boundaries across the two passes
+    val stats = ranged.groupBy("__pid")
+      .agg(count(lit(1)).as("__c"), sum(col(valueCol)).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    var accN = 0L
+    var accS = 0L
+    val offsets = stats.map { case (pid, c, s) =>
+      val o = (pid, accN, accS); accN += c; accS += s; o
+    }
+    val offN = offsets.foldLeft(lit(0L)) { case (e, (pid, on, _)) =>
+      when(col("__pid") === pid, lit(on)).otherwise(e)
+    }
+    val offS = offsets.foldLeft(lit(0L)) { case (e, (pid, _, os)) =>
+      when(col("__pid") === pid, lit(os)).otherwise(e)
+    }
+    val w = Window.partitionBy("__pid").orderBy(orderExprs: _*)
+    ranged
+      .withColumn(rankName, row_number().over(w).cast("long") + offN)
+      .withColumn(cumName,
+        sum(col(valueCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) + offS)
+      .drop("__pid")
+  }
+
   /** SCD2 history from a change log: each (key, change-time, attrs)
     * row becomes a VERSION valid over `[valid_from, valid_to)`,
     * `valid_to` NULL for the open current version — the

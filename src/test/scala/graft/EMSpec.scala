@@ -19,6 +19,21 @@ class EMSpec extends SparkSpec {
     assert(EM.logSumExp(Seq(Double.NegativeInfinity, 0.0)) == 0.0)
   }
 
+  test("collectPatterns: enforces the driver-sized contract loudly") {
+    import spark.implicits._
+    // A comparator that leaks raw values as "levels" — pattern rows
+    // grow with the data, not with Π level counts. The guard must
+    // refuse to collect, naming the broken contract.
+    val leaky = (1L to 50L).map(i => (s"raw_$i", 1L)).toDF("name_cmp", "n")
+    val ex = intercept[IllegalArgumentException] {
+      EM.collectPatterns(leaky, maxPatterns = 10)
+    }
+    assert(ex.getMessage.contains("band"))
+    // Bounded tables still collect fine (and exactly at the bound).
+    val ok = EM.collectPatterns(leaky, maxPatterns = 50)
+    assert(ok.size == 50 && ok.forall(_.n == 1L))
+  }
+
   test("golden 1-field 2-level run matches independent implementation") {
     // patterns: ("a", 10), ("d", 90); total=100; u = {a:0.1, d:0.9};
     // init m = seq(0.1, 0.8, length=2) over sorted levels = {a:0.1, d:0.8}.

@@ -213,6 +213,22 @@ class ExtensionsWindowsSpec extends SparkSpec {
     assert(got == Map("a" -> 1L, "the" -> 2L, "of" -> 3L, "zz" -> 4L))
   }
 
+  test("orderedPrefixSum: equals the global ordered window, any layout") {
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 97L).map(i => (i, (i * 37) % 11 + 1)) // (k, w)
+    val df = rows.toDF("k", "w").repartition(7)
+    val got = graft.ops.Windows.orderedPrefixSum(
+        df, Seq(col("w").asc, col("k").asc), "w", "rk", "cum", numPartitions = 5)
+      .select("k", "rk", "cum").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // Oracle: driver-side sort by (w, k) + running sum.
+    var acc = 0L
+    val want = rows.sortBy { case (k, w) => (w, k) }.zipWithIndex.map {
+      case ((k, w), i) => acc += w; k -> (i + 1L, acc)
+    }.toMap
+    assert(got == want)
+  }
+
   test("snapshotDiff: added/removed/changed/same classification") {
     import org.apache.spark.sql.functions._
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "body")

@@ -1330,6 +1330,19 @@ class OpsSpec extends SparkSpec {
     val one = Array(0L, 5L, 34L)
     assert(graft.expr.CdcExprs.cdcBounds(new GenericArrayData(one), 1, 17)
       .toIntArray().toSeq == direct(one, 1, 17))
+    // the no-overflow envelope is ENFORCED, not assumed: at w = 10 the
+    // rolling sum bound 10⁶·(31¹⁰−1)/30 exceeds 2⁶³ and plain JVM long
+    // arithmetic wraps SILENTLY, so both the expression and the
+    // cdcChunks API refuse anything past the documented w ≤ 8 envelope
+    val exExpr = intercept[IllegalArgumentException] {
+      graft.expr.CdcExprs.cdcBoundsCol(col("x"), 9, 16)
+    }
+    assert(exExpr.getMessage.contains("<= 8"))
+    val exApi = intercept[IllegalArgumentException] {
+      TextAnalysis.cdcChunks(Seq((1L, "a b")).toDF("doc_id", "text"),
+        "doc_id", col("text"), 9, 16)
+    }
+    assert(exApi.getMessage.contains("<= 8"))
   }
 
   test("burstiness: exact Fano, Poisson-flat vs bursty, minDf gate") {

@@ -533,6 +533,14 @@ class ProfilingMultimodalSpec extends SparkSpec {
     val m = Profiling.sampleRatioMismatch(onlyA, col("v"),
       Seq("A" -> 1L, "B" -> 1L)).head()
     assert((m.getLong(0), m.getLong(3)) == (10L, 10000L))
+    // the CONVERSE — an observed bucket with no expected weight (a
+    // classic SRM cause) — must raise, not silently vanish from n/chi2
+    val rogue = (Seq.fill(5)("A") ++ Seq.fill(5)("C")).toDF("v")
+    val ex = intercept[Exception] {
+      Profiling.sampleRatioMismatch(rogue, col("v"),
+        Seq("A" -> 1L, "B" -> 1L)).head()
+    }
+    assert(ex.getMessage.contains("no expected weight"))
   }
 
   test("cuped: perfectly-correlated covariate equalizes variant means") {
