@@ -70,22 +70,24 @@ object EM {
     * is ENFORCED here, not assumed: a comparator family that leaks
     * high-cardinality levels (raw strings instead of banded levels, a
     * continuous score column) would otherwise silently collect a
-    * corpus-sized table onto the driver. The guard probes via
-    * `limit(max+1).count()` — O(max) rows scanned, never the full
-    * table — and fails loudly with the fix (band the comparator) in
-    * the message.
+    * corpus-sized table onto the driver. One action does both the guard
+    * and the collect: `take(max + 1)` pulls at most max+1 rows onto the
+    * driver (driver memory stays O(max) regardless of table size) and
+    * runs the upstream aggregation — the expensive blocking join +
+    * comparison projection — exactly once. A row count above the bound
+    * fails loudly with the fix (band the comparator) in the message.
     */
   def collectPatterns(patternCounts: DataFrame,
       maxPatterns: Int = 100000): Seq[Pattern] = {
     val fields = patternCounts.columns.filterNot(_ == "n").toSeq
-    val probe = patternCounts.limit(maxPatterns + 1).count()
-    require(probe <= maxPatterns,
+    val rows = patternCounts.take(maxPatterns + 1)
+    require(rows.length <= maxPatterns,
       s"collectPatterns: pattern-count table exceeds $maxPatterns rows — " +
         s"the driver-side EM contract (rows <= product of per-field level " +
         s"counts, fields = ${fields.mkString(",")}) is broken. A comparator " +
         "is emitting high-cardinality levels (raw values instead of a " +
         "small banded set); band it before running EM.")
-    patternCounts.collect().toSeq.map { row =>
+    rows.toSeq.map { row =>
       Pattern(
         fields.map(f => f -> Option(row.getAs[String](f))).toMap,
         row.getAs[Long]("n"))

@@ -173,12 +173,17 @@ object Windows {
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
-    val offExpr = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(e)
-    }
+    // Offsets attach via a BROADCAST join of the tiny (pid → offset)
+    // table — O(1) hash probe per row. (A `when`-chain literal would be
+    // O(#partitions) branches per row and splinters codegen at a real
+    // cluster's thousands of range partitions.)
+    val offsetsDf = broadcast(
+      df.sparkSession.createDataFrame(offsets.toSeq).toDF("__pid", "__off"))
     val w = Window.partitionBy("__pid").orderBy(orderExprs: _*)
-    ranged.withColumn(idName, row_number().over(w).cast("long") + offExpr)
-      .drop("__pid")
+    ranged.withColumn("__local", row_number().over(w).cast("long"))
+      .join(offsetsDf, "__pid")
+      .withColumn(idName, col("__local") + col("__off"))
+      .drop("__pid", "__local", "__off")
   }
 
   /** [[denseIdsBy]] plus a GLOBAL running sum of `valueCol` in the
@@ -196,32 +201,45 @@ object Windows {
     require(orderExprs.nonEmpty, "orderedPrefixSum needs at least one order expression")
     require(!df.columns.contains(rankName), s"column $rankName already exists")
     require(!df.columns.contains(cumName), s"column $cumName already exists")
+    // The prefix-sum offsets are folded on the driver as Longs, so the
+    // value column must be integral (long-exact); a double/decimal
+    // column would need different accumulator plumbing — fail loudly
+    // rather than ClassCastException deep in the collect.
+    val valueType = df.schema(valueCol).dataType
+    require(valueType.isInstanceOf[org.apache.spark.sql.types.IntegralType],
+      s"orderedPrefixSum: value column '$valueCol' must be an integral type " +
+        s"(byte/short/int/long), got ${valueType.simpleString}. Scale floats " +
+        "to integer units (the entropy-primitive idiom) before prefix-summing.")
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, orderExprs: _*)
       .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
       .localCheckpoint(true) // pin range boundaries across the two passes
+    // coalesce: a partition whose values are all NULL sums to NULL —
+    // contribute 0 to downstream offsets instead of an opaque NPE.
     val stats = ranged.groupBy("__pid")
-      .agg(count(lit(1)).as("__c"), sum(col(valueCol)).as("__s"))
+      .agg(count(lit(1)).as("__c"),
+        coalesce(sum(col(valueCol).cast("long")), lit(0L)).as("__s"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     var accN = 0L
     var accS = 0L
     val offsets = stats.map { case (pid, c, s) =>
       val o = (pid, accN, accS); accN += c; accS += s; o
     }
-    val offN = offsets.foldLeft(lit(0L)) { case (e, (pid, on, _)) =>
-      when(col("__pid") === pid, lit(on)).otherwise(e)
-    }
-    val offS = offsets.foldLeft(lit(0L)) { case (e, (pid, _, os)) =>
-      when(col("__pid") === pid, lit(os)).otherwise(e)
-    }
+    // Broadcast (pid → offsets) join, not a per-row `when`-chain — see
+    // [[denseIdsBy]]; same rationale, two offset columns here.
+    val offsetsDf = broadcast(
+      df.sparkSession.createDataFrame(offsets.toSeq).toDF("__pid", "__offn", "__offs"))
     val w = Window.partitionBy("__pid").orderBy(orderExprs: _*)
     ranged
-      .withColumn(rankName, row_number().over(w).cast("long") + offN)
-      .withColumn(cumName,
+      .withColumn("__localn", row_number().over(w).cast("long"))
+      .withColumn("__locals",
         sum(col(valueCol)).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) + offS)
-      .drop("__pid")
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(offsetsDf, "__pid")
+      .withColumn(rankName, col("__localn") + col("__offn"))
+      .withColumn(cumName, col("__locals") + col("__offs"))
+      .drop("__pid", "__localn", "__locals", "__offn", "__offs")
   }
 
   /** SCD2 history from a change log: each (key, change-time, attrs)
