@@ -42,12 +42,13 @@ object LinkageE2E {
     (r, sec)
   }
 
-  /** 10× re-keyed replication of the sf0.1 customer table (150k rows),
-    * names regenerated from the new key.
+  /** `repl`× re-keyed replication of the sf0.1 customer table (15k
+    * base rows — repl=10 is the standing 150k shape, repl=534 the
+    * NCVR-scale ~8M shape), names regenerated from the new key.
     */
-  def tableA(spark: SparkSession, baseDir: String): DataFrame =
+  def tableA(spark: SparkSession, baseDir: String, repl: Int = 10): DataFrame =
     spark.read.parquet(s"$baseDir/customer.parquet")
-      .withColumn("__r", explode(sequence(lit(0), lit(9))))
+      .withColumn("__r", explode(sequence(lit(0), lit(repl - 1))))
       .withColumn("rec_id", col("c_custkey") + col("__r") * 15000L)
       .select(
         col("rec_id"),
@@ -82,7 +83,12 @@ object LinkageE2E {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.local.dir", "/dev/shm/graft-spark")
+      // /dev/shm is RAM-backed — right for the 150k shape's shuffle,
+      // wrong for NCVR scale where checkpoint+shuffle bytes would
+      // compete with the heap for the same physical RAM; big runs
+      // override to real disk.
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.executor.heartbeatInterval", "60s")
@@ -92,7 +98,11 @@ object LinkageE2E {
     val tTotal0 = System.nanoTime()
 
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val a = tableA(spark, baseDir).localCheckpoint(true)
+    // SPARK_GRAFT_E2E_REPL=534 ⇒ A ≈ 8.0M, B ≈ 7.2M — the reference's
+    // NCVR production scale (scratch.R:142-156: ~8M voters × 2
+    // snapshots). Default 10 keeps the standing 150k × 135k shape.
+    val repl = sys.env.getOrElse("SPARK_GRAFT_E2E_REPL", "10").toInt
+    val a = tableA(spark, baseDir, repl).localCheckpoint(true)
     val b = tableB(a).localCheckpoint(true)
     val (nA, nB) = (a.count(), b.count())
     println(s"A: $nA records; B: $nB records; cross space ${nA * nB} pairs")
@@ -101,12 +111,24 @@ object LinkageE2E {
       .union(b.select(col("rec_id"), (col("rec_id") - 1000000000L).as("cluster")))
 
     // 1. Blocking: name-digit prefix pass + nation×balance-band pass.
+    // Per-block pair count is quadratic in block size (the extractBlocks
+    // scale contract), so the key CARDINALITY must grow with the data:
+    // at NCVR scale the prefix widens to 5 digits (10^5 keys → ~80
+    // rows/key) and the balance band narrows to whole dollars (~275k
+    // keys). Both keys stay clear of the perturbation sites (name digit
+    // substitution lands at position 17, outside substring(12,5)), so
+    // pass-1 recall is 100% by construction at either scale.
+    val big = repl > 10
+    val prefixLen = if (big) 5 else 4
+    val balDiv = if (big) 1 else 10
     val rules = BlockingRules(Seq(
       ComputedKeys(Seq(
-        ("name_mid", substring(col("name_left"), 12, 4), substring(col("name_right"), 12, 4)))),
+        ("name_mid", substring(col("name_left"), 12, prefixLen),
+          substring(col("name_right"), 12, prefixLen)))),
       ComputedKeys(Seq(
         ("nk", col("nationkey_left"), col("nationkey_right")),
-        ("bal10", floor(col("acctbal_left") / 10), floor(col("acctbal_right") / 10))))))
+        ("bal10", floor(col("acctbal_left") / balDiv),
+          floor(col("acctbal_right") / balDiv))))))
     val (ids, tBlock) = timed("blocking") {
       Blocking.extractBlocks(a, b, "rec_id", "rec_id", rules).localCheckpoint(true)
     }

@@ -103,7 +103,20 @@ object Blocking {
     * whose distinct-value count scales with the data (names, digests,
     * computed prefixes of high-entropy columns). Hot keys that slip
     * through are handled at runtime by AQE skew-join splitting
-    * (spark.sql.adaptive.skewJoin, see docs/SKEW_EVIDENCE_r03.md).
+    * (spark.sql.adaptive.skewJoin, see docs/SKEW_EVIDENCE_r03.md) —
+    * EXCEPT when the key cardinality itself is tiny (SURVEY §4's
+    * first-initial case: 26 values means 26 join groups no matter how
+    * many executors exist; AQE can split a skewed sort-merge
+    * partition, but a 1000-node cluster still idles on a 26-way key).
+    * For those passes set `hotKeySalts` ≈ the cluster's task
+    * parallelism: each equi/computed pass then salts the LEFT side by
+    * a hash of its id (uniform, key-independent) and replicates the
+    * RIGHT side across all salts, so every hot key's pair production
+    * spreads over `hotKeySalts` tasks. Output is identical (verified
+    * by spec) — the salt is a conjunct equi-key that every (rowA,
+    * rowB) combination satisfies exactly once — at the cost of
+    * shuffling the right side `hotKeySalts`×. Leave it 0 for
+    * high-cardinality keys where AQE suffices.
     */
   def extractBlocks(
       dataA: DataFrame,
@@ -111,7 +124,8 @@ object Blocking {
       uniqueIdA: String,
       uniqueIdB: String,
       rules: BlockingRules,
-      selfLinkage: Boolean = false): DataFrame = {
+      selfLinkage: Boolean = false,
+      hotKeySalts: Int = 0): DataFrame = {
     val a = graft.util.Parallelism.ensure(Suffix.addSuffix(dataA, "_left"))
     val b = Suffix.addSuffix(dataB, "_right")
     val idL = Suffix.addSuffix(uniqueIdA, "_left")
@@ -124,6 +138,19 @@ object Blocking {
     def canon(pairIds: DataFrame): DataFrame =
       if (selfLinkage) pairIds.filter(col(idL) < col(idR)) else pairIds
 
+    // Salted equi-join for tiny-cardinality hot keys (see scale
+    // contract above): left rows carry ONE uniform salt (hash of the
+    // left id — independent of the blocking key, so a hot key's rows
+    // spread evenly), right rows carry ALL salts; the salt equality
+    // conjunct makes each (rowA, rowB) match in exactly one task.
+    def saltedEqui(l: DataFrame, r: DataFrame, cond: Column): DataFrame =
+      if (hotKeySalts > 1) {
+        val sl = l.withColumn("__salt_l", pmod(xxhash64(col(idL)), lit(hotKeySalts)))
+        val sr = r.withColumn("__salt_r",
+          explode(sequence(lit(0).cast("long"), lit(hotKeySalts - 1).cast("long"))))
+        sl.join(sr, cond && col("__salt_l") === col("__salt_r"), "inner")
+      } else l.join(r, cond, "inner")
+
     val passes: Seq[DataFrame] = rules.passes.map {
       case EquiKeys(keys) =>
         // Null keys never match in an equi-join (NULL = NULL is NULL) —
@@ -131,7 +158,7 @@ object Blocking {
         val cond = keys.map { case (l, r) =>
           a(Suffix.addSuffix(l, "_left")) === b(Suffix.addSuffix(r, "_right"))
         }.reduce(_ && _)
-        canon(a.join(b, cond, "inner").select(col(idL), col(idR)))
+        canon(saltedEqui(a, b, cond).select(col(idL), col(idR)))
 
       case ComputedKeys(keys) =>
         // Project the computed keys on each side first so the join is a
@@ -139,7 +166,7 @@ object Blocking {
         val ak = keys.foldLeft(a) { case (df, (n, le, _)) => df.withColumn(s"__bk_$n", le) }
         val bk = keys.foldLeft(b) { case (df, (n, _, re)) => df.withColumn(s"__bk2_$n", re) }
         val cond = keys.map { case (n, _, _) => ak(s"__bk_$n") === bk(s"__bk2_$n") }.reduce(_ && _)
-        canon(ak.join(bk, cond, "inner").select(col(idL), col(idR)))
+        canon(saltedEqui(ak, bk, cond).select(col(idL), col(idR)))
 
       case Predicate(condition) =>
         canon(a.crossJoin(b).filter(condition).select(col(idL), col(idR)))

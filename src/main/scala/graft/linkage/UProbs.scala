@@ -52,18 +52,14 @@ object UProbs {
     * the deterministic/oracle path, wrong at 100 TB. The scale path is
     * [[samplePairsByCross]], which needs no synthetic ids at all.
     */
-  def withSyntheticId(df: DataFrame, idName: String, orderCol: String): DataFrame = {
-    // Spark rightly warns "No Partition Defined for Window operation"
-    // on this plan. Here it is BY DESIGN (the reference-parity W1 form,
-    // driver-sized inputs only; [[graft.ops.Windows.denseIds]] is the
-    // scale path), and this is the repo's ONLY intentional
-    // unpartitioned-window site — silence that one logger so every
-    // Verify/Bench sweep doesn't read it as an unnoticed anti-pattern.
-    org.apache.log4j.Logger
-      .getLogger("org.apache.spark.sql.execution.window.WindowExec")
-      .setLevel(org.apache.log4j.Level.ERROR)
-    df.withColumn(idName, row_number().over(Window.orderBy(col(orderCol))))
-  }
+  def withSyntheticId(df: DataFrame, idName: String, orderCol: String): DataFrame =
+    // The single-partition sort is BY DESIGN here (the reference-parity
+    // W1 form, driver-sized inputs only; [[graft.ops.Windows.denseIds]]
+    // is the scale path) — pinnedOrderBy marks the intent; the
+    // WindowExec WARN it triggers is expected (see its scaladoc) and
+    // no logger is muted.
+    df.withColumn(idName,
+      row_number().over(graft.ops.Windows.pinnedOrderBy(col(orderCol))))
 
   /** Deterministic sampled-pairs table of `size` rows with columns
     * (synthetic_id_left, synthetic_id_right), ids uniform-ish in

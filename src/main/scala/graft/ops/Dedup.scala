@@ -376,11 +376,47 @@ object Dedup {
     * shingle table).
     */
   def ngramJaccardPairsPrefixFromShingles(
-      sh: DataFrame, minJaccard: Double): DataFrame = {
+      sh: DataFrame, minJaccard: Double): DataFrame =
+    ngramJaccardPairsPrefixFromShingles(sh, minJaccard, None)
+
+  /** Per-shingle document frequency `(shingle, df)` over a shingle-set
+    * table — the ranking statistic behind the prefix filter's global
+    * order. For a STANDING corpus, compute this once, write it to
+    * parquet, and pass it back via
+    * [[ngramJaccardPairsPrefixFromShingles]]'s `standingFreq`: the
+    * full-postings frequency agg (one pass over every posting in the
+    * corpus — the dominant fixed cost at 100 TB) is then paid per
+    * corpus REFRESH, not per dedup RUN.
+    */
+  def shingleDocFrequencies(sh: DataFrame): DataFrame =
+    sh.select(explode(col("sh")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+
+  /** [[ngramJaccardPairsPrefixFromShingles]] with an optional
+    * PERSISTED frequency table (`(shingle, df)`, the
+    * [[shingleDocFrequencies]] shape, e.g. read back from parquet).
+    *
+    * Exactness is UNCONDITIONAL on the table's freshness: the prefix
+    * lemma needs only that both documents of a pair rank shingles by
+    * the SAME total order, and (df asc, shingle asc) with unseen
+    * shingles coalesced to df = 0 is a total order no matter how
+    * stale df is. A stale table therefore degrades only SELECTIVITY
+    * (a shingle that became boilerplate since the snapshot still
+    * ranks rare → enters more prefixes → more candidates), never
+    * recall — verification against full shingle sets keeps the
+    * output identical. Refresh the table when the corpus has drifted
+    * enough that candidate counts creep up.
+    */
+  def ngramJaccardPairsPrefixFromShingles(
+      sh: DataFrame, minJaccard: Double,
+      standingFreq: Option[DataFrame]): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1,
       s"minJaccard must be in (0, 1], got $minJaccard")
     val posts = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    val freq = posts.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val freq = standingFreq match {
+      case Some(f) => f.select(col("shingle"), col("df").cast("long").as("__df"))
+      case None    => posts.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    }
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
     val ordered = org.apache.spark.sql.expressions.Window.partitionBy("id")
       .orderBy(col("__df").asc, col("shingle").asc)
@@ -388,7 +424,12 @@ object Dedup {
     // landing a hair ABOVE an exact integer (which would shorten the
     // prefix and silently lose recall — the failure mode the oracle
     // equality would catch, backed off here so it cannot arise).
-    val prefix = posts.join(freq, Seq("shingle"))
+    // LEFT join: a shingle absent from a standing freq table (born
+    // after the snapshot) must keep its postings — it ranks as df = 0
+    // (ties broken by text), keeping the order total so the prefix
+    // lemma still holds. With in-run freq the join is total anyway.
+    val prefix = posts.join(freq, Seq("shingle"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(0L)))
       .withColumn("__s", count(lit(1)).over(byDoc))
       .withColumn("__rn", row_number().over(ordered))
       .filter(col("__rn") <=

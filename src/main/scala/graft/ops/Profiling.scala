@@ -541,7 +541,7 @@ object Profiling {
       yCol: Column): DataFrame = {
     val v = df.select(col(idCol), xCol.cast("long").as("x"), yCol.cast("long").as("y"))
     val perX = v.groupBy("x").agg(min("y").as("__my"))
-    val w = Window.orderBy(col("x"))
+    val w = Windows.pinnedOrderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val front = perX
       .withColumn("__best", min("__my").over(w))
@@ -614,7 +614,7 @@ object Profiling {
     require(p >= 3 && p % 2 == 1, s"period must be odd and >= 3, got $p")
     val half = p / 2
     val base = series.select(t.cast("long").as("__t"), x.cast("long").as("__x"))
-    val w = Window.orderBy(col("__t")).rangeBetween(-half, half)
+    val w = Windows.pinnedOrderBy(col("__t")).rangeBetween(-half, half)
     base
       .withColumn("__wn", count(lit(1)).over(w))
       .withColumn("__ws", sum(col("__x")).over(w))
@@ -785,7 +785,7 @@ object Profiling {
   def cusum(series: DataFrame, t: Column, x: Column, slack: Long,
       threshold: Long): DataFrame = {
     require(threshold > 0, s"threshold must be positive, got $threshold")
-    val w = Window.orderBy(col("__t"))
+    val w = Windows.pinnedOrderBy(col("__t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     series.select(t.cast("long").as("__t"), x.cast("long").as("__x"))
       .withColumn("__c", sum(col("__x") - slack).over(w))
@@ -926,7 +926,7 @@ object Profiling {
       .groupBy("__s")
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__np"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("__nn"))
-    val w = Window.orderBy("__s")
+    val w = Windows.pinnedOrderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val u2 = grouped
       .withColumn("__cn", coalesce(sum("__nn").over(w), lit(0L)))
@@ -966,7 +966,7 @@ object Profiling {
     val merged = ca.join(cb, Seq("__v"), "full")
       .select(col("__v"), coalesce(col("__na"), lit(0L)).as("__na"),
         coalesce(col("__nb"), lit(0L)).as("__nb"))
-    val w = Window.orderBy("__v")
+    val w = Windows.pinnedOrderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = merged
       .withColumn("__ca", sum("__na").over(w))
@@ -1000,7 +1000,7 @@ object Profiling {
     val k = df.select(key.cast("string").as("__k"), weight.cast("long").as("__w"))
       .groupBy("__k").agg(sum("__w").as("__w"))
     val ranked = k.withColumn("__i",
-      row_number().over(Window.orderBy(col("__w"), col("__k"))))
+      row_number().over(Windows.pinnedOrderBy(col("__w"), col("__k"))))
     val agg = ranked.agg(
       count(lit(1)).cast(dec).as("__n"),
       sum("__w").cast(dec).as("__s"),
@@ -1079,7 +1079,7 @@ object Profiling {
     val cats = keyed.groupBy("__c").agg(count(lit(1)).as("__gn"))
     val gtot = cats.agg(sum("__gn").as("__gt"), count(lit(1)).as("__m"))
     val gcum = cats.crossJoin(broadcast(gtot))
-      .withColumn("__gc", sum("__gn").over(Window.orderBy("__c")
+      .withColumn("__gc", sum("__gn").over(Windows.pinnedOrderBy(col("__c"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("__c"), expr("__gc * 1000000L div __gt").as("__gppm"),
         col("__m"))
@@ -1456,7 +1456,7 @@ object Profiling {
         expr(s"(pos + $alpha) * 1000000L div (n + ${alpha + beta})")
           .as("smoothed_ppm"))
     agg.withColumn("rank",
-      row_number().over(Window.orderBy(col("smoothed_ppm").desc,
+      row_number().over(Windows.pinnedOrderBy(col("smoothed_ppm").desc,
         col("key").asc_nulls_last)).cast("long"))
   }
 
@@ -1476,9 +1476,9 @@ object Profiling {
     val dec = "decimal(38,0)"
     val e = series.select(t.as("__t"), x.cast("long").as("__x"))
       .withColumn("__ep", abs(col("__x") - lag(col("__x"), period).over(
-        Window.orderBy(col("__t")))))
+        Windows.pinnedOrderBy(col("__t")))))
       .withColumn("__e1", abs(col("__x") - lag(col("__x"), 1).over(
-        Window.orderBy(col("__t")))))
+        Windows.pinnedOrderBy(col("__t")))))
     val agg = e.agg(
       sum(when(col("__ep").isNotNull, 1L).otherwise(0L)).as("n_seasonal"),
       coalesce(sum("__ep"), lit(0L)).as("sum_abs_seasonal"),

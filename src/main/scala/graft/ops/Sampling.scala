@@ -221,7 +221,7 @@ object Sampling {
     val left = scaled.agg((lit(budget) - sum("__base")).as("__left"))
     scaled.crossJoin(broadcast(left))
       .withColumn("__rk",
-        row_number().over(Window.orderBy(desc("__rem"), asc("source"))))
+        row_number().over(Windows.pinnedOrderBy(desc("__rem"), asc("source"))))
       .withColumn("quota_tokens",
         col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
       .select("source", "tokens_avail", "quota_tokens")

@@ -1124,7 +1124,7 @@ object TextAnalysis {
     val typeBands = toks.groupBy("__tok").agg(min("__idx").as("__fidx"))
       .select(length(bin(col("__fidx"))).cast("int").as("band"))
       .groupBy("band").agg(count(lit(1)).as("__ny"))
-    val w = Window.orderBy("band")
+    val w = Windows.pinnedOrderBy(col("band"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tokBands.join(typeBands, Seq("band"), "full")
       .select(col("band"), coalesce(col("__nt"), lit(0L)).as("__nt"),
@@ -1256,7 +1256,7 @@ object TextAnalysis {
       .orderBy(col("score_ppm").desc, col("phrase").asc)
       .limit(topK)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("score_ppm").desc, col("phrase").asc))
+        Windows.pinnedOrderBy(col("score_ppm").desc, col("phrase").asc))
         .cast("long"))
   }
 

@@ -12,6 +12,27 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
+  /** A global ordered window that is single-partition ON PURPOSE —
+    * the greppable marker for inputs already reduced to driver scale
+    * (an aggregated band table, a quantile grid, a reference-parity
+    * demo path). Every intentional global-window site in this repo
+    * goes through here; a bare `Window.orderBy` elsewhere is a bug.
+    *
+    * WindowExec's "No Partition Defined" WARN still fires at these
+    * sites and is EXPECTED there: Spark 4's `EliminateWindowPartitions`
+    * optimizer rule folds any constant partition spec away (and
+    * `FoldablePropagation` inlines constant-aliased attributes), so a
+    * `partitionBy(lit(0))` disguise is rewritten back to the
+    * unpartitioned form before physical planning — there is no
+    * plan-level way to keep the semantics and skip the warning, and
+    * muting the logger JVM-wide would hide UNintentional sites (the
+    * round-9 ADVICE item). Never use this on data that grows with
+    * the corpus — that's what [[denseIds]]/[[orderedPrefixSum]] are
+    * for.
+    */
+  def pinnedOrderBy(order: Column*): org.apache.spark.sql.expressions.WindowSpec =
+    Window.orderBy(order: _*)
+
   /** Gap-based sessionization: assign each row a per-key `session_id`
     * (1-based, in time order) that increments whenever the gap from
     * the previous row of the same key exceeds `maxGap` (same time
@@ -163,6 +184,8 @@ object Windows {
       numPartitions: Int = 0): DataFrame = {
     require(orderExprs.nonEmpty, "denseIdsBy needs at least one order expression")
     require(!df.columns.contains(idName), s"column $idName already exists")
+    Seq("__pid", "__local", "__off").foreach(c =>
+      require(!df.columns.contains(c), s"column $c is reserved by denseIdsBy"))
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, orderExprs: _*)
@@ -201,12 +224,20 @@ object Windows {
     require(orderExprs.nonEmpty, "orderedPrefixSum needs at least one order expression")
     require(!df.columns.contains(rankName), s"column $rankName already exists")
     require(!df.columns.contains(cumName), s"column $cumName already exists")
+    Seq("__pid", "__localn", "__locals", "__localnn", "__offn", "__offs", "__offnn")
+      .foreach(c => require(!df.columns.contains(c),
+        s"column $c is reserved by orderedPrefixSum"))
     // The prefix-sum offsets are folded on the driver as Longs, so the
     // value column must be integral (long-exact); a double/decimal
     // column would need different accumulator plumbing — fail loudly
     // rather than ClassCastException deep in the collect.
     val valueType = df.schema(valueCol).dataType
-    require(valueType.isInstanceOf[org.apache.spark.sql.types.IntegralType],
+    val integral = valueType match { // IntegralType itself is private[sql]
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(integral,
       s"orderedPrefixSum: value column '$valueCol' must be an integral type " +
         s"(byte/short/int/long), got ${valueType.simpleString}. Scale floats " +
         "to integer units (the entropy-primitive idiom) before prefix-summing.")
@@ -216,30 +247,40 @@ object Windows {
       .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
       .localCheckpoint(true) // pin range boundaries across the two passes
     // coalesce: a partition whose values are all NULL sums to NULL —
-    // contribute 0 to downstream offsets instead of an opaque NPE.
+    // contribute 0 to downstream offsets instead of an opaque NPE. The
+    // per-partition NON-NULL count (`count(valueCol)`) is carried too,
+    // so cumName can reproduce the exact semantics of a global
+    // `sum(v) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)`: NULL while
+    // the global frame has seen no non-NULL value yet, the running sum
+    // over non-NULLs thereafter.
     val stats = ranged.groupBy("__pid")
       .agg(count(lit(1)).as("__c"),
-        coalesce(sum(col(valueCol).cast("long")), lit(0L)).as("__s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+        coalesce(sum(col(valueCol).cast("long")), lit(0L)).as("__s"),
+        count(col(valueCol)).as("__nn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
     var accN = 0L
     var accS = 0L
-    val offsets = stats.map { case (pid, c, s) =>
-      val o = (pid, accN, accS); accN += c; accS += s; o
+    var accNN = 0L
+    val offsets = stats.map { case (pid, c, s, nn) =>
+      val o = (pid, accN, accS, accNN); accN += c; accS += s; accNN += nn; o
     }
     // Broadcast (pid → offsets) join, not a per-row `when`-chain — see
-    // [[denseIdsBy]]; same rationale, two offset columns here.
-    val offsetsDf = broadcast(
-      df.sparkSession.createDataFrame(offsets.toSeq).toDF("__pid", "__offn", "__offs"))
+    // [[denseIdsBy]]; same rationale, three offset columns here.
+    val offsetsDf = broadcast(df.sparkSession.createDataFrame(offsets.toSeq)
+      .toDF("__pid", "__offn", "__offs", "__offnn"))
     val w = Window.partitionBy("__pid").orderBy(orderExprs: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged
       .withColumn("__localn", row_number().over(w).cast("long"))
-      .withColumn("__locals",
-        sum(col(valueCol)).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__locals", sum(col(valueCol)).over(run))
+      .withColumn("__localnn", count(col(valueCol)).over(run))
       .join(offsetsDf, "__pid")
       .withColumn(rankName, col("__localn") + col("__offn"))
-      .withColumn(cumName, col("__locals") + col("__offs"))
-      .drop("__pid", "__localn", "__locals", "__offn", "__offs")
+      .withColumn(cumName,
+        when(col("__localnn") + col("__offnn") === 0L, lit(null).cast("long"))
+          .otherwise(coalesce(col("__locals").cast("long"), lit(0L)) + col("__offs")))
+      .drop("__pid", "__localn", "__locals", "__localnn", "__offn", "__offs", "__offnn")
   }
 
   /** SCD2 history from a change log: each (key, change-time, attrs)
@@ -495,7 +536,7 @@ object Windows {
       .groupBy("__t")
       .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
         count(lit(1)).as("__n"))
-    val w = Window.orderBy(col("__t"))
+    val w = pinnedOrderBy(col("__t"))
     val risky = byT
       .withColumn("__later",
         coalesce(sum("__n").over(w.rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
@@ -510,7 +551,7 @@ object Windows {
           .otherwise(floor(log((col("n_risk") - col("__d")).cast("double") /
             col("n_risk").cast("double")) * 1e6).cast("long")))
       .withColumn("log_surv_unat",
-        sum("__term").over(Window.orderBy(col("__t"))
+        sum("__term").over(pinnedOrderBy(col("__t"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("__t").as("t"), col("n_risk"), col("__d").as("n_events"),
         col("log_surv_unat"))
@@ -769,7 +810,7 @@ object Windows {
   def rollingMedian(df: DataFrame, keys: Seq[String], orderCol: Column,
       x: Column, k: Int): DataFrame = {
     require(k >= 1, s"window size must be >= 1, got $k")
-    val w0 = if (keys.isEmpty) Window.orderBy(orderCol)
+    val w0 = if (keys.isEmpty) pinnedOrderBy(orderCol)
              else Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
     val w = w0.rowsBetween(-(k - 1), Window.currentRow)
     df.withColumn("__fr", array_sort(collect_list(x).over(w)))
@@ -794,7 +835,7 @@ object Windows {
   def ewmaTrunc(df: DataFrame, keys: Seq[String], orderCol: Column,
       x: Column, k: Int): DataFrame = {
     require(k >= 1 && k <= 62, s"k must be in [1, 62], got $k")
-    val w = if (keys.isEmpty) Window.orderBy(orderCol)
+    val w = if (keys.isEmpty) pinnedOrderBy(orderCol)
             else Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
     val terms = (0 until k).map { i =>
       val wt = 1L << (k - 1 - i)

@@ -229,6 +229,83 @@ class ExtensionsWindowsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("denseIdsBy / orderedPrefixSum: parity at numPartitions = 2000 (cluster shape)") {
+    // Round-9 item #8 done criterion: the broadcast (pid → offset) join
+    // must hold far past toy partition counts — 2000 range partitions is
+    // the thousands-of-tasks shape a real cluster produces. Most
+    // partitions are empty or single-row here; offsets must still fold
+    // correctly across them.
+    import org.apache.spark.sql.functions._
+    val rows = scala.util.Random.shuffle((1L to 5000L).toList).map(k => (k, k % 13 + 1))
+    val df = rows.toDF("k", "w").repartition(64)
+    val ids = graft.ops.Windows.denseIdsBy(df, Seq(col("k").asc), "row_id",
+        numPartitions = 2000)
+      .select("k", "row_id").as[(Long, Long)].collect().toMap
+    assert(ids == (1L to 5000L).map(k => k -> k).toMap)
+    val got = graft.ops.Windows.orderedPrefixSum(
+        df, Seq(col("k").asc), "w", "rk", "cum", numPartitions = 2000)
+      .select("k", "rk", "cum").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    var acc = 0L
+    val want = rows.sortBy(_._1).zipWithIndex.map { case ((k, w), i) =>
+      acc += w; k -> (i + 1L, acc)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("orderedPrefixSum: non-integral value column fails loudly") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 0.5), (2L, 1.5)).toDF("k", "w")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Windows.orderedPrefixSum(df, Seq(col("k").asc), "w")
+    }
+    assert(ex.getMessage.contains("must be an integral type"))
+    assert(ex.getMessage.contains("double"))
+  }
+
+  test("orderedPrefixSum: NULL values — all-NULL partitions, NULL-prefix semantics") {
+    // Global-window parity for NULLs: sum(v) OVER (ORDER BY … ROWS
+    // UNBOUNDED PRECEDING) is NULL while the frame has seen no non-NULL
+    // value, then sums over non-NULLs. With 12 range partitions over
+    // k = 1..60 and v NULL for k <= 30, several leading partitions are
+    // entirely NULL — the offset fold must not NPE and rows in that
+    // prefix must stay NULL, not become 0.
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 60L).map(k => (k, if (k <= 30) None else Some(k)))
+    val df = rows.toDF("k", "v").repartition(5)
+    val got = graft.ops.Windows.orderedPrefixSum(
+        df, Seq(col("k").asc), "v", "rk", "cum", numPartitions = 12)
+      .select("k", "rk", "cum").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    var acc = 0L
+    val want = rows.map { case (k, v) =>
+      v.foreach(acc += _)
+      k -> (k, if (k <= 30) None else Some(acc))
+    }.toMap
+    assert(got == want)
+    // Mixed NULLs inside a partition: skipped by the sum, rank still dense.
+    val mixed = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L))).toDF("k", "v")
+    val m = graft.ops.Windows.orderedPrefixSum(
+        mixed, Seq(col("k").asc), "v", "rk", "cum", numPartitions = 2)
+      .select("k", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 5L, 2L -> 5L, 3L -> 12L))
+  }
+
+  test("denseIdsBy / orderedPrefixSum: reserved temp column names rejected") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 2L)).toDF("k", "w")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Windows.denseIdsBy(df.withColumn("__off", lit(0)), Seq(col("k").asc))
+    }
+    assert(e1.getMessage.contains("reserved"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Windows.orderedPrefixSum(
+        df.withColumn("__locals", lit(0)), Seq(col("k").asc), "w")
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
+
   test("snapshotDiff: added/removed/changed/same classification") {
     import org.apache.spark.sql.functions._
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "body")

@@ -78,6 +78,24 @@ class LinkageSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (1L, 5L), (2L, 5L), (3L, 4L)))
   }
 
+  test("blocking: hotKeySalts produces identical pairs to the unsalted join") {
+    // The tiny-cardinality skew path (first-initial keys): salting must
+    // spread work without changing the pair set — exercised across
+    // multi-pass union+distinct, ComputedKeys, and selfLinkage canon.
+    val rules = BlockingRules(Seq(
+      EquiKeys("surname"),
+      ComputedKeys(Seq(
+        ("s1", substring(col("surname_left"), 1, 1), substring(col("surname_right"), 1, 1))))))
+    def pairsOf(salts: Int) =
+      Blocking.extractBlocks(people, people, "id", "id", rules,
+          selfLinkage = true, hotKeySalts = salts)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairsOf(0)
+    assert(plain.nonEmpty)
+    assert(pairsOf(7) == plain)
+    assert(pairsOf(64) == plain) // more salts than rows: replication still exact
+  }
+
   test("blocking: ComputedKeys equals the equivalent Predicate pass (J2 rewrite)") {
     val computed = Blocking.extractBlocks(people, people, "id", "id",
       BlockingRules(Seq(ComputedKeys(Seq(

@@ -357,6 +357,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup: prefix jaccard with a STALE standing freq table is still exact") {
+    // The standing-corpus amortization path: rank shingles by a freq
+    // table snapshotted on HALF the corpus (so it is both stale and
+    // missing shingles). The prefix lemma holds under any total order,
+    // so the output must equal the fresh-freq run exactly.
+    var seed = 7L
+    def nextInt(n: Int): Int = { seed = (seed * 48271) % 2147483647L; (seed % n).toInt }
+    val vocab = Seq("a", "b", "c", "d", "e")
+    val rdocs = (1L to 40L).map { i =>
+      val len = 6 + nextInt(10)
+      (i, (0 until len).map(_ => vocab(nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(rdocs, "doc_id", col("text"), 3)
+    val staleFreq = Dedup.shingleDocFrequencies(sh.filter(col("id") <= 20))
+    for (t <- Seq(0.3, 0.6, 1.0)) {
+      def pairsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("jaccard"))).toSet
+      val fresh = pairsOf(Dedup.ngramJaccardPairsPrefixFromShingles(sh, t))
+      val standing = pairsOf(
+        Dedup.ngramJaccardPairsPrefixFromShingles(sh, t, Some(staleFreq)))
+      assert(standing == fresh, s"threshold $t: stale-freq output diverged")
+    }
+  }
+
   test("dedup: ngram jaccard finds the near-dup pair") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), n = 3, minJaccard = 0.5)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
