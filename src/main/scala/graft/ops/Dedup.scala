@@ -165,10 +165,14 @@ object Dedup {
     * re-inlining the O(tokens²) expression into an interpreted Filter
     * (observed: one task pinned for minutes).
     */
-  def shingleSets(df: DataFrame, idCol: String, text: Column, n: Int): DataFrame =
-    graft.util.Parallelism.ensure(df.filter(size(split(text, " ")) >= n))
-      .select(col(idCol).as("id"), split(text, " ").as("__toks"))
+  def shingleSets(df: DataFrame, idCol: String, text: Column, n: Int): DataFrame = {
+    val filtered = df.filter(size(split(text, " ")) >= n)
+    // Parallelism.ensure touches df.rdd (illegal on a streaming frame);
+    // micro-batch sources already partition on their own.
+    val par = if (df.isStreaming) filtered else graft.util.Parallelism.ensure(filtered)
+    par.select(col(idCol).as("id"), split(text, " ").as("__toks"))
       .select(col("id"), array_distinct(shinglesFromTokens(col("__toks"), n)).as("sh"))
+  }
 
   /** Cross-GROUP shingle-overlap matrix — the corpus-level duplication
     * diagnostic ("how much does source A repeat source B?") run before
@@ -666,6 +670,18 @@ object Dedup {
         .select(keep.map(col) :+ col("band") :+ col("digest"): _*)
     }
   }
+
+  /** UNCAPPED long-form band digests `(id, band, digest)` for `(id,
+    * sh)` shingle sets — [[bandBuckets]]' map side made public for
+    * callers that manage bucket membership themselves: the streaming
+    * incremental-LSH sink ([[graft.streaming.Streams
+    * .incrementalLshCandidates]]) keys its state store on (band,
+    * digest) and enforces the hot-bucket cap per key as it grows,
+    * where the batch global anti-join cannot exist. Map-only
+    * (signature kernels + band md5 + explode) — streaming-safe.
+    */
+  def bandedDigests(sh: DataFrame, k: Int, bands: Int): DataFrame =
+    bandBuckets(sh, k, bands, None, Nil)
 
   def minhashLshCandidatesFromShingles(sh: DataFrame, k: Int, bands: Int,
       maxBucketSize: Option[Long] = None): DataFrame = {

@@ -133,6 +133,83 @@ object Streams {
         col(s"r_$idCol"), col("r_time"))
   }
 
+  final case class LshCandidate(id_new: Long, id_corpus: Long)
+  final case class LshBucketState(ids: Array[Long], hot: Boolean)
+
+  /** STREAMING incremental MinHash-LSH dedup: near-dup candidate pairs
+    * of each arriving document against the ACCUMULATED corpus — the
+    * continuous form of [[graft.ops.Dedup.minhashLshCandidatesCross]]
+    * (daily batch × standing corpus), for ingest that cannot wait for
+    * a daily run. Input: a streaming frame with an id and a text
+    * column; output: `(id_new, id_corpus)` updates, where `id_corpus`
+    * is any earlier-arrived (or same-batch, smaller-id) member
+    * sharing an LSH band bucket.
+    *
+    * Shape: the same map-only signature/band kernels as the batch path
+    * ([[graft.ops.Dedup.bandedDigests]]) → `groupByKey((band,
+    * digest))` → `flatMapGroupsWithState`, state = the bucket's member
+    * ids. State is partitioned on the band-bucket key (cardinality
+    * grows with the corpus — no hot executor), each bucket's state is
+    * bounded by `maxBucketSize`, and the state store (RocksDB at
+    * production scale) holds exactly the corpus's inverted band index
+    * — the same bytes a batch rerun would rebuild per day.
+    *
+    * Hot-bucket cap semantics (the one place stream and batch CANNOT
+    * agree): the batch anti-join drops an over-full bucket and ALL its
+    * pairs retroactively; a stream cannot retract emitted pairs, so a
+    * bucket that GROWS past `maxBucketSize` stops emitting and
+    * accepting from that point on (state shrinks to a tombstone) —
+    * pairs emitted while it was small stand. Equal results whenever
+    * no bucket exceeds the cap (asserted by spec); both censor the f²
+    * explosion. Within a batch, ids pair in ascending order (id_new >
+    * id_corpus), so results are arrival-then-id deterministic, and a
+    * replayed micro-batch re-emits the same pairs without growing
+    * state (at-least-once delivery, idempotent state — dedup
+    * downstream if exactly-once pair rows matter).
+    */
+  def incrementalLshCandidates(
+      docs: DataFrame, idCol: String, text: org.apache.spark.sql.Column,
+      n: Int, k: Int, bands: Int, maxBucketSize: Long): Dataset[LshCandidate] = {
+    require(maxBucketSize > 0, s"maxBucketSize must be positive, got $maxBucketSize")
+    import docs.sparkSession.implicits._
+    val sets = graft.ops.Dedup.shingleSets(docs, idCol, text, n)
+    val buckets = graft.ops.Dedup.bandedDigests(sets, k, bands)
+      .select(col("band").cast("int"), col("digest"), col("id").cast("long"))
+      .as[(Int, String, Long)]
+    buckets
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState[LshBucketState, LshCandidate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), rows: Iterator[(Int, String, Long)],
+            state: GroupState[LshBucketState]) =>
+          val st = state.getOption.getOrElse(LshBucketState(Array.empty, hot = false))
+          if (st.hot) { rows.foreach(_ => ()); Iterator.empty }
+          else {
+            // Ascending id order makes same-batch pairing deterministic;
+            // ids already in state (micro-batch replay) are skipped.
+            val newIds = rows.map(_._3).toArray.distinct
+              .filterNot(st.ids.contains).sorted
+            val out = Vector.newBuilder[LshCandidate]
+            var members = st.ids
+            var hot = false
+            var i = 0
+            while (i < newIds.length && !hot) {
+              val nid = newIds(i)
+              if (members.length >= maxBucketSize) hot = true
+              else {
+                members.foreach(m => out += LshCandidate(nid, m))
+                members = members :+ nid
+              }
+              i += 1
+            }
+            state.update(
+              if (hot) LshBucketState(Array.empty, hot = true)
+              else LshBucketState(members, hot = false))
+            out.result().iterator
+          }
+      }
+  }
+
   final case class SessionEvent(user_id: Long, event_time: java.sql.Timestamp)
   final case class SessionUpdate(user_id: Long, n_events: Long, closed: Boolean)
 

@@ -131,6 +131,92 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming: incremental LSH dedup — stream equals batch when no bucket caps") {
+    // Two micro-batches of documents with planted near-dups (within a
+    // batch, across batches, and exact copies); under a cap no bucket
+    // reaches, the accumulated stream output must equal the one-shot
+    // batch LSH self-join on the full corpus — the batch≡stream parity
+    // contract for the sink.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val b1 = Seq(
+      1L -> base,
+      2L -> base.replace("lazy", "sleepy"),          // near-dup of 1
+      3L -> "completely unrelated text about spark catalyst optimizer rules here",
+      4L -> base)                                    // exact dup of 1
+    val b2 = Seq(
+      5L -> base.replace("quick", "rapid"),          // near-dup across batches
+      6L -> "completely unrelated text about spark catalyst optimizer rules here",
+      7L -> "nothing shares shingles with this one at all not even close truly")
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    val expected = graft.ops.Dedup.minhashLshCandidates(
+        all, "doc_id", col("text"), n = 3, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.contains((1L, 4L))) // exact dups always collide
+
+    val stream = MemoryStream[(Long, String)](spark)
+    val out = Streams.incrementalLshCandidates(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", col("text"),
+      n = 3, k = 8, bands = 4, maxBucketSize = 100L)
+    val q = out.writeStream.format("memory").queryName("lsh_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(b1)
+      q.processAllAvailable()
+      val afterB1 = spark.table("lsh_out")
+        .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (corpus, new)
+      // batch-1 pairs = the batch self-join over b1 alone
+      val expB1 = graft.ops.Dedup.minhashLshCandidates(
+          b1.toDF("doc_id", "text"), "doc_id", col("text"), n = 3, k = 8, bands = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterB1 == expB1)
+
+      stream.addData(b2)
+      q.processAllAvailable()
+      val afterB2 = spark.table("lsh_out")
+        .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      assert(afterB2 == expected)
+      // batch-2's new pairs decompose into cross(B2, B1) + within-B2
+      val cross = graft.ops.Dedup.minhashLshCandidatesCross(
+          graft.ops.Dedup.shingleSets(b2.toDF("doc_id", "text"), "doc_id", col("text"), 3),
+          graft.ops.Dedup.shingleSets(b1.toDF("doc_id", "text"), "doc_id", col("text"), 3),
+          k = 8, bands = 4)
+        .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      val withinB2 = graft.ops.Dedup.minhashLshCandidates(
+          b2.toDF("doc_id", "text"), "doc_id", col("text"), n = 3, k = 8, bands = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterB2 -- afterB1.map(t => (math.min(t._1, t._2), math.max(t._1, t._2)))
+        == cross ++ withinB2)
+    } finally q.stop()
+  }
+
+  test("streaming: incremental LSH dedup — hot bucket censors from the cap onward") {
+    // Four exact copies, cap 2: the first two members pair; the third
+    // arrival crosses the cap and tombstones every bucket they share,
+    // so docs 3 and 4 emit nothing — the stream-side f² guard. (Batch
+    // would retroactively drop the (1,2) pair; divergence documented
+    // on the operator.)
+    val txt = "identical documents explode lsh buckets when the corpus degenerates badly"
+    val stream = MemoryStream[(Long, String)](spark)
+    val out = Streams.incrementalLshCandidates(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", col("text"),
+      n = 3, k = 8, bands = 4, maxBucketSize = 2L)
+    val q = out.writeStream.format("memory").queryName("lsh_hot")
+      .outputMode("update").start()
+    try {
+      stream.addData(Seq(1L -> txt, 2L -> txt))
+      q.processAllAvailable()
+      stream.addData(Seq(3L -> txt))
+      q.processAllAvailable()
+      stream.addData(Seq(4L -> txt))
+      q.processAllAvailable()
+      val got = spark.table("lsh_hot")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((2L, 1L))) // id_new=2 paired with corpus id 1; 3,4 censored
+    } finally q.stop()
+  }
+
   test("streaming: windowed counts — stream result equals batch result") {
     val batchDf = eventsNs
     val expected = Streams.windowedCounts(batchDf)
