@@ -1369,7 +1369,8 @@ object Profiling {
     * Shape: within-group ranks via the two-phase pattern — ONE range
     * exchange on (group, value, id) + partition-local numbering
     * ([[graft.ops.Windows.denseIdsBy]]) minus a group-keyed offset
-    * (first global id per group, group-cardinality-sized broadcast) —
+    * (first global id per group — group-cardinality-sized, AQE
+    * broadcasts it when small without a threshold-bypassing hint) —
     * so no group's row set ever sorts in a single task (a
     * `partitionBy(group)` window would bound parallelism by the group
     * count); then one rank-keyed hash agg (rank cardinality = max
@@ -1381,8 +1382,12 @@ object Profiling {
     val gids = graft.ops.Windows.denseIdsBy(
       df.select(col(groupCol), col(idCol), value.cast("long").as("__v")),
       Seq(col(groupCol).asc, col("__v").asc, col(idCol).asc), "__gid")
+    // No broadcast HINT on starts: one row per group is usually tiny
+    // (AQE sees the runtime size and broadcasts it), but a forced
+    // hint would bypass the size threshold and OOM the driver on a
+    // degenerate millions-of-groups input — let the planner decide.
     val starts = gids.groupBy(groupCol).agg(min("__gid").as("__g0"))
-    val ranked = gids.join(broadcast(starts), Seq(groupCol))
+    val ranked = gids.join(starts, Seq(groupCol))
       .withColumn("__rk", col("__gid") - col("__g0") + 1L)
       .drop("__gid", "__g0")
     val profile = ranked.groupBy("__rk")
