@@ -1,36 +1,41 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.linkage._
 
-/** End-to-end TWO-TABLE linkage at sf1 scale — the reference's
-  * production shape (NCVR 2021 × 2023, scratch.R:142-156) rebuilt as
-  * customer × a synthesized perturbed clone, through the full
-  * pipeline: blocking → u-probs → EM → scoring → calibration. Where
-  * [[LinkageDemo]] proves the algorithmics on ~800 records, this
-  * proves the PIPELINE at 150k × 135k records (the sf1-equivalent
-  * customer table), with per-stage wall times printed for the round
-  * artifact (docs/LINKAGE_E2E_r06.md).
+/** End-to-end TWO-TABLE linkage at the reference's production scale —
+  * NCVR 2021 × 2023 (scratch.R:142-156, ~8M voters × 2 snapshots)
+  * rebuilt as customer × a synthesized perturbed clone, through the
+  * full pipeline: blocking → u-probs → EM → scoring → calibration.
+  * Where [[LinkageDemo]] proves the algorithmics on ~800 records,
+  * this proves the PIPELINE: default 150k × 135k
+  * (`SPARK_GRAFT_E2E_REPL=10`); `SPARK_GRAFT_E2E_REPL=534` is the
+  * 8.0M × 7.2M NCVR shape (artifact docs/LINKAGE_E2E_r11.md), with
+  * per-stage wall times printed.
   *
-  * Table A: sf0.1 customer replicated 10× with re-keyed custkeys and
-  * names regenerated from the new key (names stay unique — replicated
-  * verbatim names would plant false "full agreement" pairs across
-  * replicas and corrupt the precision measurement).
+  * Table A: sf0.1 customer replicated `repl`× with re-keyed custkeys
+  * and names regenerated from the new key (names stay unique —
+  * replicated verbatim names would plant false "full agreement" pairs
+  * across replicas and corrupt the precision measurement).
   *
   * Table B: a deterministic, DISTRIBUTED perturbation of A (pure
   * Column programs on hash(rec_id) — no driver loop, no RNG state):
   *   - ~10% of rows dropped (records with no match in B);
-  *   - ~30% of names get one digit substituted at position 17
-  *     (outside the blocking prefix, inside the JW comparison);
+  *   - ~30% of names get one letter substituted at position 10 of 12
+  *     (outside every blocking prefix — ≤ 6 chars — and inside the JW
+  *     comparison: one late substitution in 12 chars lands in the
+  *     "strong partial agreement" band);
   *   - ~20% of balances shifted by up to ±1.00;
   *   - ~6% of nation keys nulled (missingness → NULL comparator
   *     level, the reference's inapplicable-comparison convention).
   *
-  * Blocking: two passes (name-digit prefix; nation × coarse balance
-  * band) — ~14M candidate pairs from the 2.0e10-pair cross space.
-  * Run: `sbt "runMain graft.LinkageE2E"` (SPARK_GRAFT_CPUS to size).
+  * Blocking: two passes (name prefix; nation × balance band), key
+  * cardinality scaled with `repl` — see the rules comment in [[main]].
+  * Run: `sbt "runMain graft.LinkageE2E"` (SPARK_GRAFT_CPUS to size;
+  * SPARK_GRAFT_LOCAL_DIR to put shuffle/checkpoint scratch on real
+  * disk for the NCVR shape).
   */
 object LinkageE2E {
 
@@ -45,6 +50,19 @@ object LinkageE2E {
   /** `repl`× re-keyed replication of the sf0.1 customer table (15k
     * base rows — repl=10 is the standing 150k shape, repl=534 the
     * NCVR-scale ~8M shape), names regenerated from the new key.
+    *
+    * Names are 12 HASH-DERIVED LETTERS (md5 hex of the id, hex digits
+    * mapped to letters), not the id's decimal digits: real person
+    * names are high-entropy, so (a) a name-prefix blocking key is
+    * HIGH-PRECISION (two different people rarely share it — blocks
+    * of ~1, like real NCVR name blocks), and (b) Jaro–Winkler between
+    * NON-matches is genuinely low. The first NCVR-scale cut used
+    * `Customer#` + zero-padded digits and the linkage evidence
+    * degenerated: every same-block non-match differed in exactly one
+    * trailing digit (the same JW signature as a perturbed true match)
+    * and every random pair shared the 10-char `Customer#0` literal
+    * prefix (JW ≈ 0.85 "weak agreement" for everything) — the EM had
+    * no name signal to fit and precision@5 collapsed to 0.15.
     */
   def tableA(spark: SparkSession, baseDir: String, repl: Int = 10): DataFrame =
     spark.read.parquet(s"$baseDir/customer.parquet")
@@ -52,9 +70,22 @@ object LinkageE2E {
       .withColumn("rec_id", col("c_custkey") + col("__r") * 15000L)
       .select(
         col("rec_id"),
-        concat(lit("Customer#"), lpad(col("rec_id").cast("string"), 9, "0")).as("name"),
+        translate(substring(md5(col("rec_id").cast("string")), 1, 12),
+          "0123456789abcdef", "ghijklmnopqrstuv").as("name"),
         col("c_nationkey").as("nationkey"),
-        col("c_acctbal").as("acctbal"),
+        // Shift each replica's balance by a deterministic 0..9.99
+        // spread: replicating acctbal VERBATIM makes every
+        // nation×balance blocking block grow LINEARLY with repl — so
+        // pass-2 pairs grow QUADRATICALLY in repl (the first NCVR-
+        // scale attempt hit ~4e9 pass-2 candidates this way and
+        // filled the scratch disk). Real populations add balance
+        // diversity as they add people; so does the fixture now. The
+        // offset hashes rec_id — an affine form like rec_id·37 mod
+        // 1000 silently degenerates because the replica stride 15000
+        // is ≡ 0 mod 1000, giving every replica the SAME offset.
+        round(col("c_acctbal") +
+          pmod(xxhash64(col("rec_id")), lit(1000L)).cast("double") / 100.0, 2)
+          .as("acctbal"),
         col("c_mktsegment").as("segment"))
 
   /** Deterministic perturbed clone; B ids live at +1e9 so the two id
@@ -66,9 +97,10 @@ object LinkageE2E {
       .select(
         (col("rec_id") + 1000000000L).as("rec_id"),
         when(pmod(h(1), lit(10)) < 3,
-          concat(substring(col("name"), 1, 16),
-            pmod(h(2), lit(10)).cast("string"),
-            substring(col("name"), 18, 1)))
+          concat(substring(col("name"), 1, 9),
+            translate(substring(md5(h(2).cast("string")), 1, 1),
+              "0123456789abcdef", "ghijklmnopqrstuv"),
+            substring(col("name"), 11, 2)))
           .otherwise(col("name")).as("name"),
         when(pmod(h(3), lit(17)) === 0, lit(null))
           .otherwise(col("nationkey")).as("nationkey"),
@@ -110,29 +142,45 @@ object LinkageE2E {
     val truth = a.select(col("rec_id"), col("rec_id").as("cluster"))
       .union(b.select(col("rec_id"), (col("rec_id") - 1000000000L).as("cluster")))
 
-    // 1. Blocking: name-digit prefix pass + nation×balance-band pass.
+    // 1. Blocking: name-prefix pass + nation×balance-band pass.
     // Per-block pair count is quadratic in block size (the extractBlocks
     // scale contract), so the key CARDINALITY must grow with the data:
-    // at NCVR scale the prefix widens to 5 digits (10^5 keys → ~80
-    // rows/key) and the balance band narrows to whole dollars (~275k
-    // keys). Both keys stay clear of the perturbation sites (name digit
-    // substitution lands at position 17, outside substring(12,5)), so
-    // pass-1 recall is 100% by construction at either scale.
+    // at NCVR scale the name prefix widens to 6 hash-letters (16⁶ ≈
+    // 16.7M keys over 8M rows → blocks of ~0.5, the real NCVR
+    // name-block shape; pass-1 pairs ≈ true pairs + a few same-prefix
+    // collisions) and the balance band narrows to dimes (~2.8M keys,
+    // ~4e7 pairs — the EM's non-match mass). The first cut of this run
+    // used low-cardinality keys — 80-to-534-row blocks, ~4e9
+    // candidates — and filled the VM's 80 GB of scratch disk
+    // mid-distinct: at 8M×7M rows, block-size control IS the
+    // feasibility knob, exactly as at 100 TB. The prefix stays clear
+    // of the perturbation site (letter substitution at position 10),
+    // so pass-1 recall is 100% by construction at either scale.
+    // Prefix length also bounds the SAME-PREFIX COLLISION mass, which
+    // must stay well under the match mass: EM's m-init follows the
+    // reference (seq(0.1..0.8) over alphabetically sorted levels,
+    // linking.R:87-88), which starts "weak partial agreement" — the
+    // collision signature — at the HIGHEST initial m, so a collision
+    // cluster comparable to the match cluster pulls the m-basin onto
+    // the collisions (measured at 150k with a 4-letter prefix: 332k
+    // collisions vs 135k matches → λ locked onto the collisions and
+    // recall@>0 fell to 0.28; 5 letters → ~11k collisions and the
+    // basin is unambiguous).
     val big = repl > 10
-    val prefixLen = if (big) 5 else 4
-    val balDiv = if (big) 1 else 10
+    val prefixLen = if (big) 6 else 5
+    val balKey = (c: Column) => if (big) floor(c * 10) else floor(c / 10)
     val rules = BlockingRules(Seq(
       ComputedKeys(Seq(
-        ("name_mid", substring(col("name_left"), 12, prefixLen),
-          substring(col("name_right"), 12, prefixLen)))),
+        ("name_pfx", substring(col("name_left"), 1, prefixLen),
+          substring(col("name_right"), 1, prefixLen)))),
       ComputedKeys(Seq(
         ("nk", col("nationkey_left"), col("nationkey_right")),
-        ("bal10", floor(col("acctbal_left") / balDiv),
-          floor(col("acctbal_right") / balDiv))))))
+        ("bal10", balKey(col("acctbal_left")), balKey(col("acctbal_right")))))))
     val (ids, tBlock) = timed("blocking") {
       Blocking.extractBlocks(a, b, "rec_id", "rec_id", rules).localCheckpoint(true)
     }
-    println(s"candidate pairs: ${ids.count()}")
+    val nCand = ids.count()
+    println(s"candidate pairs: $nCand")
 
     // 2. Comparators: JW name band, exact nation (nulls → NULL level),
     // exact segment, balance band.
@@ -155,9 +203,21 @@ object LinkageE2E {
       UProbs.calculateUProbs(a, b, "rec_id", "rec_id", comparators, size = 500000L)
     }
 
-    // 5. EM over the pattern table.
+    // 5. EM over the pattern table. `totalPairs` is the CANDIDATE
+    // count, not nA·nB: the pattern table covers candidates only, and
+    // feeding it a cross-space denominator (the reference's
+    // `total_pairs = n²/2`, scratch.R:56 — whose own comment flags
+    // underflow) makes the mixture inconsistent once matches are a
+    // visible fraction of candidates. Measured here: at the 150k
+    // shape matches are ~0.1% of candidates and either form converges;
+    // at NCVR scale (127.8M candidates, ~5.6% matches) the cross-space
+    // prior says "matches are 1e-7 of pairs" while the table says 5.6%
+    // — the u-class absorbs the match class and λ decays ×1e-5 per
+    // iteration to 1e-125 with every weight driven negative. Fitting
+    // the mixture over the candidate population is self-consistent at
+    // every scale; λ then reads "match rate among candidates".
     val (em, tEm) = timed("EM") {
-      EM.run(patterns, totalPairs = nA.toDouble * nB, uProbabilities = u, maxIter = 25)
+      EM.run(patterns, totalPairs = nCand.toDouble, uProbabilities = u, maxIter = 25)
     }
     println(f"lambda = ${em.lambda}%.3e")
     em.trace.foreach(t =>
@@ -178,8 +238,17 @@ object LinkageE2E {
         .select("rec_id_left", "rec_id_right", "weight", "true_match")
         .localCheckpoint(true)
     }
+    // Decision threshold: weight > 0 — the Fellegi–Sunter sign
+    // boundary (total log-likelihood ratio favors match). A fixed
+    // positive cutoff like the old `> 5` silently moves BETWEEN match
+    // clusters when EM is fit over the candidate population: blocking
+    // conditions candidates on nation/balance agreement, so those
+    // comparators carry ~0 weight within candidates and a
+    // name-perturbed true match rides on the name weight alone (~4.4
+    // here) — at NCVR scale `> 5` kept precision 1.0 but silently
+    // cost 28% recall.
     val ((bands, precision, recall), tEval) = timed("evaluation") {
-      val top = scored.filter(col("weight") > 5.0)
+      val top = scored.filter(col("weight") > 0.0)
       val nTop = top.count()
       val nTrueTop = top.filter(col("true_match")).count()
       (Scoring.precisionByBand(top).collect(),
@@ -188,8 +257,8 @@ object LinkageE2E {
     }
     println("precision by weight band:")
     bands.foreach(r => println(f"  band=${r.getDouble(0)}%5.1f precision=${r.getDouble(1)}%.4f n=${r.getLong(2)}"))
-    println(f"precision@weight>5: ${precision._1}/${precision._2} = ${precision._1.toDouble / precision._2}%.4f")
-    println(f"recall@weight>5:    ${recall._1}/${recall._2} = ${recall._1.toDouble / recall._2}%.4f")
+    println(f"precision@weight>0: ${precision._1}/${precision._2} = ${precision._1.toDouble / precision._2}%.4f")
+    println(f"recall@weight>0:    ${recall._1}/${recall._2} = ${recall._1.toDouble / recall._2}%.4f")
 
     // 7. Calibration on all scored candidates (same checkpointed table).
     val (cal, tCal) = timed("glm calibration") {

@@ -240,8 +240,11 @@ object SparkEntry {
       .mkString("CASE ", " ", " ELSE NULL END")
 
   private def weightSql(tables: Seq[(String, Map[String, Double], Map[String, Double])]): String =
+    // ln(m) − ln(u), mirroring Scoring.weightExpression's
+    // division-free form; the 6-dp round on both sides absorbs any
+    // last-ulp drift between the two spellings.
     tables.map { case (f, m, u) =>
-      s"(CASE WHEN $f IS NOT NULL THEN ln((${dictSql(f, m)}) / (${dictSql(f, u)})) ELSE CAST(0 AS DOUBLE) END)"
+      s"(CASE WHEN $f IS NOT NULL THEN ln(${dictSql(f, m)}) - ln(${dictSql(f, u)}) ELSE CAST(0 AS DOUBLE) END)"
     }.mkString(" + ")
 
   /** Scoring: compile m/u → weight expression, score all blocked pairs,

@@ -32,14 +32,33 @@ object Scoring {
     chain.fold(lit(null).cast("double"))(_.otherwise(lit(null).cast("double")))
   }
 
+  /** Probability floor inside [[weightExpression]]: EM fit over a
+    * candidate population can legitimately drive a match-only level's
+    * u (or a nonmatch-only level's m) to EXACTLY 0, where the
+    * reference's R `log(m/u)` yields ±Inf. Spark 4 diverges twice:
+    * ANSI `m/0` THROWS, and `ln(0)` returns NULL (not −Inf) — the
+    * NULL silently ate every full-agreement match at the E2E's 150k
+    * shape (weight NULL fails every threshold). Flooring both
+    * probabilities keeps the weight finite (±~690 per field — still
+    * past any threshold) and is an exact pass-through for any real
+    * probability (the smallest representable EM output is ≫ 1e-300).
+    */
+  private val MinProb = 1e-300
+
   /** Total Fellegi–Sunter weight: Σ over fields of
-    * `if (level non-missing) log(m[level]/u[level]) else 0`
-    * (reference: scratch.R:117-124). Fields are summed in the given
-    * order (left-to-right) so the float result is reproducible.
+    * `if (level non-missing) log(m[level]) − log(u[level]) else 0`
+    * (reference: scratch.R:117-124), division-free and floored per
+    * [[MinProb]]. A level absent from a dict still propagates NULL
+    * (the reference's NA). Fields are summed in the given order
+    * (left-to-right) so the float result is reproducible.
     */
   def weightExpression(fields: Seq[(String, Map[String, Double], Map[String, Double])]): Column =
     fields.map { case (f, m, u) =>
-      when(col(f).isNotNull, log(dictLookup(f, m) / dictLookup(f, u))).otherwise(0.0)
+      val mC = dictLookup(f, m)
+      val uC = dictLookup(f, u)
+      when(col(f).isNull, 0.0)
+        .when(mC.isNull || uC.isNull, lit(null).cast("double"))
+        .otherwise(log(greatest(mC, lit(MinProb))) - log(greatest(uC, lit(MinProb))))
     }.reduce(_ + _)
 
   def weightExpression(em: EM.EMResult): Column =
