@@ -40,6 +40,30 @@ class ScoringSpec extends SparkSpec {
     assert(scored(5L) == 0.0)
   }
 
+  test("weight: zero-probability levels stay finite and thresholdable (NCVR-scale bug)") {
+    // EM fit over a candidate population legitimately yields u = 0.0
+    // for a match-only level (and m = 0.0 for a nonmatch-only one).
+    // Spark 4 made both forms of log(m/u) wrong: ANSI m/0 THROWS and
+    // ln(0) returns NULL (not -Inf), which silently dropped every
+    // full-agreement match from every threshold at the E2E's 150k
+    // shape. The 1e-300 floor keeps weights finite and huge.
+    val tables = Seq(("f",
+      Map("agree" -> 0.97, "disagree" -> 0.0): Map[String, Double],
+      Map("agree" -> 0.0, "disagree" -> 0.6): Map[String, Double]))
+    val df = Seq((1L, "agree"), (2L, "disagree"), (3L, null)).toDF("id", "f")
+    val got = df.withColumn("weight", Scoring.weightExpression(tables))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val uFloorWeight = math.log(0.97) - math.log(1e-300)
+    assert(got(1L).exists(w => math.abs(w - uFloorWeight) < 1e-9)) // ≈ +690.7
+    assert(got(1L).exists(_ > 600.0) && got(1L).exists(w => !w.isInfinite && !w.isNaN))
+    assert(got(2L).exists(_ < -600.0)) // m = 0 → symmetric large negative
+    assert(got(3L).contains(0.0))      // NULL level still contributes 0
+    // Thresholding keeps the u=0 full-agreement rows (the bug dropped them).
+    assert(df.withColumn("weight", Scoring.weightExpression(tables))
+      .filter(col("weight") > 0).count() == 1)
+  }
+
   test("topMatches thresholds and ranks; attachTruth + precisionByBand") {
     val values = Seq(
       (1L, 2L, "agree"), (1L, 3L, "agree"), (3L, 4L, "disagree")
