@@ -176,8 +176,23 @@ object LinkageE2E {
       ComputedKeys(Seq(
         ("nk", col("nationkey_left"), col("nationkey_right")),
         ("bal10", balKey(col("acctbal_left")), balKey(col("acctbal_right")))))))
+    // Pre-flight skew check on the coarser pass-2 key (nation ×
+    // balance band — the pass that goes quadratic if the band is too
+    // wide): recommendSalts forecasts per-key pair work from both
+    // sides' key counts and sizes hotKeySalts for extractBlocks. With
+    // the scaled keys above the expected answer is 0 (the key spreads
+    // fine; salting would only pay replication) — the point is that
+    // this is now MEASURED before the join runs, not asserted: a
+    // fixture regression to a low-cardinality band would surface here
+    // as a nonzero salt count instead of a straggler task.
+    val salts = Blocking.recommendSalts(
+      a, struct(col("nationkey"), balKey(col("acctbal")).as("b")),
+      b, struct(col("nationkey"), balKey(col("acctbal")).as("b")),
+      targetParallelism = cpus.toInt)
+    println(s"recommended hotKeySalts for pass 2: $salts")
     val (ids, tBlock) = timed("blocking") {
-      Blocking.extractBlocks(a, b, "rec_id", "rec_id", rules).localCheckpoint(true)
+      Blocking.extractBlocks(a, b, "rec_id", "rec_id", rules,
+        hotKeySalts = salts).localCheckpoint(true)
     }
     val nCand = ids.count()
     println(s"candidate pairs: $nCand")
@@ -260,11 +275,26 @@ object LinkageE2E {
     println(f"precision@weight>0: ${precision._1}/${precision._2} = ${precision._1.toDouble / precision._2}%.4f")
     println(f"recall@weight>0:    ${recall._1}/${recall._2} = ${recall._1.toDouble / recall._2}%.4f")
 
-    // 7. Calibration on all scored candidates (same checkpointed table).
+    // 7. Calibration on all scored candidates (same checkpointed
+    // table), fit on distinct-weight aggregates: weight is a pure
+    // function of the comparison pattern (≤ #patterns distinct
+    // values), so the factorized fit is the exact same MLE at one
+    // groupBy over the pair table — at NCVR scale the per-pair
+    // spark.ml fit was 233.6 s (65% of the pipeline,
+    // docs/LINKAGE_E2E_r11.md); the small shape also runs the
+    // unaggregated reference form and prints both as parity evidence.
     val (cal, tCal) = timed("glm calibration") {
       Scoring.calibrate(scored)
     }
     println(f"glm calibration: P(match) = sigmoid(${cal.intercept}%.4f + ${cal.slope}%.4f * weight)")
+    if (!big) {
+      val (calFull, tCalFull) = timed("glm calibration (unaggregated reference)") {
+        Scoring.calibrateFull(scored)
+      }
+      println(f"  unaggregated: P(match) = sigmoid(${calFull.intercept}%.4f + ${calFull.slope}%.4f * weight)" +
+        f" (|dIntercept|=${math.abs(calFull.intercept - cal.intercept)}%.2e" +
+        f" |dSlope|=${math.abs(calFull.slope - cal.slope)}%.2e, ${tCalFull}%.1f s vs ${tCal}%.1f s)")
+    }
 
     val total = (System.nanoTime() - tTotal0) / 1e9
     println(f"[time] TOTAL: $total%.1f s (block=$tBlock%.1f patterns=$tPatterns%.1f u=$tU%.1f em=$tEm%.1f score=$tScore%.1f eval=$tEval%.1f cal=$tCal%.1f)")

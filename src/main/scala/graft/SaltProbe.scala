@@ -82,6 +82,41 @@ object SaltProbe {
     val (n32, t32s) = bySalt(32)
     require(n0 == n32, s"pair counts diverged: $n0 vs $n32")
     println(f"[salt-probe] pairs=${n0.head} unsalted=$t0s%.1f s salted(32)=$t32s%.1f s speedup=${t0s / t32s}%.2fx")
+
+    // Scenario 2 — MEASURED skew → recommendSalts → straggler gone.
+    // 90%-one-key fixture (the ADVICE/VERDICT round-12 recipe): 90% of
+    // 60k rows share ONE blocking key (≈1.46e9 raw pairs — the same
+    // magnitude as scenario 1, but now ALL in one join group), the
+    // rest spread over 6k cold keys. recommendSalts forecasts the
+    // straggler from per-key counts (top work share ≈ 99.999% ⇒
+    // s = targetParallelism) and the salted run spreads it.
+    val skewed = customer
+      .filter(pmod(col("c_custkey"), lit(2)) === 0)
+      // even keys mod 20 ∈ {0,2,…,18}: 9 of 10 values < 18 → 90% hot
+      .select(col("c_custkey"), when(pmod(col("c_custkey"), lit(20)) < 18, lit("hot"))
+        .otherwise(concat(lit("cold_"), col("c_custkey"))).as("k"))
+      .localCheckpoint(true)
+    val rec = Blocking.recommendSalts(
+      skewed, col("k"), skewed, col("k"), targetParallelism = 32)
+    println(s"[salt-probe] 90%-one-key fixture: recommended salts = $rec")
+    val skewRules = BlockingRules(Seq(ComputedKeys(Seq(
+      ("k", col("k_left"), col("k_right"))))))
+    def timeSkew(salts: Int): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = Blocking.extractBlocks(skewed, skewed, "c_custkey", "c_custkey",
+          skewRules, selfLinkage = true, hotKeySalts = salts)
+        .count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    timeSkew(0); timeSkew(rec) // warm
+    val skewRuns = Seq(0, rec, 0, rec).map(s => s -> timeSkew(s))
+    val skewBySalt = skewRuns.groupBy(_._1).map { case (s, rs) =>
+      s -> (rs.map(_._2._1).distinct, rs.map(_._2._2).min)
+    }
+    val (sn0, st0) = skewBySalt(0)
+    val (snR, stR) = skewBySalt(rec)
+    require(sn0 == snR, s"pair counts diverged: $sn0 vs $snR")
+    println(f"[salt-probe] skew90 pairs=${sn0.head} unsalted=$st0%.1f s salted($rec)=$stR%.1f s speedup=${st0 / stR}%.2fx")
     spark.stop()
   }
 }

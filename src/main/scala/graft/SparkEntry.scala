@@ -661,16 +661,23 @@ object SparkEntry {
   /** The STANDING-CORPUS amortization of q_jaccard_prefix: the shingle
     * frequency table is snapshotted on a deterministic HALF of the
     * corpus (even doc_ids) — stale and missing shingles by
-    * construction — and passed back via `standingFreq`, the "persist
-    * (freq) for a standing corpus" path. The oracle is IDENTICAL to
-    * q_jaccard_prefix: the prefix lemma holds under any total order,
-    * so a stale ranking changes candidate cost, never the result.
+    * construction — and ROUND-TRIPPED THROUGH PARQUET
+    * ([[graft.etl.Etl.writeShingleFrequencies]] →
+    * `readShingleFrequencies` → `standingFreq`), so the oracle row
+    * gates the actual cross-run persistence path end-to-end: a
+    * format/schema drift of the `(shingle, df)` snapshot fails here,
+    * not in production. The oracle is IDENTICAL to q_jaccard_prefix:
+    * the prefix lemma holds under any total order, so a stale ranking
+    * changes candidate cost, never the result.
     */
   private def qJaccardStanding(s: SparkSession, dir: String): DataFrame = {
     val sh = graft.ops.Dedup.shingleSets(
       t(s, dir, "documents"), "doc_id", col("text"), 3)
-    val standing = graft.ops.Dedup.shingleDocFrequencies(
-      sh.filter(col("id") % 2 === 0))
+    val snapshot = s"/tmp/graft_standing_freq_${math.abs(dir.hashCode.toLong)}"
+    graft.etl.Etl.writeShingleFrequencies(
+      graft.ops.Dedup.shingleDocFrequencies(sh.filter(col("id") % 2 === 0)),
+      snapshot)
+    val standing = graft.etl.Etl.readShingleFrequencies(s, snapshot)
     graft.ops.Dedup.ngramJaccardPairsPrefixFromShingles(
       sh, minJaccard = JacMinJaccard, standingFreq = Some(standing))
   }

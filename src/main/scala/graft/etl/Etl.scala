@@ -326,6 +326,40 @@ object Etl {
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
     schema.fold(spark.read.orc(path))(s => spark.read.schema(s).orc(path))
 
+  /** Persist a standing-corpus shingle-frequency snapshot — the
+    * `(shingle, df)` table from
+    * [[graft.ops.Dedup.shingleDocFrequencies]] — as parquet. This is
+    * the cross-RUN half of the prefix-Jaccard amortization: the
+    * full-postings frequency agg (the dominant fixed cost at 100 TB)
+    * is paid once per corpus REFRESH and read back here per dedup
+    * RUN. Types are pinned on write (string shingle, long df) so the
+    * read side's schema assertion can never trip on an upstream
+    * widening.
+    */
+  def writeShingleFrequencies(freq: DataFrame, path: String): Unit =
+    freq.select(col("shingle").cast("string").as("shingle"),
+        col("df").cast("long").as("df"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a [[writeShingleFrequencies]] snapshot back, schema
+    * ASSERTED (not inferred-and-hoped): a drifted snapshot — renamed
+    * column, widened type, an extra column from a future writer —
+    * fails loudly here instead of surfacing as silent ranking skew in
+    * the prefix filter. The returned frame feeds
+    * [[graft.ops.Dedup.ngramJaccardPairsPrefixFromShingles]]'s
+    * `standingFreq` directly.
+    */
+  def readShingleFrequencies(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val expected = Seq("shingle" -> "string", "df" -> "bigint")
+    val actual = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toSeq
+    require(actual.sorted == expected.sorted,
+      s"readShingleFrequencies: snapshot at $path has schema " +
+        s"${actual.mkString(", ")} — expected ${expected.mkString(", ")} " +
+        "(was it written by writeShingleFrequencies?)")
+    df.select(col("shingle"), col("df"))
+  }
+
   /** Per-row 60-bit content digest for audit checksums: the first 15
     * hex digits of md5 over the row's columns joined with U+0001
     * (NULLs → a U+0002 marker so NULL ≠ empty string and the join

@@ -130,6 +130,19 @@ object Blocking {
     val b = Suffix.addSuffix(dataB, "_right")
     val idL = Suffix.addSuffix(uniqueIdA, "_left")
     val idR = Suffix.addSuffix(uniqueIdB, "_right")
+    // Same reserved-name discipline as Windows.denseIdsBy: salting
+    // adds __salt_l/__salt_r working columns. Checked on the RAW
+    // inputs (suffixing would rename a raw __salt_l to __salt_l_left,
+    // masking the collision today — but the names are reserved
+    // outright so a future refactor of the suffix order cannot turn
+    // the silent rename into a silent overwrite or ambiguous join).
+    if (hotKeySalts > 1)
+      Seq("A" -> dataA, "B" -> dataB).foreach { case (side, df) =>
+        Seq("__salt_l", "__salt_r").foreach(n =>
+          require(!df.columns.contains(n),
+            s"extractBlocks: input $side already has a column named '$n' — " +
+              "reserved by hotKeySalts salting; rename it first"))
+      }
 
     // Self-linkage canonicalization applied per pass: the `<` becomes a
     // join-condition conjunct (or a pre-distinct filter on the cross
@@ -215,6 +228,53 @@ object Blocking {
         lit(1.0) - col("n_cand").cast("double") / col("pairs_total"))
       .withColumn("pairs_completeness",
         col("n_hits").cast("double") / col("n_truth"))
+  }
+
+  /** MEASURED salt-count recommendation for a blocking pass — the
+    * bridge from [[graft.ops.Profiling.joinSizeEstimate]]'s skew
+    * forecast to [[extractBlocks]]' `hotKeySalts` knob, so the salt
+    * count is a pre-flight computation instead of a guess.
+    *
+    * Model: per-key pair GENERATION work is `cntL·cntR` and a key's
+    * group runs in ONE task unsalted (AQE splits partitions by size,
+    * not groups — SURVEY §4). The straggler bound is therefore
+    * `max_k cntL·cntR`, against an ideal per-task share of
+    * `Σ_k cntL·cntR / targetParallelism`. Salting by `s` divides
+    * every group `s` ways, so the smallest sufficient salt count is
+    *
+    * {{{ s = ceil(targetParallelism · max_k work / Σ_k work) }}}
+    *
+    * clamped to `[1, targetParallelism]` (salting past the task count
+    * buys nothing and costs `s`× right-side replication). Returns 0
+    * when s ≤ 1 — the key spreads fine, AQE suffices, skip the salt
+    * cost entirely. This covers BOTH failure shapes with one formula:
+    * a dominant hot key (max/Σ → 1 ⇒ s → targetParallelism) and a
+    * tiny-cardinality uniform key (k uniform groups ⇒ s ≈ P/k, giving
+    * k·s ≈ P work units).
+    *
+    * Cost: two per-key count aggs + a key join, one 1-row collect —
+    * the same pre-flight job as [[graft.ops.Profiling.joinSizeEstimate]],
+    * far cheaper than the pair generation it sizes. Pass the SAME key
+    * expressions the blocking pass will use (left and right sides).
+    * Identity of the pair set under any salt count is spec-proved
+    * (LinkageSpec); this helper only picks the parallelism.
+    */
+  def recommendSalts(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column, targetParallelism: Int): Int = {
+    require(targetParallelism > 0,
+      s"targetParallelism must be positive, got $targetParallelism")
+    val row = graft.ops.Profiling
+      .joinSizeEstimate(left, leftKey, right, rightKey, "recommendSalts").head()
+    if (row.isNullAt(row.fieldIndex("n_join_rows"))) 0 // no shared keys
+    else {
+      val total = row.getAs[Long]("n_join_rows")
+      val top = row.getAs[Long]("top_key_rows")
+      if (total <= 0) 0
+      else {
+        val s = math.ceil(targetParallelism.toDouble * top / total).toInt
+        if (s <= 1) 0 else math.min(s, targetParallelism)
+      }
+    }
   }
 
   /** SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo 1995) — the

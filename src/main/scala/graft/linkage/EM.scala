@@ -94,6 +94,32 @@ object EM {
     }
   }
 
+  /** Fit the two-class mixture.
+    *
+    * `totalPairs` is the M-step's λ denominator and MUST be the size
+    * of the population the pattern table actually covers:
+    *   - pattern counts over BLOCKED CANDIDATES (the normal pipeline,
+    *     [[Pairs.patternCounts]] over `extractBlocks` output) →
+    *     pass the CANDIDATE COUNT. λ then reads "match rate among
+    *     candidates", self-consistent at every scale.
+    *   - pattern counts over the FULL CROSS SPACE (only feasible for
+    *     tiny demos) → pass n_A·n_B (or n(n−1)/2 for self-linkage).
+    *
+    * Mixing the two — candidate-only patterns with a cross-space
+    * denominator, the reference's `total_pairs = n²/2` (scratch.R:56,
+    * whose own comment flags underflow) — makes the mixture
+    * inconsistent as soon as matches are a visible fraction of
+    * candidates: the prior says "matches are ~1e-7 of pairs" while
+    * the table says percent-scale, the u-class absorbs the match
+    * class, and λ decays geometrically toward 0 with every weight
+    * driven negative. Measured at the NCVR-scale E2E (127.8M
+    * candidates, ~5.6% matches): λ ×1e-5 per iteration to 1e-125
+    * under the cross-space denominator, clean convergence under the
+    * candidate count (docs/LINKAGE_E2E_r11.md §3). Harmless only
+    * while matches are a vanishing share of candidates (the 150k
+    * shape's 0.1%). EMSpec ("totalPairs contract") pins both
+    * behaviors.
+    */
   def run(
       patternCounts: Seq[Pattern],
       totalPairs: Double,

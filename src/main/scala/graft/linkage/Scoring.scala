@@ -112,26 +112,81 @@ object Scoring {
   }
 
   /** The reference's final evaluation artifact
-    * (`glm(true_match ~ weight, binomial)`, scratch.R:137) as a
-    * distributed fit: `spark.ml` LogisticRegression on the single
-    * `weight` feature. The input is [[attachTruth]] output (or any
-    * frame with a weight column and a boolean truth column). L-BFGS
-    * over one feature converges in a handful of distributed gradient
-    * passes; no data leaves the executors.
+    * (`glm(true_match ~ weight, binomial)`, scratch.R:137), fit on
+    * DISTINCT-WEIGHT AGGREGATES. `weight` is a pure function of the
+    * comparison pattern ([[weightExpression]] reads only the
+    * comparator level columns), so it takes at most #patterns distinct
+    * values no matter how many pairs were scored — and the binomial
+    * log-likelihood factorizes over distinct covariate values:
+    *
+    * {{{
+    *   Σ_pairs [y·log p(w) + (1−y)·log(1−p(w))]
+    *     = Σ_distinct w [k_w·log p(w) + (n_w − k_w)·log(1−p(w))]
+    * }}}
+    *
+    * so a weighted logistic fit on the `(w, label, frequency)` rows is
+    * EXACTLY the same MLE as a fit over every pair. The pair table is
+    * touched once, by one `groupBy(weight)` count — the only form that
+    * survives 100×: at the NCVR-scale E2E the per-pair `spark.ml` fit
+    * was 233.6 s of a 357.5 s pipeline (65%, docs/LINKAGE_E2E_r11.md)
+    * for a ≤37-distinct-input computation; 6.6B scored pairs would
+    * make it the whole job, while the groupBy stays one shuffle of
+    * #patterns-sized partials. The aggregated fit itself (≤2 rows per
+    * distinct weight, L-BFGS via `spark.ml` with a frequency weight
+    * column) is effectively free, so its tolerance is pinned tight
+    * (1e-12; the default 1e-6 is sized for per-row passes).
+    * Parity with the unaggregated fit is spec-asserted at ±1e-6
+    * (ScoringSpec) and printed side-by-side by the E2E's 150k shape.
     */
   def calibrate(withTruth: DataFrame, weightCol: String = "weight",
       truthCol: String = "true_match"): Calibration = {
+    val agg = withTruth
+      .filter(col(truthCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(weightCol).cast("double").as("__w"))
+      .agg(count(lit(1)).as("__n"), sum(col(truthCol).cast("long")).as("__k"))
+    // Two weighted rows per distinct weight — (label 1, freq k) and
+    // (label 0, freq n−k) — zero-frequency rows dropped (a zero weight
+    // contributes nothing to the likelihood but spark.ml requires > 0).
+    val expanded = agg.select(col("__w"), explode(array(
+        struct(lit(1.0).as("__label"), col("__k").cast("double").as("__freq")),
+        struct(lit(0.0).as("__label"), (col("__n") - col("__k")).cast("double").as("__freq"))))
+        .as("__e"))
+      .select(col("__w"), col("__e.__label").as("__label"), col("__e.__freq").as("__freq"))
+      .filter(col("__freq") > 0)
+    fitLogistic(expanded, Some("__freq"), tol = 1e-12)
+  }
+
+  /** The unaggregated per-pair form of [[calibrate]] — same MLE,
+    * O(pairs) per optimizer pass instead of O(distinct weights).
+    * Retained as the parity reference (ScoringSpec asserts agreement
+    * at ±1e-6; the E2E's 150k shape prints both); prefer [[calibrate]]
+    * everywhere, and especially at scale.
+    */
+  def calibrateFull(withTruth: DataFrame, weightCol: String = "weight",
+      truthCol: String = "true_match"): Calibration =
+    fitLogistic(
+      withTruth
+        .filter(col(truthCol).isNotNull && col(weightCol).isNotNull)
+        .select(col(weightCol).cast("double").as("__w"),
+          col(truthCol).cast("double").as("__label")),
+      weightColName = None, tol = 1e-12)
+
+  /** Shared single-feature logistic fit: `__w` (feature), `__label`
+    * (0/1), optional frequency weight column. `spark.ml` L-BFGS,
+    * no regularization — the glm(binomial) MLE.
+    */
+  private def fitLogistic(rows: DataFrame, weightColName: Option[String],
+      tol: Double): Calibration = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.VectorAssembler
     val prepared = new VectorAssembler()
-      .setInputCols(Array(weightCol)).setOutputCol("__features")
-      .transform(withTruth
-        .filter(col(truthCol).isNotNull && col(weightCol).isNotNull)
-        .withColumn("__label", col(truthCol).cast("double")))
-    val model = new LogisticRegression()
+      .setInputCols(Array("__w")).setOutputCol("__features")
+      .transform(rows)
+    val lr = new LogisticRegression()
       .setFeaturesCol("__features").setLabelCol("__label")
-      .setMaxIter(100).setRegParam(0.0)
-      .fit(prepared)
+      .setMaxIter(100).setRegParam(0.0).setTol(tol)
+    weightColName.foreach(lr.setWeightCol)
+    val model = lr.fit(prepared)
     Calibration(model.intercept, model.coefficients(0))
   }
 }

@@ -410,6 +410,15 @@ object Dedup {
     * recall — verification against full shingle sets keeps the
     * output identical. Refresh the table when the corpus has drifted
     * enough that candidate counts creep up.
+    *
+    * Exactness DOES require one key per shingle: a duplicated key
+    * would fan postings out through the join, inflating `__s` and
+    * `__rn` so true prefix shingles fall past the cutoff — silent
+    * recall loss. Rather than trusting the caller (a double-written
+    * snapshot is an easy operational accident), the table is
+    * normalized here with `groupBy(shingle).max(df)` — identity for a
+    * well-formed table, and one agg over the (small, distinct-shingle
+    * sized) freq table vs the postings-sized work downstream.
     */
   def ngramJaccardPairsPrefixFromShingles(
       sh: DataFrame, minJaccard: Double,
@@ -419,6 +428,7 @@ object Dedup {
     val posts = sh.select(col("id"), explode(col("sh")).as("shingle"))
     val freq = standingFreq match {
       case Some(f) => f.select(col("shingle"), col("df").cast("long").as("__df"))
+        .groupBy("shingle").agg(max(col("__df")).as("__df"))
       case None    => posts.groupBy("shingle").agg(count(lit(1)).as("__df"))
     }
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")

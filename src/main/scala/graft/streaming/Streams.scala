@@ -159,13 +159,29 @@ object Streams {
     * pairs retroactively; a stream cannot retract emitted pairs, so a
     * bucket that GROWS past `maxBucketSize` stops emitting and
     * accepting from that point on (state shrinks to a tombstone) —
-    * pairs emitted while it was small stand. Equal results whenever
-    * no bucket exceeds the cap (asserted by spec); both censor the f²
-    * explosion. Within a batch, ids pair in ascending order (id_new >
-    * id_corpus), so results are arrival-then-id deterministic, and a
-    * replayed micro-batch re-emits the same pairs without growing
-    * state (at-least-once delivery, idempotent state — dedup
-    * downstream if exactly-once pair rows matter).
+    * pairs emitted while it was small stand. Equal results AS A SET
+    * whenever no bucket exceeds the cap (asserted by spec); both
+    * censor the f² explosion.
+    *
+    * Output multiplicity: rows are per-(band, digest) — a pair whose
+    * documents share several band buckets is emitted once PER SHARED
+    * BUCKET (a near-dup agreeing on all `bands` bands arrives `bands`
+    * times), unlike the batch path, which applies `.distinct()`.
+    * Cross-band dedup inside the stream would need a second stateful
+    * shuffle keyed by the pair; instead, dedup downstream (the sink's
+    * `.dropDuplicates("id_new", "id_corpus")` per micro-batch, or a
+    * distinct over the accumulated table). Per-batch row counts are
+    * correspondingly inflated vs distinct-pair counts.
+    *
+    * Replay semantics: within a batch, ids pair in ascending order
+    * (id_new > id_corpus), so results are arrival-then-id
+    * deterministic. A micro-batch replayed against ROLLED-BACK state
+    * (the failure-recovery case — state store restored to the
+    * pre-batch version) re-emits identically. A duplicate id arriving
+    * against COMMITTED state is silently skipped — `filterNot
+    * (st.ids.contains)` drops it, so it emits nothing and state does
+    * not grow. At-least-once delivery overall: dedup downstream if
+    * exactly-once pair rows matter.
     */
   def incrementalLshCandidates(
       docs: DataFrame, idCol: String, text: org.apache.spark.sql.Column,

@@ -101,4 +101,46 @@ class EMSpec extends SparkSpec {
     // init; but weights must be finite and ordered: agree > disagree.
     assert(res.weights("f")("agree") > res.weights("f")("disagree"))
   }
+
+  test("totalPairs contract: candidate-count denominator converges at high match share; cross-space denominator collapses lambda (LINKAGE_E2E_r11.md §3)") {
+    // Pattern table over BLOCKED CANDIDATES with matches a VISIBLE
+    // fraction (~5.7%) — the NCVR-scale shape where the two
+    // denominators diverge. Two comparator fields; full agreement is
+    // the match signature.
+    val patterns = Seq(
+      Pattern(Map("x" -> Some("agree"), "y" -> Some("agree")), 600),
+      Pattern(Map("x" -> Some("agree"), "y" -> Some("disagree")), 200),
+      Pattern(Map("x" -> Some("disagree"), "y" -> Some("agree")), 300),
+      Pattern(Map("x" -> Some("disagree"), "y" -> Some("disagree")), 9500))
+    val nCandidates = patterns.map(_.n).sum.toDouble // 10600
+    val u = Map(
+      "x" -> Map("agree" -> 0.05, "disagree" -> 0.95),
+      "y" -> Map("agree" -> 0.1, "disagree" -> 0.9))
+
+    // CORRECT: candidate-population denominator. λ converges to the
+    // match share among candidates and the full-agreement weight is
+    // decisively positive.
+    val ok = EM.run(patterns, totalPairs = nCandidates, uProbabilities = u, maxIter = 50)
+    assert(ok.lambda > 0.03 && ok.lambda < 0.12,
+      s"lambda should read 'match rate among candidates' (~0.057), got ${ok.lambda}")
+    val lastTwo = ok.trace.takeRight(2).map(_.lambda)
+    assert(math.abs(lastTwo(1) - lastTwo(0)) / lastTwo(1) < 1e-6,
+      s"lambda should have converged, trace tail: $lastTwo")
+    assert(ok.weights("x")("agree") > 0 && ok.weights("y")("agree") > 0,
+      s"agreement must carry positive weight, got ${ok.weights}")
+
+    // BROKEN: the reference's cross-space n²/2 denominator (scratch.R:56)
+    // on the same candidate-only pattern table. The prior says
+    // "matches are ~1e-5 of pairs" while the table says 5.7%: the
+    // u-class absorbs the match class and λ decays geometrically —
+    // every iteration's λ strictly below the previous, ending
+    // orders of magnitude under even the cross-space truth (600/1e9).
+    val crossSpace = 1e9 // e.g. 45k × 45k / 2
+    val broken = EM.run(patterns, totalPairs = crossSpace, uProbabilities = u, maxIter = 50)
+    val lams = broken.trace.map(_.lambda)
+    assert(lams.zip(lams.tail).forall { case (a, b) => b < a },
+      s"lambda must decay monotonically under the inconsistent denominator, trace: ${lams.take(5)}...")
+    assert(broken.lambda < 1e-12,
+      s"lambda should have collapsed far below the 6e-7 cross-space truth, got ${broken.lambda}")
+  }
 }

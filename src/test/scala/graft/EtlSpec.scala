@@ -397,4 +397,36 @@ class EtlSpec extends SparkSpec {
     Etl.commitProcessed(spark, tmp, fresh, maxFiles = nFiles)
     assert(Etl.readIncremental(spark, tmp, maxFiles = nFiles)._2.isEmpty)
   }
+
+  test("shingle-frequency snapshot: parquet round-trip preserves the (shingle, df) table; drifted schema refuses loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shfreq").toString
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val sh = graft.ops.Dedup.shingleSets(docs, "doc_id", col("text"), 2)
+    val freq = graft.ops.Dedup.shingleDocFrequencies(sh)
+    Etl.writeShingleFrequencies(freq, s"$tmp/freq")
+    val back = Etl.readShingleFrequencies(spark, s"$tmp/freq")
+    val want = freq.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = back.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // And the round-tripped snapshot drives the prefix filter to the
+    // same output as the in-memory table (the q_jaccard_standing path).
+    def pairs(f: Option[org.apache.spark.sql.DataFrame]) =
+      graft.ops.Dedup.ngramJaccardPairsPrefixFromShingles(sh, 0.5, f)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Some(back)) == pairs(None))
+
+    // Drift refusals: renamed column; widened/wrong type; extra column.
+    Seq((1, "count"), (2, "wide"), (3, "extra")).foreach { case (i, kind) =>
+      val bad = kind match {
+        case "count" => freq.withColumnRenamed("df", "count")
+        case "wide"  => freq.select(col("shingle"), col("df").cast("double").as("df"))
+        case _       => freq.withColumn("written_at", lit("2026-08-15"))
+      }
+      bad.write.mode("overwrite").parquet(s"$tmp/bad_$i")
+      val e = intercept[IllegalArgumentException](
+        Etl.readShingleFrequencies(spark, s"$tmp/bad_$i"))
+      assert(e.getMessage.contains("writeShingleFrequencies"), s"$kind: $e")
+    }
+  }
 }

@@ -96,6 +96,58 @@ class LinkageSpec extends SparkSpec {
     assert(pairsOf(64) == plain) // more salts than rows: replication still exact
   }
 
+  test("blocking: recommendSalts sizes the salt from measured key skew; recommended count preserves the pair set") {
+    import spark.implicits._
+    // 90%-one-key fixture: 180 of 200 rows share blocking key "hot",
+    // the rest spread over 20 singleton keys — the straggler shape
+    // where one join group holds ~99.9% of pair-generation work.
+    val skewed = (1L to 200L).map(i =>
+      (i, if (i <= 180) "hot" else s"cold_$i")).toDF("id", "k")
+    val rec = Blocking.recommendSalts(
+      skewed, col("k"), skewed, col("k"), targetParallelism = 32)
+    // max work = 180² = 32400 of Σ = 32420 → ceil(32·0.9994) = 32.
+    assert(rec == 32, s"dominant hot key should recommend the full task count, got $rec")
+
+    val rules = BlockingRules(Seq(EquiKeys("k")))
+    def pairsOf(salts: Int) =
+      Blocking.extractBlocks(skewed, skewed, "id", "id", rules,
+          selfLinkage = true, hotKeySalts = salts)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairsOf(0)
+    assert(plain.size == 180 * 179 / 2 + 0) // hot block pairs; singletons add none
+    assert(pairsOf(rec) == plain)
+
+    // Tiny-cardinality UNIFORM key (SURVEY §4's other failure shape):
+    // 4 even groups of 50 → max/Σ = 1/4 → s = 32/4 = 8, giving
+    // 4·8 = 32 work units.
+    val uniform = (1L to 200L).map(i => (i, s"g${i % 4}")).toDF("id", "k")
+    assert(Blocking.recommendSalts(
+      uniform, col("k"), uniform, col("k"), targetParallelism = 32) == 8)
+
+    // High-cardinality key that spreads fine: no salt recommended.
+    val spread = (1L to 200L).map(i => (i, s"k$i")).toDF("id", "k")
+    assert(Blocking.recommendSalts(
+      spread, col("k"), spread, col("k"), targetParallelism = 32) == 0)
+
+    // Disjoint key spaces: empty join forecast, no salt.
+    val other = (1L to 10L).map(i => (i, s"z$i")).toDF("id", "k")
+    assert(Blocking.recommendSalts(
+      skewed, col("k"), other, col("k"), targetParallelism = 32) == 0)
+  }
+
+  test("blocking: salting refuses inputs that already carry the reserved __salt columns") {
+    import spark.implicits._
+    val clash = Seq((1L, "a", 0)).toDF("id", "k", "__salt_l")
+    val ex = intercept[IllegalArgumentException] {
+      Blocking.extractBlocks(clash, clash, "id", "id",
+        BlockingRules(Seq(EquiKeys("k"))), hotKeySalts = 4)
+    }
+    assert(ex.getMessage.contains("__salt_l"))
+    // Unsalted path is unaffected by the column.
+    assert(Blocking.extractBlocks(clash, clash, "id", "id",
+      BlockingRules(Seq(EquiKeys("k")))).count() == 1L)
+  }
+
   test("blocking: ComputedKeys equals the equivalent Predicate pass (J2 rewrite)") {
     val computed = Blocking.extractBlocks(people, people, "id", "id",
       BlockingRules(Seq(ComputedKeys(Seq(

@@ -379,6 +379,12 @@ class OpsSpec extends SparkSpec {
       val standing = pairsOf(
         Dedup.ngramJaccardPairsPrefixFromShingles(sh, t, Some(staleFreq)))
       assert(standing == fresh, s"threshold $t: stale-freq output diverged")
+      // A DUPLICATED freq table (double-written snapshot) must not fan
+      // postings out through the ranking join — the per-shingle
+      // normalization makes it equivalent to the clean table.
+      val doubled = pairsOf(Dedup.ngramJaccardPairsPrefixFromShingles(
+        sh, t, Some(staleFreq.unionAll(staleFreq))))
+      assert(doubled == fresh, s"threshold $t: duplicated-freq output diverged")
     }
   }
 

@@ -129,4 +129,28 @@ class ScoringSpec extends SparkSpec {
     val auc = wins / (pos.length.toDouble * neg.length)
     assert(auc > 0.9, f"AUC $auc%.4f should exceed 0.9")
   }
+
+  test("calibrate: distinct-weight aggregated fit equals the unaggregated MLE (±1e-6)") {
+    import spark.implicits._
+    // Non-separated fixture: five distinct weights, label counts from
+    // a noisy logistic curve — the likelihood has a unique finite
+    // maximizer, so both fits must land on the same point. Expanded to
+    // per-pair rows (1000 of them) as calibrate's contract input.
+    val perWeight = Seq( // (weight, n, k true)
+      (-2.0, 200, 11), (-1.0, 200, 52), (0.0, 200, 97),
+      (1.0, 200, 151), (2.0, 200, 189))
+    val rows = perWeight.flatMap { case (w, n, k) =>
+      Seq.fill(k)((w, true)) ++ Seq.fill(n - k)((w, false))
+    }
+    val df = rows.toDF("weight", "true_match").repartition(7)
+    val agg = Scoring.calibrate(df)
+    val full = Scoring.calibrateFull(df)
+    assert(math.abs(agg.intercept - full.intercept) < 1e-6,
+      s"intercepts diverge: $agg vs $full")
+    assert(math.abs(agg.slope - full.slope) < 1e-6,
+      s"slopes diverge: $agg vs $full")
+    // Sanity: the fit tracks the generating curve (slope ~1, intercept ~0).
+    assert(agg.slope > 0.8 && agg.slope < 1.3, s"slope off: $agg")
+    assert(math.abs(agg.intercept) < 0.3, s"intercept off: $agg")
+  }
 }
