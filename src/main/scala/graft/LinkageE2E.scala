@@ -286,18 +286,42 @@ object LinkageE2E {
     val (cal, tCal) = timed("glm calibration") {
       Scoring.calibrate(scored)
     }
-    println(f"glm calibration: P(match) = sigmoid(${cal.intercept}%.4f + ${cal.slope}%.4f * weight)")
-    if (!big) {
+    println(f"glm calibration: P(match) = sigmoid(${cal.intercept}%.4f + ${cal.slope}%.4f * weight)" +
+      s" separated=${cal.separated}")
+    if (cal.separated)
+      println("  NOTE: weight COMPLETELY SEPARATES truth — the glm MLE does not" +
+        "\n  exist (R glm would warn 'fitted probabilities numerically 0 or 1');" +
+        "\n  coefficients are optimizer stopping points, the ranking is exact.")
+    val total = (System.nanoTime() - tTotal0) / 1e9
+    println(f"[time] TOTAL: $total%.1f s (block=$tBlock%.1f patterns=$tPatterns%.1f u=$tU%.1f em=$tEm%.1f score=$tScore%.1f eval=$tEval%.1f cal=$tCal%.1f)")
+
+    // Parity evidence, OUTSIDE the pipeline wall time: re-fit with the
+    // unaggregated per-pair reference form and print both. ±1e-6
+    // agreement holds wherever the MLE EXISTS (spec-pinned,
+    // ScoringSpec); on a separated fixture both forms maximize the
+    // same unbounded likelihood and stop at implementation-dependent
+    // points — the deltas are then expected and meaningless (the
+    // printed `separated` flag says which regime a run is in). Always
+    // on for the small shape; `SPARK_GRAFT_E2E_CAL_PARITY=1` opts in
+    // at big scale (it re-pays the per-pair fit this round removed).
+    if (!big || sys.env.get("SPARK_GRAFT_E2E_CAL_PARITY").contains("1")) {
       val (calFull, tCalFull) = timed("glm calibration (unaggregated reference)") {
         Scoring.calibrateFull(scored)
       }
       println(f"  unaggregated: P(match) = sigmoid(${calFull.intercept}%.4f + ${calFull.slope}%.4f * weight)" +
+        f" separated=${calFull.separated}" +
         f" (|dIntercept|=${math.abs(calFull.intercept - cal.intercept)}%.2e" +
         f" |dSlope|=${math.abs(calFull.slope - cal.slope)}%.2e, ${tCalFull}%.1f s vs ${tCal}%.1f s)")
+      // The adjudicator when the two disagree: both coefficients
+      // evaluated on the SAME aggregated likelihood — the MLE is
+      // whichever is higher (they factorize identically, so this is
+      // the per-pair likelihood up to the same constant).
+      val stats = Scoring.calibrationStats(scored)
+      val (llAgg, llFull) =
+        (Scoring.binomialLogLik(stats, cal), Scoring.binomialLogLik(stats, calFull))
+      println(f"  logLik: aggregated-Newton=$llAgg%.6f per-pair-LBFGS=$llFull%.6f" +
+        f" (Newton - LBFGS = ${llAgg - llFull}%.6e; >= 0 means the Newton fit dominates)")
     }
-
-    val total = (System.nanoTime() - tTotal0) / 1e9
-    println(f"[time] TOTAL: $total%.1f s (block=$tBlock%.1f patterns=$tPatterns%.1f u=$tU%.1f em=$tEm%.1f score=$tScore%.1f eval=$tEval%.1f cal=$tCal%.1f)")
     spark.stop()
   }
 }

@@ -283,13 +283,17 @@ object ScaleProbe {
     // Versioned sentinel: bump when the fixture CONTENTS change, or a
     // dir built by an earlier round silently lacks the new tables
     // (an unversioned _DONE skipped the events build entirely).
-    val done = new java.io.File(s"$FixtureDir/_DONE_v7_part")
+    val done = new java.io.File(s"$FixtureDir/_DONE_v8_dims")
     if (done.exists) return
-    // part: copied VERBATIM — dimensions stay fixed while facts grow,
-    // the realistic star-schema scaling (q_fk_integrity /
-    // q_join_estimate read lineitem×part at ×10 facts, 1× dim).
-    spark.read.parquet(s"$BaseDir/part.parquet")
-      .write.mode("overwrite").parquet(s"$FixtureDir/part.parquet")
+    // part/nation/region: copied VERBATIM — dimensions stay fixed
+    // while facts grow, the realistic star-schema scaling
+    // (q_fk_integrity / q_join_estimate read lineitem×part at ×10
+    // facts, 1× dim). nation/region joined in since v8 so the FULL
+    // bench/oracle surface can run against this dir (round-12 sf1
+    // ladder), not just the probe subset.
+    Seq("part", "nation", "region").foreach(t =>
+      spark.read.parquet(s"$BaseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$FixtureDir/$t.parquet"))
     val customer = spark.read.parquet(s"$BaseDir/customer.parquet")
     val documents = spark.read.parquet(s"$BaseDir/documents.parquet")
     val nCust = 15000L

@@ -687,6 +687,56 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", col("text"), n = 3, k = 8, bands = 4,
       maxBucketSize = Some(LshCap))
 
+  /** The STREAMING incremental LSH sink run END-TO-END as a driver-
+    * visible surface (the continuous-ingest form of q_minhash_lsh):
+    * the corpus is replayed as a file stream in 4 micro-batches
+    * (`maxFilesPerTrigger`), [[graft.streaming.Streams
+    * .incrementalLshCandidates]] maintains the inverted band index in
+    * `flatMapGroupsWithState` state, and a `foreachBatch` sink
+    * appends each batch's (deduped) candidates to parquet — the
+    * production wiring: stream → state → accumulated candidate table.
+    * The accumulated table, canonicalized to `id_a < id_b` and
+    * distinct'd across batches (the stream emits per-(band,digest),
+    * see the operator's multiplicity contract), must EQUAL the batch
+    * q_minhash_lsh set — same oracle SQL, the strongest
+    * stream-equals-batch artifact the driver can check. Equality is
+    * exact because no band bucket on this corpus approaches the cap
+    * (measured max bucket = 8 members vs cap 100 at sf0.001/0.01/0.1;
+    * cap semantics are the one documented stream/batch divergence).
+    */
+  private def qStreamLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"/tmp/graft_stream_lsh_${math.abs(dir.hashCode.toLong)}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh state per run
+    val (src, sink, chk) = (s"$base/source", s"$base/pairs", s"$base/checkpoint")
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.repartition(8).write.parquet(src)
+    // Seed the sink with the empty typed frame so a pair-free corpus
+    // still reads back with the right schema.
+    s.emptyDataset[graft.streaming.Streams.LshCandidate].toDF()
+      .write.mode("overwrite").parquet(sink)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    val q = graft.streaming.Streams.incrementalLshCandidates(
+        stream, "doc_id", col("text"), n = 3, k = 8, bands = 4,
+        maxBucketSize = LshCap)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.Streams.LshCandidate], _: Long) =>
+        batch.dropDuplicates("id_new", "id_corpus")
+          .write.mode("append").parquet(sink)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sink)
+      .select(least(col("id_new"), col("id_corpus")).as("id_a"),
+        greatest(col("id_new"), col("id_corpus")).as("id_b"))
+      .distinct()
+  }
+
   /** SimHash near-dups at 60 bits / 15-bit pigeonhole bands: the
     * sf1 probe measured time_x 50 at rows_x 24 for the old 32-bit/
     * 8-bit-band shape — 256-key bands saturate once the corpus is
@@ -4381,6 +4431,7 @@ object SparkEntry {
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_jaccard_standing" -> (qJaccardStanding _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_stream_lsh" -> (qStreamLsh _),
     "q_simhash" -> (qSimhash _),
     "q_ann_topk" -> (qAnnTopK _),
     "q_lsh_neardups" -> (qLshNearDups _),
@@ -4934,6 +4985,10 @@ object SparkEntry {
     // prefix, never the verified result (see qJaccardStanding).
     "q_jaccard_standing" -> jaccardPrefixOracleSql,
     "q_minhash_lsh" ->
+      s"WITH ${minhashCandCtes(8, 4, Some(LshCap))} SELECT id_a, id_b FROM cand",
+    // Stream ≡ batch: the accumulated streaming sink must equal the
+    // batch LSH candidate set (same corpus, same params, cap untripped).
+    "q_stream_lsh" ->
       s"WITH ${minhashCandCtes(8, 4, Some(LshCap))} SELECT id_a, id_b FROM cand",
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE ${minhashCandCtes(8, 4, Some(LshCap))},

@@ -105,8 +105,22 @@ object Scoring {
   /** Fitted logistic calibration weight → P(match): intercept + slope
     * with a closed-form predictor usable as a plain Column (codegen'd
     * sigmoid — no model object needed at scoring time).
+    *
+    * `separated = true` flags COMPLETE SEPARATION (every true label
+    * above every false label in weight order, or only one class
+    * present): the binomial MLE then does not exist — the likelihood
+    * increases without bound as slope → ∞ — so `intercept`/`slope`
+    * are where the optimizer STOPPED (maxIter/tol artifacts), not
+    * estimates; two exact-same-MLE implementations can legitimately
+    * return different numbers. R's glm prints "fitted probabilities
+    * numerically 0 or 1 occurred" here; the monotone ranking in
+    * `predict` is still valid, the absolute probabilities are not.
+    * A linkage evaluation hitting this is GOOD news (the weight
+    * cleanly splits truth) — but calibration output should be read as
+    * a step function, not a sigmoid.
     */
-  final case class Calibration(intercept: Double, slope: Double) {
+  final case class Calibration(intercept: Double, slope: Double,
+      separated: Boolean = false) {
     def predict(weight: Column): Column =
       lit(1.0) / (lit(1.0) + exp(-(lit(intercept) + lit(slope) * weight)))
   }
@@ -131,30 +145,134 @@ object Scoring {
     * was 233.6 s of a 357.5 s pipeline (65%, docs/LINKAGE_E2E_r11.md)
     * for a ≤37-distinct-input computation; 6.6B scored pairs would
     * make it the whole job, while the groupBy stays one shuffle of
-    * #patterns-sized partials. The aggregated fit itself (≤2 rows per
-    * distinct weight, L-BFGS via `spark.ml` with a frequency weight
-    * column) is effectively free, so its tolerance is pinned tight
-    * (1e-12; the default 1e-6 is sized for per-row passes).
-    * Parity with the unaggregated fit is spec-asserted at ±1e-6
-    * (ScoringSpec) and printed side-by-side by the E2E's 150k shape.
+    * #patterns-sized partials. The aggregated fit itself is a
+    * driver-side Newton/IRLS over the collected sufficient statistics
+    * ([[calibrationStats]], boundedness enforced) — see [[fitIrls]]
+    * for why second-order beats `spark.ml`'s L-BFGS here. Parity with
+    * the unaggregated fit is spec-asserted at ±1e-6 where both
+    * converge (ScoringSpec) and printed side-by-side by the E2E.
     */
   def calibrate(withTruth: DataFrame, weightCol: String = "weight",
-      truthCol: String = "true_match"): Calibration = {
-    val agg = withTruth
+      truthCol: String = "true_match"): Calibration =
+    fitIrls(calibrationStats(withTruth, weightCol, truthCol))
+
+  /** The glm's SUFFICIENT STATISTICS, collected: one `(weight, n,
+    * n_true)` row per distinct weight, sorted by weight (so every
+    * driver-side float reduction over them is order-pinned). Safe to
+    * collect for the same reason [[EM.collectPatterns]] is — row count
+    * is bounded by the number of distinct weights (≤ #patterns for
+    * pattern-pure weights), not by pair count — and ENFORCED the same
+    * way: `take(max + 1)` keeps driver memory O(max) and a breach
+    * fails loudly naming the broken contract (a continuous per-pair
+    * score is not a Fellegi–Sunter weight; band it or fit it
+    * distributed via [[calibrateFull]]).
+    */
+  def calibrationStats(withTruth: DataFrame, weightCol: String = "weight",
+      truthCol: String = "true_match",
+      maxDistinct: Int = 100000): Seq[(Double, Long, Long)] = {
+    val rows = withTruth
       .filter(col(truthCol).isNotNull && col(weightCol).isNotNull)
       .groupBy(col(weightCol).cast("double").as("__w"))
       .agg(count(lit(1)).as("__n"), sum(col(truthCol).cast("long")).as("__k"))
-    // Two weighted rows per distinct weight — (label 1, freq k) and
-    // (label 0, freq n−k) — zero-frequency rows dropped (a zero weight
-    // contributes nothing to the likelihood but spark.ml requires > 0).
-    val expanded = agg.select(col("__w"), explode(array(
-        struct(lit(1.0).as("__label"), col("__k").cast("double").as("__freq")),
-        struct(lit(0.0).as("__label"), (col("__n") - col("__k")).cast("double").as("__freq"))))
-        .as("__e"))
-      .select(col("__w"), col("__e.__label").as("__label"), col("__e.__freq").as("__freq"))
-      .filter(col("__freq") > 0)
-    fitLogistic(expanded, Some("__freq"), tol = 1e-12)
+      .take(maxDistinct + 1)
+    require(rows.length <= maxDistinct,
+      s"calibrationStats: more than $maxDistinct distinct weights — the " +
+        "driver-side calibration contract (distinct weights <= #patterns) " +
+        "is broken; the weight column looks like a continuous per-pair " +
+        "score, not a pattern-pure Fellegi-Sunter weight. Band it, or use " +
+        "calibrateFull for a distributed per-pair fit.")
+    rows.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
   }
+
+  /** Newton/IRLS on the aggregated binomial — the fit that actually
+    * CONVERGES where a first-order method cannot: the NCVR-scale E2E's
+    * likelihood is brutally ill-conditioned (5 false positives among
+    * 5.2M pairs at the top weight), and `spark.ml`'s L-BFGS stops at
+    * maxIter=100 on BOTH the per-pair and the weighted-aggregate form
+    * — at two DIFFERENT points (measured: (−2.26, 3.14) vs (−0.82,
+    * 2.74), docs/LINKAGE_E2E_r12.md), neither the MLE. Newton's exact
+    * 2×2 Hessian solve converges quadratically regardless of
+    * conditioning, and on ≤ #patterns rows each iteration is driver
+    * microseconds — no distributed pass per iteration at all. This is
+    * [[EM]]'s architecture applied to the glm: one Spark job for
+    * sufficient statistics, pure Scala for the optimization.
+    *
+    * Step-halving guards the Newton step (accept only non-decreasing
+    * log-likelihood); under [[Calibration.separated]] data the walk
+    * toward the non-existent MLE is cut at `maxIter` and the flag
+    * marks the coefficients as artifacts.
+    */
+  private[graft] def fitIrls(stats: Seq[(Double, Long, Long)],
+      maxIter: Int = 100, tol: Double = 1e-12): Calibration = {
+    require(stats.nonEmpty, "calibrate: no rows with non-null weight and truth")
+    val totalN = stats.map(_._2).sum.toDouble
+    val totalK = stats.map(_._3).sum.toDouble
+    // Complete separation: every true strictly above every false (or a
+    // single-class input) — the likelihood has no finite maximizer.
+    val maxFalse = stats.filter(s => s._3 < s._2).map(_._1).maxOption
+    val minTrue = stats.filter(s => s._3 > 0).map(_._1).minOption
+    val separated = maxFalse.isEmpty || minTrue.isEmpty || maxFalse.get < minTrue.get
+
+    def logLik(a: Double, b: Double): Double =
+      stats.foldLeft(0.0) { case (acc, (w, n, k)) =>
+        val z = a + b * w
+        // k·log σ(z) + (n−k)·log σ(−z), stably: log σ(z) = −log1pexp(−z)
+        def log1pexp(x: Double) = if (x > 35) x else math.log1p(math.exp(x))
+        acc - k * log1pexp(-z) - (n - k) * log1pexp(z)
+      }
+
+    var a = math.log((totalK + 0.5) / (totalN - totalK + 0.5))
+    var b = 0.0
+    var ll = logLik(a, b)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // Gradient and Hessian of the aggregated binomial log-likelihood.
+      var g0 = 0.0; var g1 = 0.0
+      var h00 = 0.0; var h01 = 0.0; var h11 = 0.0
+      stats.foreach { case (w, n, k) =>
+        val p = 1.0 / (1.0 + math.exp(-(a + b * w)))
+        val r = k - n * p
+        val v = n * p * (1.0 - p)
+        g0 += r; g1 += r * w
+        h00 += v; h01 += v * w; h11 += v * w * w
+      }
+      val det = h00 * h11 - h01 * h01
+      if (det <= 0 || !java.lang.Double.isFinite(det)) { converged = true } // flat: cannot improve
+      else {
+        var da = (h11 * g0 - h01 * g1) / det
+        var db = (h00 * g1 - h01 * g0) / det
+        // Step-halving: accept the first step that does not decrease
+        // the log-likelihood (Newton can overshoot on ill-conditioned
+        // curvature; halving preserves the ascent guarantee).
+        var step = 1.0
+        var next = logLik(a + da, b + db)
+        var halvings = 0
+        while (next < ll && halvings < 30) {
+          step /= 2; halvings += 1
+          next = logLik(a + step * da, b + step * db)
+        }
+        a += step * da; b += step * db
+        converged = math.max(math.abs(step * da), math.abs(step * db)) < tol ||
+          (next - ll) < math.abs(ll) * 1e-15 && halvings == 0 && math.abs(g0) + math.abs(g1) < 1e-8
+        ll = next
+        iter += 1
+      }
+    }
+    Calibration(a, b, separated)
+  }
+
+  /** The aggregated binomial log-likelihood of a fitted calibration —
+    * the comparison functional for fits of the SAME data (higher is
+    * better; the MLE maximizes it). Driver-side over
+    * [[calibrationStats]] rows.
+    */
+  def binomialLogLik(stats: Seq[(Double, Long, Long)], cal: Calibration): Double =
+    stats.foldLeft(0.0) { case (acc, (w, n, k)) =>
+      val z = cal.intercept + cal.slope * w
+      def log1pexp(x: Double) = if (x > 35) x else math.log1p(math.exp(x))
+      acc - k * log1pexp(-z) - (n - k) * log1pexp(z)
+    }
 
   /** The unaggregated per-pair form of [[calibrate]] — same MLE,
     * O(pairs) per optimizer pass instead of O(distinct weights).
@@ -163,13 +281,19 @@ object Scoring {
     * everywhere, and especially at scale.
     */
   def calibrateFull(withTruth: DataFrame, weightCol: String = "weight",
-      truthCol: String = "true_match"): Calibration =
-    fitLogistic(
-      withTruth
-        .filter(col(truthCol).isNotNull && col(weightCol).isNotNull)
-        .select(col(weightCol).cast("double").as("__w"),
-          col(truthCol).cast("double").as("__label")),
-      weightColName = None, tol = 1e-12)
+      truthCol: String = "true_match"): Calibration = {
+    val rows = withTruth
+      .filter(col(truthCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(weightCol).cast("double").as("__w"),
+        col(truthCol).cast("double").as("__label"))
+    // Separation diagnosis costs an extra full pass here (vs free on
+    // the aggregated path) — acceptable for the parity-reference form.
+    val r = rows.agg(
+      max(when(col("__label") === 0.0, col("__w"))).as("max_false"),
+      min(when(col("__label") === 1.0, col("__w"))).as("min_true")).head()
+    val sep = r.isNullAt(0) || r.isNullAt(1) || r.getDouble(0) < r.getDouble(1)
+    fitLogistic(rows, weightColName = None, tol = 1e-12).copy(separated = sep)
+  }
 
   /** Shared single-feature logistic fit: `__w` (feature), `__label`
     * (0/1), optional frequency weight column. `spark.ml` L-BFGS,

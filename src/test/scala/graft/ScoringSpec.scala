@@ -145,6 +145,8 @@ class ScoringSpec extends SparkSpec {
     val df = rows.toDF("weight", "true_match").repartition(7)
     val agg = Scoring.calibrate(df)
     val full = Scoring.calibrateFull(df)
+    assert(!agg.separated && !full.separated,
+      s"fixture is mixed per weight — must not flag separation: $agg / $full")
     assert(math.abs(agg.intercept - full.intercept) < 1e-6,
       s"intercepts diverge: $agg vs $full")
     assert(math.abs(agg.slope - full.slope) < 1e-6,
@@ -152,5 +154,65 @@ class ScoringSpec extends SparkSpec {
     // Sanity: the fit tracks the generating curve (slope ~1, intercept ~0).
     assert(agg.slope > 0.8 && agg.slope < 1.3, s"slope off: $agg")
     assert(math.abs(agg.intercept) < 0.3, s"intercept off: $agg")
+  }
+
+  test("calibrate: complete separation is detected and flagged (no finite MLE)") {
+    import spark.implicits._
+    // All true labels strictly above all false labels in weight —
+    // the NCVR-scale E2E's shape (precision = recall = 1.0 at the
+    // sign boundary). The likelihood has no finite maximizer; the
+    // flag is the loud signal that intercept/slope are optimizer
+    // stopping points, not estimates.
+    val sep = (Seq.fill(50)((-3.0, false)) ++ Seq.fill(20)((-1.0, false)) ++
+      Seq.fill(20)((2.0, true)) ++ Seq.fill(50)((4.0, true)))
+      .toDF("weight", "true_match")
+    val cal = Scoring.calibrate(sep)
+    assert(cal.separated, s"must flag separation: $cal")
+    assert(cal.slope > 0) // ranking direction still meaningful
+    assert(Scoring.calibrateFull(sep).separated)
+    // Single-class degenerate inputs flag too.
+    val oneClass = Seq.fill(10)((1.0, true)).toDF("weight", "true_match")
+    assert(Scoring.calibrate(oneClass).separated)
+  }
+
+  test("fitIrls: converges on the ill-conditioned NCVR shape where per-pair L-BFGS stops early") {
+    // The measured NCVR-scale sufficient statistics (docs/
+    // LINKAGE_E2E_r12.md): 59.15M all-false candidates at the
+    // negative weight, 2.03M all-true at the letter-perturbed band,
+    // 5.18M at full agreement of which exactly 5 are hash-collision
+    // false positives — not separated, finite MLE, but brutal
+    // curvature. spark.ml's L-BFGS stopped at (−2.2605, 3.1416) at
+    // maxIter=100 on the per-pair form; Newton must land on a point
+    // with (a) higher log-likelihood and (b) a locally-maximal
+    // neighborhood.
+    val stats = Seq(
+      (-5.0, 59151557L, 0L),
+      (5.0, 2027543L, 2027543L),
+      (15.0, 5181552L, 5181547L))
+    val fit = Scoring.fitIrls(stats)
+    assert(!fit.separated)
+    val llFit = Scoring.binomialLogLik(stats, fit)
+    val llLbfgs = Scoring.binomialLogLik(stats, Scoring.Calibration(-2.2605, 3.1416))
+    assert(llFit > llLbfgs,
+      s"Newton ($fit, ll=$llFit) must dominate the L-BFGS stopping point (ll=$llLbfgs)")
+    // Local maximality: nudging either coefficient reduces the
+    // likelihood (gradient ~ 0 at the fit).
+    for (da <- Seq(-1e-4, 1e-4); db <- Seq(-1e-4, 1e-4)) {
+      val ll = Scoring.binomialLogLik(stats,
+        Scoring.Calibration(fit.intercept + da, fit.slope + db))
+      assert(ll <= llFit + 1e-9, s"perturbation ($da,$db) improved ll: $ll > $llFit")
+    }
+  }
+
+  test("calibrationStats: refuses a continuous per-pair score loudly") {
+    import spark.implicits._
+    val continuous = (1 to 500).map(i => (i / 500.0, i % 2 == 0))
+      .toDF("weight", "true_match")
+    val e = intercept[IllegalArgumentException](
+      Scoring.calibrationStats(continuous, maxDistinct = 100))
+    assert(e.getMessage.contains("calibrateFull") && e.getMessage.contains("Band it"))
+    // Bounded tables collect fine, sorted by weight.
+    val stats = Scoring.calibrationStats(continuous, maxDistinct = 500)
+    assert(stats.size == 500 && stats == stats.sortBy(_._1))
   }
 }
