@@ -205,9 +205,16 @@ object Bench {
         s""""load_avg_start":${jnum(loadStart)},"load_avg":$loadJson,"spread_pct":${jnum(spreadPct)},"noisy":$noisy,"loaded":$loaded"""
       val full = s"""{"metric":"total_of_medians","value":${jnum(total)},"unit":"sec","runs":$runs,"passes_completed":${passes.size},$noiseFields,"queries":$qs,"run_spread":$spread,"pass_totals":$passTotals,"failed":$failed,"sf":"$sfDir","sf1_probe":$probe}"""
       println(full)
+      // A full run at a NON-default scale dir (the sf1 ladder fixture)
+      // must not clobber the sf0.1 trend baseline — persist those to a
+      // per-scale file instead (sanitized dir name, e.g.
+      // docs/BENCH_full_latest_tmp_graft_scale_sf1.json).
+      val persistPath =
+        if (sfDir == "/root/testdata/sf0.1") "docs/BENCH_full_latest.json"
+        else s"docs/BENCH_full_latest_${sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_", "")}.json"
       if (only.isEmpty)
         try java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("docs/BENCH_full_latest.json"), full + "\n")
+          java.nio.file.Paths.get(persistPath), full + "\n")
         catch { case _: Throwable => () } // bench result must not die on a doc write
       val top = perQuery.sortBy { case (_, xs) => -median(xs) }.take(10)
         .map { case (n, xs) => s"${jstr(n)}:${jnum(median(xs))}" }.mkString("{", ",", "}")
@@ -241,7 +248,7 @@ object Bench {
         }.mkString("{", ",", "}")
         s""""n_failed":${errors.size},"failed":$es"""
       }
-      println(s"""{"metric":"total_of_medians","value":${jnum(total)},"unit":"sec","runs":$runs,"passes_completed":${passes.size},"n_queries":${names.size},$noiseFields,"pass_totals":$passTotals,$failedCompact,"sf":"$sfDir","top10":$top$trend,"detail":"docs/BENCH_full_latest.json"}""")
+      println(s"""{"metric":"total_of_medians","value":${jnum(total)},"unit":"sec","runs":$runs,"passes_completed":${passes.size},"n_queries":${names.size},$noiseFields,"pass_totals":$passTotals,$failedCompact,"sf":"$sfDir","top10":$top$trend,"detail":"$persistPath"}""")
       System.out.flush()
     }
 

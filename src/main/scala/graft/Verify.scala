@@ -29,11 +29,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // coalesce(1) keeps driver-side dumps tidy, but at the sf1 ladder a
+    // 202M-row pair table through ONE write task is the bottleneck —
+    // SPARK_GRAFT_VERIFY_COALESCE=0 keeps the parallel write (the
+    // compare tools glob part files either way).
+    val coalesce1 = sys.env.getOrElse("SPARK_GRAFT_VERIFY_COALESCE", "1") != "0"
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        (if (coalesce1) df.coalesce(1) else df).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -1,4 +1,4 @@
-import duckdb, json, sys, glob
+import duckdb, json, sys, glob, os
 
 # Compares Spark parquet dumps (graft.Verify output) against the DuckDB
 # oracle SQL, the way the driver does — but STRICTER on dtypes: the driver
@@ -15,7 +15,13 @@ sfdir = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.001'
 only = set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
-    con.execute(f"create view {t} as select * from read_parquet('{sfdir}/{t}.parquet')")
+    # Driver-written tables are single files; Spark-written fixtures (the
+    # sf1 scale ladder under /tmp/graft_scale_sf1) are DIRECTORIES named
+    # *.parquet holding part files — glob those for DuckDB.
+    path = f'{sfdir}/{t}.parquet'
+    if os.path.isdir(path):
+        path = f'{path}/*.parquet'
+    con.execute(f"create view {t} as select * from read_parquet('{path}')")
 oracle = json.load(open(f'{outdir}/oracle_sql.json'))
 failures = 0
 def fail(msg):
