@@ -2344,8 +2344,12 @@ object SparkEntry {
   private val Bm25Terms = Seq("dup", "hash", "scan")
 
   private def qBm25(s: SparkSession, dir: String): DataFrame =
+    // ensure(): tokenization is the compute-heavy first stage; a
+    // single-part-file corpus serialized it (v8 sf1 fixture measured
+    // 60.2 s vs 0.8 s on 32 files — docs/ROUND12_NOTES.md).
     graft.ops.TextAnalysis.bm25(
-      t(s, dir, "documents"), "doc_id", col("text"), Bm25Terms)
+      graft.util.Parallelism.ensure(t(s, dir, "documents")),
+      "doc_id", col("text"), Bm25Terms)
 
   /** Per-language heavy tokens: the grouped Misra-Gries path — each
     * language's sketch is independent, candidates verified exactly,
@@ -3643,7 +3647,9 @@ object SparkEntry {
     * real false-positive behavior of the index.
     */
   private def qBloomIndex(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
+    // ensure(): three md5 probes per row on a possibly-single-file
+    // scan (v8 sf1 fixture: 224.4 s vs 2.0 s on 32 files).
+    val o = graft.util.Parallelism.ensure(t(s, dir, "orders"))
       .select((col("o_orderkey") % 8).as("file"), col("o_custkey"))
     val idx = graft.ops.Sketches.bloomIndex(o, col("file"), col("o_custkey"),
       mBits = 1024, k = 3)
@@ -3822,7 +3828,9 @@ object SparkEntry {
     def chan(tag: String) =
       conv(substring(md5(concat(lit(tag), col("o_orderkey").cast("string"))),
         1, 15), 16, 10).cast("long") % 1000000L
-    val scored = t(s, dir, "orders")
+    // ensure(): two md5 channels per row on a possibly-single-file
+    // scan (v8 sf1 fixture: 30.3 s vs 1.0 s on 32 files).
+    val scored = graft.util.Parallelism.ensure(t(s, dir, "orders"))
       .select(chan("cal:").as("score"), chan("coin:").as("__coin"))
       .select(col("score"), (col("__coin") < col("score")).as("label"))
     graft.ops.Profiling.calibrationBins(scored, col("score"), col("label"),
