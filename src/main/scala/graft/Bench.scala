@@ -46,6 +46,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // Per-SCALE persistence: a full run at a non-default scale dir
+    // (the sf1 ladder fixture) must not clobber the sf0.1 trend
+    // baseline — and its OWN trend baseline must be read back from
+    // the same per-scale file it writes (round-12 read the fixed
+    // sf0.1 path unconditionally, so sf1 runs never saw their prior
+    // medians and every ladder run reported trend-less).
+    val persistPath =
+      if (sfDir == "/root/testdata/sf0.1") "docs/BENCH_full_latest.json"
+      else s"docs/BENCH_full_latest_${sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_", "")}.json"
     def build(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -151,7 +160,7 @@ object Bench {
     // trend, never a bench failure.
     val (prevQueries, prevTotal): (Map[String, Double], Option[Double]) = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("docs/BENCH_full_latest.json")))
+        java.nio.file.Paths.get(persistPath)))
       import org.json4s._
       val j = org.json4s.jackson.JsonMethods.parse(txt)
       def num(v: JValue): Option[Double] = v match {
@@ -205,16 +214,20 @@ object Bench {
         s""""load_avg_start":${jnum(loadStart)},"load_avg":$loadJson,"spread_pct":${jnum(spreadPct)},"noisy":$noisy,"loaded":$loaded"""
       val full = s"""{"metric":"total_of_medians","value":${jnum(total)},"unit":"sec","runs":$runs,"passes_completed":${passes.size},$noiseFields,"queries":$qs,"run_spread":$spread,"pass_totals":$passTotals,"failed":$failed,"sf":"$sfDir","sf1_probe":$probe}"""
       println(full)
-      // A full run at a NON-default scale dir (the sf1 ladder fixture)
-      // must not clobber the sf0.1 trend baseline — persist those to a
-      // per-scale file instead (sanitized dir name, e.g.
-      // docs/BENCH_full_latest_tmp_graft_scale_sf1.json).
-      val persistPath =
-        if (sfDir == "/root/testdata/sf0.1") "docs/BENCH_full_latest.json"
-        else s"docs/BENCH_full_latest_${sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_", "")}.json"
+      // A NOISY full run must not overwrite an existing calm trend
+      // baseline at the SAME scale either (rounds 11→12 lost two
+      // consecutive delta tables to noise-suppressed overwrites of
+      // the calm r11 file) — divert it to a `_noisy` sibling so the
+      // artifact still lands without destroying the trend point. A
+      // first run at a scale (no baseline yet) persists regardless:
+      // a noisy baseline beats no baseline.
+      val writePath =
+        if (noisy && java.nio.file.Files.exists(java.nio.file.Paths.get(persistPath)))
+          persistPath.stripSuffix(".json") + "_noisy.json"
+        else persistPath
       if (only.isEmpty)
         try java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(persistPath), full + "\n")
+          java.nio.file.Paths.get(writePath), full + "\n")
         catch { case _: Throwable => () } // bench result must not die on a doc write
       val top = perQuery.sortBy { case (_, xs) => -median(xs) }.take(10)
         .map { case (n, xs) => s"${jstr(n)}:${jnum(median(xs))}" }.mkString("{", ",", "}")
@@ -248,7 +261,7 @@ object Bench {
         }.mkString("{", ",", "}")
         s""""n_failed":${errors.size},"failed":$es"""
       }
-      println(s"""{"metric":"total_of_medians","value":${jnum(total)},"unit":"sec","runs":$runs,"passes_completed":${passes.size},"n_queries":${names.size},$noiseFields,"pass_totals":$passTotals,$failedCompact,"sf":"$sfDir","top10":$top$trend,"detail":"$persistPath"}""")
+      println(s"""{"metric":"total_of_medians","value":${jnum(total)},"unit":"sec","runs":$runs,"passes_completed":${passes.size},"n_queries":${names.size},$noiseFields,"pass_totals":$passTotals,$failedCompact,"sf":"$sfDir","top10":$top$trend,"detail":"$writePath"}""")
       System.out.flush()
     }
 

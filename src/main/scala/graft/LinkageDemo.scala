@@ -73,17 +73,38 @@ object LinkageDemo {
     val n = data.count()
     println(s"persons: $n records")
 
-    // 1. Blocking (reference: scratch.R:23-29).
+    // 1. Blocking (reference: scratch.R:23-29). The last pass is
+    // SURVEY §4's first-initial case: a real-alphabet surname initial
+    // is a tiny-cardinality SKEWED key (five of the fixture's fourteen
+    // surnames start with 'w', so one block carries ~35% of the rows
+    // and ~46% of the pair work) — the shape where AQE's byte-based
+    // skew split can't help a compute-bound pair fan-out. The salt
+    // count is NOT asserted: `recommendSalts` forecasts per-key pair
+    // work from the key counts and picks it before the join runs.
     val rules = BlockingRules(Seq(
       EquiKeys("surname"), EquiKeys("dob"), EquiKeys("postcode_fake"), EquiKeys("first_name"),
       ComputedKeys(Seq(
-        ("s1", substring(col("surname_left"), 1, 1), substring(col("surname_right"), 1, 1)),
-        ("f1", substring(col("first_name_left"), 1, 1), substring(col("first_name_right"), 1, 1))))))
-    val ids = Blocking
-      .extractBlocks(data, data, "unique_id", "unique_id", rules)
+        ("s1", substring(col("surname_left"), 1, 1), substring(col("surname_right"), 1, 1))))))
+    val salts = Blocking.recommendSalts(
+      data, substring(col("surname"), 1, 1),
+      data, substring(col("surname"), 1, 1),
+      targetParallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    println(s"recommended hotKeySalts for the surname-initial pass: $salts")
+    def blocks(hotKeySalts: Int) = Blocking
+      .extractBlocks(data, data, "unique_id", "unique_id", rules,
+        hotKeySalts = hotKeySalts)
       .filter(col("unique_id_left") < col("unique_id_right"))
-      .cache()
-    println(s"candidate pairs: ${ids.count()}")
+    val ids = blocks(salts).cache()
+    // Salt-identity check, run live on the pipeline's own pair set
+    // (LinkageSpec pins the same identity on fixed salt counts): the
+    // recommendation changes the PARALLELISM of the hot blocks, never
+    // the pairs — so precision/recall below are by construction the
+    // numbers an unsalted run produces.
+    val unsalted = blocks(0)
+    val saltIdentical =
+      ids.except(unsalted).isEmpty && unsalted.except(ids).isEmpty
+    println(s"candidate pairs: ${ids.count()} (salted ≡ unsalted: $saltIdentical)")
+    require(saltIdentical, "salted blocking must preserve the pair set")
 
     // 2. Comparators (reference: scratch.R:39-47).
     val comparators =

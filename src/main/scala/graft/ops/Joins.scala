@@ -250,17 +250,16 @@ object Joins {
     require((integral(lType) && integral(rType)) || (lType == StringType && rType == StringType),
       s"bloomSemiJoin needs both keys integral or both string, got $lType / $rType")
     val bf = right.stat.bloomFilter(rightKey, expectedItems, fpp)
-    val bcast = left.sparkSession.sparkContext.broadcast(bf)
-    val probe =
-      if (integral(lType)) {
-        val mightContain = udf((k: java.lang.Long) =>
-          k != null && bcast.value.mightContainLong(k))
-        mightContain(col(leftKey).cast("long"))
-      } else {
-        val mightContain = udf((k: String) =>
-          k != null && bcast.value.mightContainString(k))
-        mightContain(col(leftKey))
-      }
+    // Codegen probe (graft.expr.BloomMightContain): the filter ships
+    // as a plan reference object (task binary is broadcast once per
+    // stage — the same once-per-executor distribution the explicit
+    // sc.broadcast gave the old per-row Scala UDF, without breaking
+    // whole-stage codegen on the probe side).
+    import org.apache.spark.sql.graftbridge.Bridge
+    val keyExpr =
+      if (integral(lType)) Bridge.expression(col(leftKey).cast("long"))
+      else Bridge.expression(col(leftKey))
+    val probe = Bridge.column(graft.expr.BloomMightContain(keyExpr, bf))
     left.filter(probe)
       .join(right, col(leftKey) === col(rightKey), "left_semi")
   }

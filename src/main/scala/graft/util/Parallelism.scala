@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation
 
 object Parallelism {
 
@@ -14,20 +15,69 @@ object Parallelism {
     * coalescing is byte-based and blind to compute fan-out. At real
     * scale inputs have thousands of partitions and this is a no-op;
     * when it does fire, the shuffle it adds is of the SMALL input.
+    *
+    * IDEMPOTENT: a plan that already carries a `repartition(>= target)`
+    * anywhere (this helper is used on scan-rooted narrow frames, so a
+    * found Repartition is on the data path, not a stray join branch)
+    * is returned unchanged — the fact-table scan helper applies
+    * `ensure` at the source, and operator-internal `ensure` calls on
+    * the same frame must not stack a second full shuffle on top.
+    *
+    * Scan-parallelism estimate: file COUNT alone underestimates a
+    * single large file — Spark splits splittable sources into
+    * `maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    * totalBytes/defaultParallelism))` chunks (FilePartition packing),
+    * so a 1 GB single file already scans ~32-wide and repartitioning
+    * it would pay a full-table shuffle for nothing. When the file
+    * count is below target, re-estimate from the actual file sizes
+    * with Spark's own split formula before deciding. (Parquet caveat:
+    * splits can't cross row groups, so a pathological single-row-group
+    * giant file still reads serially — default writers cap row groups
+    * at 128 MB, so the estimate is right for any normal layout.)
     */
   def ensure(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    // Leaf file count is a cheap upper-bound proxy for scan
-    // parallelism on SCAN-ROOTED plans (`df.rdd.getNumPartitions`
-    // would force a separate physical plan outside AQE on every
-    // call). It is only a FAST PATH: a post-join/aggregate or
-    // in-memory frame reports zero input files, and unconditionally
-    // repartitioning those would add a full round-robin shuffle to
-    // data that is usually already shuffle-partitioned — for them,
-    // fall back to the actual partition count and pay the one-off
-    // planning cost.
+    val spark = df.sparkSession
+    val target = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val alreadyEnsured = df.queryExecution.logical.collectFirst {
+      case r: RepartitionOperation if r.numPartitions >= target => r
+    }.isDefined
+    if (alreadyEnsured) return df
     val files = df.inputFiles
-    val current = if (files.nonEmpty) files.length else df.rdd.getNumPartitions
+    val current =
+      if (files.isEmpty) df.rdd.getNumPartitions
+      else if (files.length >= target) files.length
+      else estimateScanPartitions(df, files, target)
     if (current < target) df.repartition(target) else df
+  }
+
+  /** Spark's FilePartition packing estimate from real file sizes —
+    * only consulted when the file count is below target, so the
+    * FileSystem listing is bounded by `target` status calls.
+    */
+  private def estimateScanPartitions(
+      df: DataFrame, files: Array[String], target: Int): Int = {
+    val spark = df.sparkSession
+    try {
+      val hadoopConf = spark.sparkContext.hadoopConfiguration
+      val sizes = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hadoopConf).getFileStatus(p).getLen
+      }
+      // conf values may render as "134217728b" / "128MB" — parse with
+      // Spark's own byte-string reader rather than toLong
+      def bytesConf(key: String, dflt: String): Long =
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get(key, dflt))
+      val maxPartitionBytes = bytesConf("spark.sql.files.maxPartitionBytes", "134217728")
+      val openCost = bytesConf("spark.sql.files.openCostInBytes", "4194304")
+      val totalWithOpen = sizes.map(_ + openCost).sum
+      val maxSplit = math.min(maxPartitionBytes,
+        math.max(openCost, totalWithOpen / math.max(1, spark.sparkContext.defaultParallelism)))
+      math.ceil(totalWithOpen.toDouble / math.max(1L, maxSplit)).toInt
+    } catch {
+      // estimate is an optimization; on any FS hiccup fall back to the
+      // conservative file count (repartition fires, correctness holds)
+      case _: Throwable => files.length
+    }
   }
 }

@@ -227,6 +227,47 @@ class JoinsSpec extends SparkSpec {
     assert(thrown.getMessage.contains("integral or both string"))
   }
 
+  test("bloom probe is a codegen expression: no Scala UDF in the plan, UTF-8 encoding matches putString") {
+    import org.apache.spark.util.sketch.BloomFilter
+    // (a) The probe side must stay inside whole-stage codegen — the
+    // r12 probe was the library's last per-row Scala UDF and broke
+    // codegen on the huge-probe-side join it exists for. The probe
+    // side reads from parquet: over a LocalRelation the optimizer
+    // folds the filter away entirely (ConvertToLocalRelation), which
+    // hides the physical shape this test pins.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_spec").toString
+    (1L to 100L).map(k => (k, s"p$k")).toDF("lk", "payload")
+      .write.mode("overwrite").parquet(dir)
+    val left = spark.read.parquet(dir)
+    val right = Seq(7L, 21L).toDF("rk")
+    val joined = Joins.bloomSemiJoin(left, right, "lk", "rk", expectedItems = 10L)
+    joined.collect() // finalize the adaptive plan — codegen spans only print on the final plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"probe must not be a Scala UDF:\n$plan")
+    assert(plan.contains("bloom_might_contain"), s"expected the codegen probe in:\n$plan")
+    // The `*(n)` star marker on the Filter line is the whole-stage-
+    // codegen span in the final-plan rendering — a non-codegen
+    // expression would demote the Filter to an un-starred node.
+    val filterLine = plan.linesIterator
+      .find(l => l.contains("Filter") && l.contains("bloom_might_contain"))
+    assert(filterLine.exists(_.contains("*(")),
+      s"bloom probe Filter must sit inside a whole-stage-codegen span:\n$plan")
+
+    // (b) String probes use mightContainBinary over UTF-8 bytes —
+    // assert against the sketch's own putString/mightContainString
+    // (including non-ASCII), since an encoding mismatch would be a
+    // silent false NEGATIVE, the one failure mode the filter forbids.
+    val bf = BloomFilter.create(100, 0.01)
+    val keys = Seq("plain", "κλειδί", "ключ", "kagi-締切", "")
+    keys.foreach(bf.putString)
+    import org.apache.spark.sql.graftbridge.Bridge
+    val probeDf = (keys ++ Seq("absent", "κλειδι")).toDF("k")
+      .select(col("k"), Bridge.column(
+        graft.expr.BloomMightContain(Bridge.expression(col("k")), bf)).as("maybe"))
+    val got = probeDf.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    keys.foreach(k => assert(got(k), s"inserted key '$k' must probe true"))
+  }
+
   test("range lookup join matches the naive BETWEEN theta-join across bin sizes") {
     val rnd = new scala.util.Random(37)
     val points = (1 to 400).map(i => ((i % 3).toLong, i, rnd.nextInt(40000).toLong))

@@ -40,12 +40,26 @@ for name, sql in sorted(oracle.items()):
     if only is not None and name not in only:
         continue
     if materialize:
-        # ` AS (` opens either a CTE body or a named-WINDOW clause in
+        # `AS (` opens either a CTE body or a named-WINDOW clause in
         # these oracles (column aliases are `AS name`, derived tables
-        # are `) alias`) — rewrite all, then undo the WINDOW ones.
+        # are `) alias`) — rewrite all (case-insensitively, tolerating
+        # a newline before the paren), then undo the WINDOW ones.
         import re as _re
-        sql = sql.replace(' AS (', ' AS MATERIALIZED (')
-        sql = _re.sub(r'(WINDOW\s+\w+\s+AS)\s+MATERIALIZED\s*\(', r'\1 (', sql)
+        sql = _re.sub(r'\b(AS)\s*\(', r'\1 MATERIALIZED (', sql, flags=_re.IGNORECASE)
+        # Undo inside WINDOW clauses, including multi-window
+        # `WINDOW w1 AS (...), w2 AS (...)`: each loop pass fixes the
+        # next still-MATERIALIZED definition whose predecessors in the
+        # same clause are already plain `AS (...)`. Window specs may
+        # nest one paren level (e.g. PARTITION BY floor(x/25)).
+        _wspec = r'(?:[^()]|\([^()]*\))*'
+        _pat = _re.compile(
+            r'(\bWINDOW\s+(?:\w+\s+AS\s*\(' + _wspec + r'\)\s*,\s*)*\w+\s+AS)\s+MATERIALIZED\s*\(',
+            _re.IGNORECASE)
+        while True:
+            sql2 = _pat.sub(r'\1 (', sql)
+            if sql2 == sql:
+                break
+            sql = sql2
     try:
         rel = con.sql(sql)
         ducktypes = dict(zip(rel.columns, [str(t) for t in rel.types]))
