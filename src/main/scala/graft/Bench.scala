@@ -220,9 +220,17 @@ object Bench {
       // the calm r11 file) — divert it to a `_noisy` sibling so the
       // artifact still lands without destroying the trend point. A
       // first run at a scale (no baseline yet) persists regardless:
-      // a noisy baseline beats no baseline.
+      // a noisy baseline beats no baseline. INCREMENTAL reports
+      // (passes still outstanding) go to a `_run` sibling: noise is
+      // only adjudicable once all passes are in, and the first calm
+      // r13 attempt proved a pass-2 write can clobber the baseline
+      // before a pass-3 spread spike flips the run noisy — the
+      // kill-resilience artifact and the trend baseline must be
+      // different files.
       val writePath =
-        if (noisy && java.nio.file.Files.exists(java.nio.file.Paths.get(persistPath)))
+        if (passes.size < runs)
+          persistPath.stripSuffix(".json") + "_run.json"
+        else if (noisy && java.nio.file.Files.exists(java.nio.file.Paths.get(persistPath)))
           persistPath.stripSuffix(".json") + "_noisy.json"
         else persistPath
       if (only.isEmpty)

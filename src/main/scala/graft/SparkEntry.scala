@@ -16,26 +16,41 @@ import graft.linkage._
   */
 object SparkEntry {
 
-  /** Fact tables get [[graft.util.Parallelism.ensure]] AT THE SCAN
-    * HELPER — the one mechanism replacing round-12's per-query
-    * whack-a-mole: a single-file (or single-row-group-sized) fact
-    * layout serializes every narrow stage until the first shuffle
-    * (measured at sf1 v8: q_bloom_index 224.4 s → 2.0 s, q_bm25
-    * 60.2 s → 0.8 s once the scan parallelized). `ensure` is
-    * idempotent and split-aware, so on a well-laid-out table (many
-    * part files, or one big multi-row-group file) it is a pure
-    * no-op; when it fires, the shuffle it adds is by definition of a
-    * small input. Dimension tables (region..part) stay untouched —
-    * they are broadcast-sized and a repartition would only add an
-    * exchange in front of every broadcast.
+  /** Scan helper. Deliberately does NOT blanket-wrap fact tables in
+    * [[graft.util.Parallelism.ensure]]: a round-robin exchange cannot
+    * parallelize the SCAN itself (a single-row-group file still reads
+    * serially; only downstream narrow compute spreads), so for
+    * scan→shuffle queries it is pure added cost at fixture scale and a
+    * no-op at real scale — measured when round 13 tried the blanket
+    * form: +0.2–0.4 s per light query at sf0.1 (q_topk 0.27→0.50 s,
+    * q_lineitem_agg 0.48→0.80 s same-day A/B) with zero benefit. The
+    * guard belongs where heavy NARROW compute follows the scan — the
+    * `ensure` call sites in the query bodies and operator internals —
+    * and that placement is REGISTRY-GATED: every query in
+    * [[heavyScanQueries]] is spec-asserted (ParallelismSpec) to carry
+    * the repartition guard in its plan, so coverage is one audited
+    * list, not per-query whack-a-mole.
     */
-  private val FactTables =
-    Set("lineitem", "orders", "events", "documents", "embeddings", "customer")
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    if (FactTables(name)) graft.util.Parallelism.ensure(df) else df
-  }
+  /** Queries whose first stage does heavy PER-ROW compute on a fact
+    * scan (tokenize / shingle / hash / decode) — the shape the sf1 v8
+    * single-file layout serialized (q_bloom_index 224.4 s → 2.0 s
+    * once parallel). ParallelismSpec asserts each carries a
+    * `RepartitionOperation` guard in its logical plan against an
+    * under-parallel single-file dir; add new compute-heavy fact
+    * queries HERE and the spec enforces the guard.
+    */
+  val heavyScanQueries: Seq[String] = Seq(
+    "q_text_stats", "q_repetition", "q_bm25", "q_shards", "q_skipgram",
+    "q_bloom_index", "q_calibration", "q_winnow", "q_novelty",
+    "q_bpe_encode", "q_minhash_lsh", "q_jaccard_prefix",
+    "q_simhash", "q_rare_tokens")
+  // q_bpe trains EAGERLY (driver-side merge loop over actions), so its
+  // returned frame no longer contains the corpus scan — its guard
+  // lives in bpeWords, the same code path q_bpe_encode's lazy plan
+  // exposes to the registry spec above.
 
   /** Epoch-microseconds of an event-time column whatever the fixture's
     * physical type: NANOS-since-epoch BIGINT (parquet timestamp[ns]
@@ -3352,7 +3367,9 @@ object SparkEntry {
     * everything after is vocabulary-sized).
     */
   private def bpeWords(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    // ensure(): whole-corpus tokenization is the compute-heavy first
+    // stage of every BPE row; a single-file layout must not serialize it
+    graft.util.Parallelism.ensure(t(s, dir, "documents"))
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -3388,7 +3405,9 @@ object SparkEntry {
     val vocab = graft.ops.Windows.denseIdsBy(
       seg.select(explode(col("pieces")).as("piece")).distinct(),
       Seq(col("piece").asc), "piece_id")
-    graft.ops.Bpe.bpeEncode(t(s, dir, "documents"), "doc_id", col("text"), seg)
+    graft.ops.Bpe.bpeEncode(
+        graft.util.Parallelism.ensure(t(s, dir, "documents")),
+        "doc_id", col("text"), seg)
       .join(vocab, Seq("piece"))
       .select("doc_id", "word_pos", "piece_pos", "piece", "piece_id")
   }

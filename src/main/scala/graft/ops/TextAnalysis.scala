@@ -629,7 +629,11 @@ object TextAnalysis {
       k: Int, w: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
-    df.select(col(idCol), tokensWs(text).as("__toks"))
+    // tokenize → k-grams → hash → windowed minima is the heaviest
+    // per-row chain in this file; an under-parallel scan layout must
+    // not serialize it (ensure: no-op on any healthy layout)
+    graft.util.Parallelism.ensure(df)
+      .select(col(idCol), tokensWs(text).as("__toks"))
       .filter(size(col("__toks")) >= k + w - 1) // ≥ 1 full window
       .select(col(idCol), Dedup.shinglesFromTokens(col("__toks"), k).as("__g"))
       .select(col(idCol),
@@ -886,7 +890,9 @@ object TextAnalysis {
     */
   def noveltyScores(docs: DataFrame, idCol: String, text: Column, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val sh = docs
+    // shingling is the compute-heavy narrow stage before the distinct
+    // shuffle; guard against under-parallel scan layouts
+    val sh = graft.util.Parallelism.ensure(docs)
       .select(col(idCol).as("__id"),
         explode(Dedup.shingles(text, n)).as("sh"))
       .distinct()

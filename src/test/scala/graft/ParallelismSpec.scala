@@ -35,6 +35,28 @@ class ParallelismSpec extends SparkSpec {
     assert(repartitions(projected) == 1)
   }
 
+  test("every heavyScanQueries entry carries the repartition guard against an under-parallel layout") {
+    // The registry IS the mechanism (VERDICT r12 item 7): compute-heavy
+    // fact-scan queries are listed once in SparkEntry.heavyScanQueries
+    // and this test asserts each one's plan carries a repartition
+    // guard when built over the driver's single-file sf0.001 tables —
+    // so a new heavy query without its `ensure` fails here, not in an
+    // sf1 bench three rounds later. (A blanket scan-helper repartition
+    // was measured and rejected: it cannot parallelize the scan itself
+    // and taxes every scan→shuffle query — see the t() scaladoc.)
+    val dir = "/root/testdata/sf0.001"
+    val names = SparkEntry.heavyScanQueries
+    assert(names.nonEmpty)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    assert(unknown.isEmpty, s"registry names not in queries: $unknown")
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val guards = df.queryExecution.logical.collect { case r: RepartitionOperation => r }
+      assert(guards.nonEmpty,
+        s"$name is registered compute-heavy but its plan has no repartition guard")
+    }
+  }
+
   test("ensure is a no-op when the byte-split estimate already reaches target parallelism") {
     // A single LARGE file is not an under-parallel layout: Spark chops
     // splittable sources into maxSplitBytes pieces. Model 'large'
