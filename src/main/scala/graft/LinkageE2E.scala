@@ -65,7 +65,16 @@ object LinkageE2E {
     * no name signal to fit and precision@5 collapsed to 0.15.
     */
   def tableA(spark: SparkSession, baseDir: String, repl: Int = 10): DataFrame =
-    spark.read.parquet(s"$baseDir/customer.parquet")
+    // ensure() UNDER the explode: the base customer table is one small
+    // file, so without it the repl× fan-out runs in ONE task and the
+    // 8M-row checkpoint materializes as ONE partition — every
+    // downstream wide stage then pays a single-task multi-GB map-side
+    // shuffle write. Measured this round (same code, repl=534): the
+    // pattern-counts stage read 15.2 s calm / 255.9 / 665.1 s under
+    // disk throttle with load ≈ 1 — one thread doing all the work was
+    // the real mechanism behind the stage's "co-tenant sensitivity".
+    graft.util.Parallelism.ensure(
+        spark.read.parquet(s"$baseDir/customer.parquet"))
       .withColumn("__r", explode(sequence(lit(0), lit(repl - 1))))
       .withColumn("rec_id", col("c_custkey") + col("__r") * 15000L)
       .select(
