@@ -123,6 +123,25 @@ object Bench {
     def loadAvg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // Bounded calm gate (round-14, VERDICT item 1): three consecutive
+    // rounds drew a loaded VM at bench start and lost their delta
+    // tables to the noisy-run suppression. Wait — bounded — for the
+    // 1-minute load to drop below SPARK_GRAFT_CALM_LOAD (default 2.0)
+    // before the first pass, up to SPARK_GRAFT_CALM_WAIT_S (default
+    // 600 s), then proceed regardless: a bounded delay converts
+    // many would-be noisy runs into calm ones and can never block the
+    // driver. Set SPARK_GRAFT_CALM_WAIT_S=0 to disable.
+    {
+      val calmBelow = sys.env.getOrElse("SPARK_GRAFT_CALM_LOAD", "2.0").toDouble
+      val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_CALM_WAIT_S", "600").toInt
+      val deadline = System.nanoTime() + maxWaitS * 1000L * 1000 * 1000
+      var l = loadAvg()
+      while (l >= calmBelow && System.nanoTime() < deadline) {
+        System.err.println(f"[bench] load_avg $l%.2f >= $calmBelow%.1f — waiting for a calm window")
+        Thread.sleep(15000)
+        l = loadAvg()
+      }
+    }
     // Co-tenant load must be sampled BEFORE the bench contributes its
     // own 32 runnable threads — mid-run samples measure ourselves (a
     // calm-box subset run read 6–8). The start sample is the
@@ -234,9 +253,17 @@ object Bench {
           persistPath.stripSuffix(".json") + "_noisy.json"
         else persistPath
       if (only.isEmpty)
-        try java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(writePath), full + "\n")
-        catch { case _: Throwable => () } // bench result must not die on a doc write
+        try {
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(writePath), full + "\n")
+          // The final pass supersedes the kill-resilience sibling: a
+          // stale `_run.json` from pass runs−1 must not outlive a
+          // completed run (tooling reading it would believe a partial
+          // is the latest in-flight state).
+          if (passes.size == runs)
+            java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+              persistPath.stripSuffix(".json") + "_run.json"))
+        } catch { case _: Throwable => () } // bench result must not die on a doc write
       val top = perQuery.sortBy { case (_, xs) => -median(xs) }.take(10)
         .map { case (n, xs) => s"${jstr(n)}:${jnum(median(xs))}" }.mkString("{", ",", "}")
       // Round-over-round deltas: queries whose median moved >1.5×

@@ -101,10 +101,19 @@ object LinkageDemo {
     // the pairs — so precision/recall below are by construction the
     // numbers an unsalted run produces.
     val unsalted = blocks(0)
+    // except() alone is set-based; pairing it with a COUNT comparison
+    // makes the identity multiplicity-aware (both sides are
+    // distinct-by-construction — extractBlocks ends in a distinct —
+    // so equal counts + equal sets ⇒ equal multisets; the count guard
+    // is what would catch a salting bug that broke the distinct
+    // itself). The unsalted re-run is a demo-only double-compute; the
+    // spec-level identity (LinkageSpec) checks without it.
+    val nSalted = ids.count()
     val saltIdentical =
-      ids.except(unsalted).isEmpty && unsalted.except(ids).isEmpty
-    println(s"candidate pairs: ${ids.count()} (salted ≡ unsalted: $saltIdentical)")
-    require(saltIdentical, "salted blocking must preserve the pair set")
+      nSalted == unsalted.count() &&
+        ids.except(unsalted).isEmpty && unsalted.except(ids).isEmpty
+    println(s"candidate pairs: $nSalted (salted ≡ unsalted: $saltIdentical)")
+    require(saltIdentical, "salted blocking must preserve the pair multiset")
 
     // 2. Comparators (reference: scratch.R:39-47).
     val comparators =

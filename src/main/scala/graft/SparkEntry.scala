@@ -45,12 +45,38 @@ object SparkEntry {
   val heavyScanQueries: Seq[String] = Seq(
     "q_text_stats", "q_repetition", "q_bm25", "q_shards", "q_skipgram",
     "q_bloom_index", "q_calibration", "q_winnow", "q_novelty",
-    "q_bpe_encode", "q_minhash_lsh", "q_jaccard_prefix",
-    "q_simhash", "q_rare_tokens")
+    "q_bpe_encode", "q_unigram_encode", "q_minhash_lsh", "q_jaccard_prefix",
+    "q_simhash", "q_rare_tokens",
+    // round-14 negative-control sweep finds (real per-row kernels the
+    // r12 hand-audit missed): rolling-hash CDC, the window chunker,
+    // and the WAV-decode+DFT pipeline
+    "q_cdc_chunks", "q_chunk_text", "q_audio_tone")
+  // q_unigram_lm trains eagerly like q_bpe (localCheckpoint-fenced EM
+  // rounds) — its guard lives in bpeWords via the same scan helper the
+  // lazy q_unigram_encode plan exposes to the registry spec.
   // q_bpe trains EAGERLY (driver-side merge loop over actions), so its
   // returned frame no longer contains the corpus scan — its guard
   // lives in bpeWords, the same code path q_bpe_encode's lazy plan
   // exposes to the registry spec above.
+
+  /** Adjudicated exceptions to the round-14 negative-control sweep
+    * (ParallelismSpec): queries whose plan contains a heavy-kernel
+    * signature over an unguarded scan where the guard was DELIBERATELY
+    * omitted, each with its measured or structural rationale. Adding a
+    * name here instead of [[heavyScanQueries]] is an explicit audited
+    * decision, not a forgotten guard.
+    */
+  val heavyScanAdjudicated: Map[String, String] = Map(
+    "q_salted_join" -> ("salt explode feeds the shuffle join IMMEDIATELY — " +
+      "salting exists to shape that exchange; per-row work is one literal sequence"),
+    "q_bootstrap" -> ("sequence(1,16) is a bounded resample fan-out into an " +
+      "immediate 17-key hash agg — shuffle-bound, no per-row kernel"),
+    "q_data_mix" -> ("repeatByWeight's sequence(1,w<=3) duplicates rows into " +
+      "row-level output — no shuffle, no per-row compute beyond the copy"),
+    "q_overlap_join" -> ("sequence builds the interval cover-grid keys feeding " +
+      "the equi-join's exchange — join-bound by construction"),
+    "q_path_rollup" -> ("<=2-prefix sequence explode into the rollup hash agg; " +
+      "canonicalization is one codegen regex pass — agg-shuffle-bound"))
 
   /** Epoch-microseconds of an event-time column whatever the fixture's
     * physical type: NANOS-since-epoch BIGINT (parquet timestamp[ns]
@@ -333,6 +359,13 @@ object SparkEntry {
       "doc_id", col("text"), n = 3, minJaccard = 0.5, maxDocFreq = Some(50L))
   }
 
+  /** One measured id envelope per fixture dir (see [[qBitmapDistinct]]);
+    * concurrent-safe because the bench/verify mains build queries from
+    * multiple call sites against the same dir.
+    */
+  private val bitmapEnvelopeByDir =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** Exact per-group distinct counting through the typed Aggregator
     * (UDAF) surface ([[graft.expr.BitmapDistinct]]): one pass,
     * map-side partials, fixed 188 KB bitmap buffer per group instead
@@ -351,7 +384,18 @@ object SparkEntry {
     // instead of tripping the loud out-of-envelope refusal — the
     // refusal stays live for ids outside the MEASURED domain.
     val orders = t(s, dir, "orders")
-    val maxKey = orders.agg(max(col("o_custkey"))).head.getLong(0)
+    // Cached per dir: query CONSTRUCTION used to run the max() job
+    // every time the frame was merely built (plan inspection, registry
+    // enumeration) — once per fixture dir is the catalog-metadata
+    // behavior the scaladoc promises. NULL max (empty orders) takes
+    // the floor instead of an NPE at construction time. A fixture
+    // rebuilt in place with LARGER ids would hit the stale cache —
+    // and then the aggregator's out-of-envelope loud refusal, never a
+    // silent wrong count.
+    val maxKey = bitmapEnvelopeByDir.getOrElseUpdate(dir, {
+      val row = orders.agg(max(col("o_custkey"))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    })
     val envelope = math.max(1500000L, maxKey)
     orders.groupBy("o_orderpriority")
       .agg(graft.expr.BitmapDistinct.bitmapDistinct(envelope)(col("o_custkey"))
@@ -2447,7 +2491,8 @@ object SparkEntry {
     */
   private def qChunkText(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.chunkTokens(
-      t(s, dir, "documents"), "doc_id", col("text"), chunkTokens = 64, stride = 48)
+      graft.util.Parallelism.ensure(t(s, dir, "documents")),
+      "doc_id", col("text"), chunkTokens = 64, stride = 48)
 
   // ---- wave 8: winnowing / span dedup / semantic dedup / SQL surface --
 
@@ -2485,6 +2530,15 @@ object SparkEntry {
     */
   private def qSpanDedup(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.removeDuplicatedSpans(
+      t(s, dir, "documents"), "doc_id", col("text"), k = 5)
+
+  /** Maximal duplicated spans ([[graft.ops.Dedup.duplicatedSpanRuns]])
+    * at the same k=5 — the exact-boundary span inventory the fidelity
+    * contract promises (round-14): each row one maximal ≥5-token run
+    * occurring more than once corpus-wide, boundary-exact.
+    */
+  private def qSpanExact(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.duplicatedSpanRuns(
       t(s, dir, "documents"), "doc_id", col("text"), k = 5)
 
   /** SemDeDup-style semantic dedup keep-list: nearest-centroid
@@ -3431,6 +3485,60 @@ object SparkEntry {
       "lang", "doc_id", "n_pieces", budget = 2048L)
   }
 
+  /** Unigram-LM tokenizer schedule (see [[graft.ops.Unigram]]): 4-char
+    * max piece, 64-piece multi-char seed pruned to 24, EM×2 → prune →
+    * EM×1, words capped at 12 chars (fixture max is 8 — nothing is
+    * dropped; the cap bounds the oracle's per-position CTE unroll).
+    */
+  private val UnigramMaxPieceLen = 4
+  private val UnigramSeedMultiChar = 64
+  private val UnigramKeepMultiChar = 24
+  private val UnigramEmBefore = 2
+  private val UnigramEmAfter = 1
+  private val UnigramMaxWordLen = 12
+
+  /** [[bpeWords]] under the unigram training policy filter (the same
+    * `len(word) <= maxWordLen` [[graft.ops.Unigram.unigramTrain]]
+    * applies internally — exposed so the encode path segments exactly
+    * the trained word set).
+    */
+  private def unigramWords(s: SparkSession, dir: String): DataFrame =
+    bpeWords(s, dir).filter(length(col("word")) <= UnigramMaxWordLen)
+
+  /** Unigram-LM tokenizer training trace
+    * ([[graft.ops.Unigram.unigramTrain]]): every model state — seed,
+    * two Viterbi-EM rounds, the prune, the final EM round — as one
+    * `(round, piece, cnt, logp_unat)` frame, hash-checked against a
+    * DuckDB replay that unrolls the identical Viterbi DP one chained
+    * CTE per character position (the [[graft.ops.Bpe.bpeSql]]
+    * discipline for the OTHER production tokenizer family, Kudo 2018).
+    */
+  private def qUnigramLm(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Unigram.unigramTrain(bpeWords(s, dir),
+      maxPieceLen = UnigramMaxPieceLen, seedMultiChar = UnigramSeedMultiChar,
+      keepMultiChar = UnigramKeepMultiChar, emBeforePrune = UnigramEmBefore,
+      emAfterPrune = UnigramEmAfter, maxWordLen = UnigramMaxWordLen)._1
+
+  /** Unigram-LM encoding: Viterbi-segment the trained word set under
+    * the FINAL vocabulary, then the [[graft.ops.Bpe.bpeEncode]]
+    * vocabulary-sized hash join + piece explode — `(doc_id, word_pos,
+    * piece_pos, piece)`, row-level so the hash covers every emitted
+    * subword in order.
+    */
+  private def qUnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val words = unigramWords(s, dir)
+    val (_, finalVocab) = graft.ops.Unigram.unigramTrain(words,
+      maxPieceLen = UnigramMaxPieceLen, seedMultiChar = UnigramSeedMultiChar,
+      keepMultiChar = UnigramKeepMultiChar, emBeforePrune = UnigramEmBefore,
+      emAfterPrune = UnigramEmAfter, maxWordLen = UnigramMaxWordLen)
+    val seg = graft.ops.Unigram
+      .viterbiSegments(words, finalVocab, UnigramMaxPieceLen)
+      .select(col("word"), col("pieces"))
+    graft.ops.Bpe.bpeEncode(
+      graft.util.Parallelism.ensure(t(s, dir, "documents")),
+      "doc_id", col("text"), seg)
+  }
+
   /** Deterministic per-epoch reshuffle
     * ([[graft.ops.Sampling.epochShuffle]]): 3 training epochs of the
     * document corpus, each a fresh md5-keyed global permutation —
@@ -3921,7 +4029,8 @@ object SparkEntry {
     */
   private def qCdcChunks(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.cdcChunks(
-      t(s, dir, "documents"), "doc_id", col("text"), window = 4, divisor = 32)
+      graft.util.Parallelism.ensure(t(s, dir, "documents")),
+      "doc_id", col("text"), window = 4, divisor = 32)
 
   /** Audio tone detection: REAL WAV tones written by the engine
     * ([[graft.ops.Multimodal.synthToneRecords]] — bin `1 + id mod 8`
@@ -3938,7 +4047,8 @@ object SparkEntry {
     val M = graft.ops.Multimodal
     val tab = typedLit(M.CosTable64)
     val recs = M.synthToneRecords(
-      t(s, dir, "documents").filter(col("doc_id") % 11 === 0), "doc_id")
+      graft.util.Parallelism.ensure(t(s, dir, "documents"))
+        .filter(col("doc_id") % 11 === 0), "doc_id")
     val smp = M.decodeAudioSamples(recs).filter(col("pos") >= 0)
     smp.select(col("id").as("doc_id"), col("pos"), col("sample"),
         explode(sequence(lit(1L), lit(8L))).as("bin"))
@@ -4627,6 +4737,7 @@ object SparkEntry {
     "q_chunk_text" -> (qChunkText _),
     "q_winnow" -> (qWinnow _),
     "q_span_dedup" -> (qSpanDedup _),
+    "q_span_exact" -> (qSpanExact _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_rank_functions" -> (qRankFunctions _),
@@ -4681,6 +4792,8 @@ object SparkEntry {
     "q_bpe" -> (qBpe _),
     "q_bpe_stats" -> (qBpeStats _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_unigram_lm" -> (qUnigramLm _),
+    "q_unigram_encode" -> (qUnigramEncode _),
     "q_pack_bpe" -> (qPackBpe _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_incr_part" -> (qIncrPart _),
@@ -6443,6 +6556,8 @@ object SparkEntry {
          |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared""".stripMargin,
     "q_span_dedup" -> graft.ops.Dedup.removeDuplicatedSpansSql(
+      "documents", "doc_id", "text", k = 5),
+    "q_span_exact" -> graft.ops.Dedup.duplicatedSpanRunsSql(
       "documents", "doc_id", "text", k = 5),
     "q_semantic_dedup" ->
       s"""WITH RECURSIVE cent AS (
@@ -8349,6 +8464,46 @@ object SparkEntry {
          |       unnest(generate_series(1, len(x.pieces))) AS t(j))
          |SELECT pe.doc_id, pe.word_pos, pe.piece_pos, pe.piece, v.piece_id
          |FROM pe JOIN vocab v USING (piece)""".stripMargin,
+    // Unigram-LM training mirror: uw is the SAME word-frequency CTE as
+    // the BPE family plus the maxWordLen policy filter; trainSqlRounds
+    // unrolls the identical seed → EM → prune → EM schedule with the
+    // Viterbi DP one chained CTE per character position; the trace
+    // union hashes every model state.
+    "q_unigram_lm" ->
+      s"""WITH uw AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '' AND len(word) <= $UnigramMaxWordLen GROUP BY 1),
+         |${graft.ops.Unigram.trainSqlRounds("uw", UnigramMaxPieceLen,
+              UnigramSeedMultiChar, UnigramKeepMultiChar, UnigramEmBefore,
+              UnigramEmAfter, UnigramMaxWordLen)}
+         |${graft.ops.Unigram.traceSelectSql(UnigramEmBefore, UnigramEmAfter)}""".stripMargin,
+    // Unigram encode mirror: the training CTEs, ONE more Viterbi DP
+    // under the final vocabulary v4 (u4seg segments under v3 — the
+    // M-step input, not the final model), then the q_bpe_encode
+    // word-position/piece-position explode pattern.
+    "q_unigram_encode" -> {
+      val lastV = s"v${UnigramEmBefore + 1 + UnigramEmAfter}"
+      s"""WITH uw AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '' AND len(word) <= $UnigramMaxWordLen GROUP BY 1),
+         |${graft.ops.Unigram.trainSqlRounds("uw", UnigramMaxPieceLen,
+              UnigramSeedMultiChar, UnigramKeepMultiChar, UnigramEmBefore,
+              UnigramEmAfter, UnigramMaxWordLen)},
+         |${graft.ops.Unigram.viterbiSqlRounds("enc", "uw", lastV,
+              UnigramMaxPieceLen, UnigramMaxWordLen)},
+         |dw AS (
+         |  SELECT doc_id, CAST(j AS BIGINT) AS word_pos, w[j] AS word
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |       unnest(generate_series(1, len(w))) AS t(j)
+         |  WHERE w[j] <> '')
+         |SELECT x.doc_id, x.word_pos, CAST(j AS BIGINT) AS piece_pos,
+         |       x.pieces[j] AS piece
+         |FROM (SELECT dw.doc_id, dw.word_pos, s.pieces
+         |      FROM dw JOIN encseg s USING (word)) x,
+         |     unnest(generate_series(1, len(x.pieces))) AS t(j)""".stripMargin
+    },
     // BPE→packing composition: the encode mirror's piece stream
     // aggregated per doc, then the q_pack_chunks cumsum/floor-div.
     "q_pack_bpe" ->

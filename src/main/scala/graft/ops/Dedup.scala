@@ -877,6 +877,23 @@ object Dedup {
     * input row, including docs shorter than k tokens (nothing to
     * dedup → n_dup_tokens = 0).
     *
+    * FIDELITY CONTRACT (vs the paper's suffix-array ExactSubstr, the
+    * round-14 pin; property-checked in OpsSpec's span-exactness test):
+    * with STRIDE-1 grams the marking is boundary-EXACT at token
+    * granularity — a position is covered iff it lies inside a
+    * contiguous token run of length ≥ k that occurs elsewhere in the
+    * corpus (or again in the same document). Both directions are
+    * immediate: a repeated run of length L ≥ k contains a duplicated
+    * k-gram through every one of its positions, and a duplicated
+    * k-gram IS a repeated run of length k. So there is no "modulo
+    * k−1" boundary slack — that slack belongs to strided/tiled
+    * schemes. What remains approximate vs Lee et al. 2022 is only the
+    * granularity of the unit itself: token runs with threshold k
+    * tokens, not byte runs with a 50-BYTE threshold (a repeat
+    * entering mid-token is counted from the token boundary). Maximal
+    * repeated runs themselves are available as spans from
+    * [[duplicatedSpanRuns]].
+    *
     * Granularity: matching runs of ≥ k tokens are removed exactly
     * (every position in the run is covered by a duplicated gram);
     * runs shorter than k never trigger. That is the suffix-array
@@ -895,19 +912,30 @@ object Dedup {
     * agg-side `array_sort(collect_list(struct))` — per-doc state only,
     * no window over the corpus.
     */
-  def removeDuplicatedSpans(
-      df: DataFrame, idCol: String, text: Column, k: Int): DataFrame = {
-    require(k >= 2, s"k must be >= 2, got $k")
-    val toks = df.select(col(idCol), split(text, " ").as("__toks"))
+  /** Distinct duplicated token positions `(idCol, __cpos)` — the
+    * shared core of [[removeDuplicatedSpans]] and
+    * [[duplicatedSpanRuns]]: stride-1 k-gram hash occurrences, the
+    * corpus-wide duplicated-hash set, a semi join back, ≤ k coverage
+    * fan-out, position dedup.
+    */
+  private def coveredPositions(
+      toks: DataFrame, idCol: String, k: Int): DataFrame = {
     val occ = toks.filter(size(col("__toks")) >= k)
       .select(col(idCol), posexplode(shinglesFromTokens(col("__toks"), k)).as(Seq("__pos", "__g")))
       .select(col(idCol), col("__pos"), shingleBaseHash(col("__g")).as("__h"))
     val dupHashes = occ.groupBy("__h").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).select("__h")
-    val covered = occ.join(dupHashes, Seq("__h"), "left_semi")
+    occ.join(dupHashes, Seq("__h"), "left_semi")
       .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__cpos"))
       .groupBy(col(idCol), col("__cpos")).agg(lit(1).as("__one"))
       .select(col(idCol), col("__cpos"))
+  }
+
+  def removeDuplicatedSpans(
+      df: DataFrame, idCol: String, text: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val toks = df.select(col(idCol), split(text, " ").as("__toks"))
+    val covered = coveredPositions(toks, idCol, k)
     val tokPos = toks.select(col(idCol), posexplode(col("__toks")).as(Seq("__pos", "__tok")))
     // left join + null-mark (the removeFrequentSegments pattern): one
     // pass yields the surviving tokens AND the per-doc removed count.
@@ -928,6 +956,61 @@ object Dedup {
               when(col("__cpos").isNull, struct(col("__pos"), col("__tok"))))),
             x => x("__tok"))).as("clean_text"))
   }
+
+  /** MAXIMAL duplicated spans — the chain-merge view of
+    * [[removeDuplicatedSpans]]'s coverage set: consecutive duplicated
+    * positions merge into `(idCol, span_start, span_end, span_len)`
+    * runs (0-based inclusive token positions). By the fidelity
+    * contract above these are EXACTLY the maximal contiguous token
+    * runs of length ≥ k that occur more than once in the corpus, with
+    * exact boundaries — the span inventory an exact-substring dedup
+    * audit reads (which corpora share boilerplate, how long, where),
+    * where [[removeDuplicatedSpans]] is the removal action.
+    *
+    * Shape: islands-and-gaps over the covered-position set — the
+    * per-doc `row_number` window is partitioned by document (never a
+    * corpus-wide window), and the covered set is already the
+    * linear-in-tokens aggregate of the coverage join.
+    */
+  def duplicatedSpanRuns(
+      df: DataFrame, idCol: String, text: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), split(text, " ").as("__toks"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__cpos"))
+    coveredPositions(toks, idCol, k)
+      .withColumn("__island", col("__cpos") - row_number().over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min("__cpos").cast("long").as("span_start"),
+        max("__cpos").cast("long").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** DuckDB mirror of [[duplicatedSpanRuns]]: identical occurrence/
+    * coverage CTEs, then the same islands-and-gaps merge.
+    */
+  def duplicatedSpanRunsSql(table: String, idExpr: String, textExpr: String,
+      k: Int): String =
+    s"""WITH d AS (
+       |  SELECT $idExpr, string_split($textExpr, ' ') AS toks FROM $table),
+       |occ AS (
+       |  SELECT $idExpr, j - 1 AS pos,
+       |         ${shingleBaseHashSql(s"array_to_string(toks[j : j + ${k - 1}], ' ')")} AS h
+       |  FROM d, unnest(generate_series(1, len(toks) - ${k - 1})) AS t(j)
+       |  WHERE len(toks) >= $k),
+       |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) > 1),
+       |covered AS (
+       |  SELECT DISTINCT $idExpr, c.cpos
+       |  FROM occ JOIN dup USING (h), unnest(generate_series(occ.pos, occ.pos + ${k - 1})) AS c(cpos)),
+       |runs AS (
+       |  SELECT $idExpr, cpos,
+       |         cpos - row_number() OVER (PARTITION BY $idExpr ORDER BY cpos) AS island
+       |  FROM covered)
+       |SELECT $idExpr, CAST(min(cpos) AS BIGINT) AS span_start,
+       |       CAST(max(cpos) AS BIGINT) AS span_end,
+       |       CAST(max(cpos) - min(cpos) + 1 AS BIGINT) AS span_len
+       |FROM runs GROUP BY $idExpr, island""".stripMargin
 
   /** DuckDB mirror of [[removeDuplicatedSpans]]. Token positions are
     * 0-based on both engines (generate_series shifted); the aggregate

@@ -1,0 +1,385 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer training (Kudo 2018, the SentencePiece
+  * unigram model) — BPE's companion family: where [[Bpe]] GROWS a
+  * vocabulary by greedy pair merges, the unigram model SEEDS a large
+  * candidate vocabulary and EM-PRUNES it down, segmenting by maximum
+  * piece-likelihood (Viterbi) instead of merge replay.
+  *
+  * Deterministic hard-EM variant. Kudo's E-step sums expected piece
+  * counts over ALL segmentations (forward–backward) — an inherently
+  * float log-sum-exp whose partition-order-dependent accumulation can
+  * never be bit-identical across engines (the repo's exactness
+  * contract, see [[TextAnalysis.lmUnigramScore]]). This implementation
+  * uses VITERBI (hard) EM: each word contributes integer counts along
+  * its single best segmentation, weighted by its exact corpus
+  * frequency. Every model quantity is then either a BIGINT count or
+  * `⌊10⁶·ln(int/int)⌋` — one fixed-order IEEE `ln` from identical
+  * integers on both engines, the established micro-nat discipline —
+  * so the full training TRACE hash-checks against a DuckDB replay.
+  * Hard EM is the classic tractable approximation of the soft E-step
+  * (and the unigram analogue of what SentencePiece's own pruning does
+  * with Viterbi path counts); the prune criterion below (drop
+  * lowest-usage pieces) is likewise the hard-count analogue of Kudo's
+  * likelihood-loss ranking.
+  *
+  * Training schedule (fixed, mirrored CTE-for-CTE by the SQL
+  * generators): seed → `emBeforePrune` Viterbi-EM rounds → ONE prune
+  * to `keepMultiChar` multi-character pieces → `emAfterPrune` more EM
+  * rounds. Single-character pieces are NEVER pruned — they are the
+  * coverage guarantee (every word remains segmentable), exactly
+  * SentencePiece's required-character set.
+  *
+  * Scale shape (the [[Bpe.bpeTrain]] charter): the loop state is the
+  * DISTINCT-WORD frequency table — vocabulary-sized, not corpus-sized
+  * (the corpus is scanned once to build it) — and the model is the
+  * piece table, a driver-scale artifact like the BPE merge table or
+  * the IVF codebooks. Each EM round is: one broadcast join of the
+  * piece table onto word substrings (edge generation), one map-only
+  * Viterbi DP per word (a single Catalyst `aggregate` expression —
+  * no UDF, no driver loop over words), one hash aggregate of piece
+  * usage. No window functions, no single-partition stages; rounds are
+  * `localCheckpoint`-fenced like BPE's merge chain so plan depth stays
+  * bounded.
+  *
+  * Determinism of ties: the DP maximizes `struct(score, pieces)` —
+  * among equal-score segmentations the winner is the one whose piece
+  * array compares lexicographically greatest AT EACH DP STEP. That
+  * step-local tiebreak is applied identically by Spark's `array_max`
+  * and DuckDB's `list_aggregate(…, 'max')` (both compare structs
+  * field-by-field, arrays element-wise, strings bytewise), so the
+  * chosen segmentation is a pure function of the vocabulary on both
+  * engines; the SCORE is globally optimal regardless of ties.
+  *
+  * Words longer than `maxWordLen` are EXCLUDED from training on both
+  * engines (a policy filter, not a silent truncation — SentencePiece
+  * has the same `max_sentence(piece)_length` family of caps); the DP
+  * replay unrolls one CTE per character position, so the cap also
+  * bounds the oracle SQL. Encoding a word that was filtered (or any
+  * novel word) goes through [[viterbiSegments]] directly, or fails
+  * loudly in the [[Bpe.bpeEncode]] join path — never silently.
+  */
+object Unigram {
+
+  /** Unreachable-position sentinel: far below any real score sum
+    * (scores are ≥ −10⁶·ln(total+V) per piece ≈ −40·10⁶, words are
+    * ≤ maxWordLen pieces), far above BIGINT overflow territory.
+    */
+  val Unreach: Long = -(1L << 60)
+
+  private def checkedWords(words: DataFrame, maxWordLen: Int): DataFrame = {
+    val cols = words.columns
+    require(cols.length == 2, s"words needs exactly (word, freq) columns, got ${cols.toSeq}")
+    words.select(col(cols(0)).as("word"), col(cols(1)).cast("long").as("freq"))
+      .filter(col("word").isNotNull && col("word") =!= "" &&
+        length(col("word")) <= maxWordLen)
+  }
+
+  /** Seed candidate counts: every substring of length 1..maxPieceLen
+    * of every word, weighted by word frequency — one explode + hash
+    * aggregate (the corpus itself is NOT rescanned; `words` is the
+    * distinct-word table).
+    */
+  def substringCounts(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("__s"))
+      .select(col("word"), col("freq"), col("__s"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("__l"))
+      .filter(col("__s") + col("__l") - 1 <= length(col("word")))
+      .select(col("word").substr(col("__s"), col("__l")).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+
+  /** Add-one-smoothed micro-nat piece scores from counts:
+    * `logp_unat = ⌊10⁶·ln((cnt+1)/(total+|V|))⌋` — the
+    * [[TextAnalysis.lmUnigramScore]] formula, one IEEE `ln` of a
+    * single integer-over-integer division. The (total,|V|) stats row
+    * broadcasts; the vocab is model-sized.
+    */
+  def rescore(counts: DataFrame): DataFrame = {
+    val stats = counts.agg(sum("cnt").as("__total"), count(lit(1)).as("__nv"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("piece"), col("cnt"),
+        floor(log((col("cnt") + 1).cast("double") /
+          (col("__total") + col("__nv")).cast("double")) * 1e6)
+          .cast("long").as("logp_unat"))
+  }
+
+  /** Seed vocabulary: ALL single characters plus the `seedMultiChar`
+    * highest-count multi-character substrings (count DESC, piece ASC —
+    * a total order, so the seed is engine-stable). orderBy+limit, not
+    * a global row_number window: the candidate table is small but the
+    * no-single-partition-window rule is free to keep.
+    */
+  def seedVocab(words: DataFrame, maxPieceLen: Int, seedMultiChar: Int): DataFrame = {
+    val cnts = substringCounts(words, maxPieceLen)
+    val singles = cnts.filter(length(col("piece")) === 1)
+    val multi = cnts.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(seedMultiChar)
+    singles.unionByName(multi)
+  }
+
+  /** Viterbi segmentation of every word under a scored vocabulary —
+    * the tokenizer's decode step and the hard-EM E-step. One broadcast
+    * join builds the per-word edge list (all vocab substrings with
+    * their scores); one `aggregate` expression runs the DP left to
+    * right carrying `best(position) = struct(score, pieces)`; no UDF,
+    * no driver loop, no window. Words NOT coverable by the vocabulary
+    * (a character outside it) fail loudly via raise_error — with any
+    * corpus-derived vocab the single-char coverage set makes that
+    * impossible, but a hand-supplied vocab must not silently drop
+    * words. Returns `(word, freq, pieces, score_unat)`.
+    */
+  def viterbiSegments(words0: DataFrame, scoredVocab: DataFrame, maxPieceLen: Int): DataFrame = {
+    // Loud refusal on null/empty words: sequence(1, 0) helpfully
+    // counts DOWN in Spark (the TextAnalysis.packChunks lesson), so an
+    // empty word would silently produce an empty segmentation instead
+    // of an error.
+    val words = words0.withColumn("word",
+      when(col("word").isNull || col("word") === "",
+        raise_error(lit("viterbiSegments: null/empty word")))
+        .otherwise(col("word")))
+    val edges = words
+      .select(col("word"), explode(sequence(lit(1), length(col("word")))).as("__s"))
+      .select(col("word"), col("__s"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("__l"))
+      .filter(col("__s") + col("__l") - 1 <= length(col("word")))
+      .select(col("word"), col("__s"), (col("__s") + col("__l") - 1).as("__e"),
+        col("word").substr(col("__s"), col("__l")).as("piece"))
+      .join(broadcast(scoredVocab.select(col("piece"), col("logp_unat").as("__unat"))),
+        Seq("piece"))
+      .groupBy("word")
+      .agg(collect_list(struct(col("__s").as("s"), col("__e").as("e"),
+        col("__unat").as("unat"), col("piece").as("piece"))).as("__el"))
+    val emptyPieces = array().cast("array<string>")
+    val sentinel = struct(lit(Unreach).as("score"), emptyPieces.as("pieces"))
+    // best(j) for positions 0..n as a growing 1-based array; the order
+    // of __el is irrelevant (max is commutative), so collect_list's
+    // nondeterministic ordering cannot leak into the result.
+    val dp = aggregate(
+      sequence(lit(1), length(col("word"))),
+      array(struct(lit(0L).as("score"), emptyPieces.as("pieces"))),
+      (acc, j) => concat(acc, array(coalesce(
+        array_max(transform(
+          filter(col("__el"), x => x.getField("e") === j &&
+            element_at(acc, x.getField("s")).getField("score") > lit(Unreach / 2)),
+          x => struct(
+            (element_at(acc, x.getField("s")).getField("score") +
+              x.getField("unat")).as("score"),
+            concat(element_at(acc, x.getField("s")).getField("pieces"),
+              array(x.getField("piece"))).as("pieces")))),
+        sentinel))))
+    words
+      .join(edges, Seq("word"), "left")
+      .withColumn("__el", coalesce(col("__el"),
+        array().cast("array<struct<s:int,e:int,unat:bigint,piece:string>>")))
+      .withColumn("__fin", element_at(dp, length(col("word")) + 1))
+      .select(col("word"), col("freq"),
+        when(col("__fin.score") <= lit(Unreach / 2),
+          raise_error(concat(
+            lit("viterbiSegments: word not coverable by the vocabulary: "),
+            col("word"))))
+          .otherwise(col("__fin.pieces")).as("pieces"),
+        col("__fin.score").as("score_unat"))
+  }
+
+  /** Hard-EM M-step counts: piece usage along each word's Viterbi
+    * segmentation, frequency-weighted, with UNUSED vocab pieces kept
+    * at count 0 (add-one smoothing keeps them alive until a prune —
+    * the vocabulary only shrinks at prune steps, like SentencePiece).
+    */
+  def emCounts(words: DataFrame, scoredVocab: DataFrame, maxPieceLen: Int): DataFrame = {
+    val used = viterbiSegments(words, scoredVocab, maxPieceLen)
+      .select(explode(col("pieces")).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum("freq").as("__used"))
+    scoredVocab.select("piece").join(used, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("__used"), lit(0L)).as("cnt"))
+  }
+
+  /** Prune to `keepMultiChar` multi-character pieces by (cnt DESC,
+    * piece ASC); single characters always survive (coverage).
+    */
+  def prune(scoredVocab: DataFrame, keepMultiChar: Int): DataFrame = {
+    val singles = scoredVocab.filter(length(col("piece")) === 1).select("piece", "cnt")
+    val multi = scoredVocab.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(keepMultiChar)
+      .select("piece", "cnt")
+    singles.unionByName(multi)
+  }
+
+  /** Train the unigram LM tokenizer. Returns `(trace, finalVocab)`:
+    * `trace` is `(round, piece, cnt, logp_unat)` for every model state
+    * — round 0 the scored seed, rounds 1..emBeforePrune the EM
+    * states, round emBeforePrune+1 the prune-rescored state, then the
+    * emAfterPrune final EM states — the whole training trajectory as
+    * one hash-checkable frame (the [[Bpe.bpeSql]] merge-trace
+    * discipline); `finalVocab` is the last round's `(piece, cnt,
+    * logp_unat)`.
+    */
+  def unigramTrain(
+      words0: DataFrame,
+      maxPieceLen: Int = 4,
+      seedMultiChar: Int = 64,
+      keepMultiChar: Int = 24,
+      emBeforePrune: Int = 2,
+      emAfterPrune: Int = 1,
+      maxWordLen: Int = 12): (DataFrame, DataFrame) = {
+    require(maxPieceLen >= 1 && seedMultiChar >= 0 && keepMultiChar >= 0 &&
+      emBeforePrune >= 1 && emAfterPrune >= 1 && maxWordLen >= 1,
+      "unigramTrain: all schedule parameters must be positive")
+    val words = checkedWords(words0, maxWordLen).localCheckpoint(true)
+    def ck(df: DataFrame): DataFrame = df.localCheckpoint(true) // model-sized
+    var vocab = ck(rescore(seedVocab(words, maxPieceLen, seedMultiChar)))
+    val states = scala.collection.mutable.ArrayBuffer[DataFrame](vocab)
+    (1 to emBeforePrune).foreach { _ =>
+      vocab = ck(rescore(emCounts(words, vocab, maxPieceLen)))
+      states += vocab
+    }
+    vocab = ck(rescore(prune(vocab, keepMultiChar)))
+    states += vocab
+    (1 to emAfterPrune).foreach { _ =>
+      vocab = ck(rescore(emCounts(words, vocab, maxPieceLen)))
+      states += vocab
+    }
+    val trace = states.zipWithIndex.map { case (v, i) =>
+      v.select(lit(i.toLong).as("round"), col("piece"), col("cnt"), col("logp_unat"))
+    }.reduce(_ unionByName _)
+    (trace, vocab)
+  }
+
+  // ---- DuckDB mirrors (chained CTEs, the bpeSqlRounds discipline) ---
+
+  private def sqlStructEmpty(score: String): String =
+    s"{'score': CAST($score AS BIGINT), 'pieces': CAST([] AS VARCHAR[])}"
+
+  /** Viterbi DP as chained CTEs for one round tag: `{tag}el` (edge
+    * lists), `{tag}d0..{tag}d{maxWordLen}` (one position per CTE —
+    * the maxWordLen cap is what bounds the unroll), `{tag}seg`. The
+    * step expression is the EXACT lambda the Spark `aggregate` runs:
+    * filter reachable edges ending at j, map to candidate
+    * `struct(score, pieces)`, take the struct max, sentinel when
+    * unreachable.
+    */
+  def viterbiSqlRounds(tag: String, wordsCte: String, vocabCte: String,
+      maxPieceLen: Int, maxWordLen: Int): String = {
+    val el =
+      s"""${tag}el AS MATERIALIZED (
+         |  SELECT w.word, w.freq,
+         |    list({'s': CAST(t.s AS INTEGER), 'e': CAST(t.s + l.l - 1 AS INTEGER),
+         |          'unat': v.logp_unat, 'piece': substr(w.word, t.s, l.l)}) AS el
+         |  FROM $wordsCte w,
+         |       unnest(generate_series(1, len(w.word))) AS t(s),
+         |       unnest(generate_series(1, $maxPieceLen)) AS l(l),
+         |       $vocabCte v
+         |  WHERE t.s + l.l - 1 <= len(w.word)
+         |    AND v.piece = substr(w.word, t.s, l.l)
+         |  GROUP BY w.word, w.freq)""".stripMargin
+    val d0 =
+      s"""${tag}d0 AS MATERIALIZED (
+         |  SELECT word, freq, el, len(word) AS n,
+         |    [${sqlStructEmpty("0")}] AS best
+         |  FROM ${tag}el)""".stripMargin
+    val steps = (1 to maxWordLen).map { j =>
+      s"""${tag}d$j AS MATERIALIZED (
+         |  SELECT word, freq, el, n,
+         |    CASE WHEN n >= $j THEN list_append(best, coalesce(
+         |      list_aggregate(list_transform(list_filter(el,
+         |          x -> x.e = $j AND best[x.s].score > ${Unreach / 2}),
+         |        x -> {'score': best[x.s].score + x.unat,
+         |              'pieces': list_append(best[x.s].pieces, x.piece)}), 'max'),
+         |      ${sqlStructEmpty(Unreach.toString)}))
+         |    ELSE best END AS best
+         |  FROM ${tag}d${j - 1})""".stripMargin
+    }
+    val seg =
+      s"""${tag}seg AS MATERIALIZED (
+         |  SELECT word, freq, best[n + 1].pieces AS pieces
+         |  FROM ${tag}d$maxWordLen)""".stripMargin
+    (Seq(el, d0) ++ steps :+ seg).mkString(",\n")
+  }
+
+  /** `⌊10⁶·ln((cnt+1)/(total+|V|))⌋` rescore of a `(piece, cnt)` CTE. */
+  def rescoreSql(name: String, src: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    CAST(floor(ln(CAST(cnt + 1 AS DOUBLE) /
+       |      CAST(st.total + st.nv AS DOUBLE)) * 1e6) AS BIGINT) AS logp_unat
+       |  FROM $src, (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nv
+       |              FROM $src) st)""".stripMargin
+
+  /** One hard-EM round: Viterbi under `vocabCte`, usage counts with
+    * zero-kept pieces, rescore → CTE `outVocab`.
+    */
+  def emRoundSql(tag: String, wordsCte: String, vocabCte: String, outVocab: String,
+      maxPieceLen: Int, maxWordLen: Int): String = {
+    val viterbi = viterbiSqlRounds(tag, wordsCte, vocabCte, maxPieceLen, maxWordLen)
+    val cnt =
+      s"""${tag}c AS MATERIALIZED (
+         |  SELECT v.piece, CAST(coalesce(u.cnt, 0) AS BIGINT) AS cnt
+         |  FROM $vocabCte v LEFT JOIN (
+         |    SELECT p.piece, CAST(sum(s.freq) AS BIGINT) AS cnt
+         |    FROM ${tag}seg s, unnest(s.pieces) AS p(piece)
+         |    GROUP BY 1) u USING (piece))""".stripMargin
+    Seq(viterbi, cnt, rescoreSql(outVocab, s"${tag}c")).mkString(",\n")
+  }
+
+  /** The full training replay: expects a prior CTE `wordsCte(word,
+    * freq)` ALREADY filtered to `len(word) <= maxWordLen` (the same
+    * policy filter [[checkedWords]] applies), emits CTEs ending in
+    * scored vocab states `v0..v{R}` where R = emBeforePrune + 1 +
+    * emAfterPrune, plus everything [[viterbiSqlRounds]] needs along
+    * the way. Compose with a final trace UNION (see the q_unigram_lm
+    * oracle) or join `u{R}seg`-equivalents for encoding.
+    */
+  def trainSqlRounds(wordsCte: String, maxPieceLen: Int = 4, seedMultiChar: Int = 64,
+      keepMultiChar: Int = 24, emBeforePrune: Int = 2, emAfterPrune: Int = 1,
+      maxWordLen: Int = 12): String = {
+    val seed =
+      s"""s0 AS MATERIALIZED (
+         |  SELECT substr(w.word, t.s, l.l) AS piece, CAST(sum(w.freq) AS BIGINT) AS cnt
+         |  FROM $wordsCte w,
+         |       unnest(generate_series(1, len(w.word))) AS t(s),
+         |       unnest(generate_series(1, $maxPieceLen)) AS l(l)
+         |  WHERE t.s + l.l - 1 <= len(w.word)
+         |  GROUP BY 1),
+         |v0c AS MATERIALIZED (
+         |  SELECT piece, cnt FROM s0 WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+         |    FROM s0 WHERE len(piece) > 1)
+         |  WHERE rn <= $seedMultiChar),
+         |${rescoreSql("v0", "v0c")}""".stripMargin
+    val emBefore = (1 to emBeforePrune).map { r =>
+      emRoundSql(s"u$r", wordsCte, s"v${r - 1}", s"v$r", maxPieceLen, maxWordLen)
+    }
+    val pruneRound = emBeforePrune + 1
+    val pruneSql =
+      s"""vpc AS MATERIALIZED (
+         |  SELECT piece, cnt FROM v$emBeforePrune WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+         |    FROM v$emBeforePrune WHERE len(piece) > 1)
+         |  WHERE rn <= $keepMultiChar),
+         |${rescoreSql(s"v$pruneRound", "vpc")}""".stripMargin
+    val emAfter = (1 to emAfterPrune).map { k =>
+      val r = pruneRound + k
+      emRoundSql(s"u$r", wordsCte, s"v${r - 1}", s"v$r", maxPieceLen, maxWordLen)
+    }
+    (Seq(seed) ++ emBefore ++ Seq(pruneSql) ++ emAfter).mkString(",\n")
+  }
+
+  /** Final SELECT of the training-trace oracle over
+    * [[trainSqlRounds]]'s vocab states.
+    */
+  def traceSelectSql(emBeforePrune: Int = 2, emAfterPrune: Int = 1): String = {
+    val last = emBeforePrune + 1 + emAfterPrune
+    (0 to last).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, piece, cnt, logp_unat FROM v$r"
+    }.mkString("\nUNION ALL\n")
+  }
+}

@@ -1,7 +1,8 @@
 package graft.util
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation
+import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
+import scala.util.control.NonFatal
 
 object Parallelism {
 
@@ -22,6 +23,15 @@ object Parallelism {
     * is returned unchanged — the fact-table scan helper applies
     * `ensure` at the source, and operator-internal `ensure` calls on
     * the same frame must not stack a second full shuffle on top.
+    * Only a SHUFFLING ROUND-ROBIN repartition counts as "already
+    * ensured": `coalesce(n)` is a `Repartition(shuffle = false)` that
+    * can only REDUCE parallelism, and a keyed
+    * `RepartitionByExpression` collapses to the key's effective
+    * cardinality under skew — either one sitting in the plan with
+    * `numPartitions >= target` used to silently disable the guard
+    * while real parallelism could be 1 (round-14 advice fix). A keyed
+    * repartition counts only when it is round-robin (no partition
+    * expressions — what `df.repartition(n)` lowers to on some paths).
     *
     * Scan-parallelism estimate: file COUNT alone underestimates a
     * single large file — Spark splits splittable sources into
@@ -39,12 +49,19 @@ object Parallelism {
     val spark = df.sparkSession
     val target = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val alreadyEnsured = df.queryExecution.logical.collectFirst {
-      case r: RepartitionOperation if r.numPartitions >= target => r
+      case r: Repartition if r.shuffle && r.numPartitions >= target => r
+      case r: RepartitionByExpression
+          if r.partitionExpressions.isEmpty &&
+            r.optNumPartitions.exists(_ >= target) => r
     }.isDefined
     if (alreadyEnsured) return df
     val files = df.inputFiles
     val current =
-      if (files.isEmpty) df.rdd.getNumPartitions
+      // No file scan under the plan (in-memory relation, range, …):
+      // reuse the Dataset's OWN QueryExecution for the partition count
+      // (toRdd is a lazy val on the same compiled plan the action will
+      // run — df.rdd would wrap it in an extra row-conversion RDD).
+      if (files.isEmpty) df.queryExecution.toRdd.getNumPartitions
       else if (files.length >= target) files.length
       else estimateScanPartitions(df, files, target)
     if (current < target) df.repartition(target) else df
@@ -76,8 +93,10 @@ object Parallelism {
       math.ceil(totalWithOpen.toDouble / math.max(1L, maxSplit)).toInt
     } catch {
       // estimate is an optimization; on any FS hiccup fall back to the
-      // conservative file count (repartition fires, correctness holds)
-      case _: Throwable => files.length
+      // conservative file count (repartition fires, correctness holds).
+      // NonFatal only: an OOM or interrupt mid-estimate must propagate,
+      // not silently degrade to the conservative path.
+      case NonFatal(_) => files.length
     }
   }
 }

@@ -191,6 +191,55 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: encodeSink — unigram + BPE subword streams equal the batch encode") {
+    // Train both tokenizer families on the FULL corpus (the model is a
+    // static artifact), then stream the same docs in two micro-batches
+    // through encodeSink and compare the accumulated per-batch output
+    // to one batch bpeEncode over everything — the stream≡batch parity
+    // contract, plus idempotent per-batch overwrite semantics.
+    val docs = Seq(
+      1L -> "the fast sort and the fast scan",
+      2L -> "scan the table and sort the table",
+      3L -> "fast fast fast sort scan table the and")
+    val (b1, b2) = (docs.take(2), docs.drop(2))
+    val all = docs.toDF("doc_id", "text")
+    val words = all.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val (_, uniVocab) = graft.ops.Unigram.unigramTrain(words,
+      maxPieceLen = 3, seedMultiChar = 12, keepMultiChar = 6,
+      emBeforePrune = 1, emAfterPrune = 1, maxWordLen = 12)
+    val segUni = graft.ops.Unigram.viterbiSegments(words, uniVocab, 3)
+      .select(col("word"), col("pieces")).localCheckpoint(true)
+    val (_, segBpeFull) = graft.ops.Bpe.bpeTrain(words, merges = 4)
+    val segBpe = segBpeFull.select(col("word"), col("pieces")).localCheckpoint(true)
+
+    Seq(("uni", segUni), ("bpe", segBpe)).foreach { case (tag, seg) =>
+      val expected = graft.ops.Bpe.bpeEncode(all, "doc_id", col("text"), seg)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val path = java.nio.file.Files.createTempDirectory(s"graft_encsink_$tag").toString
+      val stream = MemoryStream[(Long, String)](spark)
+      val q = Streams.encodeSink(stream.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", seg, path).start()
+      try {
+        stream.addData(b1); q.processAllAvailable()
+        stream.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(path)
+        .select("doc_id", "word_pos", "piece_pos", "piece")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(got == expected, s"$tag stream≡batch parity")
+      // replay idempotence: rewriting batch 0's directory with the
+      // same content must not change the accumulated result
+      graft.ops.Bpe.bpeEncode(b1.toDF("doc_id", "text"), "doc_id", col("text"), seg)
+        .write.mode("overwrite").parquet(s"$path/batch_id=0")
+      val replayed = spark.read.parquet(path)
+        .select("doc_id", "word_pos", "piece_pos", "piece")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(replayed == expected, s"$tag replay idempotence")
+    }
+  }
+
   test("streaming: incremental LSH dedup — hot bucket censors from the cap onward") {
     // Four exact copies, cap 2: the first two members pair; the third
     // arrival crosses the cap and tombstones every bucket they share,

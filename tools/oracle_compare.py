@@ -47,19 +47,43 @@ for name, sql in sorted(oracle.items()):
         import re as _re
         sql = _re.sub(r'\b(AS)\s*\(', r'\1 MATERIALIZED (', sql, flags=_re.IGNORECASE)
         # Undo inside WINDOW clauses, including multi-window
-        # `WINDOW w1 AS (...), w2 AS (...)`: each loop pass fixes the
-        # next still-MATERIALIZED definition whose predecessors in the
-        # same clause are already plain `AS (...)`. Window specs may
-        # nest one paren level (e.g. PARTITION BY floor(x/25)).
-        _wspec = r'(?:[^()]|\([^()]*\))*'
-        _pat = _re.compile(
-            r'(\bWINDOW\s+(?:\w+\s+AS\s*\(' + _wspec + r'\)\s*,\s*)*\w+\s+AS)\s+MATERIALIZED\s*\(',
-            _re.IGNORECASE)
+        # `WINDOW w1 AS (...), w2 AS (...)`. A regex with a fixed
+        # nesting budget mis-parses deeply-parenthesized specs (e.g.
+        # PARTITION BY abs(floor(x/25))), so scan each WINDOW clause
+        # with a balanced-paren walk instead: the clause runs from the
+        # keyword to the first depth-0 clause terminator (ORDER/LIMIT/
+        # set-op/semicolon) or the enclosing subquery's closing paren;
+        # every `AS MATERIALIZED (` inside it reverts to `AS (`.
+        _term = _re.compile(r'(ORDER|LIMIT|UNION|EXCEPT|INTERSECT)\b', _re.IGNORECASE)
+        _kw = _re.compile(r'\bWINDOW\b', _re.IGNORECASE)
+        pos = 0
         while True:
-            sql2 = _pat.sub(r'\1 (', sql)
-            if sql2 == sql:
+            m = _kw.search(sql, pos)
+            if not m:
                 break
-            sql = sql2
+            start, depth, end = m.end(), 0, len(sql)
+            j = start
+            while j < len(sql):
+                ch = sql[j]
+                if ch == '(':
+                    depth += 1
+                elif ch == ')':
+                    if depth == 0:
+                        end = j
+                        break
+                    depth -= 1
+                elif ch == ';' and depth == 0:
+                    end = j
+                    break
+                elif depth == 0 and (j == 0 or not (sql[j - 1].isalnum() or sql[j - 1] == '_')) \
+                        and _term.match(sql, j):
+                    end = j
+                    break
+                j += 1
+            fixed = _re.sub(r'\b(AS)\s+MATERIALIZED\s*\(', r'\1 (', sql[start:end],
+                            flags=_re.IGNORECASE)
+            sql = sql[:start] + fixed + sql[end:]
+            pos = start + len(fixed)
     try:
         rel = con.sql(sql)
         ducktypes = dict(zip(rel.columns, [str(t) for t in rel.types]))
