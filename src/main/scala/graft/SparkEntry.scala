@@ -3526,7 +3526,10 @@ object SparkEntry {
     * subword in order.
     */
   private def qUnigramEncode(s: SparkSession, dir: String): DataFrame = {
-    val words = unigramWords(s, dir)
+    // one corpus scan for the word table: train, the Viterbi words
+    // side, and the edge explode all read this vocabulary-sized
+    // checkpoint instead of re-aggregating the corpus each
+    val words = unigramWords(s, dir).localCheckpoint(true)
     val (_, finalVocab) = graft.ops.Unigram.unigramTrain(words,
       maxPieceLen = UnigramMaxPieceLen, seedMultiChar = UnigramSeedMultiChar,
       keepMultiChar = UnigramKeepMultiChar, emBeforePrune = UnigramEmBefore,
@@ -3537,6 +3540,23 @@ object SparkEntry {
     graft.ops.Bpe.bpeEncode(
       graft.util.Parallelism.ensure(t(s, dir, "documents")),
       "doc_id", col("text"), seg)
+  }
+
+  /** Unigram-tokenizer fertility histogram — [[graft.ops.Bpe.fertility]]
+    * over the final-vocabulary Viterbi segmentation (the operator is
+    * segmentation-agnostic: pieces-per-word distribution with type,
+    * occurrence and character mass per bin), completing the unigram
+    * family's train/encode/stats symmetry with BPE.
+    */
+  private def qUnigramStats(s: SparkSession, dir: String): DataFrame = {
+    val words = unigramWords(s, dir).localCheckpoint(true) // see qUnigramEncode
+    val (_, finalVocab) = graft.ops.Unigram.unigramTrain(words,
+      maxPieceLen = UnigramMaxPieceLen, seedMultiChar = UnigramSeedMultiChar,
+      keepMultiChar = UnigramKeepMultiChar, emBeforePrune = UnigramEmBefore,
+      emAfterPrune = UnigramEmAfter, maxWordLen = UnigramMaxWordLen)
+    graft.ops.Bpe.fertility(graft.ops.Unigram
+      .viterbiSegments(words, finalVocab, UnigramMaxPieceLen)
+      .select(col("word"), col("freq"), col("pieces")))
   }
 
   /** Deterministic per-epoch reshuffle
@@ -4794,6 +4814,7 @@ object SparkEntry {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_unigram_lm" -> (qUnigramLm _),
     "q_unigram_encode" -> (qUnigramEncode _),
+    "q_unigram_stats" -> (qUnigramStats _),
     "q_pack_bpe" -> (qPackBpe _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_incr_part" -> (qIncrPart _),
@@ -8503,6 +8524,25 @@ object SparkEntry {
          |FROM (SELECT dw.doc_id, dw.word_pos, s.pieces
          |      FROM dw JOIN encseg s USING (word)) x,
          |     unnest(generate_series(1, len(x.pieces))) AS t(j)""".stripMargin
+    },
+    // Unigram fertility mirror: training + one final-vocab Viterbi,
+    // then the q_bpe_stats histogram select over encseg.
+    "q_unigram_stats" -> {
+      val lastV = s"v${UnigramEmBefore + 1 + UnigramEmAfter}"
+      s"""WITH uw AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '' AND len(word) <= $UnigramMaxWordLen GROUP BY 1),
+         |${graft.ops.Unigram.trainSqlRounds("uw", UnigramMaxPieceLen,
+              UnigramSeedMultiChar, UnigramKeepMultiChar, UnigramEmBefore,
+              UnigramEmAfter, UnigramMaxWordLen)},
+         |${graft.ops.Unigram.viterbiSqlRounds("enc", "uw", lastV,
+              UnigramMaxPieceLen, UnigramMaxWordLen)}
+         |SELECT CAST(len(pieces) AS BIGINT) AS n_pieces,
+         |  CAST(count(*) AS BIGINT) AS n_word_types,
+         |  CAST(sum(freq) AS BIGINT) AS n_word_occurrences,
+         |  CAST(sum(length(word) * freq) AS BIGINT) AS n_chars_occurrences
+         |FROM encseg GROUP BY 1""".stripMargin
     },
     // BPE→packing composition: the encode mirror's piece stream
     // aggregated per doc, then the q_pack_chunks cumsum/floor-div.
