@@ -123,24 +123,38 @@ object Bench {
     def loadAvg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
-    // Bounded calm gate (round-14, VERDICT item 1): three consecutive
-    // rounds drew a loaded VM at bench start and lost their delta
-    // tables to the noisy-run suppression. Wait — bounded — for the
+    // Bounded calm gate (round-14, VERDICT item 1; round-15 item 7):
+    // three consecutive rounds drew a loaded VM at bench start and
+    // lost their delta tables to the noisy-run suppression, and the
+    // r14 default of 600 s proved too short on this box (BENCH_r14 ran
+    // at spread 115% after exhausting it). Wait — bounded — for the
     // 1-minute load to drop below SPARK_GRAFT_CALM_LOAD (default 2.0)
     // before the first pass, up to SPARK_GRAFT_CALM_WAIT_S (default
-    // 600 s), then proceed regardless: a bounded delay converts
-    // many would-be noisy runs into calm ones and can never block the
-    // driver. Set SPARK_GRAFT_CALM_WAIT_S=0 to disable.
-    {
+    // now 1800 s), sampling with backoff (15 s → 60 s cap — co-tenant
+    // waves here last minutes, so minute-grain samples don't miss
+    // windows), then proceed regardless: a bounded delay converts many
+    // would-be noisy runs into calm ones and can never block the
+    // driver. The sampled LOAD TRAJECTORY and total wait are stamped
+    // into the artifact, so a still-noisy run carries the evidence it
+    // could not be calm. Set SPARK_GRAFT_CALM_WAIT_S=0 to disable.
+    val calmTrajectory = scala.collection.mutable.ArrayBuffer[Double]()
+    val calmWaitS: Double = {
       val calmBelow = sys.env.getOrElse("SPARK_GRAFT_CALM_LOAD", "2.0").toDouble
-      val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_CALM_WAIT_S", "600").toInt
-      val deadline = System.nanoTime() + maxWaitS * 1000L * 1000 * 1000
+      val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_CALM_WAIT_S", "1800").toInt
+      val t0 = System.nanoTime()
+      val deadline = t0 + maxWaitS * 1000L * 1000 * 1000
+      var sleepMs = 15000L
       var l = loadAvg()
+      calmTrajectory += l
       while (l >= calmBelow && System.nanoTime() < deadline) {
         System.err.println(f"[bench] load_avg $l%.2f >= $calmBelow%.1f — waiting for a calm window")
-        Thread.sleep(15000)
+        Thread.sleep(math.min(sleepMs,
+          math.max(1000L, (deadline - System.nanoTime()) / 1000000L)))
+        sleepMs = math.min(sleepMs * 2, 60000L)
         l = loadAvg()
+        calmTrajectory += l
       }
+      (System.nanoTime() - t0) / 1e9
     }
     // Co-tenant load must be sampled BEFORE the bench contributes its
     // own 32 runnable threads — mid-run samples measure ourselves (a
@@ -229,9 +243,13 @@ object Bench {
       val loaded = loadStart > 3.0
       val noisy = spreadPct > 25.0 || loaded
       val loadJson = loads.map(jnum).mkString("[", ",", "]")
+      // calm_wait_s rides both lines; the full trajectory only the
+      // full line (the compact line must fit the driver's 2000-char
+      // output tail).
+      val calmJson = calmTrajectory.map(jnum).mkString("[", ",", "]")
       val noiseFields =
-        s""""load_avg_start":${jnum(loadStart)},"load_avg":$loadJson,"spread_pct":${jnum(spreadPct)},"noisy":$noisy,"loaded":$loaded"""
-      val full = s"""{"metric":"total_of_medians","value":${jnum(total)},"unit":"sec","runs":$runs,"passes_completed":${passes.size},$noiseFields,"queries":$qs,"run_spread":$spread,"pass_totals":$passTotals,"failed":$failed,"sf":"$sfDir","sf1_probe":$probe}"""
+        s""""load_avg_start":${jnum(loadStart)},"load_avg":$loadJson,"spread_pct":${jnum(spreadPct)},"noisy":$noisy,"loaded":$loaded,"calm_wait_s":${jnum(calmWaitS)}"""
+      val full = s"""{"metric":"total_of_medians","value":${jnum(total)},"unit":"sec","runs":$runs,"passes_completed":${passes.size},$noiseFields,"calm_trajectory":$calmJson,"queries":$qs,"run_spread":$spread,"pass_totals":$passTotals,"failed":$failed,"sf":"$sfDir","sf1_probe":$probe}"""
       println(full)
       // A NOISY full run must not overwrite an existing calm trend
       // baseline at the SAME scale either (rounds 11→12 lost two

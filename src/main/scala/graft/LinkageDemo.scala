@@ -101,17 +101,20 @@ object LinkageDemo {
     // the pairs — so precision/recall below are by construction the
     // numbers an unsalted run produces.
     val unsalted = blocks(0)
-    // except() alone is set-based; pairing it with a COUNT comparison
-    // makes the identity multiplicity-aware (both sides are
-    // distinct-by-construction — extractBlocks ends in a distinct —
-    // so equal counts + equal sets ⇒ equal multisets; the count guard
-    // is what would catch a salting bug that broke the distinct
-    // itself). The unsalted re-run is a demo-only double-compute; the
-    // spec-level identity (LinkageSpec) checks without it.
+    // True MULTISET identity: compare (pair → multiplicity) frames —
+    // except() over the grouped counts is exact even if a salting bug
+    // broke extractBlocks' distinct SYMMETRICALLY on both sides
+    // (count-plus-set equality alone cannot tell {x,x,y} from
+    // {x,y,y}; round-15 ADVICE). The unsalted re-run is a demo-only
+    // double-compute; the spec-level identity (LinkageSpec) checks
+    // without it.
+    val pairCols = ids.columns.map(col).toSeq
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(pairCols: _*).count()
     val nSalted = ids.count()
     val saltIdentical =
-      nSalted == unsalted.count() &&
-        ids.except(unsalted).isEmpty && unsalted.except(ids).isEmpty
+      multiset(ids).except(multiset(unsalted)).isEmpty &&
+        multiset(unsalted).except(multiset(ids)).isEmpty
     println(s"candidate pairs: $nSalted (salted ≡ unsalted: $saltIdentical)")
     require(saltIdentical, "salted blocking must preserve the pair multiset")
 

@@ -60,6 +60,12 @@ object Sf10Probe {
       // token-salted replicas — the ScaleProbe documents recipe at 100
       // replicas; 32 part files so the scan layout is realistic.
       val documents = spark.read.parquet(s"$BaseDir/documents.parquet")
+      // The replica id stride must clear the base fixture's id range,
+      // or replica ids collide and silently distort the duplicate
+      // rate the probe claims to hold constant (round-15 ADVICE).
+      val maxDocId = documents.agg(max("doc_id")).head.getAs[Number](0).longValue
+      require(maxDocId < 5000L,
+        s"sf0.1 documents max doc_id $maxDocId >= replica stride 5000 — regenerated fixture needs a larger stride")
       documents
         .withColumn("__r", explode(sequence(lit(0), lit(DedupReplicas - 1))))
         .withColumn("doc_id", col("doc_id") + col("__r") * 5000L)
@@ -78,6 +84,9 @@ object Sf10Probe {
       // key-offset-free replicas: blocking keys keep FIXED cardinality
       // (the quadratic contract), only the id moves.
       val customer = spark.read.parquet(s"$BaseDir/customer.parquet")
+      val maxCustKey = customer.agg(max("c_custkey")).head.getAs[Number](0).longValue
+      require(maxCustKey < 15000L,
+        s"sf0.1 customer max c_custkey $maxCustKey >= replica stride 15000 — regenerated fixture needs a larger stride")
       customer
         .withColumn("__r", explode(sequence(lit(0), lit(PairsReplicas - 1))))
         .withColumn("c_custkey", col("c_custkey") + col("__r") * 15000L)
@@ -131,6 +140,10 @@ object Sf10Probe {
         val (rows, err) =
           try (SparkEntry.queries(name)(spark, dir).count(), "")
           catch { case e: Throwable => (-1L, e.getClass.getSimpleName) }
+        // A crashed flagship query is a FAILED probe, not a JSON
+        // footnote (round-15 ADVICE): route it through the same
+        // violations channel that drives the exit code.
+        if (err.nonEmpty) violations += s"$name failed: $err"
         val sec = (System.nanoTime() - t0) / 1e9
         val stages = log.drain()
         stages.filter { case (_, tasks, ms) => tasks == 1 && ms >= 10000 }

@@ -50,7 +50,10 @@ object SparkEntry {
     // round-14 negative-control sweep finds (real per-row kernels the
     // r12 hand-audit missed): rolling-hash CDC, the window chunker,
     // and the WAV-decode+DFT pipeline
-    "q_cdc_chunks", "q_chunk_text", "q_audio_tone")
+    "q_cdc_chunks", "q_chunk_text", "q_audio_tone",
+    // round-15: the byte-gram builder (sequence-driven substr fan-out)
+    // caught by the sweep on first registration — the control working
+    "q_span_bytes")
   // q_unigram_lm trains eagerly like q_bpe (localCheckpoint-fenced EM
   // rounds) — its guard lives in bpeWords via the same scan helper the
   // lazy q_unigram_encode plan exposes to the registry spec.
@@ -2541,6 +2544,21 @@ object SparkEntry {
     graft.ops.Dedup.duplicatedSpanRuns(
       t(s, dir, "documents"), "doc_id", col("text"), k = 5)
 
+  /** BYTE-granularity maximal duplicated spans
+    * ([[graft.ops.Dedup.duplicatedByteSpanRuns]]) at k = 50 — the Lee
+    * et al. 2022 ExactSubstr unit and threshold exactly (bytes@50),
+    * closing the tokens-vs-bytes divergence q_span_exact documents:
+    * each row one maximal ≥50-byte run occurring more than once
+    * corpus-wide, 0-based inclusive UTF-8 byte offsets.
+    */
+  private def qSpanBytes(s: SparkSession, dir: String): DataFrame =
+    // ensure(): the per-byte gram fan-out (~300 rows/doc) is exactly
+    // the compute-heavy map kernel that must not ride raw single-file
+    // scan parallelism (the q_cdc_chunks 2× lesson; registry-gated).
+    graft.ops.Dedup.duplicatedByteSpanRuns(
+      graft.util.Parallelism.ensure(t(s, dir, "documents")),
+      "doc_id", col("text"), k = 50)
+
   /** SemDeDup-style semantic dedup keep-list: nearest-centroid
     * clustering (the q_ivf_topk assignment, oracle-expressible seed
     * centroids), within-cluster cosine ≥ 0.4 pairs, connected
@@ -4758,6 +4776,7 @@ object SparkEntry {
     "q_winnow" -> (qWinnow _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_span_exact" -> (qSpanExact _),
+    "q_span_bytes" -> (qSpanBytes _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_rank_functions" -> (qRankFunctions _),
@@ -6580,6 +6599,8 @@ object SparkEntry {
       "documents", "doc_id", "text", k = 5),
     "q_span_exact" -> graft.ops.Dedup.duplicatedSpanRunsSql(
       "documents", "doc_id", "text", k = 5),
+    "q_span_bytes" -> graft.ops.Dedup.duplicatedByteSpanRunsSql(
+      "documents", "doc_id", "text", k = 50),
     "q_semantic_dedup" ->
       s"""WITH RECURSIVE cent AS (
          |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
@@ -8502,7 +8523,12 @@ object SparkEntry {
     // Unigram encode mirror: the training CTEs, ONE more Viterbi DP
     // under the final vocabulary v4 (u4seg segments under v3 — the
     // M-step input, not the final model), then the q_bpe_encode
-    // word-position/piece-position explode pattern.
+    // word-position/piece-position explode pattern. Failure-semantics
+    // mirror (round-15 ADVICE): a corpus word LONGER than
+    // UnigramMaxWordLen is absent from encseg (the training policy
+    // filter), so the `dw JOIN encseg` below would silently drop it
+    // while Spark's bpeEncode raise_errors on the unknown word — the
+    // CASE makes DuckDB refuse identically, per offending word.
     "q_unigram_encode" -> {
       val lastV = s"v${UnigramEmBefore + 1 + UnigramEmAfter}"
       s"""WITH uw AS MATERIALIZED (
@@ -8515,7 +8541,10 @@ object SparkEntry {
          |${graft.ops.Unigram.viterbiSqlRounds("enc", "uw", lastV,
               UnigramMaxPieceLen, UnigramMaxWordLen)},
          |dw AS (
-         |  SELECT doc_id, CAST(j AS BIGINT) AS word_pos, w[j] AS word
+         |  SELECT doc_id, CAST(j AS BIGINT) AS word_pos,
+         |    CASE WHEN len(w[j]) > $UnigramMaxWordLen
+         |         THEN error('q_unigram_encode: word exceeds UnigramMaxWordLen ($UnigramMaxWordLen), absent from trained segmentation: ' || w[j])
+         |         ELSE w[j] END AS word
          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |       unnest(generate_series(1, len(w))) AS t(j)
          |  WHERE w[j] <> '')

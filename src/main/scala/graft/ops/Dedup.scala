@@ -887,12 +887,14 @@ object Dedup {
     * k-gram through every one of its positions, and a duplicated
     * k-gram IS a repeated run of length k. So there is no "modulo
     * k−1" boundary slack — that slack belongs to strided/tiled
-    * schemes. What remains approximate vs Lee et al. 2022 is only the
-    * granularity of the unit itself: token runs with threshold k
+    * schemes. What remains approximate vs Lee et al. 2022 HERE is only
+    * the granularity of the unit itself: token runs with threshold k
     * tokens, not byte runs with a 50-BYTE threshold (a repeat
     * entering mid-token is counted from the token boundary). Maximal
     * repeated runs themselves are available as spans from
-    * [[duplicatedSpanRuns]].
+    * [[duplicatedSpanRuns]]; the paper's exact unit and threshold
+    * (bytes@50) is [[duplicatedByteSpanRuns]] with k = 50 — the lemma
+    * above is unit-agnostic, so the byte spans are boundary-exact too.
     *
     * Granularity: matching runs of ≥ k tokens are removed exactly
     * (every position in the run is covered by a duplicated gram);
@@ -975,16 +977,74 @@ object Dedup {
   def duplicatedSpanRuns(
       df: DataFrame, idCol: String, text: Column, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol), split(text, " ").as("__toks"))
+    islandRuns(coveredPositions(toks, idCol, k), idCol)
+  }
+
+  /** Islands-and-gaps merge of a `(idCol, __cpos)` covered-position
+    * set into maximal `(idCol, span_start, span_end, span_len)` runs —
+    * the unit-agnostic half of [[duplicatedSpanRuns]] /
+    * [[duplicatedByteSpanRuns]] (positions are tokens in one, bytes in
+    * the other; the merge does not care). The `row_number` window is
+    * per-document, never corpus-wide.
+    */
+  private def islandRuns(covered: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("__cpos"))
-    coveredPositions(toks, idCol, k)
+    covered
       .withColumn("__island", col("__cpos") - row_number().over(w))
       .groupBy(col(idCol), col("__island"))
       .agg(min("__cpos").cast("long").as("span_start"),
         max("__cpos").cast("long").as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** BYTE-granularity maximal duplicated spans — Lee et al. 2022's
+    * actual unit (the paper's ExactSubstr threshold is 50 BYTES, not
+    * tokens): `(idCol, span_start, span_end, span_len)` with 0-based
+    * inclusive positions in the UTF-8 BYTE stream of the text. A byte
+    * position is duplicated iff it lies inside a contiguous byte run
+    * of length ≥ k that occurs more than once in the corpus; by the
+    * [[removeDuplicatedSpans]] fidelity lemma (unit-agnostic — it
+    * never mentions what a "position" is) stride-1 k-byte-gram
+    * coverage marks exactly those positions, so the spans are
+    * boundary-exact at byte granularity. With k = 50 this IS the
+    * paper's semantics, closing the tokens-vs-bytes divergence the
+    * token-level [[duplicatedSpanRuns]] scaladoc documents. A repeat
+    * may begin mid-token and mid-CHARACTER (a multi-byte code point's
+    * tail bytes can open a span) — faithful to the paper, surprising
+    * to a reader expecting character alignment; consumers cutting
+    * text on these offsets must re-align to character boundaries.
+    *
+    * Cross-engine byte slicing: DuckDB has no BLOB substring or
+    * md5(BLOB), so BOTH engines slice the UPPERCASE-HEX encoding of
+    * the UTF-8 bytes — 2 hex chars per byte makes character ops on
+    * the hex string exact byte ops on the raw text, and `hex()` is
+    * uppercase on both engines. Costs a 2× wider intermediate column;
+    * occurrence-row count is identical to slicing raw bytes (one row
+    * per byte position), and everything downstream is the same
+    * linear-in-bytes gram/semi-join/coverage shape as the token path.
+    */
+  def duplicatedByteSpanRuns(
+      df: DataFrame, idCol: String, text: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val bytes = encode(text, "UTF-8")
+    // length(binary) is the BYTE count — the hex string is 2× that.
+    val hx = df.select(col(idCol), hex(bytes).as("__hx"),
+      length(bytes).cast("int").as("__nb"))
+    val occ = hx.filter(col("__nb") >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), col("__nb") - k),
+        j => col("__hx").substr(j * 2 + 1, lit(2 * k)))).as(Seq("__pos", "__g")))
+      .select(col(idCol), col("__pos"), shingleBaseHash(col("__g")).as("__h"))
+    val dupHashes = occ.groupBy("__h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select("__h")
+    val covered = occ.join(dupHashes, Seq("__h"), "left_semi")
+      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__cpos"))
+      .groupBy(col(idCol), col("__cpos")).agg(lit(1).as("__one"))
+      .select(col(idCol), col("__cpos"))
+    islandRuns(covered, idCol)
   }
 
   /** DuckDB mirror of [[duplicatedSpanRuns]]: identical occurrence/
@@ -999,6 +1059,33 @@ object Dedup {
        |         ${shingleBaseHashSql(s"array_to_string(toks[j : j + ${k - 1}], ' ')")} AS h
        |  FROM d, unnest(generate_series(1, len(toks) - ${k - 1})) AS t(j)
        |  WHERE len(toks) >= $k),
+       |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) > 1),
+       |covered AS (
+       |  SELECT DISTINCT $idExpr, c.cpos
+       |  FROM occ JOIN dup USING (h), unnest(generate_series(occ.pos, occ.pos + ${k - 1})) AS c(cpos)),
+       |runs AS (
+       |  SELECT $idExpr, cpos,
+       |         cpos - row_number() OVER (PARTITION BY $idExpr ORDER BY cpos) AS island
+       |  FROM covered)
+       |SELECT $idExpr, CAST(min(cpos) AS BIGINT) AS span_start,
+       |       CAST(max(cpos) AS BIGINT) AS span_end,
+       |       CAST(max(cpos) - min(cpos) + 1 AS BIGINT) AS span_len
+       |FROM runs GROUP BY $idExpr, island""".stripMargin
+
+  /** DuckDB mirror of [[duplicatedByteSpanRuns]]: the same
+    * uppercase-hex byte slicing (`substr(hx, 2·pos+1, 2k)` ≡ bytes
+    * `[pos, pos+k)`), then the identical dup/coverage/islands CTEs.
+    */
+  def duplicatedByteSpanRunsSql(table: String, idExpr: String, textExpr: String,
+      k: Int): String =
+    s"""WITH d AS (
+       |  SELECT $idExpr, hex(encode($textExpr)) AS hx,
+       |         octet_length(encode($textExpr)) AS nb FROM $table),
+       |occ AS (
+       |  SELECT $idExpr, j - 1 AS pos,
+       |         ${shingleBaseHashSql(s"substr(hx, (j - 1) * 2 + 1, ${2 * k})")} AS h
+       |  FROM d, unnest(generate_series(1, nb - ${k - 1})) AS t(j)
+       |  WHERE nb >= $k),
        |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) > 1),
        |covered AS (
        |  SELECT DISTINCT $idExpr, c.cpos

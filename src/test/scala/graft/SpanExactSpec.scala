@@ -96,4 +96,65 @@ class SpanExactSpec extends SparkSpec {
       runs.foreach { case (_, s, e) => assert(e - s + 1 >= k) }
     }
   }
+
+  /** Same exact definition over BYTES: (doc, byte_pos) is duplicated
+    * iff it lies inside a common UTF-8 byte run of length ≥ k between
+    * two different byte-suffix positions.
+    */
+  private def exactCoveredLcpBytes(docs: Seq[(Long, Array[Byte])], k: Int): Set[(Long, Int)] = {
+    val sufs = docs.flatMap { case (id, bs) => bs.indices.map(i => (id, i, bs)) }
+    val out = scala.collection.mutable.Set[(Long, Int)]()
+    for {
+      a <- sufs.indices
+      b <- (a + 1) until sufs.length
+    } {
+      val (ida, ia, ba) = sufs(a)
+      val (idb, ib, bb) = sufs(b)
+      var l = 0
+      while (ia + l < ba.length && ib + l < bb.length && ba(ia + l) == bb(ib + l)) l += 1
+      if (l >= k) {
+        (0 until l).foreach { d => out += ((ida, ia + d)); out += ((idb, ib + d)) }
+      }
+    }
+    out.toSet
+  }
+
+  /** Multi-byte code points ("é" = 2 bytes, "漢" = 3) are in the
+    * alphabet so byte offsets DIVERGE from character offsets — a spec
+    * passing with these proves the operator slices bytes, and that
+    * repeats opening on a code point's tail byte are counted from
+    * that byte (the Lee et al. 2022 semantics the scaladoc states).
+    */
+  private def byteCorpus(seed: Long): Seq[(Long, Array[Byte])] = {
+    val rnd = new scala.util.Random(seed)
+    val alphabet = Vector("a", "b", "é", "漢", " ")
+    val planted = (0 until 10 + rnd.nextInt(5))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (0L until 6L).map { id =>
+      val n = 12 + rnd.nextInt(10)
+      val base = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val s =
+        if (id % 2 == 0) {
+          val off = rnd.nextInt(base.length)
+          base.substring(0, off) + planted + base.substring(off)
+        } else base
+      (id, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  test("byte-gram coverage == byte-LCP exact definition (bytes@k, multi-byte code points)") {
+    val k = 6
+    Seq(17L, 28L, 39L).foreach { seed =>
+      val docs = byteCorpus(seed)
+      val df = docs.map { case (id, bs) =>
+        (id, new String(bs, java.nio.charset.StandardCharsets.UTF_8))
+      }.toDF("doc_id", "text")
+      val want = exactCoveredLcpBytes(docs, k)
+      val runs = Dedup.duplicatedByteSpanRuns(df, "doc_id", col("text"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(runs == maximalRuns(want), s"seed $seed byte span runs diverge")
+      runs.foreach { case (_, s, e) => assert(e - s + 1 >= k) }
+      assert(runs.nonEmpty, s"seed $seed planted byte repeat not found")
+    }
+  }
 }

@@ -144,8 +144,12 @@ for n in names:
                'ratio': round(mb / ma, 3) if ma > 0 else None}
 total_a = sum(r['base'] for r in rows.values())
 total_b = sum(r['cur'] for r in rows.values())
+# ratio is None when a baseline median is 0 — skip those rows here
+# (the `or 1` in the sort key only covers the log call, not the
+# comparisons below).
 movers = {n: r['ratio'] for n, r in sorted(rows.items(), key=lambda kv: -abs(__import__('math').log(kv[1]['ratio'] or 1)))
-          if max(r['base'], r['cur']) > 0.15 and (r['ratio'] > 1.25 or r['ratio'] < 0.8)}
+          if max(r['base'], r['cur']) > 0.15 and r['ratio'] is not None
+          and (r['ratio'] > 1.25 or r['ratio'] < 0.8)}
 report = {
     'metric': 'paired_total', 'base_total': round(total_a, 2),
     'cur_total': round(total_b, 2),

@@ -7,6 +7,8 @@
 # cache overflow), poisoning an otherwise calm run.
 #
 # Usage: tools/run_main.sh graft.Bench  (env vars pass through)
+# GRAFT_CLASSES overrides the classes dir — points a run at a
+# baseline snapshot for paired same-weather comparisons.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 MAIN="${1:?main class, e.g. graft.Bench}"; shift || true
@@ -24,4 +26,4 @@ exec java "${FLAGS[@]}" \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-48g}" \
   -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$MAIN" "$@"
+  -cp "${GRAFT_CLASSES:-target/scala-2.13/classes}:/opt/spark/jars/*" "$MAIN" "$@"
