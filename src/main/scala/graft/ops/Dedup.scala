@@ -352,11 +352,17 @@ object Dedup {
     *
     * Candidates are verified with the full shingle sets
     * (`array_intersect`), so the result is exact with no undercount
-    * caveat. Cost: one vocab-keyed frequency agg + one keyed window
-    * for the per-doc prefix + the (small) prefix self-join + two
-    * hash-join probes per candidate. The frequency ranking is the
-    * price of the global order — ~one extra pass over postings,
-    * amortizable by persisting (freq) for a standing corpus.
+    * caveat. Before verification the prefix self-join is additionally
+    * pruned by PPJoin's LENGTH and POSITIONAL filters (Xiao/Wang/Lin/
+    * Yu WWW'08 — both recall-preserving, see
+    * [[ngramJaccardPairsPrefixFromShingles]]), so the expensive
+    * array_intersect probes run on a strictly smaller candidate set
+    * with identical output. Cost: one vocab-keyed frequency agg + one
+    * keyed window for the per-doc prefix + the (small, filtered)
+    * prefix self-join + two hash-join probes per candidate. The
+    * frequency ranking is the price of the global order — ~one extra
+    * pass over postings, amortizable by persisting (freq) for a
+    * standing corpus.
     *
     * Measured on the sf0.1 documents table (a WORST case for the
     * filter: ~25-word vocabulary, so even "rare" shingles are
@@ -425,13 +431,16 @@ object Dedup {
       standingFreq: Option[DataFrame]): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1,
       s"minJaccard must be in (0, 1], got $minJaccard")
-    val posts = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    // Set size rides along from the array (free in the explode
+    // projection) instead of a second count-over-window pass on the
+    // postings — one fewer WindowExec over the corpus's postings.
+    val posts = sh.select(col("id"), size(col("sh")).cast("long").as("__s"),
+      explode(col("sh")).as("shingle"))
     val freq = standingFreq match {
       case Some(f) => f.select(col("shingle"), col("df").cast("long").as("__df"))
         .groupBy("shingle").agg(max(col("__df")).as("__df"))
       case None    => posts.groupBy("shingle").agg(count(lit(1)).as("__df"))
     }
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
     val ordered = org.apache.spark.sql.expressions.Window.partitionBy("id")
       .orderBy(col("__df").asc, col("shingle").asc)
     // p = s − ceil(t·s) + 1; the 1e-9 backs off double noise in t·s
@@ -444,14 +453,35 @@ object Dedup {
     // lemma still holds. With in-run freq the join is total anyway.
     val prefix = posts.join(freq, Seq("shingle"), "left")
       .withColumn("__df", coalesce(col("__df"), lit(0L)))
-      .withColumn("__s", count(lit(1)).over(byDoc))
       .withColumn("__rn", row_number().over(ordered))
       .filter(col("__rn") <=
         col("__s") - ceil(col("__s") * lit(minJaccard) - lit(1e-9)) + 1)
-      .select(col("id"), col("shingle"))
-    val cand = prefix.toDF("id_a", "shingle")
-      .join(prefix.toDF("id_b", "shingle"), Seq("shingle"))
+      .select(col("id"), col("shingle"), col("__rn"), col("__s"))
+    // PPJoin-style candidate pruning (Xiao/Wang/Lin/Yu, WWW'08 —
+    // positional + length filters), recall-preserving, so the exact
+    // verification below sees strictly fewer pairs and the OUTPUT is
+    // unchanged (the oracle equality still gates it):
+    //   - length filter: J ≥ t forces t·max(sa,sb) ≤ min(sa,sb), so
+    //     any pair whose sizes differ by more than t is dead on
+    //     arrival whatever its shingles;
+    //   - positional filter: for a shared ordered-prefix shingle at
+    //     positions (pa, pb), every common shingle of a true pair
+    //     sits at or after the FIRST shared one, so the overlap is
+    //     ≤ 1 + min(sa−pa, sb−pb); J ≥ t needs overlap
+    //     ≥ ⌈t/(1+t)·(sa+sb)⌉ (the equivalent-overlap form of the
+    //     threshold). The first shared shingle of a true pair lies in
+    //     both prefixes (the prefix lemma) and passes both bounds, so
+    //     the ANY-shared-shingle survivor semantics below keeps every
+    //     true pair. Both ceils carry the same 1e-9 backoff as the
+    //     prefix length.
+    val alphaT = minJaccard / (1.0 + minJaccard)
+    val cand = prefix.toDF("id_a", "shingle", "__pa", "__sa")
+      .join(prefix.toDF("id_b", "shingle", "__pb", "__sb"), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("__sa") >= ceil(col("__sb") * lit(minJaccard) - lit(1e-9)) &&
+        col("__sb") >= ceil(col("__sa") * lit(minJaccard) - lit(1e-9)))
+      .filter(lit(1L) + least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >=
+        ceil((col("__sa") + col("__sb")) * lit(alphaT) - lit(1e-9)))
       .select("id_a", "id_b").distinct()
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("__sa")), Seq("id_a"))

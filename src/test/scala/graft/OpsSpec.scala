@@ -357,6 +357,45 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup: prefix jaccard PPJoin filters lose no recall on size-disparate docs") {
+    // The round-15 positional + length filters prune candidates by
+    // set SIZE and prefix POSITION — their failure mode is a FALSE
+    // NEGATIVE on pairs whose sizes sit exactly at the t·max(sa,sb)
+    // boundary or whose only shared prefix shingle is the last one.
+    // Corpus engineered for both: documents of widely varying length
+    // (6..60 tokens) over a tiny vocabulary, plus exact duplicates and
+    // a contained-prefix pair, checked against brute force at the
+    // q_dedup_curve floor (0.4) and the family threshold ladder.
+    var seed = 1234L
+    def nextInt(n: Int): Int = { seed = (seed * 48271) % 2147483647L; (seed % n).toInt }
+    val vocab = Seq("a", "b", "c", "d")
+    val base = (1L to 30L).map { i =>
+      val len = 6 + nextInt(55)
+      (i, (0 until len).map(_ => vocab(nextInt(vocab.size))).mkString(" "))
+    }
+    val rdocs = (base ++ Seq(
+      (31L, base(0)._2),                                  // exact dup of doc 1
+      (32L, base(1)._2 + " " + base(1)._2),               // doc 2 doubled
+      (33L, base(2)._2.split(" ").take(8).mkString(" ")))) // prefix of doc 3
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.4, 0.5, 0.8, 1.0)) {
+      val expected = {
+        val sh = Dedup.shingleSets(rdocs, "doc_id", col("text"), 3)
+        sh.toDF("id_a", "sa").crossJoin(sh.toDF("id_b", "sb"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .withColumn("j", col("inter").cast("double") /
+            (size(col("sa")) + size(col("sb")) - col("inter")))
+          .filter(col("j") >= t)
+          .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      }
+      val got = Dedup.ngramJaccardPairsPrefix(rdocs, "doc_id", col("text"),
+          n = 3, minJaccard = t)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(got == expected, s"threshold $t: got ${got.size}, want ${expected.size}")
+    }
+  }
+
   test("dedup: prefix jaccard with a STALE standing freq table is still exact") {
     // The standing-corpus amortization path: rank shingles by a freq
     // table snapshotted on HALF the corpus (so it is both stale and
