@@ -73,6 +73,11 @@ object Clusters {
       .localCheckpoint(true)
     var round = 0
     var converged = false
+    // The previous round's cardinality is carried in a var instead of
+    // re-counting the checkpointed frame every round (round-15: one
+    // fewer job per round; the count of a materialized frame is cheap
+    // but still a scheduled job on every CC consumer's driver path).
+    var edgeCount = edges.count()
     while (!converged && round < maxRounds) {
       // NOTE: one star round per materialization is the measured
       // optimum — both star ops reference their input DataFrame
@@ -80,13 +85,15 @@ object Clusters {
       // the inner round once per outer reference (tried in round 6:
       // 2.8 s → 4.9 s at sf0.1).
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextCount = next.count()
       // Star rounds are monotone (labels only decrease), so
       // next ⊆-equality with the previous round IS the fixpoint test:
       // same count and nothing new ⇒ identical sets.
-      converged = next.count() == edges.count() &&
+      converged = nextCount == edgeCount &&
         next.except(edges).limit(1).count() == 0
       edges.unpersist()
       edges = next
+      edgeCount = nextCount
       round += 1
     }
     // An unconverged edge list is not star-form: a node may still carry

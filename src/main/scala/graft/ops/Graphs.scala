@@ -371,12 +371,22 @@ object Graphs {
       edges: DataFrame,
       rounds: Int,
       checkpointEvery: Int = 4,
-      convergence: Option[Convergence] = None): DataFrame = {
+      convergence: Option[Convergence] = None,
+      assumeSymDeduped: Boolean = false): DataFrame = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
     val cols = edges.columns
     val e0 = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
-    val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+    // assumeSymDeduped: the caller certifies `edges` is ALREADY the
+    // symmetrized distinct (and materialized) edge set — composing
+    // operators over the same graph (q_modularity = LPA + modularity)
+    // otherwise pays the union+distinct shuffle once PER OPERATOR
+    // (guide §2.4: share one exchange). Symmetrizing a symmetric set
+    // is a no-op, so passing a certified set through the default path
+    // would compute the identical frame — this just skips that pass.
+    val sym =
+      if (assumeSymDeduped) e0
+      else e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
     val init = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     runRounds(rounds, checkpointEvery, convergence,
@@ -531,13 +541,17 @@ object Graphs {
       seeds: DataFrame,
       rounds: Int,
       startTime: Long = Long.MinValue,
+      dedupEdges: Boolean = true,
       checkpointEvery: Int = 4,
       convergence: Option[Convergence] = None): DataFrame = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
     val cols = edges.columns
-    val e = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"),
-        col(cols(2)).cast("long").as("t"))
-      .distinct().localCheckpoint(true)
+    val e0 = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"),
+      col(cols(2)).cast("long").as("t"))
+    // min(arrival) is idempotent to duplicate edges, so dedup is a
+    // fan-out/checkpoint-size optimization, not a correctness need —
+    // callers with provably-unique edges skip the extra shuffle.
+    val e = (if (dedupEdges) e0.distinct() else e0).localCheckpoint(true)
     val init = seeds.select(col(seeds.columns.head).as("id")).distinct()
       .select(col("id"), lit(startTime).as("arrival"))
     runRounds(rounds, checkpointEvery, convergence,
@@ -902,12 +916,17 @@ object Graphs {
     * community-keyed agg for degrees, two 1-row folds. Nothing
     * quadratic, nothing driver-side.
     */
-  def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+  def modularity(edges: DataFrame, communities: DataFrame,
+      assumeSymDeduped: Boolean = false): DataFrame = {
     val dec = "decimal(38,0)"
     val cols = edges.columns
     val e0 = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
-    val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    // assumeSymDeduped: see [[labelPropagation]] — skips the second
+    // union+distinct pass when the caller shares one symmetrized set.
+    val sym =
+      if (assumeSymDeduped) e0
+      else e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
     val ccols = communities.columns
     val lab = communities.select(col(ccols(0)).as("id"), col(ccols(1)).as("__c"))
     val je = sym

@@ -296,45 +296,110 @@ object Similarity {
       k: Int, dim: Int, rounds: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    require(k >= 2 && rounds >= 1, "need k >= 2 and rounds >= 1")
-    val q = corpus.select(col(idCol).cast("long").as("id"),
-      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-        .as("q"))
-    var cents: Array[Array[Long]] = q.orderBy(col("id")).limit(k).collect()
-      .map(_.getSeq[Long](1).toArray)
-    var sizes: Map[Int, Long] = Map.empty
-    for (_ <- 0 until rounds) {
-      def dist(cArr: Array[Long]): Column =
-        aggregate(zip_with(col("q"), typedLit(cArr.toSeq), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
-      val withD = q.select(col("q") +:
-        cents.zipWithIndex.map { case (arr, cid) => dist(arr).as(s"__d$cid") }
-          .toIndexedSeq: _*)
-      val mind = least((0 until k).map(i => col(s"__d$i")): _*)
-      // First (= smallest) cid achieving the min — the (dist, cid)
-      // tie order the oracle's min-of-argmin join reproduces.
-      val best = coalesce((0 until k).map(i =>
-        when(col(s"__d$i") === mind, lit(i))): _*)
-      val stats = withD.select(best.as("cid"), posexplode(col("q")))
-        .groupBy("cid", "pos")
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val byCid = stats.groupBy(_.getInt(0))
-      sizes = byCid.map { case (cid, rs) => cid -> rs.head.getLong(3) }
-      cents = cents.zipWithIndex.map { case (prev, cid) =>
-        byCid.get(cid).fold(prev) { rs =>
-          val arr = prev.clone()
-          rs.foreach { r =>
-            val (pos, s, n) = (r.getInt(1), r.getLong(2), r.getLong(3))
-            arr(pos) = (s - s % n) / n
-          }
-          arr
-        }
-      }
-    }
+    val Array((cents, sizes)) =
+      kmeansLockstepMicro(corpus, idCol, vecCol, Seq((1, dim, k)), rounds)
     cents.zipWithIndex.flatMap { case (arr, cid) =>
       arr.zipWithIndex.map { case (v, pos) => (cid, pos, v, sizes.getOrElse(cid, 0L)) }
     }.toIndexedSeq.toDF("cid", "pos", "c_micro", "n_members")
+  }
+
+  /** LOCKSTEP micro-k-means: train several INDEPENDENT
+    * [[kmeansCentroidsMicro]] instances — each over a contiguous
+    * 1-based slice `(from, subd)` of the quantized vector with its own
+    * `k` — in one synchronized round loop, so each round is ONE scan +
+    * ONE (Σ kᵢ·subdᵢ)-key hash agg + ONE driver collect instead of one
+    * per instance. The per-instance math is UNCHANGED bit for bit
+    * (assignment sees only that instance's centroids; updates are the
+    * same truncating integer means; seeds are the same first-maxK-by-id
+    * rows, sliced), so PQ codebooks and the IVF coarse router trained
+    * here are identical to sequential training — IvfSpec pins this.
+    *
+    * Motivation (round-15 profile): [[pqCodebooksMicro]] ran m
+    * sequential trainings = m·(rounds+1) corpus scans, every scan a
+    * SINGLE-TASK stage (small parquet reads as one partition and the
+    * k·dim distance arithmetic rode raw scan parallelism — the
+    * q_cdc_chunks lesson, unguarded here). Lockstep + the
+    * [[graft.util.Parallelism.ensure]] guard turn q_ivfpq_topk's 15
+    * training jobs into 3, all 32-wide. At 100 TB `ensure` is a no-op
+    * and the win is the m× fewer corpus passes.
+    *
+    * Returns per instance (in `specs` order): the final centroid
+    * matrix and the last assignment's cluster sizes.
+    */
+  private[graft] def kmeansLockstepMicro(corpus: DataFrame, idCol: String,
+      vecCol: String, specs: Seq[(Int, Int, Int)],
+      rounds: Int): Array[(Array[Array[Long]], Map[Int, Long])] = {
+    require(rounds >= 1, "need rounds >= 1")
+    specs.foreach { case (from, subd, k) =>
+      require(from >= 1 && subd >= 1 && k >= 2,
+        s"bad kmeans spec (from=$from, subd=$subd, k=$k)")
+    }
+    val q = graft.util.Parallelism.ensure(corpus)
+      .select(col(idCol).cast("long").as("id"),
+        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("q"))
+    def sub(t: Int): Column = {
+      val (from, subd, _) = specs(t)
+      slice(col("q"), from, subd)
+    }
+    // Seeds: the first maxK rows by id, once; instance t takes its
+    // first k_t rows' slice — the same values sequential training
+    // collected per instance (quantization is elementwise, so slicing
+    // after quantization ≡ quantizing the sliced expression).
+    val maxK = specs.map(_._3).max
+    val seedRows = q.orderBy(col("id")).limit(maxK).collect()
+      .map(_.getSeq[Long](1).toArray)
+    var cents: Array[Array[Array[Long]]] = specs.zipWithIndex.toArray
+      .map { case ((from, subd, k), _) =>
+        seedRows.take(k).map(_.slice(from - 1, from - 1 + subd))
+      }
+    var sizes: Array[Map[Int, Long]] = Array.fill(specs.size)(Map.empty)
+    def sqd(qs: Column, cArr: Array[Long]): Column =
+      aggregate(zip_with(qs, typedLit(cArr.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    for (_ <- 0 until rounds) {
+      // One projection carrying every instance's distance columns …
+      val dCols = specs.zipWithIndex.flatMap { case ((_, _, k), t) =>
+        (0 until k).map(c => sqd(sub(t), cents(t)(c)).as(s"__d${t}_$c"))
+      }
+      val withD = q.select(col("q") +: dCols.toIndexedSeq: _*)
+      // … then per instance the same (dist, cid) argmin as sequential
+      // training: first (= smallest) cid achieving the min.
+      val cidCols = specs.zipWithIndex.map { case ((_, _, k), t) =>
+        val mind = least((0 until k).map(c => col(s"__d${t}_$c")): _*)
+        coalesce((0 until k).map(c =>
+          when(col(s"__d${t}_$c") === mind, lit(c))): _*).as(s"__cid$t")
+      }
+      val assigned = withD.select(col("q") +: cidCols.toIndexedSeq: _*)
+      // One explode over instances, one posexplode over that
+      // instance's slice, one hash agg — the union of the sequential
+      // per-instance (cid, pos) aggregations, keyed by instance tag.
+      val stats = assigned
+        .select(explode(array(specs.zipWithIndex.map { case (_, t) =>
+          struct(lit(t).as("t"), col(s"__cid$t").as("cid"), sub(t).as("sub"))
+        }: _*)).as("e"))
+        .select(col("e.t").as("t"), col("e.cid").as("cid"),
+          posexplode(col("e.sub")))
+        .groupBy("t", "cid", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byInst = stats.groupBy(_.getInt(0))
+      specs.indices.foreach { t =>
+        val byCid = byInst.getOrElse(t, Array.empty).groupBy(_.getInt(1))
+        sizes(t) = byCid.map { case (cid, rs) => cid -> rs.head.getLong(4) }
+        cents(t) = cents(t).zipWithIndex.map { case (prev, cid) =>
+          byCid.get(cid).fold(prev) { rs =>
+            val arr = prev.clone()
+            rs.foreach { r =>
+              val (pos, s, n) = (r.getInt(2), r.getLong(3), r.getLong(4))
+              arr(pos) = (s - s % n) / n
+            }
+            arr
+          }
+        }
+      }
+    }
+    specs.indices.toArray.map(t => (cents(t), sizes(t)))
   }
 
   /** DuckDB mirror of [[kmeansCentroidsMicro]] as a chained CTE pyramid
@@ -399,14 +464,12 @@ object Similarity {
       dim: Int, m: Int, ksub: Int, rounds: Int): Array[Array[Array[Long]]] = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     val subd = dim / m
-    (0 until m).toArray.map { s =>
-      val sub = s"slice($vecCol, ${s * subd + 1}, $subd)"
-      val rows = kmeansCentroidsMicro(corpus, idCol, sub, ksub, subd, rounds)
-        .collect()
-      val book = Array.fill(ksub)(new Array[Long](subd))
-      rows.foreach(r => book(r.getInt(0))(r.getInt(1)) = r.getLong(2))
-      book
-    }
+    // The m subspace trainings are independent — run them in lockstep
+    // (one scan/agg/collect per round for ALL subspaces instead of per
+    // subspace; identical books, see [[kmeansLockstepMicro]]).
+    kmeansLockstepMicro(corpus, idCol, vecCol,
+      (0 until m).map(s => (s * subd + 1, subd, ksub)), rounds)
+      .map(_._1)
   }
 
   /** PQ asymmetric-distance top-k (Jégou et al. 2011) — the
@@ -418,9 +481,10 @@ object Similarity {
     * ([[kmeansCentroidsMicro]] codebooks, floor-quantized queries), so
     * ranks are engine-exact — no float ADC table.
     *
-    * Plan shape at scale: codebook training is m runs of the k-means
-    * micro loop (each ONE map-only scan + (ksub·subd)-key agg per
-    * round); encoding is ONE map-only codegen scan (m·ksub unrolled
+    * Plan shape at scale: codebook training is ONE lockstep k-means
+    * micro loop for all m subspaces ([[kmeansLockstepMicro]] — one
+    * map-only scan + (m·ksub·subd)-key agg per round, 32-wide under
+    * the parallelism guard); encoding is ONE map-only codegen scan (m·ksub unrolled
     * literal distances, no join); search is the encoded table × the
     * BROADCAST query set — a linear scan with O(m) adds per pair,
     * the PQ contract (compose with the IVF router for sublinear
@@ -547,11 +611,24 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= kCoarse,
       s"need 1 <= nprobe <= kCoarse, got $nprobe / $kCoarse")
     val subd = dim / m
-    val crows = kmeansCentroidsMicro(
-      corpus, idCol, vecCol, kCoarse, dim, coarseRounds).collect()
-    val coarse = Array.fill(kCoarse)(new Array[Long](dim))
-    crows.foreach(r => coarse(r.getInt(0))(r.getInt(1)) = r.getLong(2))
-    val books = pqCodebooksMicro(corpus, idCol, vecCol, dim, m, ksub, rounds)
+    // Coarse router and PQ codebooks are independent trainings
+    // (by_residual=false: codebooks see raw vectors, not residuals) —
+    // when their round counts agree, train all m+1 in ONE lockstep
+    // loop (3 jobs total instead of 3·(m+1); identical models, see
+    // [[kmeansLockstepMicro]]).
+    val (coarse, books) =
+      if (coarseRounds == rounds) {
+        val all = kmeansLockstepMicro(corpus, idCol, vecCol,
+          (1, dim, kCoarse) +: (0 until m).map(s => (s * subd + 1, subd, ksub)),
+          rounds)
+        (all.head._1, all.tail.map(_._1))
+      } else {
+        val crows = kmeansCentroidsMicro(
+          corpus, idCol, vecCol, kCoarse, dim, coarseRounds).collect()
+        val c = Array.fill(kCoarse)(new Array[Long](dim))
+        crows.foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+        (c, pqCodebooksMicro(corpus, idCol, vecCol, dim, m, ksub, rounds))
+      }
     val q = graft.util.Parallelism.ensure(corpus)
       .select(col(idCol).cast("long").as("id"),
         expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")

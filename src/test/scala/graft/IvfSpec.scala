@@ -109,6 +109,29 @@ class IvfSpec extends SparkSpec {
     assert(sizes.values.sum == vecs.length)
   }
 
+  test("kmeansLockstepMicro: multi-spec lockstep == per-spec sequential training") {
+    // The round-15 lockstep optimization must be bit-identical to
+    // training each instance alone: full-vector coarse (k=8) plus two
+    // half-vector subspaces (k=4), the q_ivfpq_topk shape.
+    val rounds = 2
+    val specs = Seq((1, 64, 8), (1, 32, 4), (33, 32, 4))
+    val lock = Similarity.kmeansLockstepMicro(
+      emb, "vec_id", "embedding", specs, rounds)
+    specs.zipWithIndex.foreach { case ((from, subd, k), t) =>
+      val sliced =
+        if (from == 1 && subd == 64) "embedding"
+        else s"slice(embedding, $from, $subd)"
+      val seq = Similarity.kmeansCentroidsMicro(
+          emb, "vec_id", sliced, k, subd, rounds)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      val (cents, sizes) = lock(t)
+      val got = cents.zipWithIndex.flatMap { case (arr, cid) =>
+        arr.zipWithIndex.map { case (v, pos) => (cid, pos, v, sizes.getOrElse(cid, 0L)) }
+      }.toSet
+      assert(got == seq, s"spec $t (from=$from, subd=$subd, k=$k) diverged")
+    }
+  }
+
   test("semanticNearDupPairs = brute-force pairs restricted to co-assigned clusters") {
     val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
     val got = Similarity.semanticNearDupPairs(emb, "vec_id", "embedding", cents, 0.4)
