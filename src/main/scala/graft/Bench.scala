@@ -59,6 +59,18 @@ object Bench {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
+        // Round-15 SPILL_PROBE finding (docs/SPILL_PROBE_r15.json): at
+        // the 0.5B-pair rung the planner's sort-merge fallback SORTS
+        // the pair stream — the measured spill crossover (59 GB memory
+        // spilled, throughput halved). Preferring shuffled hash join
+        // when its size conditions hold (the optimization guide's
+        // baseline posture) removed the sort and, with partitions
+        // sized to the data, ran 11.8M pairs/s with zero spill.
+        // Broadcast still wins where it applies; this is scale-neutral
+        // (strategy only changes where SHJ's safety conditions hold).
+        // SPARK_GRAFT_PREFER_SMJ=1 restores the Spark default.
+        .config("spark.sql.join.preferSortMergeJoin",
+          sys.env.get("SPARK_GRAFT_PREFER_SMJ").contains("1").toString)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         // Shuffle spill on this VM's virtio disk is burst-throttled;
         // tmpfs keeps shuffle-heavy queries off the device entirely.

@@ -27,6 +27,10 @@ object PairedRunner {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Mirrors Bench's engine posture (round-15 SPILL_PROBE — see
+      // Bench.scala) so paired deltas attribute CODE, not conf drift.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.get("SPARK_GRAFT_PREFER_SMJ").contains("1").toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.ui.enabled", "false")

@@ -13,6 +13,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Mirrors Bench's engine posture (round-15 SPILL_PROBE — see
+      // Bench.scala): the oracle gate certifies results under the SAME
+      // join strategies the bench runs with.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.get("SPARK_GRAFT_PREFER_SMJ").contains("1").toString)
       // events.parquet carries timestamp[ns]; Spark 4 rejects NANOS
       // unless read as long (queries convert explicitly when needed).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
