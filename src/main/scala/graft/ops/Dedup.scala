@@ -999,33 +999,62 @@ object Dedup {
     * audit reads (which corpora share boilerplate, how long, where),
     * where [[removeDuplicatedSpans]] is the removal action.
     *
-    * Shape: islands-and-gaps over the covered-position set — the
-    * per-doc `row_number` window is partitioned by document (never a
-    * corpus-wide window), and the covered set is already the
-    * linear-in-tokens aggregate of the coverage join.
+    * Shape: islands-and-gaps swept directly over duplicated-gram
+    * START positions ([[gramIslandRuns]] — the coverage set is never
+    * exploded); the lag/sum windows are partitioned by document,
+    * never corpus-wide.
     */
   def duplicatedSpanRuns(
       df: DataFrame, idCol: String, text: Column, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val toks = df.select(col(idCol), split(text, " ").as("__toks"))
-    islandRuns(coveredPositions(toks, idCol, k), idCol)
+    val occ = toks.filter(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(shinglesFromTokens(col("__toks"), k)).as(Seq("__pos", "__g")))
+      .select(col(idCol), col("__pos"), shingleBaseHash(col("__g")).as("__h"))
+    gramIslandRuns(dupGramPositions(occ, idCol), idCol, k)
   }
 
-  /** Islands-and-gaps merge of a `(idCol, __cpos)` covered-position
-    * set into maximal `(idCol, span_start, span_end, span_len)` runs —
-    * the unit-agnostic half of [[duplicatedSpanRuns]] /
-    * [[duplicatedByteSpanRuns]] (positions are tokens in one, bytes in
-    * the other; the merge does not care). The `row_number` window is
-    * per-document, never corpus-wide.
+  /** Duplicated-gram START positions `(idCol, __pos)` — the occurrence
+    * rows whose hash repeats corpus-wide (the [[coveredPositions]]
+    * occ/dup/semi core WITHOUT the ≤ k coverage fan-out).
     */
-  private def islandRuns(covered: DataFrame, idCol: String): DataFrame = {
+  private def dupGramPositions(occ: DataFrame, idCol: String): DataFrame = {
+    val dupHashes = occ.groupBy("__h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select("__h")
+    occ.join(dupHashes, Seq("__h"), "left_semi")
+      .select(col(idCol), col("__pos"))
+  }
+
+  /** Islands-and-gaps directly over duplicated-gram START positions —
+    * equivalent to the old row_number islands merge over the exploded
+    * coverage set ([[coveredPositions]]' fan-out) but
+    * WITHOUT materializing it (guide §2.3: shuffle fewer bytes — the
+    * coverage fan-out is k rows per duplicated gram, 50× for the byte
+    * path, plus a (doc, pos) dedup aggregate; this sweep shuffles one
+    * row per duplicated gram and aggregates once).
+    *
+    * Equivalence: each gram at `p` covers the interval `[p, p+k−1]`,
+    * and with FIXED k interval ends are monotone in starts, so sorted
+    * intervals merge into one contiguous covered run exactly while
+    * `next_p ≤ prev_p + k` (next start ≤ previous end + 1); a gap in
+    * coverage opens iff `next_p > prev_p + k`. Island spans are then
+    * `[min p, max p + k − 1]` — identical to merging the exploded
+    * positions. The windows (lag + running count of gap-opens) are
+    * per-document over gram starts, sharing one partition/sort.
+    */
+  private def gramIslandRuns(dupOcc: DataFrame, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__cpos"))
-    covered
-      .withColumn("__island", col("__cpos") - row_number().over(w))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val run = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dupOcc
+      .withColumn("__gap",
+        when(col("__pos") > lag(col("__pos"), 1).over(w) + k, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("__island", sum(col("__gap")).over(run))
       .groupBy(col(idCol), col("__island"))
-      .agg(min("__cpos").cast("long").as("span_start"),
-        max("__cpos").cast("long").as("span_end"))
+      .agg(min("__pos").cast("long").as("span_start"),
+        (max("__pos") + (k - 1)).cast("long").as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"))
   }
@@ -1054,7 +1083,9 @@ object Dedup {
     * uppercase on both engines. Costs a 2× wider intermediate column;
     * occurrence-row count is identical to slicing raw bytes (one row
     * per byte position), and everything downstream is the same
-    * linear-in-bytes gram/semi-join/coverage shape as the token path.
+    * linear-in-bytes gram/semi-join/sweep shape as the token path —
+    * the [[gramIslandRuns]] start-position merge, never a ×k coverage
+    * explode (at k = 50 that explode was 50 rows per duplicated gram).
     */
   def duplicatedByteSpanRuns(
       df: DataFrame, idCol: String, text: Column, k: Int): DataFrame = {
@@ -1068,13 +1099,7 @@ object Dedup {
         sequence(lit(0), col("__nb") - k),
         j => col("__hx").substr(j * 2 + 1, lit(2 * k)))).as(Seq("__pos", "__g")))
       .select(col(idCol), col("__pos"), shingleBaseHash(col("__g")).as("__h"))
-    val dupHashes = occ.groupBy("__h").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).select("__h")
-    val covered = occ.join(dupHashes, Seq("__h"), "left_semi")
-      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__cpos"))
-      .groupBy(col(idCol), col("__cpos")).agg(lit(1).as("__one"))
-      .select(col(idCol), col("__cpos"))
-    islandRuns(covered, idCol)
+    gramIslandRuns(dupGramPositions(occ, idCol), idCol, k)
   }
 
   /** DuckDB mirror of [[duplicatedSpanRuns]]: identical occurrence/
