@@ -223,6 +223,50 @@ object Unigram {
     * [[unigramTrainSoft]] — spec-gated rather than oracle-hashed; its
     * scaladoc states exactly when the two schedules diverge.
     */
+  /** Loud envelope for the driver-side vocab loop state: singles are
+    * bounded by the corpus alphabet (≤ #Unicode code points ≈ 1.11M)
+    * plus `seedMultiChar` — model-scale by construction, but the
+    * collect refuses loudly (the EM.scala `take(max+1)` discipline)
+    * rather than OOM the driver if a caller feeds non-words.
+    */
+  private val MaxDriverVocab: Int = 2 * 1024 * 1024
+
+  /** One scored vocab state held on the driver: `(piece, cnt,
+    * logp_unat)` — ≤ alphabet + seedMultiChar rows by construction.
+    */
+  private final case class DriverPiece(piece: String, cnt: Long, logpUnat: Long)
+
+  /** Driver-side [[rescore]] — the identical micro-nat arithmetic on
+    * the identical integers: `(cnt+1)` and `(total+|V|)` cast to
+    * double, ONE IEEE division, ONE `StrictMath.log` (what Spark's
+    * `log` expression calls — verified against the catalyst bytecode),
+    * `⌊·10⁶⌋`. Bit-identical to the Spark column by construction, so
+    * the training trace's hash contract is untouched.
+    */
+  private def rescoreDriver(counts: Seq[(String, Long)]): Seq[DriverPiece] = {
+    val total = counts.iterator.map(_._2).sum
+    val nv = counts.size.toLong
+    counts.map { case (p, c) =>
+      DriverPiece(p, c,
+        math.floor(StrictMath.log((c + 1).toDouble / (total + nv).toDouble) * 1e6).toLong)
+    }
+  }
+
+  /** UTF-8 binary string order — Spark's UTF8String / DuckDB VARCHAR
+    * comparison, which differs from Java's UTF-16 `compareTo` above
+    * the BMP; the prune/seed tie-breaks sort in THIS order on both
+    * engines, so the driver-side prune must too.
+    */
+  private val Utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var r = 0
+    while (r == 0 && i < n) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+    if (r != 0) r else x.length - y.length
+  }
+
   def unigramTrain(
       words0: DataFrame,
       maxPieceLen: Int = 4,
@@ -234,24 +278,64 @@ object Unigram {
     require(maxPieceLen >= 1 && seedMultiChar >= 0 && keepMultiChar >= 0 &&
       emBeforePrune >= 1 && emAfterPrune >= 1 && maxWordLen >= 1,
       "unigramTrain: all schedule parameters must be positive")
+    val spark = words0.sparkSession
+    import spark.implicits._
     val words = checkedWords(words0, maxWordLen).localCheckpoint(true)
-    def ck(df: DataFrame): DataFrame = df.localCheckpoint(true) // model-sized
-    var vocab = ck(rescore(seedVocab(words, maxPieceLen, seedMultiChar)))
-    val states = scala.collection.mutable.ArrayBuffer[DataFrame](vocab)
-    (1 to emBeforePrune).foreach { _ =>
-      vocab = ck(rescore(emCounts(words, vocab, maxPieceLen)))
-      states += vocab
+
+    // Round-15: the vocab loop state lives on the DRIVER. The model is
+    // ≤ alphabet + seedMultiChar rows by construction — the IVF-
+    // codebook class of driver-scale state (SURVEY S6) — yet carrying
+    // it as a checkpointed DataFrame cost ~8 AQE shuffle stages + one
+    // localCheckpoint action PER EM ROUND of pure scheduling overhead
+    // on a ~100-row frame (measured: q_unigram_encode ran 54 jobs with
+    // no stage over 0.2 s). Each round is now ONE distributed job —
+    // the Viterbi usage aggregate over the (static, checkpointed) word
+    // table under a broadcast local-relation vocab — plus one bounded
+    // collect; seed/rescore/prune arithmetic runs on the driver with
+    // the identical integer/StrictMath operations (the DuckDB hash
+    // contract is over VALUES, which are unchanged bit-for-bit).
+    def collectBounded(df: DataFrame, what: String): Seq[(String, Long)] = {
+      val rows = df.select(col("piece"), col("cnt")).take(MaxDriverVocab + 1)
+      require(rows.length <= MaxDriverVocab,
+        s"unigramTrain: $what exceeds the $MaxDriverVocab-row driver vocab envelope")
+      rows.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq
     }
-    vocab = ck(rescore(prune(vocab, keepMultiChar)))
+    def vocabDf(v: Seq[DriverPiece]): DataFrame =
+      v.map(p => (p.piece, p.cnt, p.logpUnat)).toDF("piece", "cnt", "logp_unat")
+    // Hard-EM round, driver-state form: Viterbi usage counts along the
+    // single best segmentations (one job), zero-kept pieces filled on
+    // the driver ([[emCounts]]' smoothing contract).
+    def emRound(v: Seq[DriverPiece]): Seq[DriverPiece] = {
+      val used = viterbiSegments(words, vocabDf(v), maxPieceLen)
+        .select(explode(col("pieces")).as("piece"), col("freq"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+      val usedMap = collectBounded(used, "EM usage counts").toMap
+      rescoreDriver(v.map(p => (p.piece, usedMap.getOrElse(p.piece, 0L))))
+    }
+    // Driver-side [[prune]]: singles always survive; multi-char pieces
+    // ranked (cnt DESC, piece ASC in UTF-8 binary order — the engines'
+    // shared collation).
+    def pruneDriver(v: Seq[DriverPiece]): Seq[DriverPiece] = {
+      // single = ONE code point: Spark `length` and DuckDB `len` both
+      // count code points, not UTF-16 units.
+      val (singles, multi) =
+        v.partition(p => p.piece.codePointCount(0, p.piece.length) == 1)
+      val kept = multi.sortBy(p => (-p.cnt, p.piece))(
+        Ordering.Tuple2(Ordering.Long, Utf8Order)).take(keepMultiChar)
+      rescoreDriver((singles ++ kept).map(p => (p.piece, p.cnt)))
+    }
+
+    var vocab = rescoreDriver(
+      collectBounded(seedVocab(words, maxPieceLen, seedMultiChar), "seed vocab"))
+    val states = scala.collection.mutable.ArrayBuffer[Seq[DriverPiece]](vocab)
+    (1 to emBeforePrune).foreach { _ => vocab = emRound(vocab); states += vocab }
+    vocab = pruneDriver(vocab)
     states += vocab
-    (1 to emAfterPrune).foreach { _ =>
-      vocab = ck(rescore(emCounts(words, vocab, maxPieceLen)))
-      states += vocab
-    }
-    val trace = states.zipWithIndex.map { case (v, i) =>
-      v.select(lit(i.toLong).as("round"), col("piece"), col("cnt"), col("logp_unat"))
-    }.reduce(_ unionByName _)
-    (trace, vocab)
+    (1 to emAfterPrune).foreach { _ => vocab = emRound(vocab); states += vocab }
+    val trace = states.zipWithIndex.flatMap { case (v, i) =>
+      v.map(p => (i.toLong, p.piece, p.cnt, p.logpUnat))
+    }.toSeq.toDF("round", "piece", "cnt", "logp_unat")
+    (trace, vocabDf(vocab))
   }
 
   // ---- soft EM (Kudo 2018 §3's actual E-step; spec-gated) -----------
